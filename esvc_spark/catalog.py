@@ -1,0 +1,43 @@
+"""Testdata catalog: loaders for the driver-generated parquet tables.
+
+Tables (TESTDATA.md / FIXTURES.md §A): region nation customer supplier part
+orders lineitem events documents embeddings — one parquet file per table in
+/root/testdata/sf{0.001,0.01,0.1}/.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table. Column pruning + predicate pushdown reach the
+    parquet scan because this is a plain file-source read."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql() use."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,744 @@
+"""Relational query surface (SURVEY.md §2.6): joins (broadcast/shuffle,
+semi/anti), aggregations (incl. distinct, rollup/cube/grouping sets),
+window functions, sorts/top-k, set operations, scalar date/string/JSON
+functions — all Spark built-ins so Catalyst gets full pushdown/pruning.
+
+Every query has a DuckDB oracle in ORACLES with identical output column
+names. Double aggregates use the decimal-cast strategy from _util (exact,
+order-invariant, cross-engine identical).
+
+The reference (fogti/esvc) has NO relational operators (SURVEY.md §2.6);
+this surface is what the driver's correctness harness exercises, delivered
+entirely by Catalyst built-ins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table as T
+from ._util import davg, dec, dsum, sql_davg, sql_dsum
+
+# ---------------------------------------------------------------- q01
+# TPC-H Q1-style pricing summary: scan + filter + groupBy agg.
+# At 100 TB: partial (map-side) aggregation on 6 groups makes this a pure
+# scan-bound query; the shipdate filter is pushed to the parquet scan.
+
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", 2).alias("sum_qty"),
+            dsum("l_extendedprice", 2).alias("sum_base_price"),
+            dsum(disc_price, 4).alias("sum_disc_price"),
+            dsum(charge, 6).alias("sum_charge"),
+            davg("l_quantity", 2).alias("avg_qty"),
+            davg("l_extendedprice", 2).alias("avg_price"),
+            davg("l_discount", 2).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_Q01_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum('l_quantity', 2)} AS sum_qty,
+       {sql_dsum('l_extendedprice', 2)} AS sum_base_price,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
+       {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+       {sql_davg('l_quantity', 2)} AS avg_qty,
+       {sql_davg('l_extendedprice', 2)} AS avg_price,
+       {sql_davg('l_discount', 2)} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+# ---------------------------------------------------------------- q03
+# TPC-H Q3-style shipping priority: 3-way join + agg + deterministic top-k.
+# customer is the small side (broadcast); orders⋈lineitem shuffles on
+# orderkey. Top-k ties broken by (o_orderdate, l_orderkey) so the row set
+# is deterministic across engines.
+
+
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    cust = T(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = T(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+_Q03_SQL = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate  > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+# ---------------------------------------------------------------- q04
+# Order-priority checking: EXISTS semi-join (left_semi) with an inequality
+# condition, then count by priority.
+
+
+def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = T(spark, sf_dir, "lineitem")
+    cond = (li.l_orderkey == orders.o_orderkey) & (
+        li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+_Q04_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate <  TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+# ---------------------------------------------------------------- q05
+# TPC-H Q5-style local supplier volume: 6-way join through region→nation
+# with the customer-nation == supplier-nation co-location condition.
+# region/nation/supplier broadcast; the big orders⋈lineitem join shuffles.
+
+
+def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = T(spark, sf_dir, "lineitem")
+    supp = T(spark, sf_dir, "supplier")
+    nat = T(spark, sf_dir, "nation")
+    reg = T(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, (orders.o_custkey == cust.c_custkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
+    )
+
+
+_Q05_SQL = f"""
+SELECT n_name, {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+# ---------------------------------------------------------------- q06
+# Filter-only revenue forecast: all three predicates push to the parquet
+# scan (PushedFilters) and only 3 columns are read (ReadSchema pruning).
+
+
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue"))
+    )
+
+
+_Q06_SQL = f"""
+SELECT {sql_dsum('l_extendedprice * l_discount', 4)} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+# ---------------------------------------------------------------- q07
+# Volume shipping between two nations (supplier nation ↔ customer nation),
+# grouped by year: join reordering + scalar date function (year).
+
+
+def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+    supp = T(spark, sf_dir, "supplier")
+    n1 = T(spark, sf_dir, "nation").withColumnRenamed("n_name", "supp_nation")
+    n2 = T(spark, sf_dir, "nation").withColumnRenamed("n_name", "cust_nation")
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == n1.n_nationkey)
+        .join(F.broadcast(n2), cust.c_nationkey == n2.n_nationkey)
+        .filter(pair)
+        .withColumn("l_year", F.year("l_shipdate").cast("int"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
+    )
+
+
+_Q07_SQL = f"""
+SELECT supp_nation, cust_nation, l_year,
+       {sql_dsum('volume', 4)} AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+)
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+# ---------------------------------------------------------------- q09
+# Product-profit proxy by supplier nation and year (no ps_supplycost in the
+# schema; cost proxied by 10% of retail price × quantity).
+
+
+def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    orders = T(spark, sf_dir, "orders")
+    supp = T(spark, sf_dir, "supplier")
+    part = T(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    nat = T(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - (
+        F.col("p_retailprice") * 0.1
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .withColumn("o_year", F.year("o_orderdate").cast("int"))
+        .groupBy("n_name", "o_year")
+        .agg(dsum(amount, 6).alias("sum_profit"))
+    )
+
+
+_Q09_SQL = f"""
+SELECT n_name, o_year, {sql_dsum('amount', 6)} AS sum_profit
+FROM (
+  SELECT n_name, CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+         l_extendedprice * (1 - l_discount) - (p_retailprice * 0.1) * l_quantity AS amount
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE p_type = 'PROMO'
+)
+GROUP BY n_name, o_year
+"""
+
+# ---------------------------------------------------------------- q10
+# Returned-item reporting: join + agg + deterministic top-20.
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nat = T(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name", "c_mktsegment")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+_Q10_SQL = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name, c_mktsegment,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+# ---------------------------------------------------------------- q12
+# Ship-lag buckets by order priority: conditional aggregation (CASE WHEN
+# inside SUM) + date arithmetic (datediff).
+
+
+def q12_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    orders = T(spark, sf_dir, "orders")
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(lag <= 30, 1).otherwise(0)).alias("fast_count"),
+            F.sum(F.when(lag > 30, 1).otherwise(0)).alias("slow_count"),
+            F.max(lag).alias("max_lag_days"),
+        )
+    )
+
+
+_Q12_SQL = """
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN DATE_DIFF('day', o_orderdate, l_shipdate) <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS fast_count,
+       CAST(SUM(CASE WHEN DATE_DIFF('day', o_orderdate, l_shipdate) >  30 THEN 1 ELSE 0 END) AS BIGINT) AS slow_count,
+       CAST(MAX(DATE_DIFF('day', o_orderdate, l_shipdate)) AS INTEGER) AS max_lag_days
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+# ---------------------------------------------------------------- q13
+# Customer order-count distribution: LEFT OUTER join + two-level aggregate.
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+_Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+# ---------------------------------------------------------------- q14
+# Promo revenue share: conditional aggregation producing a ratio (single
+# IEEE division of two exact decimal-derived doubles).
+
+
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    part = T(spark, sf_dir, "part")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (100.0 * F.sum(dec(promo, 4)).cast("double") / F.sum(dec(disc_price, 4)).cast("double")).alias(
+                "promo_revenue_pct"
+            )
+        )
+    )
+
+
+_Q14_SQL = """
+SELECT 100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                     THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+       AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+  AND l_shipdate <  TIMESTAMP '1997-10-01'
+"""
+
+# ---------------------------------------------------------------- q15
+# Top supplier by revenue: CTE + agg + join back on the max (TPC-H Q15
+# shape without the view).
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    supp = T(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("total_revenue")
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("m"))
+    return (
+        rev.join(F.broadcast(max_rev), rev.total_revenue == max_rev.m)
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+_Q15_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey, {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+# ---------------------------------------------------------------- q16
+# Parts/supplier relationship: COUNT(DISTINCT) under a NOT-IN-style
+# exclusion (left_anti join on the supplier side).
+
+
+def q16_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#1")
+    bad_supp = T(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+_Q16_SQL = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+# ---------------------------------------------------------------- q17
+# Small-quantity-order revenue: join against a per-part average (correlated
+# scalar subquery decorrelated into an aggregate + join).
+
+
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        (0.2 * davg("l_quantity", 2)).alias("qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(avg_qty, li.l_partkey == avg_qty.ap_partkey)
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg((dsum("l_extendedprice", 2) / 7.0).alias("avg_yearly"))
+    )
+
+
+_Q17_SQL = f"""
+WITH avg_qty AS (
+  SELECT l_partkey AS ap_partkey, 0.2 * ({sql_davg('l_quantity', 2)}) AS qty_threshold
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT {sql_dsum('l_extendedprice', 2)} / 7.0 AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN avg_qty ON l_partkey = ap_partkey
+WHERE p_brand = 'Brand#3' AND l_quantity < qty_threshold
+"""
+
+# ---------------------------------------------------------------- q18
+# Large-volume customers: HAVING on an exact decimal sum + join back.
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity", 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 200)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+    )
+
+
+_Q18_SQL = f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM (
+  SELECT l_orderkey, {sql_dsum('l_quantity', 2)} AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING {sql_dsum('l_quantity', 2)} > 200
+)
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+# ---------------------------------------------------------------- q22
+# Dormant high-balance customers: scalar aggregate subquery + anti-join.
+
+
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-balance customers with no 1996 orders: scalar aggregate
+    subquery (broadcast cross join) + anti-join against a filtered order
+    set (every customer has *some* order in this data, so the anti-join is
+    date-bounded to stay non-trivial)."""
+    cust = T(spark, sf_dir, "customer")
+    orders96 = T(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1996)
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        davg("c_acctbal", 2).alias("avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders96, cust.c_custkey == orders96.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal", 2).alias("totacctbal"),
+        )
+    )
+
+
+_Q22_SQL = f"""
+SELECT c_nationkey, COUNT(*) AS numcust, {sql_dsum('c_acctbal', 2)} AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT {sql_davg('c_acctbal', 2)} FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND EXTRACT(year FROM o_orderdate) = 1996)
+GROUP BY c_nationkey
+"""
+
+# ---------------------------------------------------------------- window functions
+
+
+def q_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by totalprice: ROW_NUMBER window. Fully
+    deterministic ordering via (o_totalprice DESC, o_orderkey)."""
+    orders = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+_QWINDOW_TOP_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+"""
+
+
+def q_window_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running spend + previous order price: frame-based SUM
+    and LAG. The running sum is an exact decimal accumulated in a fully
+    deterministic order (o_orderdate, o_orderkey)."""
+    orders = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(dec("o_totalprice", 2)).over(run).cast("double").alias("running_spend"),
+        F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+        F.row_number().over(w).cast("int").alias("order_seq"),
+    )
+
+
+_QWINDOW_RUN_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+       LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+       CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS order_seq
+FROM orders
+"""
+
+# ---------------------------------------------------------------- rollup / cube
+
+
+def q_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_quantity", 2).alias("sum_qty"),
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+        )
+    )
+
+
+_QROLLUP_SQL = f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+       {sql_dsum('l_quantity', 2)} AS sum_qty,
+       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = T(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", 2).alias("sum_price"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        )
+    )
+
+
+_QCUBE_SQL = f"""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice', 2)} AS sum_price,
+       CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+# ---------------------------------------------------------------- set operations
+
+
+def q_setops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION over yearly active-customer sets, reduced
+    to tagged counts (one row per tag)."""
+    orders = T(spark, sf_dir, "orders")
+    c96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    c97 = orders.filter(F.year("o_orderdate") == 1997).select("o_custkey").distinct()
+    both = c96.intersect(c97).agg(F.count(F.lit(1)).alias("n")).withColumn("tag", F.lit("both"))
+    only96 = c96.exceptAll(c97).agg(F.count(F.lit(1)).alias("n")).withColumn("tag", F.lit("only_1996"))
+    either = c96.union(c97).distinct().agg(F.count(F.lit(1)).alias("n")).withColumn("tag", F.lit("either"))
+    return both.unionByName(only96).unionByName(either).select("tag", "n")
+
+
+_QSETOPS_SQL = """
+WITH c96 AS (SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996),
+     c97 AS (SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997)
+SELECT 'both' AS tag, COUNT(*) AS n FROM (SELECT * FROM c96 INTERSECT SELECT * FROM c97)
+UNION ALL
+SELECT 'only_1996' AS tag, COUNT(*) AS n FROM (SELECT * FROM c96 EXCEPT SELECT * FROM c97)
+UNION ALL
+SELECT 'either' AS tag, COUNT(*) AS n FROM (SELECT * FROM c96 UNION SELECT * FROM c97)
+"""
+
+
+QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q03_shipping_priority": q03_shipping_priority,
+    "q04_order_priority": q04_order_priority,
+    "q05_local_supplier_volume": q05_local_supplier_volume,
+    "q06_forecast_revenue": q06_forecast_revenue,
+    "q07_volume_shipping": q07_volume_shipping,
+    "q09_product_profit": q09_product_profit,
+    "q10_returned_items": q10_returned_items,
+    "q12_ship_lag": q12_ship_lag,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q14_promo_share": q14_promo_share,
+    "q15_top_supplier": q15_top_supplier,
+    "q16_parts_supplier": q16_parts_supplier,
+    "q17_small_quantity": q17_small_quantity,
+    "q18_large_orders": q18_large_orders,
+    "q22_dormant_customers": q22_dormant_customers,
+    "q_window_top_orders": q_window_top_orders,
+    "q_window_running_spend": q_window_running_spend,
+    "q_rollup_returns": q_rollup_returns,
+    "q_cube_orders": q_cube_orders,
+    "q_setops_customers": q_setops_customers,
+}
+
+ORACLES = {
+    "q01_pricing_summary": _Q01_SQL,
+    "q03_shipping_priority": _Q03_SQL,
+    "q04_order_priority": _Q04_SQL,
+    "q05_local_supplier_volume": _Q05_SQL,
+    "q06_forecast_revenue": _Q06_SQL,
+    "q07_volume_shipping": _Q07_SQL,
+    "q09_product_profit": _Q09_SQL,
+    "q10_returned_items": _Q10_SQL,
+    "q12_ship_lag": _Q12_SQL,
+    "q13_customer_distribution": _Q13_SQL,
+    "q14_promo_share": _Q14_SQL,
+    "q15_top_supplier": _Q15_SQL,
+    "q16_parts_supplier": _Q16_SQL,
+    "q17_small_quantity": _Q17_SQL,
+    "q18_large_orders": _Q18_SQL,
+    "q22_dormant_customers": _Q22_SQL,
+    "q_window_top_orders": _QWINDOW_TOP_SQL,
+    "q_window_running_spend": _QWINDOW_RUN_SQL,
+    "q_rollup_returns": _QROLLUP_SQL,
+    "q_cube_orders": _QCUBE_SQL,
+    "q_setops_customers": _QSETOPS_SQL,
+}
