@@ -1,0 +1,257 @@
+"""Spark-native dataset engines for the event-log core.
+
+The reference requires whole-dataset-value equality (`Dat: PartialEq`,
+esvc-traits/src/lib.rs:12-13) — the enabler for dependency inference. For
+DataFrames that becomes a canonical, order-insensitive content fingerprint
+computed in ONE aggregate job:
+
+    fingerprint = (count, bit_xor(xxhash64(cols)), sum(xxhash64(cols)))
+
+xor+sum+count of per-row 64-bit hashes is commutative/associative →
+shuffle-order invariant, and cheap at any scale (map-side partial
+aggregation, no sort, no collect of data). Every `run_event_bare`
+materializes the new value's fingerprint eagerly and persists the
+DataFrame, because shelve/merge compare states constantly and the
+WorkCache memoizes by state anyway (workcache.rs:85-102 role).
+
+Engines:
+  - SparkReplaceEngine: literal search-and-replace over every row of a
+    text corpus (doc_id, text) — the sear engine (workcache.rs:507-511)
+    generalized to a distributed corpus. Uses F.replace (JVM, codegen).
+  - SparkExEngine: the ed/ex line editor (en.rs:214-258) over an ordered
+    lines DataFrame (line_no, text). Spark rows are unordered, so the
+    reference's implicit vector order is an explicit line_no column
+    (SURVEY.md §1.2); renumbering is a row_number window — a single-task
+    sort acceptable for editor datasets (documented scale limit; the
+    corpus engines have no such bottleneck).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .engines import BaseEngine, CommandNotFound
+
+
+@dataclass(frozen=True)
+class SparkDat:
+    """An immutable dataset value: a persisted DataFrame plus its canonical
+    content fingerprint. Equality = fingerprint equality (no job)."""
+
+    df: DataFrame
+    fingerprint: tuple
+
+    @property
+    def count(self) -> int:
+        return self.fingerprint[0]
+
+    @staticmethod
+    def create(df: DataFrame, cols: list[str]) -> "SparkDat":
+        df = df.persist()
+        row = df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64(*cols)).alias("x"),
+            F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("s"),
+        ).collect()[0]
+        fp = (row["n"], row["x"] if row["n"] else 0, int(row["s"]) if row["s"] is not None else 0)
+        return SparkDat(df=df, fingerprint=fp)
+
+    def __eq__(self, other: object) -> bool:
+        return isinstance(other, SparkDat) and self.fingerprint == other.fingerprint
+
+    def __hash__(self) -> int:
+        return hash(self.fingerprint)
+
+
+class SparkEngineBase(BaseEngine):
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def dat_eq(self, a: SparkDat, b: SparkDat) -> bool:
+        return a.fingerprint == b.fingerprint
+
+    def release(self, dat: Any) -> None:
+        if isinstance(dat, SparkDat):
+            dat.df.unpersist()
+
+
+class SparkReplaceEngine(SparkEngineBase):
+    """Distributed literal search-and-replace: cmd 0, arg = {"search",
+    "replacement"}, dataset = (doc_id BIGINT, text STRING). Fully
+    partition-parallel; no shuffle (fingerprint agg is map-side)."""
+
+    COLS = ["doc_id", "text"]
+
+    def init_data(self, df: DataFrame) -> SparkDat:
+        return SparkDat.create(df, self.COLS)
+
+    def from_texts(self, texts: list[str]) -> SparkDat:
+        df = self.spark.createDataFrame(
+            list(enumerate(texts)), "doc_id BIGINT, text STRING"
+        )
+        return self.init_data(df)
+
+    def run_event_bare(self, cmd: int, arg: dict, dat: SparkDat) -> SparkDat:
+        if cmd != 0:
+            raise CommandNotFound(cmd)
+        out = dat.df.withColumn(
+            "text", F.replace(F.col("text"), F.lit(arg["search"]), F.lit(arg["replacement"]))
+        )
+        return SparkDat.create(out, self.COLS)
+
+
+class SparkExEngine(SparkEngineBase):
+    """ed/ex editor over an ordered lines DataFrame (line_no BIGINT
+    0-based contiguous, text STRING). Address → selection; command →
+    declarative DataFrame transform; renumber via row_number."""
+
+    COLS = ["line_no", "text"]
+
+    def init_data(self, lines: list[str]) -> SparkDat:
+        df = self.spark.createDataFrame(
+            list(enumerate(lines)), "line_no BIGINT, text STRING"
+        )
+        return SparkDat.create(df, self.COLS)
+
+    def lines(self, dat: SparkDat) -> list[str]:
+        return [r["text"] for r in dat.df.orderBy("line_no").collect()]
+
+    # -- helpers ---------------------------------------------------------
+    def _renumber(self, df: DataFrame) -> DataFrame:
+        """Reassign contiguous line_no by (pos, sub) order."""
+        from pyspark.sql import Window
+
+        w = Window.orderBy("pos", "sub")
+        return df.select(
+            (F.row_number().over(w) - 1).cast("bigint").alias("line_no"), "text"
+        )
+
+    def _new_rows(self, lines: list[str], pos, sub_start: int = 1) -> DataFrame:
+        return self.spark.createDataFrame(
+            [(float(pos), sub_start + k, t) for k, t in enumerate(lines)],
+            "pos DOUBLE, sub BIGINT, text STRING",
+        )
+
+    def run_event_bare(self, cmd: int, arg: dict, dat: SparkDat) -> SparkDat:
+        if cmd != 0:
+            raise CommandNotFound(cmd)
+        addr, kind = arg["addr"], arg["kind"]
+        df, n = dat.df, dat.count
+        k = kind["kind"]
+        t = addr["type"]
+
+        # ---- empty dataset special cases (en.rs:107-114)
+        if n == 0:
+            selects_insertion = (t == "rngf" and addr["start"] == 0) or t == "last"
+            if not selects_insertion:
+                return dat
+            if k in ("append", "insert", "change"):
+                return self.init_data(list(kind["lines"]))
+            return dat  # delete/substitute of an empty segment: no-op
+
+        if t == "rgx":
+            return self._run_rgx(df, kind, addr["pattern"])
+
+        # ---- contiguous selection [lo, hi) on n rows
+        if t == "rng":
+            s, e = addr["start"], addr["end"]
+            if s >= n or s >= e:
+                return dat
+            lo, hi = s, min(e, n)
+        elif t == "rngf":
+            s = addr["start"]
+            if s > n:
+                return dat
+            lo, hi = s, n  # s == n → empty insertion point at end
+        elif t == "last":
+            lo, hi = n - 1, n
+        else:
+            raise ValueError(f"unknown address type {t!r}")
+
+        sel = (F.col("line_no") >= lo) & (F.col("line_no") < hi)
+
+        if k == "substitute":
+            out = df.withColumn(
+                "text",
+                F.when(sel, F.regexp_replace("text", kind["pat"], kind["repl"])).otherwise(
+                    F.col("text")
+                ),
+            )
+            return SparkDat.create(out, self.COLS)
+
+        base = df.select(
+            F.col("line_no").cast("double").alias("pos"), F.lit(0).alias("sub"), "text"
+        )
+        if k == "delete":
+            out = self._renumber(base.filter(~((F.col("pos") >= lo) & (F.col("pos") < hi))))
+        elif k == "append":
+            # new lines right after the selected segment: boundary hi
+            out = self._renumber(base.unionByName(self._new_rows(kind["lines"], hi - 0.5)))
+        elif k == "insert":
+            # before the segment: boundary lo
+            out = self._renumber(base.unionByName(self._new_rows(kind["lines"], lo - 0.5)))
+        elif k == "change":
+            kept = base.filter(~((F.col("pos") >= lo) & (F.col("pos") < hi)))
+            out = self._renumber(kept.unionByName(self._new_rows(kind["lines"], lo - 0.5)))
+        else:
+            raise ValueError(f"unknown command kind {k!r}")
+        return SparkDat.create(out, self.COLS)
+
+    def _run_rgx(self, df: DataFrame, kind: dict, pattern: str) -> SparkDat:
+        """Per-line segments: each matching line is its own selected run
+        (en.rs:143-148), so append/insert/change expand per matching line."""
+        java_ok = True
+        try:  # patterns are Rust-regex syntax; Java accepts the same basics
+            re.compile(pattern)
+        except re.error:
+            java_ok = False
+        if not java_ok:
+            raise ValueError(f"invalid regex {pattern!r}")
+        sel = F.col("text").rlike(pattern)
+        k = kind["kind"]
+        if k == "substitute":
+            out = df.withColumn(
+                "text",
+                F.when(sel, F.regexp_replace("text", kind["pat"], kind["repl"])).otherwise(
+                    F.col("text")
+                ),
+            )
+            return SparkDat.create(out, self.COLS)
+        if k == "delete":
+            from pyspark.sql import Window
+
+            w = Window.orderBy("line_no")
+            out = (
+                df.filter(~sel)
+                .select((F.row_number().over(w) - 1).cast("bigint").alias("line_no"), "text")
+            )
+            return SparkDat.create(out, self.COLS)
+        lines_arr = F.array(*[F.lit(x) for x in kind["lines"]])
+        if k == "append":
+            arr = F.when(sel, F.concat(F.array(F.col("text")), lines_arr)).otherwise(
+                F.array(F.col("text"))
+            )
+        elif k == "insert":
+            arr = F.when(sel, F.concat(lines_arr, F.array(F.col("text")))).otherwise(
+                F.array(F.col("text"))
+            )
+        elif k == "change":
+            arr = F.when(sel, lines_arr).otherwise(F.array(F.col("text")))
+        else:
+            raise ValueError(f"unknown command kind {k!r}")
+        from pyspark.sql import Window
+
+        w = Window.orderBy("line_no", "sub")
+        out = (
+            df.select("line_no", F.posexplode(arr).alias("sub", "new_text"))
+            .select(
+                (F.row_number().over(w) - 1).cast("bigint").alias("line_no"),
+                F.col("new_text").alias("text"),
+            )
+        )
+        return SparkDat.create(out, self.COLS)

@@ -1,0 +1,166 @@
+"""The event-log core driven through the Spark-native engines: DataFrame
+datasets, content-fingerprint equality, distributed transforms."""
+
+from __future__ import annotations
+
+import pytest
+
+from esvc_spark.core import Event, Graph, IncludeSpec, WorkCache
+from esvc_spark.core.dot import to_dot
+from esvc_spark.core.engines import sear
+from esvc_spark.core.exparse import make_command, parse_address
+from esvc_spark.core.spark_engine import SparkExEngine, SparkReplaceEngine
+from esvc_spark.core.store import (
+    append_head,
+    compact_heads,
+    import_merge,
+    load_graph,
+    save_graph,
+)
+
+ALL = IncludeSpec.INCLUDE_ALL
+
+
+@pytest.fixture(scope="module")
+def replace_engine(spark):
+    return SparkReplaceEngine(spark)
+
+
+@pytest.fixture(scope="module")
+def ex_engine(spark):
+    return SparkExEngine(spark)
+
+
+def test_spark_replace_shelve_and_replay(spark, replace_engine):
+    """Distributed sear: shelve a chain over a small corpus, replay equals
+    the sequential per-document fold."""
+    texts = ["Hi, what's up??", "nothing up here", "Hi again"]
+    eng = replace_engine
+    dat0 = eng.from_texts(texts)
+    g = Graph()
+    w = WorkCache(eng, dat0)
+    events = [sear("Hi", "Hello"), sear("up", "down"), sear("Hello", "Hey")]
+    xs: set[bytes] = set()
+    for arg in events:
+        h = w.shelve_event(g, set(xs), Event(cmd=0, arg=arg))
+        assert h is not None
+        xs.add(h)
+    got, tt = w.run_foreach_recursively(g, {h: ALL for h in xs})
+    expected = list(texts)
+    for arg in events:
+        expected = [t.replace(arg["search"], arg["replacement"]) for t in expected]
+    rows = {r["doc_id"]: r["text"] for r in got.df.collect()}
+    assert [rows[i] for i in range(len(texts))] == expected
+    assert tt == frozenset(xs)
+
+
+def test_spark_replace_noop_rejected(spark, replace_engine):
+    eng = replace_engine
+    dat0 = eng.from_texts(["aaa"])
+    g = Graph()
+    w = WorkCache(eng, dat0)
+    assert w.shelve_event(g, set(), Event(cmd=0, arg=sear("zzz", "q"))) is None
+
+
+def test_spark_ex_engine_matches_local_oracle(spark, ex_engine):
+    """Every editor command on the lines DataFrame matches the in-memory
+    ExEngine (the reference-parity implementation)."""
+    from esvc_spark.core.engines import ExEngine as LocalEx
+
+    local = LocalEx()
+    eng = ex_engine
+    start = ["foo one", "bar", "foo two", "baz"]
+    script = [
+        ("$", "append", ["tail1", "tail2"]),
+        ("/foo/", "substitute", ["foo", "FOO"]),
+        ("1,3", "delete", None),
+        ("0,", "insert", ["head"]),
+        ("2", "change", ["mid"]),
+        ("/a/", "append", ["after-a"]),
+        ("1,", "delete", None),
+    ]
+    sdat = eng.init_data(start)
+    ldat = tuple(start)
+    for addr_s, cmd, body in script:
+        addr, rest = parse_address(addr_s)
+        assert rest == ""
+        arg = make_command(addr, cmd, body)
+        sdat = eng.run_event_bare(0, arg, sdat)
+        ldat = local.run_event_bare(0, arg, ldat)
+        assert eng.lines(sdat) == list(ldat), f"divergence after {addr_s}{cmd}"
+
+
+def test_spark_ex_empty_data(spark, ex_engine):
+    eng = ex_engine
+    empty = eng.init_data([])
+    addr, _ = parse_address("$")
+    out = eng.run_event_bare(0, make_command(addr, "append", ["x"]), empty)
+    assert eng.lines(out) == ["x"]
+    addr, _ = parse_address("1")
+    out2 = eng.run_event_bare(0, make_command(addr, "append", ["x"]), empty)
+    assert eng.lines(out2) == []
+
+
+def test_graph_store_roundtrip(spark, tmp_path, replace_engine):
+    eng = replace_engine
+    dat0 = eng.from_texts(["hello world"])
+    g = Graph()
+    w = WorkCache(eng, dat0)
+    h1 = w.shelve_event(g, set(), Event(cmd=0, arg=sear("hello", "goodbye")))
+    append_head(g, h1)
+    path = str(tmp_path / "graph")
+    save_graph(spark, g, path)
+    g2 = load_graph(spark, path)
+    assert set(g2.events) == set(g.events)
+    assert g2.events[h1].arg == g.events[h1].arg
+    assert g2.events[h1].deps == g.events[h1].deps
+    assert g2.nstates[""] == {h1}
+
+
+def test_import_merge_two_graphs(spark, replace_engine):
+    """≙ main.rs:54-111: two sessions branch from a common graph; importing
+    one into the other merges head-sets."""
+    eng = replace_engine
+    base_texts = ["A|B|C"]
+    # session 1
+    g1 = Graph()
+    w1 = WorkCache(eng, eng.from_texts(base_texts))
+    hc = w1.shelve_event(g1, set(), Event(cmd=0, arg=sear("B", "D")))
+    append_head(g1, hc)
+    h1 = w1.shelve_event(g1, {hc}, Event(cmd=0, arg=sear("A|D", "E|D")))
+    append_head(g1, h1)
+    # session 2: same common event (content-addressed → same hash)
+    g2 = Graph()
+    w2 = WorkCache(eng, eng.from_texts(base_texts))
+    hc2 = w2.shelve_event(g2, set(), Event(cmd=0, arg=sear("B", "D")))
+    assert hc2 == hc
+    h2 = w2.shelve_event(g2, {hc2}, Event(cmd=0, arg=sear("D|C", "D|F")))
+    append_head(g2, h2)
+    # import session 2 into session 1
+    merged = import_merge(w1, g1, g2)
+    got, _ = w1.run_foreach_recursively(g1, {h: ALL for h in merged})
+    assert [r["text"] for r in got.df.collect()] == ["E|D|F"]
+
+
+def test_compact_heads_threshold():
+    g = Graph()
+    g.nstates[""] = set()
+    prev: bytes | None = None
+    # build a chain a->b->c...; heads accumulate
+    for i in range(6):
+        deps = {prev: True} if prev else {}
+        _, h = g.ensure_event(Event(cmd=0, arg=sear(f"s{i}", f"r{i}"), deps=deps))
+        g.nstates[""].add(h)
+        prev = h
+    compact_heads(g, threshold=3)
+    assert len(g.nstates[""]) == 1  # chain minimizes to its tip
+
+
+def test_dot_export():
+    g = Graph()
+    _, h1 = g.ensure_event(Event(cmd=0, arg=sear("a", "b")))
+    _, h2 = g.ensure_event(Event(cmd=0, arg=sear("b", "c"), deps={h1: True}))
+    g.nstates[""] = {h2}
+    dot = to_dot(g)
+    assert dot.startswith("digraph esvc {")
+    assert "hard" in dot and "cluster_0" in dot
