@@ -29,8 +29,18 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table. Column pruning + predicate pushdown reach the
-    parquet scan because this is a plain file-source read."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    parquet scan because this is a plain file-source read.
+
+    events.ts is TIMESTAMP(NANOS) parquet: with
+    spark.sql.legacy.parquet.nanosAsLong it arrives as BIGINT nanoseconds
+    and is truncated (floored) to microseconds here — matching DuckDB's
+    ns→µs truncation, so oracle comparisons agree."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -1,2 +1,481 @@
-QUERIES = {}
-ORACLES = {}
+"""LLM-data-pipeline text operators over the `documents` table
+(doc_id, text, lang, source, n_chars) — dedup family + text analysis
+(BASELINE.json north star; SURVEY.md §7 phase 4).
+
+Cross-engine determinism: every hash is md5-derived
+(first 15 hex digits → BIGINT, identical in Spark and DuckDB), every
+similarity is integer-count arithmetic with one final IEEE division — so
+oracles match exactly. All operators are partition-parallel: explode →
+hash → groupBy/join; no driver-side collection anywhere. At 100 TB the
+shingle self-joins are the heavy shuffles; the LSH variants exist exactly
+to bound them (band-bucket join instead of all-pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table as T
+from ._util import sql_dsum
+
+# md5-derived 60-bit integer hash (identical in both engines)
+_P = 1_000_000_007
+
+
+def _h(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def _sql_h(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def _TOKENS() -> Column:
+    return F.expr("regexp_extract_all(text, '(\\\\S+)', 1)")
+
+
+SQL_TOKENS = "regexp_extract_all(text, '(\\S+)', 1)"
+
+# ------------------------------------------------------------- exact dedup
+# Exact duplicate detection by content hash: the canonical first dedup
+# pass of any training-data pipeline. Representative = min doc_id.
+
+
+def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("text_md5"))
+        .agg(
+            F.min("doc_id").alias("rep_doc"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.max("n_chars").alias("n_chars"),
+        )
+        .filter(F.col("n_copies") >= 1)
+    )
+
+
+_EXACT_DEDUP_SQL = """
+SELECT md5(text) AS text_md5, MIN(doc_id) AS rep_doc, COUNT(*) AS n_copies,
+       MAX(n_chars) AS n_chars
+FROM documents GROUP BY md5(text) HAVING COUNT(*) >= 1
+"""
+
+# ------------------------------------------------------------- token stats
+
+
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    nt = F.size(_TOKENS())
+    return (
+        docs.withColumn("n_tokens", nt.cast("bigint"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+        )
+    )
+
+
+_TOKEN_STATS_SQL = f"""
+SELECT lang, COUNT(*) AS n_docs,
+       SUM(n_tokens) AS total_tokens,
+       CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens,
+       MAX(n_tokens) AS max_tokens, MIN(n_tokens) AS min_tokens
+FROM (SELECT lang, CAST(len({SQL_TOKENS}) AS BIGINT) AS n_tokens FROM documents)
+GROUP BY lang
+"""
+
+# ------------------------------------------------------------- quality
+# Heuristic quality scoring: token count, mean token length, punctuation
+# and stopword ratios → one score per doc, aggregated per source. All
+# ratios are single divisions of exact integers (cross-engine identical);
+# the per-source average goes through the decimal-cast sum.
+
+_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is"]
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    sw = ",".join(f"'{w}'" for w in _STOPWORDS)
+    d = (
+        docs.withColumn("toks", _TOKENS())
+        .withColumn("n_tokens", F.size("toks").cast("bigint"))
+        .withColumn(
+            "n_stop",
+            F.size(F.expr(f"filter(toks, t -> t IN ({sw}))")).cast("bigint"),
+        )
+        .withColumn(
+            "n_punct",
+            (
+                F.length("text")
+                - F.length(F.regexp_replace("text", r"[.,!?;:]", ""))
+            ).cast("bigint"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .withColumn("stop_ratio", F.col("n_stop").cast("double") / F.col("n_tokens"))
+        .withColumn("punct_ratio", F.col("n_punct").cast("double") / F.col("n_chars"))
+        .withColumn(
+            "quality_score",
+            F.col("stop_ratio") * 2.0
+            + (1.0 - F.col("punct_ratio"))
+            + F.when((F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 1000), 1.0).otherwise(0.0),
+        )
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("quality_score").cast("decimal(18,6)")).cast("double").alias("sum_quality"),
+        F.sum("n_stop").alias("total_stopwords"),
+        F.sum("n_punct").alias("total_punct"),
+    )
+
+
+_QUALITY_SQL = f"""
+WITH d AS (
+  SELECT source, n_chars,
+         CAST(len({SQL_TOKENS}) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter({SQL_TOKENS},
+              t -> t IN ({",".join(f"'{w}'" for w in _STOPWORDS)}))) AS BIGINT) AS n_stop,
+         CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct
+  FROM documents
+),
+scored AS (
+  SELECT source, n_stop, n_punct,
+         CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+         CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+         CAST(n_stop AS DOUBLE) / n_tokens * 2.0
+           + (1.0 - CAST(n_punct AS DOUBLE) / n_chars)
+           + CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END AS quality_score
+  FROM d WHERE n_tokens > 0
+)
+SELECT source, COUNT(*) AS n_docs,
+       {sql_dsum('quality_score', 6)} AS sum_quality,
+       SUM(n_stop) AS total_stopwords,
+       SUM(n_punct) AS total_punct
+FROM scored GROUP BY source
+"""
+
+# ------------------------------------------------------------- language id
+# N-gram/marker-word language heuristic: score each language's marker set
+# against the token list; argmax with a deterministic tiebreak. (The
+# synthetic corpus shares one vocabulary across langs — the operator still
+# exercises the real plumbing: tokenize → score → argmax.)
+
+_LANG_MARKERS = {
+    "en": ["the", "a", "is", "and"],
+    "de": ["der", "die", "das", "und"],
+    "fr": ["le", "la", "et", "les"],
+    "es": ["el", "la", "y", "los"],
+}
+
+
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    d = docs.withColumn("toks", _TOKENS())
+    for lang, markers in _LANG_MARKERS.items():
+        lst = ",".join(f"'{w}'" for w in markers)
+        d = d.withColumn(
+            f"score_{lang}", F.size(F.expr(f"filter(toks, t -> t IN ({lst}))")).cast("bigint")
+        )
+    # argmax with tiebreak by language name (greatest-of with stable CASE)
+    langs = sorted(_LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+    pred = F.lit("unknown")
+    for lg in reversed(langs):  # earliest alphabetical wins ties
+        pred = F.when((best > 0) & (F.col(f"score_{lg}") == best), lg).otherwise(pred)
+    return d.select(
+        "doc_id",
+        "lang",
+        pred.alias("pred_lang"),
+        *[F.col(f"score_{lg}") for lg in langs],
+    )
+
+
+def _langid_sql() -> str:
+    score_exprs = []
+    for lg in sorted(_LANG_MARKERS):
+        lst = ",".join(f"'{w}'" for w in _LANG_MARKERS[lg])
+        score_exprs.append(
+            f"CAST(len(list_filter({SQL_TOKENS}, t -> t IN ({lst}))) AS BIGINT) AS score_{lg}"
+        )
+    langs = sorted(_LANG_MARKERS)
+    best = f"GREATEST({', '.join('score_' + lg for lg in langs)})"
+    pred = "'unknown'"
+    for lg in reversed(langs):
+        pred = f"CASE WHEN {best} > 0 AND score_{lg} = {best} THEN '{lg}' ELSE {pred} END"
+    cols = ", ".join(f"score_{lg}" for lg in langs)
+    return f"""
+WITH scored AS (SELECT doc_id, lang, {', '.join(score_exprs)} FROM documents)
+SELECT doc_id, lang, {pred} AS pred_lang, {cols} FROM scored
+"""
+
+
+# ------------------------------------------------------------- fingerprint
+# Rolling polynomial hash (Karp-Rabin style) over the character stream:
+# acc = (acc*31 + codepoint) mod 1e9+7 — a content fingerprint that is
+# pure integer arithmetic, identical in any engine.
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    fp = F.expr(
+        "aggregate(transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT)), "
+        f"CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % {_P})"
+    )
+    return docs.select(
+        "doc_id",
+        F.when(F.length("text") == 0, F.lit(0)).otherwise(fp).alias("fingerprint"),
+        F.length("text").cast("bigint").alias("text_len"),
+    )
+
+
+_FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       CASE WHEN length(text) = 0 THEN 0
+            ELSE list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                     list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT))),
+                   (acc, c) -> (acc * 31 + c) % {_P})
+       END AS fingerprint,
+       CAST(length(text) AS BIGINT) AS text_len
+FROM documents
+"""
+
+# ------------------------------------------------------- n-gram jaccard
+# Exact near-dup pairs by 5-token-shingle Jaccard >= 0.5: shingle →
+# inverted-index self-join → integer overlap counts. The all-pairs blowup
+# is bounded by shingle selectivity; for skewed shingles the LSH variant
+# below is the scale path.
+
+_SHINGLE = 5
+
+
+def _shingles_df(docs: DataFrame) -> DataFrame:
+    sh = F.expr(
+        f"CASE WHEN size(regexp_extract_all(text, '(\\\\S+)', 1)) >= {_SHINGLE} THEN "
+        f"transform(sequence(0, size(regexp_extract_all(text, '(\\\\S+)', 1)) - {_SHINGLE}), "
+        f"i -> concat_ws(' ', slice(regexp_extract_all(text, '(\\\\S+)', 1), i + 1, {_SHINGLE}))) "
+        "ELSE array() END"
+    )
+    return docs.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+
+
+_SQL_SHINGLES = f"""
+  SELECT DISTINCT doc_id,
+         array_to_string(w[i:i+{_SHINGLE - 1}], ' ') AS shingle
+  FROM (SELECT doc_id, {SQL_TOKENS} AS w FROM documents),
+       unnest(range(1, len(w) - {_SHINGLE - 2})) t(i)
+"""
+
+
+def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    sh = _shingles_df(docs).persist()
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    ca = counts.alias("ca")
+    cb = counts.alias("cb")
+    return (
+        pairs.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double")
+            / (F.col("ca.n_sh") + F.col("cb.n_sh") - F.col("shared")),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "shared", "jaccard")
+    )
+
+
+_NGRAM_JACCARD_SQL = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, shared,
+       CAST(shared AS DOUBLE) / (ca.n_sh + cb.n_sh - shared) AS jaccard
+FROM pairs
+JOIN cnt ca ON ca.doc_id = doc_a
+JOIN cnt cb ON cb.doc_id = doc_b
+WHERE CAST(shared AS DOUBLE) / (ca.n_sh + cb.n_sh - shared) >= 0.5
+"""
+
+# ------------------------------------------------------- minhash + LSH
+# MinHash signatures (16 permutations) over 5-token shingles, banded 4×4
+# for candidate generation: the scale path for near-dedup — candidate
+# pairs come from equality joins on band keys (shuffle on band hash), and
+# similarity is estimated from signature agreement. All integer math.
+
+_N_PERM = 16
+_N_BANDS = 4
+_ROWS_PER_BAND = _N_PERM // _N_BANDS
+# deterministic permutation parameters (LCG-derived, pinned literals)
+_PERMS = [((1103515245 * i + 12345) % _P or 1, (69069 * i + 1) % _P) for i in range(1, _N_PERM + 1)]
+
+
+def q_doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    sh = _shingles_df(docs)
+    hashed = sh.select("doc_id", (_h(F.col("shingle")) % _P).alias("h"))
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % _P).alias(f"mh{i}")
+            for i, (a, b) in enumerate(_PERMS)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_",
+                        *[
+                            F.col(f"mh{j}")
+                            for j in range(b * _ROWS_PER_BAND, (b + 1) * _ROWS_PER_BAND)
+                        ],
+                    )
+                    for b in range(_N_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa, sb = sig.alias("sa"), sig.alias("sb")
+    matches = sum(
+        F.when(F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}"), 1).otherwise(0)
+        for i in range(_N_PERM)
+    )
+    return (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .withColumn("sig_matches", matches.cast("bigint"))
+        .withColumn("est_jaccard", F.col("sig_matches").cast("double") / float(_N_PERM))
+        .filter(F.col("est_jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "sig_matches", "est_jaccard")
+    )
+
+
+def _minhash_sql() -> str:
+    mins = ", ".join(
+        f"MIN(({a} * h + {b}) % {_P}) AS mh{i}" for i, (a, b) in enumerate(_PERMS)
+    )
+    band_keys = ", ".join(
+        "concat_ws('_', "
+        + ", ".join(f"mh{j}" for j in range(b * _ROWS_PER_BAND, (b + 1) * _ROWS_PER_BAND))
+        + f") AS band{b}"
+        for b in range(_N_BANDS)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, band{b} AS band_key FROM banded"
+        for b in range(_N_BANDS)
+    )
+    match_expr = " + ".join(
+        f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(_N_PERM)
+    )
+    return f"""
+WITH sh AS ({_SQL_SHINGLES}),
+hashed AS (SELECT doc_id, {_sql_h('shingle')} % {_P} AS h FROM sh),
+sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+banded AS (SELECT doc_id, {band_keys} FROM sig),
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST({match_expr} AS BIGINT) AS sig_matches,
+       CAST({match_expr} AS DOUBLE) / {_N_PERM} AS est_jaccard
+FROM cand
+JOIN sig sa ON sa.doc_id = doc_a
+JOIN sig sb ON sb.doc_id = doc_b
+WHERE CAST({match_expr} AS DOUBLE) / {_N_PERM} >= 0.5
+"""
+
+
+# ------------------------------------------------------- simhash
+# 32-bit SimHash over token hashes: per bit, sign of the +1/-1 vote sum
+# across tokens; near-identical docs land within small Hamming distance.
+# Pure integer math.
+
+_SIM_BITS = 32
+
+
+def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(_TOKENS()).alias("tok"))
+    hashed = toks.select("doc_id", _h(F.col("tok")).alias("h"))
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(F.expr(f"CAST((h >> {i}) & 1 AS BIGINT) * 2 - 1")).alias(f"v{i}")
+            for i in range(_SIM_BITS)
+        ]
+    )
+    simhash = sum(
+        F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(_SIM_BITS)
+    )
+    return votes.select("doc_id", simhash.cast("bigint").alias("simhash"))
+
+
+def _simhash_sql() -> str:
+    vote_cols = ", ".join(
+        f"SUM(CAST((h >> {i}) & 1 AS BIGINT) * 2 - 1) AS v{i}" for i in range(_SIM_BITS)
+    )
+    combine = " + ".join(
+        f"CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END"
+        for i in range(_SIM_BITS)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({SQL_TOKENS}) AS tok FROM documents),
+hashed AS (SELECT doc_id, {_sql_h('tok')} AS h FROM toks),
+votes AS (SELECT doc_id, {vote_cols} FROM hashed GROUP BY doc_id)
+SELECT doc_id, CAST({combine} AS BIGINT) AS simhash FROM votes
+"""
+
+
+QUERIES = {
+    "q_doc_exact_dedup": q_doc_exact_dedup,
+    "q_doc_token_stats": q_doc_token_stats,
+    "q_doc_quality": q_doc_quality,
+    "q_doc_lang_id": q_doc_lang_id,
+    "q_doc_fingerprint": q_doc_fingerprint,
+    "q_doc_ngram_jaccard": q_doc_ngram_jaccard,
+    "q_doc_minhash_lsh": q_doc_minhash_lsh,
+    "q_doc_simhash": q_doc_simhash,
+}
+
+ORACLES = {
+    "q_doc_exact_dedup": _EXACT_DEDUP_SQL,
+    "q_doc_token_stats": _TOKEN_STATS_SQL,
+    "q_doc_quality": _QUALITY_SQL,
+    "q_doc_lang_id": _langid_sql(),
+    "q_doc_fingerprint": _FINGERPRINT_SQL,
+    "q_doc_ngram_jaccard": _NGRAM_JACCARD_SQL,
+    "q_doc_minhash_lsh": _minhash_sql(),
+    "q_doc_simhash": _simhash_sql(),
+}

@@ -1,2 +1,196 @@
-QUERIES = {}
-ORACLES = {}
+"""Event-stream analytics over the `events` table (event_id, ts, user_id,
+event_type, value, props) — the batch expressions of the streaming
+pipelines in esvc_spark.streaming (same window/session semantics;
+Structured Streaming runs these incrementally with watermarks).
+
+Every query has a DuckDB oracle. Time handling: session timezone is UTC,
+so naive timestamps agree across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table as T
+from ._util import dsum, sql_dsum
+
+# ---------------------------------------------------------------- tumbling
+# 1-hour tumbling windows per event type: the canonical streaming aggregate
+# (streaming equivalent: groupBy(window('ts','1 hour'), ...) + watermark).
+
+
+def q_ev_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").start.alias("window_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", 2).alias("sum_value"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
+_TUMBLING_SQL = f"""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('value', 2)} AS sum_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------- sessions
+# 30-minute-gap sessionization per user (batch session_window; streaming
+# equivalent uses the same session_window with a watermark). Oracle:
+# classic gaps-and-islands. Spark closes a session when the next event is
+# >= gap after the previous one, matching the `>=` in the oracle.
+
+
+def q_ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", 2).alias("sum_value"),
+            F.max("ts").alias("last_ts"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "last_ts",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_SESSION_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL '30 minutes' OR
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+numbered AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS last_ts,
+       COUNT(*) AS n_events, {sql_dsum('value', 2)} AS sum_value
+FROM numbered
+GROUP BY user_id, session_id
+"""
+
+# ---------------------------------------------------------------- dedup
+# Exact event dedup by content (streaming equivalent: dropDuplicates
+# within the watermark); deterministic representative = earliest
+# (ts, event_id).
+
+
+def q_ev_dedup_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", "event_type", "value")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(F.struct("ts", "event_id")).getField("event_id").alias("first_event_id"),
+        )
+        .filter(F.col("n_copies") >= 1)
+    )
+
+
+_DEDUP_SQL = """
+SELECT user_id, event_type, value, COUNT(*) AS n_copies,
+       MIN(ROW(ts, event_id))[2] AS first_event_id
+FROM events
+GROUP BY user_id, event_type, value
+HAVING COUNT(*) >= 1
+"""
+
+# ---------------------------------------------------------------- JSON
+# Scalar JSON extraction from the props column.
+
+
+def q_ev_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            (F.sum("k").cast("double") / F.count("k")).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+_JSON_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS DOUBLE)
+         / COUNT(CAST(props->>'$.k' AS BIGINT)) AS avg_k,
+       MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+# ---------------------------------------------------------------- funnels
+# Per-user first/last behavior via window functions over event time.
+
+
+def q_ev_user_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    w_asc = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = w_asc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        ev.select(
+            "user_id",
+            F.first("event_type").over(w_full).alias("first_type"),
+            F.last("event_type").over(w_full).alias("last_type"),
+            F.count(F.lit(1)).over(w_full).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).over(w_full)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .distinct()
+    )
+
+
+_JOURNEY_SQL = """
+SELECT DISTINCT user_id,
+       FIRST_VALUE(event_type) OVER w AS first_type,
+       LAST_VALUE(event_type) OVER w AS last_type,
+       COUNT(*) OVER w AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS total_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+QUERIES = {
+    "q_ev_tumbling_hourly": q_ev_tumbling_hourly,
+    "q_ev_sessionize": q_ev_sessionize,
+    "q_ev_dedup_content": q_ev_dedup_content,
+    "q_ev_json_props": q_ev_json_props,
+    "q_ev_user_journey": q_ev_user_journey,
+}
+
+ORACLES = {
+    "q_ev_tumbling_hourly": _TUMBLING_SQL,
+    "q_ev_sessionize": _SESSION_SQL,
+    "q_ev_dedup_content": _DEDUP_SQL,
+    "q_ev_json_props": _JSON_SQL,
+    "q_ev_user_journey": _JOURNEY_SQL,
+}
