@@ -1,0 +1,56 @@
+"""Vector math over `array<float>` embedding columns, JVM-side only.
+
+Everything here is built from Spark higher-order functions
+(`zip_with` + `aggregate`), so the hot path never leaves Tungsten — no
+Python UDF, no serialization. The folds are *sequential in index order*,
+which makes the float math bit-deterministic and lets a DuckDB oracle
+(same fold order via `list_reduce` over a prepended zero) reproduce the
+exact IEEE result: float32 inputs are cast to float64 (exact), then every
+multiply/add happens in the same order in both engines.
+
+The `sql_*` helpers emit the DuckDB-dialect twin of each Spark
+expression; queries interpolate both from one source of truth so they
+cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def as_double(col: Column | str) -> Column:
+    """array<float> → array<double>; float→double widening is exact."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (index order ⇒ deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+# ---------------------------------------------------------------- DuckDB twins
+
+
+def sql_dot(a: str, b: str) -> str:
+    """DuckDB dot product with the same left-fold order as `dot`."""
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i])), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def sql_cosine(a: str, b: str) -> str:
+    return f"({sql_dot(a, b)} / (sqrt({sql_dot(a, a)}) * sqrt({sql_dot(b, b)})))"

@@ -1,2 +1,298 @@
-QUERIES = {}
-ORACLES = {}
+"""Similarity search over the `embeddings` table (vec_id, embedding
+FLOAT[64], label) — the ANN/near-dup family of a training-data pipeline.
+
+Two tiers, per the 100 TB design brief:
+  * brute-force cosine (`q_emb_knn_cosine`, `q_emb_neardup_cosine`) — the
+    exact baseline; O(Q·N) / O(N²) shuffles, fine for query sets and
+    verification, not the scale path;
+  * random-hyperplane LSH (`q_emb_ann_lsh`) — the scale path: bucket keys
+    from pinned hyperplanes turn the all-pairs problem into an equality
+    join on (band, signature), then exact cosine re-ranks the small
+    candidate set. At 1000 executors the bucket join shuffles only
+    O(N·bands) rows instead of O(N²) pairs.
+
+All float math is sequential-fold (esvc_spark.functions.vectors), so
+results are bit-identical to the DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table as T
+from ..functions.vectors import as_double, cosine, sql_cosine
+from ._util import sql_dsum
+
+# ------------------------------------------------------------------ helpers
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    return e.select("vec_id", "label", as_double("embedding").alias("emb"))
+
+
+_SQL_EMB = "SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings"
+
+# ------------------------------------------------------------------ knn
+# Brute-force cosine top-k for a fixed query set (vec_id < 20): the exact
+# ANN baseline. The query side is tiny → Catalyst broadcasts it, so the
+# big side streams through one stage without an N×N shuffle.
+
+_K = 5
+_N_QUERIES = 20
+
+
+def q_emb_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(e, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qemb"), F.col("emb")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _K)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+_KNN_SQL = f"""
+WITH e AS ({_SQL_EMB}),
+q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < {_N_QUERIES}),
+scored AS (
+  SELECT query_id, e.vec_id AS neighbor_id, {sql_cosine('qemb', 'emb')} AS cos_sim
+  FROM q JOIN e ON e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {_K}
+"""
+
+# ------------------------------------------------------------------ near-dup
+# Exact embedding-cosine near-dup pairs (all-pairs ≥ threshold). O(N²) by
+# construction — kept as the correctness baseline for the LSH variant.
+
+_NEARDUP_T = 0.35
+
+
+def q_emb_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_sim", cosine(F.col("ea"), F.col("eb")))
+        .filter(F.col("cos_sim") >= _NEARDUP_T)
+        .select("vec_a", "vec_b", "cos_sim")
+    )
+
+
+_NEARDUP_SQL = f"""
+WITH e AS ({_SQL_EMB})
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {sql_cosine('a.emb', 'b.emb')} AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {sql_cosine('a.emb', 'b.emb')} >= {_NEARDUP_T}
+"""
+
+# ------------------------------------------------------------------ LSH ANN
+# Random-hyperplane (signed random projection) LSH: 4 bands × 6 bits from
+# pinned integer hyperplanes (LCG-derived literals — identical in both
+# engines). Same band signature in any band → candidate pair → exact
+# cosine re-rank. Collision probability per bit is 1 − θ/π, so banding
+# concentrates candidates on high-cosine pairs; candidates ≈ N²/2^bits
+# per band instead of N².
+
+_DIM = 64
+_LSH_BANDS = 4
+_LSH_BITS = 6
+_LSH_T = 0.30
+
+
+def _lsh_planes() -> list[list[int]]:
+    s = 42
+    planes = []
+    for _ in range(_LSH_BANDS * _LSH_BITS):
+        row = []
+        for _ in range(_DIM):
+            s = (1103515245 * s + 12345) % (1 << 31)
+            row.append((s % 2001) - 1000)
+        planes.append(row)
+    return planes
+
+
+_PLANES = _lsh_planes()
+
+
+def _plane_dot_spark(plane: list[int]) -> str:
+    arr = ", ".join(f"{v}D" for v in plane)
+    return (
+        f"aggregate(zip_with(emb, array({arr}), (x, y) -> x * y), "
+        f"0D, (acc, x) -> acc + x)"
+    )
+
+
+def _plane_dot_sql(plane: list[int]) -> str:
+    arr = ", ".join(str(v) for v in plane)
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {_DIM} + 1), "
+        f"i -> emb[i] * ([{arr}]::DOUBLE[])[i])), (acc, x) -> acc + x)"
+    )
+
+
+def _band_key_spark(band: int) -> str:
+    bits = [
+        f"CASE WHEN {_plane_dot_spark(_PLANES[band * _LSH_BITS + i])} >= 0 "
+        f"THEN '1' ELSE '0' END"
+        for i in range(_LSH_BITS)
+    ]
+    return "concat(" + ", ".join(bits) + ")"
+
+
+def _band_key_sql(band: int) -> str:
+    bits = [
+        f"CASE WHEN {_plane_dot_sql(_PLANES[band * _LSH_BITS + i])} >= 0 "
+        f"THEN '1' ELSE '0' END"
+        for i in range(_LSH_BITS)
+    ]
+    return " || ".join(bits)
+
+
+def q_emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    bands = e.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.expr(_band_key_spark(b)) for b in range(_LSH_BANDS)])
+        ).alias("band_idx", "band_key"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("cos_sim", cosine(F.col("ea"), F.col("eb")))
+        .filter(F.col("cos_sim") >= _LSH_T)
+        .select("vec_a", "vec_b", "cos_sim")
+    )
+
+
+def _ann_lsh_sql() -> str:
+    band_rows = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band_idx, {_band_key_sql(b)} AS band_key FROM e"
+        for b in range(_LSH_BANDS)
+    )
+    return f"""
+WITH e AS ({_SQL_EMB}),
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, {sql_cosine('ea.emb', 'eb.emb')} AS cos_sim
+FROM cand
+JOIN e ea ON ea.vec_id = vec_a
+JOIN e eb ON eb.vec_id = vec_b
+WHERE {sql_cosine('ea.emb', 'eb.emb')} >= {_LSH_T}
+"""
+
+
+# ------------------------------------------------------------------ centroids
+# Per-label centroid + member-to-centroid distance stats (the assignment/
+# quality step of distributed k-means). Element-wise mean via posexplode →
+# groupBy(label, pos); distances re-aggregated with decimal sums so the
+# per-label averages are shuffle-order invariant.
+
+
+def q_emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    el = e.select(
+        "vec_id", "label", F.posexplode("emb").alias("pos0", "val")
+    ).withColumn("pos", F.col("pos0") + 1)
+    cent = el.groupBy("label", "pos").agg(
+        (
+            F.sum(F.col("val").cast("decimal(18,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("cval")
+    )
+    dist = (
+        el.join(cent, ["label", "pos"])
+        .withColumn("sq", (F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval")))
+        .groupBy("vec_id", "label")
+        .agg(F.sqrt(F.sum(F.col("sq").cast("decimal(18,12)")).cast("double")).alias("dist"))
+    )
+    return dist.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        (F.sum(F.col("dist").cast("decimal(18,9)")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_dist"
+        ),
+        F.max("dist").alias("max_dist"),
+    )
+
+
+_CENTROID_SQL = f"""
+WITH e AS ({_SQL_EMB}),
+el AS (
+  SELECT vec_id, label, unnest(emb) AS val,
+         generate_subscripts(emb, 1) AS pos
+  FROM e
+),
+cent AS (
+  SELECT label, pos,
+         {sql_dsum('val', 9)} / COUNT(*) AS cval
+  FROM el GROUP BY label, pos
+),
+dist AS (
+  SELECT el.vec_id, el.label,
+         sqrt({sql_dsum('(val - cval) * (val - cval)', 12)}) AS dist
+  FROM el JOIN cent ON el.label = cent.label AND el.pos = cent.pos
+  GROUP BY el.vec_id, el.label
+)
+SELECT label, COUNT(*) AS n_vecs,
+       {sql_dsum('dist', 9)} / COUNT(*) AS avg_dist,
+       MAX(dist) AS max_dist
+FROM dist GROUP BY label
+"""
+
+
+QUERIES = {
+    "q_emb_knn_cosine": q_emb_knn_cosine,
+    "q_emb_neardup_cosine": q_emb_neardup_cosine,
+    "q_emb_ann_lsh": q_emb_ann_lsh,
+    "q_emb_label_centroids": q_emb_label_centroids,
+}
+
+ORACLES = {
+    "q_emb_knn_cosine": _KNN_SQL,
+    "q_emb_neardup_cosine": _NEARDUP_SQL,
+    "q_emb_ann_lsh": _ann_lsh_sql(),
+    "q_emb_label_centroids": _CENTROID_SQL,
+}
