@@ -40,6 +40,13 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_prenorm(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine with norms precomputed per-vector (same expression tree as
+    `cosine`, factored: dot/(na*nb)) — bit-identical values, but each pair
+    costs one fold instead of three. Use for all-pairs / kNN hot paths."""
+    return dot(a, b) / (na * nb)
+
+
 # ---------------------------------------------------------------- DuckDB twins
 
 
@@ -54,3 +61,8 @@ def sql_dot(a: str, b: str) -> str:
 
 def sql_cosine(a: str, b: str) -> str:
     return f"({sql_dot(a, b)} / (sqrt({sql_dot(a, a)}) * sqrt({sql_dot(b, b)})))"
+
+
+def sql_cosine_prenorm(a: str, b: str, na: str, nb: str) -> str:
+    """DuckDB twin of `cosine_prenorm` (norms from a CTE column)."""
+    return f"({sql_dot(a, b)} / ({na} * {nb}))"

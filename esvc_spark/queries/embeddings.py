@@ -21,7 +21,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table as T
-from ..functions.vectors import as_double, cosine, sql_cosine
+from ..functions.vectors import (
+    as_double,
+    cosine_prenorm,
+    norm,
+    sql_cosine,
+    sql_cosine_prenorm,
+    sql_dot,
+)
 from ._util import sql_dsum
 
 # ------------------------------------------------------------------ helpers
@@ -32,7 +39,22 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", "label", as_double("embedding").alias("emb"))
 
 
+def _emb_normed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings with the vector norm precomputed once per row, and
+    repartitioned: the source parquet is a single split at test scale, so
+    without an explicit repartition every pairwise plan collapses onto one
+    core. At cluster scale the scan is already multi-split and this is a
+    cheap narrow-ish shuffle of N rows (nothing vs the O(N·k) pair work)."""
+    e = _emb(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    return e.withColumn("nrm", norm(F.col("emb"))).repartition(par, "vec_id")
+
+
 _SQL_EMB = "SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings"
+_SQL_EMB_NORMED = (
+    f"SELECT vec_id, label, emb, sqrt({sql_dot('emb', 'emb')}) AS nrm "
+    f"FROM ({_SQL_EMB})"
+)
 
 # ------------------------------------------------------------------ knn
 # Brute-force cosine top-k for a fixed query set (vec_id < 20): the exact
@@ -44,17 +66,20 @@ _N_QUERIES = 20
 
 
 def q_emb_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _emb(spark, sf_dir)
+    e = _emb_normed(spark, sf_dir)
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
     )
     scored = (
-        F.broadcast(q)
-        .join(e, F.col("vec_id") != F.col("query_id"))
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("qemb"), F.col("emb")).alias("cos_sim"),
+            cosine_prenorm(
+                F.col("qemb"), F.col("emb"), F.col("qnrm"), F.col("nrm")
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -68,10 +93,12 @@ def q_emb_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KNN_SQL = f"""
-WITH e AS ({_SQL_EMB}),
-q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < {_N_QUERIES}),
+WITH e AS ({_SQL_EMB_NORMED}),
+q AS (SELECT vec_id AS query_id, emb AS qemb, nrm AS qnrm
+      FROM e WHERE vec_id < {_N_QUERIES}),
 scored AS (
-  SELECT query_id, e.vec_id AS neighbor_id, {sql_cosine('qemb', 'emb')} AS cos_sim
+  SELECT query_id, e.vec_id AS neighbor_id,
+         {sql_cosine_prenorm('qemb', 'emb', 'qnrm', 'nrm')} AS cos_sim
   FROM q JOIN e ON e.vec_id <> q.query_id
 ),
 ranked AS (
@@ -90,23 +117,34 @@ _NEARDUP_T = 0.35
 
 
 def q_emb_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _emb(spark, sf_dir)
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
+    e = _emb_normed(spark, sf_dir)
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos_sim", cosine(F.col("ea"), F.col("eb")))
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "cos_sim",
+            cosine_prenorm(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")),
+        )
         .filter(F.col("cos_sim") >= _NEARDUP_T)
         .select("vec_a", "vec_b", "cos_sim")
     )
 
 
 _NEARDUP_SQL = f"""
-WITH e AS ({_SQL_EMB})
+WITH e AS ({_SQL_EMB_NORMED})
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       {sql_cosine('a.emb', 'b.emb')} AS cos_sim
+       {sql_cosine_prenorm('a.emb', 'b.emb', 'a.nrm', 'b.nrm')} AS cos_sim
 FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE {sql_cosine('a.emb', 'b.emb')} >= {_NEARDUP_T}
+WHERE {sql_cosine_prenorm('a.emb', 'b.emb', 'a.nrm', 'b.nrm')} >= {_NEARDUP_T}
 """
 
 # ------------------------------------------------------------------ LSH ANN
@@ -192,12 +230,24 @@ def q_emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
-    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
-    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
+    en = _emb_normed(spark, sf_dir)
+    ea = en.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    eb = en.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
     return (
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
-        .withColumn("cos_sim", cosine(F.col("ea"), F.col("eb")))
+        .withColumn(
+            "cos_sim",
+            cosine_prenorm(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")),
+        )
         .filter(F.col("cos_sim") >= _LSH_T)
         .select("vec_a", "vec_b", "cos_sim")
     )
@@ -210,6 +260,7 @@ def _ann_lsh_sql() -> str:
     )
     return f"""
 WITH e AS ({_SQL_EMB}),
+en AS ({_SQL_EMB_NORMED}),
 bands AS ({band_rows}),
 cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -217,11 +268,12 @@ cand AS (
     ON a.band_idx = b.band_idx AND a.band_key = b.band_key
    AND a.vec_id < b.vec_id
 )
-SELECT vec_a, vec_b, {sql_cosine('ea.emb', 'eb.emb')} AS cos_sim
+SELECT vec_a, vec_b,
+       {sql_cosine_prenorm('ea.emb', 'eb.emb', 'ea.nrm', 'eb.nrm')} AS cos_sim
 FROM cand
-JOIN e ea ON ea.vec_id = vec_a
-JOIN e eb ON eb.vec_id = vec_b
-WHERE {sql_cosine('ea.emb', 'eb.emb')} >= {_LSH_T}
+JOIN en ea ON ea.vec_id = vec_a
+JOIN en eb ON eb.vec_id = vec_b
+WHERE {sql_cosine_prenorm('ea.emb', 'eb.emb', 'ea.nrm', 'eb.nrm')} >= {_LSH_T}
 """
 
 
