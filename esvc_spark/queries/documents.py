@@ -37,13 +37,24 @@ def _TOKENS() -> Column:
 
 SQL_TOKENS = "regexp_extract_all(text, '(\\S+)', 1)"
 
+
+def _docs_par(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`documents` repartitioned to full parallelism: the sf-scale parquet
+    is one split, and the tokenize/shingle/hash work before the first
+    shuffle would otherwise run on a single core. At cluster scale the
+    scan is multi-split and this extra narrow shuffle of raw docs is noise
+    next to the explode that follows."""
+    return T(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+
 # ------------------------------------------------------------- exact dedup
 # Exact duplicate detection by content hash: the canonical first dedup
 # pass of any training-data pipeline. Representative = min doc_id.
 
 
 def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = T(spark, sf_dir, "documents")
+    docs = _docs_par(spark, sf_dir)
     return (
         docs.groupBy(F.md5("text").alias("text_md5"))
         .agg(
@@ -65,7 +76,7 @@ FROM documents GROUP BY md5(text) HAVING COUNT(*) >= 1
 
 
 def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = T(spark, sf_dir, "documents")
+    docs = _docs_par(spark, sf_dir)
     nt = F.size(_TOKENS())
     return (
         docs.withColumn("n_tokens", nt.cast("bigint"))
@@ -99,7 +110,7 @@ _STOPWORDS = ["the", "a", "of", "and", "to", "in", "is"]
 
 
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = T(spark, sf_dir, "documents")
+    docs = _docs_par(spark, sf_dir)
     sw = ",".join(f"'{w}'" for w in _STOPWORDS)
     d = (
         docs.withColumn("toks", _TOKENS())
@@ -173,7 +184,7 @@ _LANG_MARKERS = {
 
 
 def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = T(spark, sf_dir, "documents")
+    docs = _docs_par(spark, sf_dir)
     d = docs.withColumn("toks", _TOKENS())
     for lang, markers in _LANG_MARKERS.items():
         lst = ",".join(f"'{w}'" for w in markers)
@@ -220,7 +231,7 @@ SELECT doc_id, lang, {pred} AS pred_lang, {cols} FROM scored
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = T(spark, sf_dir, "documents")
+    docs = _docs_par(spark, sf_dir)
     fp = F.expr(
         "aggregate(transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT)), "
         f"CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % {_P})"
@@ -255,12 +266,16 @@ _SHINGLE = 5
 
 def _shingles_df(docs: DataFrame) -> DataFrame:
     sh = F.expr(
-        f"CASE WHEN size(regexp_extract_all(text, '(\\\\S+)', 1)) >= {_SHINGLE} THEN "
-        f"transform(sequence(0, size(regexp_extract_all(text, '(\\\\S+)', 1)) - {_SHINGLE}), "
-        f"i -> concat_ws(' ', slice(regexp_extract_all(text, '(\\\\S+)', 1), i + 1, {_SHINGLE}))) "
+        f"CASE WHEN size(w) >= {_SHINGLE} THEN "
+        f"transform(sequence(0, size(w) - {_SHINGLE}), "
+        f"i -> concat_ws(' ', slice(w, i + 1, {_SHINGLE}))) "
         "ELSE array() END"
     )
-    return docs.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+    return (
+        docs.select("doc_id", _TOKENS().alias("w"))
+        .select("doc_id", F.explode(sh).alias("shingle"))
+        .distinct()
+    )
 
 
 _SQL_SHINGLES = f"""
@@ -272,7 +287,7 @@ _SQL_SHINGLES = f"""
 
 
 def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = T(spark, sf_dir, "documents")
+    docs = _docs_par(spark, sf_dir)
     sh = _shingles_df(docs).persist()
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
@@ -327,15 +342,17 @@ _PERMS = [((1103515245 * i + 12345) % _P or 1, (69069 * i + 1) % _P) for i in ra
 
 
 def q_doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = T(spark, sf_dir, "documents")
+    docs = _docs_par(spark, sf_dir)
     sh = _shingles_df(docs)
     hashed = sh.select("doc_id", (_h(F.col("shingle")) % _P).alias("h"))
+    # persist: the signature table feeds four plan branches (2 band sides,
+    # 2 re-rank sides); without it the shingle+md5 pipeline re-runs per branch
     sig = hashed.groupBy("doc_id").agg(
         *[
             F.min((F.lit(a) * F.col("h") + F.lit(b)) % _P).alias(f"mh{i}")
             for i, (a, b) in enumerate(_PERMS)
         ]
-    )
+    ).persist()
     bands = sig.select(
         "doc_id",
         F.posexplode(
@@ -426,7 +443,7 @@ _SIM_BITS = 32
 
 
 def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = T(spark, sf_dir, "documents")
+    docs = _docs_par(spark, sf_dir)
     toks = docs.select("doc_id", F.explode(_TOKENS()).alias("tok"))
     hashed = toks.select("doc_id", _h(F.col("tok")).alias("h"))
     votes = hashed.groupBy("doc_id").agg(
