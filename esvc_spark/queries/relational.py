@@ -695,8 +695,319 @@ SELECT 'either' AS tag, COUNT(*) AS n FROM (SELECT * FROM c96 UNION SELECT * FRO
 """
 
 
+# ---------------------------------------------------------------- q02
+# TPC-H Q2 shape (min-cost supplier) adapted to this schema: there is no
+# partsupp table, so the part↔supplier relation and its "supply cost" are
+# derived from lineitem (per-(part,supplier) exact-decimal average sale
+# price). Pattern exercised: decorrelated per-group MIN + join back +
+# multi-dim join (supplier→nation→region) + deterministic top-k.
+
+
+def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part").filter(
+        F.col("p_size").between(10, 20) & (F.col("p_type") == "LARGE")
+    )
+    supp = T(spark, sf_dir, "supplier")
+    nat = T(spark, sf_dir, "nation")
+    reg = T(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        davg("l_extendedprice", 2).alias("supply_cost")
+    )
+    min_cost = cost.groupBy(F.col("l_partkey").alias("mc_partkey")).agg(
+        F.min("supply_cost").alias("min_cost")
+    )
+    return (
+        cost.join(
+            min_cost,
+            (cost.l_partkey == min_cost.mc_partkey)
+            & (cost.supply_cost == min_cost.min_cost),
+        )
+        .join(F.broadcast(part), cost.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), cost.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey, "left_semi")
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "supply_cost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+_Q02_SQL = f"""
+WITH cost AS (
+  SELECT l_partkey, l_suppkey, {sql_davg('l_extendedprice', 2)} AS supply_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+min_cost AS (
+  SELECT l_partkey AS mc_partkey, MIN(supply_cost) AS min_cost
+  FROM cost GROUP BY l_partkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, supply_cost
+FROM cost
+JOIN min_cost ON l_partkey = mc_partkey AND supply_cost = min_cost
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_size BETWEEN 10 AND 20 AND p_type = 'LARGE'
+  AND n_regionkey IN (SELECT r_regionkey FROM region WHERE r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+# ---------------------------------------------------------------- q08
+# TPC-H Q8 national market share: 7-table join (nation twice), per-year
+# conditional-share ratio of exact decimal sums. The dimension chain
+# (part, supplier, customer, nation×2, region) broadcasts; the
+# lineitem⋈orders join is the only large shuffle.
+
+
+def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    orders = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") <= F.lit("1996-12-31").cast("timestamp"))
+    )
+    part = T(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    cust = T(spark, sf_dir, "customer")
+    supp = T(spark, sf_dir, "supplier")
+    n1 = T(spark, sf_dir, "nation").alias("n1")  # customer nation
+    n2 = T(spark, sf_dir, "nation").alias("n2")  # supplier nation
+    reg = T(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    target = F.when(F.col("n2.n_name") == "NATION_7", vol).otherwise(F.lit(0.0))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("n1.n_nationkey"))
+        .join(F.broadcast(reg), F.col("n1.n_regionkey") == reg.r_regionkey, "left_semi")
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("n2.n_nationkey"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            (
+                F.sum(dec(target, 4)).cast("double")
+                / F.sum(dec(vol, 4)).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+_Q08_SQL = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(CASE WHEN n2.n_name = 'NATION_7'
+                          THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+                     AS DECIMAL(18,4))) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+       AS mkt_share
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN part     ON l_partkey = p_partkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE p_type = 'ECONOMY'
+  AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+  AND n1.n_regionkey IN (SELECT r_regionkey FROM region WHERE r_name = 'AMERICA')
+GROUP BY 1
+"""
+
+# ---------------------------------------------------------------- q11
+# TPC-H Q11 shape (value concentration): per-part sale value for one
+# nation's suppliers, kept only where it exceeds a fraction of the
+# nation-wide total — a scalar aggregate subquery realized as a broadcast
+# cross join against a 1-row DataFrame.
+
+
+def q11_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    supp = T(spark, sf_dir, "supplier")
+    nat = T(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    nation_li = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey, "left_semi")
+    )
+    per_part = nation_li.groupBy("l_partkey").agg(
+        dsum(F.col("l_extendedprice") * F.col("l_quantity"), 4).alias("part_value")
+    )
+    total = per_part.agg(
+        (F.sum(dec("part_value", 4)).cast("double") * 0.001).alias("threshold")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", "part_value")
+    )
+
+
+_Q11_SQL = f"""
+WITH nation_li AS (
+  SELECT l_partkey, l_extendedprice, l_quantity
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_3')
+),
+per_part AS (
+  SELECT l_partkey, {sql_dsum('l_extendedprice * l_quantity', 4)} AS part_value
+  FROM nation_li GROUP BY l_partkey
+)
+SELECT l_partkey, part_value
+FROM per_part
+WHERE part_value > (SELECT {sql_dsum('part_value', 4)} * 0.001 FROM per_part)
+"""
+
+# ---------------------------------------------------------------- q19
+# TPC-H Q19 discounted revenue: disjunction of three conjunctive
+# brand/size/quantity clauses. One broadcast join; Catalyst pushes the
+# common l_quantity bounds and the OR predicate below the join.
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    clause1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    )
+    clause2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    )
+    clause3 = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.filter(clause1 | clause2 | clause3).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue")
+    )
+
+
+_Q19_SQL = f"""
+SELECT {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+# ---------------------------------------------------------------- q20
+# TPC-H Q20 shape (excess-stock suppliers): nested semi-join chain —
+# suppliers in one nation whose 1996 shipped volume of 'small%' parts
+# exceeds a threshold. partsupp-free adaptation: shipped quantity from
+# lineitem stands in for availqty.
+
+
+def q20_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    part = T(spark, sf_dir, "part").filter(F.col("p_name").startswith("small"))
+    supp = T(spark, sf_dir, "supplier")
+    nat = T(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    heavy = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(dsum("l_quantity", 2).alias("small_qty"))
+        .filter(F.col("small_qty") > 100.0)
+    )
+    return (
+        supp.join(heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi")
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey, "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+_Q20_SQL = f"""
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l_suppkey
+    HAVING {sql_dsum('l_quantity', 2)} > 100.0
+  )
+  AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_5')
+ORDER BY s_name
+"""
+
+# ---------------------------------------------------------------- q21
+# TPC-H Q21 shape (suppliers who kept waiting): correlated EXISTS +
+# NOT-EXISTS with inequality — for finished orders, lineitems whose
+# supplier shipped strictly last among >=2 suppliers on the order.
+# l_shipdate stands in for the missing receipt/commit dates. Executed as
+# a semi-join (another supplier exists) + anti-join (none shipped later).
+
+
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = T(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = T(spark, sf_dir, "supplier")
+    nat = T(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    li = T(spark, sf_dir, "lineitem")
+    l1 = li.alias("l1")
+    l2 = li.alias("l2")
+    l3 = li.alias("l3")
+    base = l1.join(
+        orders, F.col("l1.l_orderkey") == orders.o_orderkey, "left_semi"
+    )
+    with_other = base.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    )
+    last_shipper = with_other.join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey"))
+        & (F.col("l3.l_shipdate") > F.col("l1.l_shipdate")),
+        "left_anti",
+    )
+    return (
+        last_shipper.join(F.broadcast(supp), F.col("l1.l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey, "left_semi")
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+_Q21_SQL = """
+SELECT s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_orderkey = l1.l_orderkey AND o_orderstatus = 'F')
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > l1.l_shipdate)
+  AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_1')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
+    "q02_min_cost_supplier": q02_min_cost_supplier,
+    "q08_market_share": q08_market_share,
+    "q11_value_concentration": q11_value_concentration,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "q20_excess_stock": q20_excess_stock,
+    "q21_waiting_supplier": q21_waiting_supplier,
     "q03_shipping_priority": q03_shipping_priority,
     "q04_order_priority": q04_order_priority,
     "q05_local_supplier_volume": q05_local_supplier_volume,
@@ -721,6 +1032,12 @@ QUERIES = {
 
 ORACLES = {
     "q01_pricing_summary": _Q01_SQL,
+    "q02_min_cost_supplier": _Q02_SQL,
+    "q08_market_share": _Q08_SQL,
+    "q11_value_concentration": _Q11_SQL,
+    "q19_disjunctive_revenue": _Q19_SQL,
+    "q20_excess_stock": _Q20_SQL,
+    "q21_waiting_supplier": _Q21_SQL,
     "q03_shipping_priority": _Q03_SQL,
     "q04_order_priority": _Q04_SQL,
     "q05_local_supplier_volume": _Q05_SQL,
