@@ -1,0 +1,232 @@
+"""Multimodal columns: image/audio/video as opaque BINARY payloads with a
+typed metadata struct, processed by Arrow-batched `mapInPandas` stages.
+
+The container has no image/audio codecs, so the *decode* step is stubbed
+two ways (clearly marked):
+  * `decode_real` raises NotImplementedError unless PIL is importable —
+    the seam where a real codec plugs in;
+  * `decode_stats` / `extract_features` / `frame_sample` run a
+    deterministic byte-level fake decode (exact integer math over payload
+    bytes), so the Spark-side plumbing — pinned schemas, Arrow batch
+    shapes, partition parallelism — is real and testable, and byte math
+    doubles as a DuckDB oracle (ASCII text payloads: byte == codepoint).
+
+Scale design: every stage is mapInPandas over the payload partition — no
+shuffle is introduced by decoding; only the downstream aggregate shuffles
+its (small) stats rows. Payload bytes never pass through the driver. At
+100 TB the media table would be bucketed by doc_id so repeated
+feature-extraction passes co-locate with their metadata joins.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("payload", BinaryType(), False),
+        StructField(
+            "meta",
+            StructType(
+                [
+                    StructField("kind", StringType(), False),
+                    StructField("width", IntegerType(), True),
+                    StructField("height", IntegerType(), True),
+                    StructField("sample_rate", IntegerType(), True),
+                    StructField("n_frames", IntegerType(), True),
+                    StructField("fmt", StringType(), True),
+                ]
+            ),
+            False,
+        ),
+    ]
+)
+
+# kind assignment: deterministic 3-way split by doc_id
+_KINDS = ["image", "audio", "video"]
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic media table derived from `documents`:
+    payload = utf-8 text bytes, kind mapped from source, dims from
+    n_chars. Stands in for a real (payload, meta) ingest; every value is
+    reproducible in SQL for oracle checks."""
+    from ..catalog import table as T
+
+    docs = T(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    kind = F.element_at(F.array(*[F.lit(k) for k in _KINDS]), (F.col("doc_id") % 3 + 1).cast("int"))
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            kind.alias("kind"),
+            (F.col("n_chars") % 640 + 1).cast("int").alias("width"),
+            (F.col("n_chars") % 480 + 1).cast("int").alias("height"),
+            F.lit(16000).alias("sample_rate"),
+            (F.col("n_chars") % 24 + 1).cast("int").alias("n_frames"),
+            F.lit("raw").alias("fmt"),
+        ).alias("meta"),
+    )
+
+
+def decode_real(payload: bytes, fmt: str):  # pragma: no cover - codec seam
+    """Real-codec seam. STUB: no image/audio libraries in this
+    environment; plug PIL/torchaudio/av here in production."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "media decode requires an image/audio codec library "
+            "(not available in this environment)"
+        ) from e
+    raise NotImplementedError("real decode path not wired yet")
+
+
+DECODE_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("byte_sum", LongType(), False),
+        StructField("byte_max", IntegerType(), False),
+        StructField("content_md5", StringType(), False),
+    ]
+)
+
+
+def decode_stats(media: DataFrame) -> DataFrame:
+    """Fake-decode each payload to per-item stats via Arrow-batched
+    mapInPandas (exact integer byte math; md5 content address). The real
+    pipeline would emit pixel/sample tensors here instead."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = pdf["payload"]
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "kind": [m["kind"] for m in pdf["meta"]],
+                    "n_bytes": [len(p) for p in payloads],
+                    "byte_sum": [
+                        int(np.frombuffer(p, dtype=np.uint8).astype("int64").sum())
+                        if len(p)
+                        else 0
+                        for p in payloads
+                    ],
+                    "byte_max": [
+                        int(np.frombuffer(p, dtype=np.uint8).max()) if len(p) else 0
+                        for p in payloads
+                    ],
+                    "content_md5": [hashlib.md5(p).hexdigest() for p in payloads],
+                }
+            )
+            out["n_bytes"] = out["n_bytes"].astype("int64")
+            out["byte_sum"] = out["byte_sum"].astype("int64")
+            out["byte_max"] = out["byte_max"].astype("int32")
+            yield out
+
+    return media.mapInPandas(_decode, DECODE_STATS_SCHEMA)
+
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("feature", ArrayType(FloatType()), False),
+        StructField("feat_norm", DoubleType(), False),
+    ]
+)
+
+
+def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
+    """Deterministic feature vector per payload (chunked byte means over
+    `dim` equal slices) — the feature-extraction stage of an embedding
+    pipeline, as a mapInPandas batch op. Replace the chunk-mean with a
+    model forward pass in production."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            feats, norms = [], []
+            for p in pdf["payload"]:
+                arr = np.frombuffer(p, dtype=np.uint8).astype("float64")
+                if len(arr) == 0:
+                    v = np.zeros(dim)
+                else:
+                    chunks = np.array_split(arr, dim)
+                    v = np.array(
+                        [c.sum() / len(c) if len(c) else 0.0 for c in chunks]
+                    )
+                feats.append(v.astype("float32"))
+                norms.append(float(np.sqrt((v * v).sum())))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "feature": feats,
+                    "feat_norm": norms,
+                }
+            )
+
+    return media.mapInPandas(_extract, FEATURES_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame", BinaryType(), False),
+        StructField("frame_md5", StringType(), False),
+    ]
+)
+
+
+def frame_sample(media: DataFrame, every_n: int = 4) -> DataFrame:
+    """Sample every `every_n`-th 'frame' of video payloads (payload split
+    into meta.n_frames equal byte-slices) — the frame-extraction stage of
+    a video pipeline as a flat mapInPandas (one input row → many frame
+    rows; Arrow batches keep the blowup off the driver)."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "frame": [], "frame_md5": []}
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                if meta["kind"] != "video":
+                    continue
+                n = max(int(meta["n_frames"]), 1)
+                size = max(len(payload) // n, 1)
+                for i in range(0, n, every_n):
+                    fr = bytes(payload[i * size : (i + 1) * size])
+                    rows["doc_id"].append(int(doc_id))
+                    rows["frame_idx"].append(i)
+                    rows["frame"].append(fr)
+                    rows["frame_md5"].append(hashlib.md5(fr).hexdigest())
+            out = pd.DataFrame(rows)
+            out["doc_id"] = out["doc_id"].astype("int64")
+            out["frame_idx"] = out["frame_idx"].astype("int32")
+            yield out
+
+    return media.mapInPandas(_frames, FRAME_SCHEMA)

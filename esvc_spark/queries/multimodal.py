@@ -1,0 +1,107 @@
+"""Multimodal-column queries: the mapInPandas decode/feature/frame stages
+of esvc_spark.operators.multimodal, aggregated to oracle-checkable stats.
+
+The fake decode is exact integer byte math and the payloads are ASCII
+text, so DuckDB can reproduce byte sums (codepoint == byte) and md5
+content addresses exactly. `q_mm_features` is Python-side float math with
+no practical SQL twin — declared without an oracle (rows-only check).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import (
+    _KINDS,
+    decode_stats,
+    extract_features,
+    frame_sample,
+    media_table,
+)
+
+_SQL_KIND = (
+    "CASE doc_id % 3 "
+    + " ".join(f"WHEN {i} THEN '{k}'" for i, k in enumerate(_KINDS))
+    + " END"
+)
+
+
+def q_mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stats = decode_stats(media_table(spark, sf_dir))
+    return stats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.sum("byte_sum").alias("total_byte_sum"),
+        F.max("byte_max").alias("max_byte"),
+        F.count_distinct("content_md5").alias("n_distinct"),
+    )
+
+
+_DECODE_STATS_SQL = f"""
+WITH media AS (
+  SELECT doc_id, text, {_SQL_KIND} AS kind FROM documents
+),
+decoded AS (
+  SELECT doc_id, kind,
+         CAST(length(text) AS BIGINT) AS n_bytes,
+         CAST(COALESCE(list_sum(list_transform(string_split(text, ''),
+                                               c -> unicode(c))), 0) AS BIGINT)
+           AS byte_sum,
+         CAST(COALESCE(list_max(list_transform(string_split(text, ''),
+                                               c -> unicode(c))), 0) AS INTEGER)
+           AS byte_max,
+         md5(text) AS content_md5
+  FROM media
+)
+SELECT kind, COUNT(*) AS n_items, SUM(n_bytes) AS total_bytes,
+       SUM(byte_sum) AS total_byte_sum, MAX(byte_max) AS max_byte,
+       COUNT(DISTINCT content_md5) AS n_distinct
+FROM decoded GROUP BY kind
+"""
+
+_EVERY_N = 4
+
+
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = frame_sample(media_table(spark, sf_dir), every_n=_EVERY_N)
+    return frames.select("doc_id", "frame_idx", "frame_md5")
+
+
+_FRAME_SQL = f"""
+WITH media AS (
+  SELECT doc_id, text, {_SQL_KIND} AS kind,
+         CAST(n_chars % 24 + 1 AS INTEGER) AS n_frames
+  FROM documents
+),
+video AS (SELECT * FROM media WHERE kind = 'video'),
+sized AS (
+  SELECT doc_id, text, n_frames,
+         GREATEST(length(text) // n_frames, 1) AS fsize
+  FROM video
+)
+SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+       md5(substr(text, i * fsize + 1, fsize)) AS frame_md5
+FROM sized, unnest(range(0, n_frames, {_EVERY_N})) t(i)
+"""
+
+
+def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-mean feature vectors (no SQL oracle — Python float math);
+    aggregated so the rows-only check still pins cardinality + schema."""
+    feats = extract_features(media_table(spark, sf_dir), dim=16)
+    return feats.select(
+        "doc_id", "feat_norm", F.size("feature").alias("feat_dim")
+    )
+
+
+QUERIES = {
+    "q_mm_decode_stats": q_mm_decode_stats,
+    "q_mm_frame_sample": q_mm_frame_sample,
+    "q_mm_features": q_mm_features,
+}
+
+ORACLES = {
+    "q_mm_decode_stats": _DECODE_STATS_SQL,
+    "q_mm_frame_sample": _FRAME_SQL,
+}
