@@ -179,8 +179,87 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+# ---------------------------------------------------------------- as-of join
+# Attribution: each click joined to the user's most recent purchase at or
+# before the click (esvc_spark.operators.temporal.asof_join — one shuffle
+# + window, no inequality-join blowup). Oracle: DuckDB native ASOF JOIN.
+
+
+def q_ev_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import asof_join
+
+    ev = T(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    return asof_join(
+        clicks, purchases, on="ts", by=["user_id"], value_cols=["purchase_value"]
+    )
+
+
+_ASOF_SQL = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+purch AS (
+  SELECT user_id, ts AS pts, MAX(value) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT event_id, clicks.user_id AS user_id, ts, purchase_value
+FROM clicks ASOF LEFT JOIN purch
+  ON clicks.user_id = purch.user_id AND clicks.ts >= purch.pts
+"""
+
+# ---------------------------------------------------------------- range join
+# Click→purchase pairs of the same user within (1s, 5min]: bucketized
+# equality join (operators.temporal.range_join) instead of the
+# nested-loop plan a raw inequality join would get.
+
+
+def q_ev_range_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import range_join
+
+    ev = T(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    pairs = range_join(
+        clicks, purchases, on="ts", by=["user_id"],
+        lower_us=1_000_000, upper_us=300_000_000,
+    )
+    return pairs.select(
+        "click_id",
+        F.col("purchase_id_r").alias("purchase_id"),
+        "user_id",
+        F.col("_gap_us").alias("gap_us"),
+    )
+
+
+_RANGE_SQL = """
+WITH c AS (SELECT event_id AS click_id, user_id, ts
+           FROM events WHERE event_type = 'click'),
+p AS (SELECT event_id AS purchase_id, user_id, ts
+      FROM events WHERE event_type = 'purchase')
+SELECT click_id, purchase_id, c.user_id AS user_id,
+       epoch_us(p.ts::TIMESTAMP) - epoch_us(c.ts::TIMESTAMP) AS gap_us
+FROM c JOIN p ON c.user_id = p.user_id
+WHERE epoch_us(p.ts::TIMESTAMP) - epoch_us(c.ts::TIMESTAMP)
+      BETWEEN 1000000 AND 300000000
+"""
+
+
 QUERIES = {
     "q_ev_tumbling_hourly": q_ev_tumbling_hourly,
+    "q_ev_asof_purchase": q_ev_asof_purchase,
+    "q_ev_range_pairs": q_ev_range_pairs,
     "q_ev_sessionize": q_ev_sessionize,
     "q_ev_dedup_content": q_ev_dedup_content,
     "q_ev_json_props": q_ev_json_props,
@@ -189,6 +268,8 @@ QUERIES = {
 
 ORACLES = {
     "q_ev_tumbling_hourly": _TUMBLING_SQL,
+    "q_ev_asof_purchase": _ASOF_SQL,
+    "q_ev_range_pairs": _RANGE_SQL,
     "q_ev_sessionize": _SESSION_SQL,
     "q_ev_dedup_content": _DEDUP_SQL,
     "q_ev_json_props": _JSON_SQL,
