@@ -1,0 +1,61 @@
+"""Plan-contract tests: pushdown, pruning, broadcast selection, and
+shuffle counts for the headline queries. A regression here means a plan
+that would fall over at cluster scale even if results stay correct."""
+
+from __future__ import annotations
+
+from esvc_spark.operators.temporal import asof_join
+from esvc_spark.plans import codegen_stages, plan_stats
+from esvc_spark.queries.relational import (
+    q01_pricing_summary,
+    q03_shipping_priority,
+    q06_forecast_revenue,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_q06_pushdown_and_pruning(spark):
+    st = plan_stats(q06_forecast_revenue(spark, SF))
+    # all three predicates reach the parquet scan
+    assert any("l_shipdate" in f for f in st["pushed_filters"])
+    assert any("l_discount" in f for f in st["pushed_filters"])
+    assert any("l_quantity" in f for f in st["pushed_filters"])
+    # only the needed columns are read
+    assert set(st["scan_columns"]) <= {
+        "l_shipdate",
+        "l_discount",
+        "l_quantity",
+        "l_extendedprice",
+    }
+    assert st["shuffles"] == 0  # single global agg: partial + final, no hash shuffle
+    assert st["nested_loop_joins"] == 0
+
+
+def test_q03_broadcasts_dimensions(spark):
+    st = plan_stats(q03_shipping_priority(spark, SF))
+    assert st["broadcast_hash_joins"] >= 1  # customer side broadcast
+    assert st["nested_loop_joins"] == 0
+    assert codegen_stages(spark, lambda: q03_shipping_priority(spark, SF)) >= 1
+
+
+def test_q01_partial_aggregation(spark):
+    st = plan_stats(q01_pricing_summary(spark, SF))
+    # map-side partial agg means exactly one shuffle (on the group keys)
+    assert st["shuffles"] == 1
+    assert any("l_shipdate" in f for f in st["pushed_filters"])
+
+
+def test_asof_join_single_shuffle(spark):
+    import datetime as dt
+
+    left = spark.createDataFrame(
+        [(1, 1, dt.datetime(2024, 1, 1))], "id INT, k INT, ts TIMESTAMP"
+    )
+    right = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1.0)], "k INT, ts TIMESTAMP, v DOUBLE"
+    )
+    st = plan_stats(asof_join(left, right, on="ts", by=["k"], value_cols=["v"]))
+    # union + one window shuffle on the key; crucially no join node at all
+    assert st["shuffles"] == 1
+    assert st["sort_merge_joins"] == 0 and st["nested_loop_joins"] == 0
