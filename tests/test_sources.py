@@ -1,0 +1,64 @@
+"""Source/sink round-trips: every format preserves values; partitioned
+writes prune; bucketed writes remove the join shuffle on the bucket key."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from esvc_spark.plans import explain_str, plan_stats
+from esvc_spark.sources import read_source, write_sink
+
+SCHEMA = "k BIGINT, grp STRING, v DOUBLE"
+
+
+@pytest.fixture()
+def small(spark):
+    return spark.createDataFrame(
+        [(i, f"g{i % 3}", i / 7.0) for i in range(100)], SCHEMA
+    )
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "csv", "json", "orc"])
+def test_roundtrip(spark, small, tmp_path, fmt):
+    p = str(tmp_path / fmt)
+    write_sink(small, p, fmt=fmt, mode="overwrite")
+    back = read_source(spark, p, fmt=fmt, schema=SCHEMA)
+    assert sorted(back.collect()) == sorted(small.collect())
+
+
+def test_csv_requires_schema(spark, tmp_path):
+    with pytest.raises(ValueError, match="explicit schema"):
+        read_source(spark, str(tmp_path), fmt="csv")
+
+
+def test_partitioned_write_prunes(spark, small, tmp_path):
+    p = str(tmp_path / "part")
+    write_sink(small, p, partition_by=["grp"], mode="overwrite")
+    df = read_source(spark, p).filter(F.col("grp") == "g1")
+    assert df.count() == 33
+    # the grp predicate becomes a partition filter (directory pruning),
+    # not a data filter
+    plan = explain_str(df, "formatted")
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "g1" in m.group(1)
+
+
+def test_bucketed_join_skips_shuffle(spark, small, tmp_path):
+    name_a, name_b = "bsrc_a", "bsrc_b"
+    for name in (name_a, name_b):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        write_sink(
+            small,
+            str(tmp_path / name),
+            mode="overwrite",
+            bucket_by=(4, ["k"]),
+            sort_by=["k"],
+            table_name=name,
+        )
+    joined = spark.table(name_a).join(spark.table(name_b), "k")
+    st = plan_stats(joined)
+    assert st["shuffles"] == 0, "bucketed equi-join must not reshuffle"
+    assert joined.count() == 100
