@@ -475,8 +475,62 @@ SELECT doc_id, CAST({combine} AS BIGINT) AS simhash FROM votes
 """
 
 
+# ------------------------------------------------------- BPE-ish tokens
+# Subword-style token counting with a GPT-2-like pre-tokenizer regex
+# (contraction suffixes | space+letters | space+digits | space+punct runs
+# | whitespace runs) next to plain whitespace tokens — the cheap
+# token-budget estimator of a training-data pipeline. The pattern uses
+# only RE2/Java-common syntax (no lookarounds) so both engines agree.
+
+_BPE_RE = (
+    "'(?:s|t|re|ve|m|ll|d)"
+    "| ?\\p{L}+"
+    "| ?\\p{N}+"
+    "| ?[^\\s\\p{L}\\p{N}]+"
+    "|\\s+"
+)
+
+
+def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_par(spark, sf_dir)
+    pat = _BPE_RE.replace("\\", "\\\\").replace("'", "\\'")
+    d = docs.select(
+        "lang",
+        F.size(_TOKENS()).cast("bigint").alias("ws_tokens"),
+        F.expr(f"size(regexp_extract_all(text, '{pat}', 0))")
+        .cast("bigint")
+        .alias("bpe_tokens"),
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws_tokens").alias("total_ws_tokens"),
+        F.sum("bpe_tokens").alias("total_bpe_tokens"),
+        (F.sum("bpe_tokens").cast("double") / F.sum("ws_tokens")).alias(
+            "bpe_per_ws"
+        ),
+    )
+
+
+def _bpe_sql() -> str:
+    pat = _BPE_RE.replace("'", "''")
+    return f"""
+WITH d AS (
+  SELECT lang,
+         CAST(len({SQL_TOKENS}) AS BIGINT) AS ws_tokens,
+         CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS bpe_tokens
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs,
+       SUM(ws_tokens) AS total_ws_tokens,
+       SUM(bpe_tokens) AS total_bpe_tokens,
+       CAST(SUM(bpe_tokens) AS DOUBLE) / SUM(ws_tokens) AS bpe_per_ws
+FROM d GROUP BY lang
+"""
+
+
 QUERIES = {
     "q_doc_exact_dedup": q_doc_exact_dedup,
+    "q_doc_bpe_tokens": q_doc_bpe_tokens,
     "q_doc_token_stats": q_doc_token_stats,
     "q_doc_quality": q_doc_quality,
     "q_doc_lang_id": q_doc_lang_id,
@@ -488,6 +542,7 @@ QUERIES = {
 
 ORACLES = {
     "q_doc_exact_dedup": _EXACT_DEDUP_SQL,
+    "q_doc_bpe_tokens": _bpe_sql(),
     "q_doc_token_stats": _TOKEN_STATS_SQL,
     "q_doc_quality": _QUALITY_SQL,
     "q_doc_lang_id": _langid_sql(),

@@ -335,8 +335,120 @@ FROM dist GROUP BY label
 """
 
 
+# ------------------------------------------------------------------ IVF ANN
+# Inverted-file ANN: coarse-quantize every vector to its nearest of K
+# pinned centroids (deterministic "training": the first K vectors), build
+# inverted lists keyed by cell, then answer queries by probing only the
+# nprobe nearest cells and brute-forcing within them. The scale shape:
+# assignment is a broadcast join against K tiny centroids (no shuffle of
+# the big side beyond one repartition), and candidate generation is an
+# equality join on cell_id — O(N/K * nprobe) work per query instead of
+# O(N). Complements q_emb_ann_lsh as the second ANN family.
+
+_IVF_K = 8
+_IVF_NPROBE = 2
+_IVF_TOPK = 3
+
+
+def _ivf_assign(e: DataFrame, rank_limit: int, id_col: str) -> DataFrame:
+    """Rank the _IVF_K pinned centroids per vector by cosine; keep the
+    top `rank_limit` cells. e must carry (vec_id, emb, nrm)."""
+    cents = e.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("emb").alias("cemb"),
+        F.col("nrm").alias("cnrm"),
+    )
+    scored = e.join(F.broadcast(cents)).select(
+        F.col("vec_id").alias(id_col),
+        "cent_id",
+        cosine_prenorm(F.col("emb"), F.col("cemb"), F.col("nrm"), F.col("cnrm")).alias(
+            "csim"
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), "cent_id")
+    return (
+        scored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= rank_limit)
+        .select(id_col, F.col("cent_id").alias("cell"))
+    )
+
+
+def q_emb_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb_normed(spark, sf_dir)
+    lists = _ivf_assign(e, 1, "vec_id")  # inverted lists: vector -> cell
+    probes = _ivf_assign(e.filter(F.col("vec_id") < _N_QUERIES), _IVF_NPROBE, "query_id")
+    cand = probes.join(lists, "cell").filter(F.col("vec_id") != F.col("query_id"))
+    qe = e.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+    )
+    ne = e.select("vec_id", "emb", "nrm")
+    scored = (
+        cand.join(F.broadcast(qe), "query_id")
+        .join(ne, "vec_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_prenorm(
+                F.col("qemb"), F.col("emb"), F.col("qnrm"), F.col("nrm")
+            ).alias("cos_sim"),
+        )
+        .distinct()  # a neighbor can surface via both probed cells
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), "neighbor_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _IVF_TOPK)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+_IVF_SQL = f"""
+WITH e AS ({_SQL_EMB_NORMED}),
+cents AS (
+  SELECT vec_id AS cent_id, emb AS cemb, nrm AS cnrm FROM e
+  WHERE vec_id < {_IVF_K}
+),
+assign AS (
+  SELECT vec_id, cent_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+           {sql_cosine_prenorm('emb', 'cemb', 'nrm', 'cnrm')} DESC, cent_id)
+           AS crank
+  FROM e CROSS JOIN cents
+),
+lists AS (SELECT vec_id, cent_id AS cell FROM assign WHERE crank = 1),
+probes AS (
+  SELECT vec_id AS query_id, cent_id AS cell FROM assign
+  WHERE crank <= {_IVF_NPROBE} AND vec_id < {_N_QUERIES}
+),
+cand AS (
+  SELECT DISTINCT query_id, l.vec_id
+  FROM probes p JOIN lists l ON p.cell = l.cell
+  WHERE l.vec_id <> p.query_id
+),
+scored AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+         {sql_cosine_prenorm('q.emb', 'n.emb', 'q.nrm', 'n.nrm')} AS cos_sim
+  FROM cand c
+  JOIN e q ON q.vec_id = c.query_id
+  JOIN e n ON n.vec_id = c.vec_id
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
+WHERE rank <= {_IVF_TOPK}
+"""
+
+
 QUERIES = {
     "q_emb_knn_cosine": q_emb_knn_cosine,
+    "q_emb_ivf_knn": q_emb_ivf_knn,
     "q_emb_neardup_cosine": q_emb_neardup_cosine,
     "q_emb_ann_lsh": q_emb_ann_lsh,
     "q_emb_label_centroids": q_emb_label_centroids,
@@ -344,6 +456,7 @@ QUERIES = {
 
 ORACLES = {
     "q_emb_knn_cosine": _KNN_SQL,
+    "q_emb_ivf_knn": _IVF_SQL,
     "q_emb_neardup_cosine": _NEARDUP_SQL,
     "q_emb_ann_lsh": _ann_lsh_sql(),
     "q_emb_label_centroids": _CENTROID_SQL,
