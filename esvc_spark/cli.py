@@ -1,0 +1,145 @@
+"""exvc-style REPL over the event-log core (≙ crates/exvc/src/main.rs:255-339).
+
+Line grammar:
+  *dot           emit graphviz .dot of the event DAG   (main.rs:36-38)
+  *state         list current head hashes              (main.rs:39-43)
+  w <dir>        save graph                            (main.rs:44-53)
+  m< <dir>       import + merge another graph          (main.rs:54-111)
+  q!             quit                                  (main.rs:321-322)
+  <addr><cmd>    editor command; a/c/i/s read body lines until "."
+                 (main.rs:183-210); bare <addr> prints (main.rs:121-177)
+
+Driver-side orchestration only — the dataset engine can be the in-memory
+ExEngine (default) or the Spark-backed one; the REPL logic is identical
+(the reference's whole point: the core is engine-agnostic).
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Callable, TextIO
+
+from .core.dot import to_dot
+from .core.engines import ExEngine, resolve_addr
+from .core.exparse import AddressParseError, make_command, parse_command
+from .core.graph import Event, Graph
+from .core.hashing import format_hash
+from .core.store import append_head
+from .core.workcache import WorkCache
+
+_BODY_CMDS = {"append", "change", "insert"}
+
+
+class Repl:
+    def __init__(self, init_lines: tuple[str, ...] = (), engine=None):
+        self.engine = engine or ExEngine()
+        self.graph = Graph()
+        self.wc = WorkCache(self.engine, init_lines)
+
+    @property
+    def heads(self) -> set[bytes]:
+        return set(self.graph.nstates.get("", set()))
+
+    def materialize(self) -> tuple[str, ...]:
+        return self.wc.materialize(self.graph, self.heads)
+
+    # ---------------------------------------------------------------- ops
+
+    def print_lines(self, addr: dict, out: TextIO) -> None:
+        """≙ main.rs:121-177 (numbered print of the selected segment;
+        highlighting is presentation-only and skipped)."""
+        dat = self.materialize()
+        lineno = 0
+        for seg, selected in resolve_addr(dat, addr):
+            for line in seg:
+                lineno += 1
+                if selected:
+                    out.write(f"{lineno:6d}  {line}\n")
+
+    def submit(self, command: dict) -> bytes | None:
+        """Shelve an editor command as an event; update heads
+        (≙ main.rs:217-250). Returns the new event id, or None if no-op."""
+        evid = self.wc.shelve_event(
+            self.graph, self.heads, Event(cmd=0, arg=command, deps={})
+        )
+        if evid is not None:
+            append_head(self.graph, evid)
+        return evid
+
+    def merge_from(self, path: str, spark) -> None:
+        from .core.store import import_merge, load_graph
+
+        other = load_graph(spark, path)
+        import_merge(self.wc, self.graph, other)
+
+    # ---------------------------------------------------------------- loop
+
+    def handle_line(
+        self,
+        line: str,
+        out: TextIO,
+        read_body: Callable[[], list[str]],
+        spark=None,
+    ) -> bool:
+        """One REPL line; returns False to quit (≙ main.rs:278-339)."""
+        line = line.rstrip("\n")
+        if line == "q!":
+            return False
+        if line == "*dot":
+            out.write(to_dot(self.graph))
+            return True
+        if line == "*state":
+            for h in sorted(self.heads):
+                out.write(format_hash(h) + "\n")
+            return True
+        if line.startswith("w ") and spark is not None:
+            from .core.store import save_graph
+
+            save_graph(spark, self.graph, line[2:].strip())
+            return True
+        if line.startswith("m< ") and spark is not None:
+            self.merge_from(line[3:].strip(), spark)
+            return True
+        if not line.strip():
+            return True
+        try:
+            parsed, _ = parse_command(line)
+        except AddressParseError as e:
+            out.write(f"?{e}\n")
+            return True
+        if parsed["cmd"] == "print":
+            self.print_lines(parsed["addr"], out)
+            return True
+        body = (
+            read_body() if parsed["cmd"] in (*_BODY_CMDS, "substitute") else None
+        )
+        try:
+            command = make_command(parsed["addr"], parsed["cmd"], body)
+        except ValueError as e:
+            out.write(f"?{e}\n")
+            return True
+        evid = self.submit(command)
+        if evid is None:
+            out.write("?no-op event discarded\n")
+        return True
+
+
+def main() -> None:  # pragma: no cover - interactive entry
+    repl = Repl()
+
+    def read_body() -> list[str]:
+        lines = []
+        for raw in sys.stdin:
+            raw = raw.rstrip("\n")
+            if raw == ".":
+                break
+            lines.append(raw)
+        return lines
+
+    for raw in sys.stdin:
+        if not repl.handle_line(raw, sys.stdout, read_body):
+            break
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

@@ -1,0 +1,87 @@
+"""REPL end-to-end (FIXTURES.md §B.6 representative script): drive the
+exvc-style loop and compare against a plain-Python ed oracle; meta
+commands *state/*dot; save/merge round-trip through parquet."""
+
+from __future__ import annotations
+
+import io
+
+from esvc_spark.cli import Repl
+
+
+def _drive(repl, script):
+    """script: list of (line, body) pairs; returns captured output."""
+    out = io.StringIO()
+    it = iter(script)
+    bodies: list[list[str]] = []
+
+    def read_body():
+        return bodies.pop(0)
+
+    for line, body in script:
+        if body is not None:
+            bodies.append(body)
+        assert repl.handle_line(line, out, read_body)
+    return out.getvalue()
+
+
+def test_repl_script_matches_ed_oracle():
+    repl = Repl()
+    _drive(
+        repl,
+        [
+            ("$a", ["alpha", "foo one", "beta", "foo two", "gamma"]),  # append all
+            ("/foo/s", ["foo", "bar"]),  # substitute on matching lines
+            ("1,3d", None),  # delete lines [1,3)
+            ("0,i", ["head"]),  # insert at top
+        ],
+    )
+    # independent plain-list oracle
+    lines = ["alpha", "foo one", "beta", "foo two", "gamma"]
+    lines = [ln.replace("foo", "bar") for ln in lines]  # s on matches only is same here
+    lines = lines[:1] + lines[3:]  # 1,3d deletes index 1..2
+    lines = ["head"] + lines
+    assert list(repl.materialize()) == lines
+
+    out = io.StringIO()
+    repl.print_lines({"type": "rngf", "start": 0}, out)
+    printed = [ln[8:] for ln in out.getvalue().splitlines()]
+    assert printed == lines
+
+
+def test_repl_noop_discarded_and_state():
+    repl = Repl()
+    out = _drive(
+        repl,
+        [
+            ("$a", ["x"]),
+            ("/zzz/s", ["zzz", "yyy"]),  # matches nothing -> no-op
+            ("*state", None),
+        ],
+    )
+    assert "?no-op event discarded" in out
+    assert len(repl.heads) == 1  # only the append landed
+    assert out.count("blake2b512:") == 1
+
+
+def test_repl_dot_export():
+    repl = Repl()
+    _drive(repl, [("$a", ["a"]), ("$a", ["b"])])
+    out = _drive(repl, [("*dot", None)])
+    assert out.startswith("digraph") and out.count("label") >= 2
+
+
+def test_repl_save_merge_roundtrip(spark, tmp_path):
+    a = Repl()
+    _drive(a, [("$a", ["base"])])
+    out = io.StringIO()
+    assert a.handle_line(f"w {tmp_path}/g", out, lambda: [], spark=spark)
+
+    # a second repl diverges from the same base
+    b = Repl()
+    _drive(b, [("$a", ["base"])])  # same first event (content-addressed)
+    _drive(b, [("$a", ["from-b"])])
+
+    # merge a's saved graph into b: identical base event is idempotent
+    assert b.handle_line(f"m< {tmp_path}/g", out, lambda: [], spark=spark)
+    assert list(b.materialize()) == ["base", "from-b"]
