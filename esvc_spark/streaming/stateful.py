@@ -1,0 +1,102 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+Where watermarked windows (pipelines.py) cover time-bucketed aggregation,
+these cover semantics Spark's built-in stateful ops can't express:
+
+  * `running_user_totals`: per-user lifetime counters that emit an
+    updated row every micro-batch an event arrives in — a streaming
+    materialized aggregate with explicit state (count, exact cent-scaled
+    value sum, last seen timestamp).
+  * `streaming_head_tracker`: the esvc head-set maintained incrementally
+    — the streaming twin of nstates[""] upkeep (crates/exvc/src/
+    main.rs:217-250): per graph-key state holds the current head ids; an
+    arriving event whose deps cover existing heads replaces them.
+
+State is per group key, held in the state store between micro-batches and
+evictable by timeout — at cluster scale this shards by key hash over
+executors, with no driver involvement.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+RUNNING_SCHEMA = "user_id LONG, n_events LONG, value_cents LONG, last_ts TIMESTAMP"
+_RUNNING_STATE = "n LONG, cents LONG, last LONG"
+
+
+def _running_fn(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n, cents, last = state.get if state.exists else (0, 0, 0)
+    for pdf in batches:
+        n += len(pdf)
+        # exact integer cents (value has 2-decimal scale) — float sums
+        # would drift across batch boundaries
+        cents += int(round(pdf["value"].mul(100).sum()))
+        last = max(last, int(pdf["ts"].astype("int64").max()))
+    state.update((n, cents, last))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "value_cents": [cents],
+            "last_ts": [pd.Timestamp(last, unit="ns")],
+        }
+    )
+
+
+def running_user_totals(stream: DataFrame) -> DataFrame:
+    """Per-user lifetime (count, exact value sum, last ts), one updated
+    row per user per micro-batch containing that user."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _running_fn,
+        RUNNING_SCHEMA,
+        _RUNNING_STATE,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+HEADS_SCHEMA = "graph_key STRING, heads ARRAY<STRING>, n_events LONG"
+_HEADS_STATE = "heads_json STRING, n LONG"
+
+
+def _heads_fn(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    import json
+
+    heads_json, n = state.get if state.exists else ("[]", 0)
+    heads: set[str] = set(json.loads(heads_json))
+    for pdf in batches:
+        for _, row in pdf.sort_values(["ts", "event_id"]).iterrows():
+            deps = set(json.loads(row["deps_json"])) if row["deps_json"] else set()
+            heads -= deps  # an event supersedes the heads it depends on
+            heads.add(str(row["event_id"]))
+            n += 1
+    state.update((json.dumps(sorted(heads)), n))
+    yield pd.DataFrame(
+        {"graph_key": [key[0]], "heads": [sorted(heads)], "n_events": [n]}
+    )
+
+
+def streaming_head_tracker(stream: DataFrame) -> DataFrame:
+    """Maintain the esvc head antichain incrementally per graph key.
+    Input schema: (graph_key STRING, event_id, ts, deps_json STRING —
+    JSON array of dep event ids). Emits the current minimized head set
+    after each micro-batch (≙ append_head + compaction, main.rs:217-250,
+    but incremental instead of whole-set re-minimization)."""
+    return stream.groupBy("graph_key").applyInPandasWithState(
+        _heads_fn,
+        HEADS_SCHEMA,
+        _HEADS_STATE,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

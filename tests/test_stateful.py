@@ -1,0 +1,104 @@
+"""applyInPandasWithState operators: state survives micro-batch
+boundaries (forced via maxFilesPerTrigger=1) and final values equal the
+batch equivalents."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from esvc_spark.catalog import table as T
+from esvc_spark.streaming import read_events_stream
+from esvc_spark.streaming.stateful import (
+    running_user_totals,
+    streaming_head_tracker,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+EVENTS = os.path.join(SF_DIR, "events.parquet")
+
+
+@pytest.fixture(scope="module")
+def two_batch_dir(tmp_path_factory):
+    """Split the events file in two so the stream runs 2 micro-batches."""
+    d = str(tmp_path_factory.mktemp("two_batches"))
+    t = pq.read_table(EVENTS)
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), os.path.join(d, "a.parquet"))
+    pq.write_table(t.slice(half), os.path.join(d, "b.parquet"))
+    return d
+
+
+def _run_update(df, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+def test_running_totals_match_batch(spark, two_batch_dir):
+    stream = read_events_stream(spark, two_batch_dir, max_files_per_trigger=1)
+    name = f"run_{uuid.uuid4().hex}"
+    out = _run_update(running_user_totals(stream), name).toPandas()
+    # update mode emits one row per user per touching micro-batch: the
+    # LAST row per user is the lifetime total
+    final = out.sort_values("n_events").groupby("user_id").last()
+
+    batch = (
+        T(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+            F.max("ts").alias("last_ts"),
+        )
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert len(final) == len(batch)
+    for uid, row in batch.iterrows():
+        got = final.loc[uid]
+        assert got["n_events"] == row["n_events"]
+        assert got["value_cents"] == int(row["sum_value"] * 100)
+        assert got["last_ts"] == row["last_ts"]
+    # state crossed batches: some user must appear twice (two emissions)
+    assert (out.groupby("user_id").size() > 1).any()
+
+
+def test_head_tracker_maintains_antichain(spark, tmp_path):
+    import json
+
+    rows = [
+        ("g", "e1", 1, "[]"),
+        ("g", "e2", 2, json.dumps(["e1"])),  # supersedes e1
+        ("g", "e3", 3, "[]"),  # parallel branch head
+        ("h", "f1", 1, "[]"),  # separate graph key
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    pdf = __import__("pandas").DataFrame(
+        rows, columns=["graph_key", "event_id", "ts", "deps_json"]
+    )
+    pdf.to_parquet(os.path.join(src, "a.parquet"))
+
+    stream = (
+        spark.readStream.schema(
+            "graph_key STRING, event_id STRING, ts BIGINT, deps_json STRING"
+        )
+        .parquet(src)
+    )
+    name = f"heads_{uuid.uuid4().hex}"
+    out = _run_update(streaming_head_tracker(stream), name)
+    got = {r["graph_key"]: (sorted(r["heads"]), r["n_events"]) for r in out.collect()}
+    assert got["g"] == (["e2", "e3"], 3)  # e1 folded away, e2/e3 parallel
+    assert got["h"] == (["f1"], 1)
