@@ -711,20 +711,23 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = T(spark, sf_dir, "supplier")
     nat = T(spark, sf_dir, "nation")
     reg = T(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
-    cost = li.groupBy("l_partkey", "l_suppkey").agg(
-        davg("l_extendedprice", 2).alias("supply_cost")
+    # semi-join the fact side down to the ~1% of parts that survive the
+    # predicate BEFORE the aggregate: the shuffle input shrinks from all
+    # of lineitem to just the qualifying parts' rows (same result — the
+    # per-part min never mixes parts, and non-qualifying parts would be
+    # dropped by the final inner join anyway)
+    cost = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(davg("l_extendedprice", 2).alias("supply_cost"))
     )
-    min_cost = cost.groupBy(F.col("l_partkey").alias("mc_partkey")).agg(
-        F.min("supply_cost").alias("min_cost")
+    w_part = Window.partitionBy("l_partkey")
+    best = cost.withColumn("min_cost", F.min("supply_cost").over(w_part)).filter(
+        F.col("supply_cost") == F.col("min_cost")
     )
     return (
-        cost.join(
-            min_cost,
-            (cost.l_partkey == min_cost.mc_partkey)
-            & (cost.supply_cost == min_cost.min_cost),
-        )
-        .join(F.broadcast(part), cost.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), cost.l_suppkey == supp.s_suppkey)
+        best.join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey, "left_semi")
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "supply_cost")
