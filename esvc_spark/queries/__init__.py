@@ -16,18 +16,18 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from . import documents, embeddings, events, multimodal, relational
+    from . import documents, embeddings, esvc, events, multimodal, relational
 
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (relational, events, documents, embeddings, multimodal):
+    for mod in (relational, events, documents, embeddings, multimodal, esvc):
         merged.update(mod.QUERIES)
     return merged
 
 
 def all_oracles() -> dict[str, str]:
-    from . import documents, embeddings, events, multimodal, relational
+    from . import documents, embeddings, esvc, events, multimodal, relational
 
     merged: dict[str, str] = {}
-    for mod in (relational, events, documents, embeddings, multimodal):
+    for mod in (relational, events, documents, embeddings, multimodal, esvc):
         merged.update(mod.ORACLES)
     return merged

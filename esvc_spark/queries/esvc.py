@@ -1,0 +1,126 @@
+"""The event-log core as driver-contract queries: shelve events over a
+Spark-backed dataset (dependency inference by commutation testing), then
+materialize by deterministic topological replay — and check the result
+against the reference's own invariant, shelve→minimize→replay ≡
+sequential fold (crates/example-sear/fuzz/fuzz_targets/sear0.rs:69-101),
+which a DuckDB oracle can state as nested replace() calls.
+
+The dataset is the sf documents table under SparkReplaceEngine (the sear
+engine distributed over a corpus); every commutation test the shelve loop
+runs is a real Spark aggregate job over the corpus fingerprint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table as T
+from ..core import Event, Graph, IncludeSpec, WorkCache
+from ..core.spark_engine import SparkReplaceEngine
+
+# event chain: #3 depends on #1 (rewrites its output), #2 is independent
+_REPLAY_SEARS = [("the", "THE"), ("of", "OF!"), ("THE", "teh")]
+
+# two branches off one common event, commuting by construction
+# (disjoint literals), so the merged state is both applied in any order
+_MERGE_COMMON = [("e", "E")]
+_MERGE_BRANCH_A = [("ing", "+ING+")]
+_MERGE_BRANCH_B = [("on", "*ON*")]
+
+
+def _corpus(spark: SparkSession, sf_dir: str):
+    eng = SparkReplaceEngine(spark)
+    docs = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    return eng, eng.init_data(docs)
+
+
+def _result(final, wc: WorkCache) -> DataFrame:
+    out = final.df.select("doc_id", F.md5("text").alias("text_md5"))
+    return out
+
+
+def q_esvc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shelve the 3-event chain (deps inferred by commutation tests — each
+    an aggregate job), minimize the head set, replay. Invariant: equals
+    the sequential left-fold of the replaces."""
+    eng, init = _corpus(spark, sf_dir)
+    g, wc = Graph(), WorkCache(eng, init)
+    heads: set[bytes] = set()
+    for s, r in _REPLAY_SEARS:
+        h = wc.shelve_event(
+            g, set(heads), Event(cmd=0, arg={"search": s, "replacement": r})
+        )
+        if h is not None:
+            heads.add(h)
+    minimized = set(g.fold_state({h: False for h in heads}, expand=False).keys())
+    final, _ = wc.run_foreach_recursively(
+        g, {h: IncludeSpec.INCLUDE_ALL for h in minimized}
+    )
+    return _result(final, wc)
+
+
+def q_esvc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch two event sets off a common ancestor, try_merge, replay the
+    merged head set. The branches commute (disjoint literals), so the
+    merged state is the common event plus both branches applied."""
+    eng, init = _corpus(spark, sf_dir)
+    g, wc = Graph(), WorkCache(eng, init)
+    common: set[bytes] = set()
+    for s, r in _MERGE_COMMON:
+        h = wc.shelve_event(
+            g, set(common), Event(cmd=0, arg={"search": s, "replacement": r})
+        )
+        if h is not None:
+            common.add(h)
+    branch_heads: set[bytes] = set(common)
+    for branch in (_MERGE_BRANCH_A, _MERGE_BRANCH_B):
+        seed = set(common)
+        for s, r in branch:
+            h = wc.shelve_event(
+                g, set(seed), Event(cmd=0, arg={"search": s, "replacement": r})
+            )
+            if h is not None:
+                seed.add(h)
+                branch_heads.add(h)
+    wc.try_merge(g, set(branch_heads))
+    minimized = set(
+        g.fold_state({h: False for h in branch_heads}, expand=False).keys()
+    )
+    final, _ = wc.run_foreach_recursively(
+        g, {h: IncludeSpec.INCLUDE_ALL for h in minimized}
+    )
+    return _result(final, wc)
+
+
+def _sql_chain(sears: list[tuple[str, str]]) -> str:
+    expr = "text"
+    for s, r in sears:
+        expr = f"replace({expr}, '{s}', '{r}')"
+    return expr
+
+
+_REPLAY_SQL = f"""
+SELECT doc_id, md5({_sql_chain(_REPLAY_SEARS)}) AS text_md5 FROM documents
+"""
+
+_MERGE_SQL = f"""
+SELECT doc_id,
+       md5({_sql_chain(_MERGE_COMMON + _MERGE_BRANCH_A + _MERGE_BRANCH_B)})
+         AS text_md5
+FROM documents
+"""
+
+QUERIES = {
+    "q_esvc_replay": q_esvc_replay,
+    "q_esvc_merge": q_esvc_merge,
+}
+
+ORACLES = {
+    "q_esvc_replay": _REPLAY_SQL,
+    "q_esvc_merge": _MERGE_SQL,
+}
