@@ -446,9 +446,68 @@ WHERE rank <= {_IVF_TOPK}
 """
 
 
+# ------------------------------------------------------------------ retrieval
+# RAG-style retrieval: ANN top-k per query vector, then hydrate the
+# matched documents (vec_id keys the documents table here) — the
+# vector-search + metadata-join composite every retrieval pipeline runs.
+# At scale the hydration join shuffles only the k x |queries| hit list,
+# never the corpus.
+
+_RAG_K = 3
+_RAG_QUERIES = 10
+
+
+def q_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb_normed(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < _RAG_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("hit_id"),
+        cosine_prenorm(F.col("qemb"), F.col("emb"), F.col("qnrm"), F.col("nrm")).alias(
+            "cos_sim"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "hit_id")
+    hits = (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _RAG_K)
+    )
+    docs = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("hit_id"), "lang", "source", "n_chars"
+    )
+    return hits.join(docs, "hit_id").select(
+        "query_id", "hit_id", "cos_sim", "rank", "lang", "source", "n_chars"
+    )
+
+
+_RAG_SQL = f"""
+WITH e AS ({_SQL_EMB_NORMED}),
+q AS (SELECT vec_id AS query_id, emb AS qemb, nrm AS qnrm FROM e
+      WHERE vec_id < {_RAG_QUERIES}),
+scored AS (
+  SELECT query_id, e.vec_id AS hit_id,
+         {sql_cosine_prenorm('qemb', 'emb', 'qnrm', 'nrm')} AS cos_sim
+  FROM q JOIN e ON e.vec_id <> q.query_id
+),
+hits AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos_sim DESC, hit_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, hit_id, cos_sim, rank, lang, source, n_chars
+FROM hits JOIN documents ON doc_id = hit_id
+WHERE rank <= {_RAG_K}
+"""
+
+
 QUERIES = {
     "q_emb_knn_cosine": q_emb_knn_cosine,
     "q_emb_ivf_knn": q_emb_ivf_knn,
+    "q_rag_retrieval": q_rag_retrieval,
     "q_emb_neardup_cosine": q_emb_neardup_cosine,
     "q_emb_ann_lsh": q_emb_ann_lsh,
     "q_emb_label_centroids": q_emb_label_centroids,
@@ -457,6 +516,7 @@ QUERIES = {
 ORACLES = {
     "q_emb_knn_cosine": _KNN_SQL,
     "q_emb_ivf_knn": _IVF_SQL,
+    "q_rag_retrieval": _RAG_SQL,
     "q_emb_neardup_cosine": _NEARDUP_SQL,
     "q_emb_ann_lsh": _ann_lsh_sql(),
     "q_emb_label_centroids": _CENTROID_SQL,

@@ -256,10 +256,39 @@ WHERE epoch_us(p.ts::TIMESTAMP) - epoch_us(c.ts::TIMESTAMP)
 """
 
 
+# ---------------------------------------------------------------- percentiles
+# Exact distribution stats per event type: Spark's exact `percentile`
+# (sort-based, not the t-digest approx) matches DuckDB quantile_cont
+# bit-for-bit since both linearly interpolate over the sorted values.
+
+
+def q_ev_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+
+
+_PCT_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       quantile_cont(value, 0.5)  AS p50,
+       quantile_cont(value, 0.9)  AS p90,
+       quantile_cont(value, 0.99) AS p99,
+       MIN(value) AS vmin, MAX(value) AS vmax
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "q_ev_tumbling_hourly": q_ev_tumbling_hourly,
     "q_ev_asof_purchase": q_ev_asof_purchase,
     "q_ev_range_pairs": q_ev_range_pairs,
+    "q_ev_percentiles": q_ev_percentiles,
     "q_ev_sessionize": q_ev_sessionize,
     "q_ev_dedup_content": q_ev_dedup_content,
     "q_ev_json_props": q_ev_json_props,
@@ -270,6 +299,7 @@ ORACLES = {
     "q_ev_tumbling_hourly": _TUMBLING_SQL,
     "q_ev_asof_purchase": _ASOF_SQL,
     "q_ev_range_pairs": _RANGE_SQL,
+    "q_ev_percentiles": _PCT_SQL,
     "q_ev_sessionize": _SESSION_SQL,
     "q_ev_dedup_content": _DEDUP_SQL,
     "q_ev_json_props": _JSON_SQL,
