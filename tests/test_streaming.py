@@ -100,6 +100,59 @@ def test_dedup_stream_counts(spark, events_stream):
     assert got.count() == batch_distinct
 
 
+def test_watermark_append_semantics(spark, tmp_path):
+    """Append-mode tumbling agg with a 2h watermark across two
+    micro-batches pins the *guaranteed* semantics: a window whose end the
+    watermark has passed emits exactly once with the pre-watermark
+    events, and still-open windows emit nothing. (Dropping data later
+    than the horizon is permitted but not guaranteed — Spark only bounds
+    how long data is accepted, so the late 09:15 row's fate is not
+    asserted.)"""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def ns(h, m=0):
+        return int(
+            dt.datetime(2024, 1, 1, h, m, tzinfo=dt.timezone.utc).timestamp() * 1e9
+        )
+
+    def write(path, rows):
+        t = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.int64()),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array(["click"] * len(rows)),
+                "value": pa.array([1.0] * len(rows)),
+                "props": pa.array([None] * len(rows), pa.string()),
+            }
+        )
+        pq.write_table(t, path)
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    # batch 1: two events in the 10:00 window + one at 14:00 that pushes
+    # the watermark to 12:00
+    write(str(src / "a.parquet"), [(1, ns(10, 0)), (2, ns(10, 30)), (3, ns(14, 0))])
+    # batch 2 (written later; file source orders by mod time): a late
+    # 09:15 event (window end 10:00 < watermark) and a 14:30 event
+    import time
+
+    time.sleep(1.1)
+    write(str(src / "b.parquet"), [(4, ns(9, 15)), (5, ns(14, 30))])
+
+    stream = read_events_stream(spark, str(src), max_files_per_trigger=1)
+    name = f"late_{uuid.uuid4().hex}"
+    got = run_to_memory(tumbling_stream(stream), name, "append").toPandas()
+
+    starts = {t.hour: n for t, n in zip(got["window_start"], got["n_events"])}
+    assert starts[10] == 2  # closed window: exactly the on-time events
+    assert (got["window_start"].dt.hour == 10).sum() == 1  # emitted once
+    assert 14 not in starts  # open window must not emit in append mode
+
+
 def test_ingest_idempotent_under_replay(spark, tmp_path):
     log_dir = str(tmp_path / "log")
     src_dir = str(tmp_path / "src")
