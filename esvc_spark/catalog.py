@@ -35,7 +35,17 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.sql.legacy.parquet.nanosAsLong it arrives as BIGINT nanoseconds
     and is truncated (floored) to microseconds here — matching DuckDB's
     ns→µs truncation, so oracle comparisons agree."""
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # The conf is runtime-settable; set it here so the read works under
+        # ANY session (the driver harness uses a plain SparkSession without
+        # the repo's session factory). Without it the scan fails with
+        # PARQUET_TYPE_ILLEGAL: INT64 (TIMESTAMP(NANOS)).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Timestamp determinism vs. naive-timestamp oracles regardless of
+        # the host session's timezone.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
 

@@ -142,21 +142,31 @@ class Graph:
         for main_evid in sorted(evids):
             incl = evids[main_evid]
             stack = [main_evid]
+            # events pushed back awaiting deps; a pending event re-expanded
+            # with still-unresolved deps means a cycle ANYWHERE in the
+            # ancestry, not just through main_evid (the reference's check,
+            # graph.rs:103-106, misses intermediate cycles — a TODO there —
+            # but this port can ingest cyclic graphs from foreign parquet
+            # via load_graph/import_merge, so a bad file must raise, not
+            # spin the driver forever).
+            pending: set[bytes] = set()
             while stack:
                 evid = stack.pop()
                 if evid in tt:
                     continue
-                if evid == main_evid and stack:
-                    # the main event resurfaced while deps are pending: cycle
-                    raise DependencyCircuit(main_evid)
                 evwd = self.events.get(evid)
                 if evwd is None:
                     raise DependencyNotFound(evid)
                 necessary = [h for h in sorted(evwd.deps) if h not in tt]
                 if necessary:
+                    if evid in pending:
+                        # re-expanded while already awaiting deps: cycle
+                        raise DependencyCircuit(evid)
+                    pending.add(evid)
                     stack.append(evid)
                     stack.extend(necessary)
                 else:
+                    pending.discard(evid)
                     if evid == main_evid and incl is not IncludeSpec.INCLUDE_ALL:
                         break
                     ret.append(evid)

@@ -62,14 +62,13 @@ def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_copies"),
             F.max("n_chars").alias("n_chars"),
         )
-        .filter(F.col("n_copies") >= 1)
     )
 
 
 _EXACT_DEDUP_SQL = """
 SELECT md5(text) AS text_md5, MIN(doc_id) AS rep_doc, COUNT(*) AS n_copies,
        MAX(n_chars) AS n_chars
-FROM documents GROUP BY md5(text) HAVING COUNT(*) >= 1
+FROM documents GROUP BY md5(text)
 """
 
 # ------------------------------------------------------------- token stats
@@ -93,7 +92,7 @@ def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOKEN_STATS_SQL = f"""
 SELECT lang, COUNT(*) AS n_docs,
-       SUM(n_tokens) AS total_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens,
        MAX(n_tokens) AS max_tokens, MIN(n_tokens) AS min_tokens
 FROM (SELECT lang, CAST(len({SQL_TOKENS}) AS BIGINT) AS n_tokens FROM documents)
@@ -164,8 +163,8 @@ scored AS (
 )
 SELECT source, COUNT(*) AS n_docs,
        {sql_dsum('quality_score', 6)} AS sum_quality,
-       SUM(n_stop) AS total_stopwords,
-       SUM(n_punct) AS total_punct
+       CAST(SUM(n_stop) AS BIGINT) AS total_stopwords,
+       CAST(SUM(n_punct) AS BIGINT) AS total_punct
 FROM scored GROUP BY source
 """
 
@@ -286,9 +285,30 @@ _SQL_SHINGLES = f"""
 """
 
 
+# Shingles with document frequency above this cap (boilerplate) are
+# dropped before the self-join: one hot shingle key otherwise explodes
+# quadratically (df^2 pairs) — the classic skew failure of inverted-index
+# near-dup at corpus scale. Boilerplate shingles carry no similarity
+# signal, so capping changes semantics only for junk keys. Jaccard is then
+# computed over the capped shingle sets on both engines.
+_DF_CAP = 100
+
+
 def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_par(spark, sf_dir)
-    sh = _shingles_df(docs).persist()
+    # The hot-shingle list (df > cap) is tiny by construction — boilerplate
+    # keys only — so it broadcasts, and the cap costs one map-side-combined
+    # aggregate plus a broadcast anti-join: no extra shuffle of the full
+    # shingle table. Persist all_sh (feeds the df aggregate + anti-join),
+    # persist sh (feeds counts + both self-join sides).
+    all_sh = _shingles_df(docs).persist()
+    hot = (
+        all_sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > _DF_CAP)
+        .select("shingle")
+    )
+    sh = all_sh.join(F.broadcast(hot), "shingle", "left_anti").persist()
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -313,7 +333,12 @@ def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _NGRAM_JACCARD_SQL = f"""
-WITH sh AS ({_SQL_SHINGLES}),
+WITH all_sh AS ({_SQL_SHINGLES}),
+sh AS (
+  SELECT doc_id, shingle FROM all_sh
+  WHERE shingle IN (SELECT shingle FROM all_sh
+                    GROUP BY shingle HAVING COUNT(*) <= {_DF_CAP})
+),
 cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
@@ -521,8 +546,8 @@ WITH d AS (
   FROM documents
 )
 SELECT lang, COUNT(*) AS n_docs,
-       SUM(ws_tokens) AS total_ws_tokens,
-       SUM(bpe_tokens) AS total_bpe_tokens,
+       CAST(SUM(ws_tokens) AS BIGINT) AS total_ws_tokens,
+       CAST(SUM(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
        CAST(SUM(bpe_tokens) AS DOUBLE) / SUM(ws_tokens) AS bpe_per_ws
 FROM d GROUP BY lang
 """

@@ -31,6 +31,9 @@ from ..functions.vectors import (
 )
 from ._util import sql_dsum
 
+# Embedding width is fixed (embeddings.embedding FLOAT[64], TESTDATA.md).
+_DIM = 64
+
 # ------------------------------------------------------------------ helpers
 
 
@@ -155,7 +158,6 @@ WHERE {sql_cosine_prenorm('a.emb', 'b.emb', 'a.nrm', 'b.nrm')} >= {_NEARDUP_T}
 # concentrates candidates on high-cosine pairs; candidates ≈ N²/2^bits
 # per band instead of N².
 
-_DIM = 64
 _LSH_BANDS = 4
 _LSH_BITS = 6
 _LSH_T = 0.30
@@ -177,6 +179,9 @@ _PLANES = _lsh_planes()
 
 
 def _plane_dot_spark(plane: list[int]) -> str:
+    # Higher-order fold, not an unrolled sum: 24 plane dots in one Project
+    # unrolled to 1536 terms breaks codegen's method-size limit and drops
+    # the whole stage to interpreted eval (measured 8x slower).
     arr = ", ".join(f"{v}D" for v in plane)
     return (
         f"aggregate(zip_with(emb, array({arr}), (x, y) -> x * y), "
@@ -219,6 +224,12 @@ def q_emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[F.expr(_band_key_spark(b)) for b in range(_LSH_BANDS)])
         ).alias("band_idx", "band_key"),
     )
+    # The 24 hyperplane dot-products dominate this query's map work, and
+    # the self-join references `bands` twice — persist so the signatures
+    # are computed once, not once per join side. (At cluster scale this is
+    # a materialize-or-recompute tradeoff: signatures are tiny relative to
+    # the vectors, so caching wins.)
+    bands = bands.persist()
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

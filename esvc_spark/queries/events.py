@@ -104,7 +104,7 @@ def q_ev_dedup_content(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_copies"),
             F.min(F.struct("ts", "event_id")).getField("event_id").alias("first_event_id"),
         )
-        .filter(F.col("n_copies") >= 1)
+        .filter(F.col("n_copies") > 1)
     )
 
 
@@ -113,7 +113,7 @@ SELECT user_id, event_type, value, COUNT(*) AS n_copies,
        MIN(ROW(ts, event_id))[2] AS first_event_id
 FROM events
 GROUP BY user_id, event_type, value
-HAVING COUNT(*) >= 1
+HAVING COUNT(*) > 1
 """
 
 # ---------------------------------------------------------------- JSON
@@ -137,7 +137,7 @@ def q_ev_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JSON_SQL = """
 SELECT event_type, COUNT(*) AS n,
-       SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
        CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS DOUBLE)
          / COUNT(CAST(props->>'$.k' AS BIGINT)) AS avg_k,
        MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k

@@ -54,8 +54,8 @@ decoded AS (
          md5(text) AS content_md5
   FROM media
 )
-SELECT kind, COUNT(*) AS n_items, SUM(n_bytes) AS total_bytes,
-       SUM(byte_sum) AS total_byte_sum, MAX(byte_max) AS max_byte,
+SELECT kind, COUNT(*) AS n_items, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(SUM(byte_sum) AS BIGINT) AS total_byte_sum, MAX(byte_max) AS max_byte,
        COUNT(DISTINCT content_md5) AS n_distinct
 FROM decoded GROUP BY kind
 """

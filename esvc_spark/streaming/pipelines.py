@@ -23,6 +23,7 @@ from __future__ import annotations
 import os
 from typing import Callable
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -104,10 +105,17 @@ def sessionize_stream(stream: DataFrame, watermark: str = "2 hours") -> DataFram
 
 
 def dedup_stream(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
-    """Drop duplicate events by (user_id, event_type, value) within the
-    watermark horizon — the streaming twin of q_ev_dedup_content's grouping
-    (late/duplicate handling per TESTDATA.md)."""
-    return stream.withWatermark("ts", watermark).dropDuplicates(
+    """Drop duplicate events by (user_id, event_type, value) arriving
+    within the watermark horizon of each other — the streaming twin of
+    q_ev_dedup_content's grouping (late/duplicate handling per
+    TESTDATA.md).
+
+    Uses dropDuplicatesWithinWatermark (Spark 3.5+): state for a key is
+    evicted once the watermark passes the first-seen event time, so state
+    is bounded by (horizon x key cardinality). A plain dropDuplicates on a
+    key subset that excludes the event-time column would never evict —
+    whole-stream dedup with unbounded state."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["user_id", "event_type", "value"]
     )
 
@@ -150,8 +158,14 @@ def ingest_into_event_log(
         out = to_event(batch) if to_event is not None else batch
         out = out.dropDuplicates(["event_id"])
         target = os.path.join(log_dir, "events_stream")
-        if os.path.exists(target):
+        # Probe the target THROUGH Spark, not the driver's local
+        # filesystem: on HDFS/S3/DBFS os.path.exists is always false and
+        # the anti-join would silently be skipped.
+        try:
             existing = spark.read.parquet(target).select("event_id")
+        except AnalysisException:
+            existing = None
+        if existing is not None:
             out = out.join(existing, "event_id", "left_anti")
         out.write.mode("append").option("compression", "zstd").parquet(target)
 

@@ -1,9 +1,17 @@
 """Replay the driver contract end-to-end (the real verification surface).
 
+Round-1 lesson: the repo believed 55/55 while the driver saw 39/56 because
+this script used the repo's tuned session factory (extra confs) and a
+type-insensitive compare. It now replicates the DRIVER environment:
+
 1. import __spark_entry__ the way the driver does
-2. entry(spark) smoke at sf0.001  -> >=1 row, stable schema
-3. every queries()[name] at sf0.01 vs oracle_sql()[name] via DuckDB
-   (sort cols by name, Decimal->float, sort rows, exact compare)
+2. a PLAIN SparkSession — no repo confs (no nanosAsLong, no UTC override,
+   default shuffle partitions); anything a query needs must be set by the
+   query/loader itself, exactly as under the driver
+3. every queries()[name] at sf0.01 vs oracle_sql()[name] via DuckDB,
+   compared TYPE-SENSITIVELY: pandas dtype mismatch (e.g. DuckDB HUGEINT
+   -> float64 vs Spark int64) is a FAIL even when values are numerically
+   equal, because the driver's value-hash canonicalizes types
 4. rows-only check for queries with no oracle
 
 Usage: python scripts/verify_contract.py [--sf-dir /root/testdata/sf0.01]
@@ -38,6 +46,18 @@ def load_entry():
     return mod
 
 
+def plain_spark(cpus: int):
+    """The driver's environment: a bare SparkSession, no repo confs."""
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("verify-contract-plain")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
 def canon(pdf: pd.DataFrame) -> pd.DataFrame:
     pdf = pdf.reindex(sorted(pdf.columns), axis=1)
     for c in pdf.columns:
@@ -51,24 +71,40 @@ def canon(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def eq(a, b) -> bool:
+    # Type-sensitive: int 3549 vs float 3549.0 is a MISMATCH (the driver's
+    # hasher distinguishes them). NaN==NaN holds within float.
     if isinstance(a, float) and isinstance(b, float):
         return (math.isnan(a) and math.isnan(b)) or a == b
     if isinstance(a, tuple) and isinstance(b, tuple):
         return len(a) == len(b) and all(eq(x, y) for x, y in zip(a, b))
+    if type(a) is not type(b) and not (
+        isinstance(a, str) and isinstance(b, str)
+    ):
+        # numpy scalars vs python scalars of the same kind are fine;
+        # int-vs-float or int-vs-decimal kinds are not.
+        import numpy as np
+
+        ka = np.asarray(a).dtype.kind if not isinstance(a, (tuple,)) else "O"
+        kb = np.asarray(b).dtype.kind if not isinstance(b, (tuple,)) else "O"
+        if ka != kb:
+            return False
     return a == b
+
+
+def dtype_kinds(pdf: pd.DataFrame) -> list[str]:
+    return [pdf[c].dtype.kind for c in pdf.columns]
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None, help="comma-list of query names")
+    ap.add_argument("--cpus", type=int, default=8)
     args = ap.parse_args()
 
     sys.path.insert(0, REPO)
-    from esvc_spark.session import get_spark
-
     mod = load_entry()
-    spark = get_spark("verify-contract", cpus=8)
+    spark = plain_spark(args.cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
     # 1. smoke
@@ -76,7 +112,7 @@ def main() -> int:
     assert len(rows) >= 1, "entry() returned 0 rows"
     print(f"smoke: entry() -> {len(rows)} rows OK")
 
-    # 2. t2 correctness
+    # 2. correctness vs DuckDB oracles
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -88,11 +124,17 @@ def main() -> int:
     oracles = mod.oracle_sql()
     only = set(args.only.split(",")) if args.only else None
     failed = []
-    for name in sorted(queries):
+    # registry order (the driver runs in this order and may truncate)
+    for name in queries:
         if only and name not in only:
             continue
         t0 = time.perf_counter()
-        got = canon(queries[name](spark, args.sf_dir).toPandas())
+        try:
+            got = canon(queries[name](spark, args.sf_dir).toPandas())
+        except Exception as e:  # noqa: BLE001 - report like the driver does
+            print(f"FAIL {name:32s}    ERR {type(e).__name__}: {e}")
+            failed.append(name)
+            continue
         dt = time.perf_counter() - t0
         if name not in oracles:
             status = f"rows-only ({len(got)} rows)"
@@ -100,7 +142,13 @@ def main() -> int:
         else:
             want = canon(con.sql(oracles[name]).df())
             ok = list(got.columns) == list(want.columns) and len(got) == len(want)
-            if ok:
+            if ok and dtype_kinds(got) != dtype_kinds(want):
+                ok = False
+                status = (
+                    f"DTYPE spark={list(zip(got.columns, dtype_kinds(got)))} "
+                    f"duckdb={list(zip(want.columns, dtype_kinds(want)))}"
+                )
+            elif ok:
                 for c in got.columns:
                     for i, (x, y) in enumerate(zip(got[c], want[c])):
                         if not eq(x, y):

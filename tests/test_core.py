@@ -224,6 +224,20 @@ def test_dependency_cycle_detected():
         g.calculate_dependencies(set(), {ha: ALL})
 
 
+def test_intermediate_dependency_cycle_detected():
+    # Cycle among INTERMEDIATE deps, not through the main event: the
+    # reference has a TODO here (graph.rs:103-106 only checks main), but a
+    # cyclic graph ingested from foreign parquet must raise, not hang.
+    g = Graph()
+    _, hb = g.ensure_event(Event(cmd=0, arg=sear("b", "c")))
+    _, hc = g.ensure_event(Event(cmd=0, arg=sear("c", "d"), deps={hb: True}))
+    # overwrite b to depend on c -> b <-> c cycle below main event a
+    g.events[hb] = Event(cmd=0, arg=sear("b", "c"), deps={hc: True})
+    _, ha = g.ensure_event(Event(cmd=0, arg=sear("a", "b"), deps={hb: True}))
+    with pytest.raises(DependencyCircuit):
+        g.calculate_dependencies(set(), {ha: ALL})
+
+
 def test_fold_state_expand_and_minimize():
     e = SearEngine()
     g = Graph()
