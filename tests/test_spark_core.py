@@ -164,3 +164,128 @@ def test_dot_export():
     dot = to_dot(g)
     assert dot.startswith("digraph esvc {")
     assert "hard" in dot and "cluster_0" in dot
+
+
+# --------------------------------------------- example pipeline on Spark
+# ≙ crates/example-sear/src/main.rs:31-101: the reference's end-to-end
+# golden chain (shelve 7 events → minimize head-set → replay minimized),
+# here over a distributed corpus via SparkReplaceEngine instead of the
+# WASM sear module. Covers the same surface the reference's binary does:
+# shelve_event, fold_state(minimize), run_foreach_recursively, and the
+# tt == xs invariant asserted at main.rs:100.
+
+
+def test_example_pipeline_golden_spark(spark, replace_engine):
+    start = "Hi, what's up??"
+    texts = [start, "what's up with p??", "no match here"]
+    events = [
+        sear("Hi", "Hello UwU"),
+        sear("UwU", "World"),
+        sear("what", "wow"),
+        sear("s up", "sup"),
+        sear("??", "!"),
+        sear("sup!", "soap?"),
+        sear("p", "np"),
+    ]
+    expected = []
+    for t in texts:
+        for s in events:
+            t = t.replace(s["search"], s["replacement"])
+        expected.append(t)
+    assert expected[0] == "Hello World, wow'soanp?"  # main.rs:48-57 chain
+
+    eng = replace_engine
+    g = Graph()
+    w = WorkCache(eng, eng.from_texts(texts))
+    xs: set[bytes] = set()
+    for ev in events:
+        h = w.shelve_event(g, set(xs), Event(cmd=0, arg=ev))
+        if h is not None:
+            xs.add(h)
+
+    # minimize the head-set exactly like main.rs:79-84
+    minx = set(g.fold_state({h: False for h in xs}, expand=False).keys())
+    assert minx <= xs
+
+    got, tt = w.run_foreach_recursively(g, {h: ALL for h in minx})
+    assert tt == frozenset(xs)  # main.rs:100
+    rows = sorted(got.df.collect(), key=lambda r: r["doc_id"])
+    assert [r["text"] for r in rows] == expected
+
+
+# ------------------------------------------- import/merge via saved graphs
+# ≙ main.rs:54-111 driven end-to-end THROUGH PARQUET at sf scale: two
+# sessions branch from a shared ancestor over the real documents table,
+# each saves its graph, a third session reloads both files and merges.
+
+
+def test_import_merge_saved_graphs_sf(spark, tmp_path, replace_engine, sf_dir):
+    import os
+
+    eng = replace_engine
+    corpus = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", "text")
+        .filter("doc_id < 50")
+        .repartition(4, "doc_id")
+    )
+
+    def fresh():
+        return eng.init_data(corpus)
+
+    common = sear("the", "THE")
+    branch_a = sear("merge", "MERGE")
+    branch_b = sear("join", "JOIN")
+
+    g1 = Graph()
+    w1 = WorkCache(eng, fresh())
+    hc = w1.shelve_event(g1, set(), Event(cmd=0, arg=common))
+    append_head(g1, hc)
+    ha = w1.shelve_event(g1, {hc}, Event(cmd=0, arg=branch_a))
+    append_head(g1, ha)
+
+    g2 = Graph()
+    w2 = WorkCache(eng, fresh())
+    hc2 = w2.shelve_event(g2, set(), Event(cmd=0, arg=common))
+    assert hc2 == hc  # content-addressed: same event, same id
+    hb = w2.shelve_event(g2, {hc2}, Event(cmd=0, arg=branch_b))
+    append_head(g2, hb)
+
+    p1, p2 = str(tmp_path / "g1"), str(tmp_path / "g2")
+    save_graph(spark, g1, p1)
+    save_graph(spark, g2, p2)
+
+    # third session: reload both from parquet and merge
+    ours = load_graph(spark, p1)
+    theirs = load_graph(spark, p2)
+    w3 = WorkCache(eng, fresh())
+    merged = import_merge(w3, ours, theirs)
+
+    # fold invariant: merged head-set minimizes to itself and its closure
+    # covers every event of both branches
+    closure = set(
+        ours.fold_state({h: True for h in merged}, expand=True).keys()
+    )
+    assert {hc, ha, hb} <= closure
+    assert merged == set(
+        ours.fold_state({h: False for h in merged}, expand=False).keys()
+    )
+
+    # replay equals the sequential three-replace fold over the corpus
+    got, _ = w3.run_foreach_recursively(ours, {h: ALL for h in merged})
+    import pyspark.sql.functions as F
+
+    expected = corpus.withColumn(
+        "text",
+        F.replace(
+            F.replace(
+                F.replace(F.col("text"), F.lit("the"), F.lit("THE")),
+                F.lit("merge"),
+                F.lit("MERGE"),
+            ),
+            F.lit("join"),
+            F.lit("JOIN"),
+        ),
+    )
+    assert got.df.exceptAll(expected).isEmpty()
+    assert expected.exceptAll(got.df).isEmpty()
