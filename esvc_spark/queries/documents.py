@@ -553,6 +553,203 @@ FROM d GROUP BY lang
 """
 
 
+
+
+# ------------------------------------------------- duplicate clustering
+# Connected components over the duplicate-pair graph (exact-dup star
+# edges ∪ MinHash-LSH near-dup pairs): the "keep one per cluster" step a
+# training pipeline runs after pair generation. Spark side is min-label
+# propagation — the standard Pregel-style CC: each round one equality
+# join (edges ⋈ labels, shuffle bounded by |E|) + a map-side-combined
+# min-aggregate, converging in O(cluster diameter) rounds (dup clusters
+# are shallow; 2-4 rounds in practice). No driver-side data beyond the
+# per-round convergence count. Oracle: recursive-CTE transitive closure.
+
+
+def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_par(spark, sf_dir)
+    reps = docs.groupBy(F.md5("text").alias("m")).agg(
+        F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("n")
+    )
+    exact_edges = (
+        docs.select(F.md5("text").alias("m"), "doc_id")
+        .join(reps.filter(F.col("n") > 1), "m")
+        .filter(F.col("doc_id") != F.col("rep"))
+        .select(F.col("rep").alias("src"), F.col("doc_id").alias("dst"))
+    )
+    near_edges = q_doc_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    # No dedup of edges: min-propagation is idempotent over duplicate
+    # edges, and a distinct would cost an extra |E| shuffle. Partition by
+    # the join key once so every round's edges ⋈ labels reuses this
+    # exchange and only the (much smaller) label side shuffles.
+    e0 = exact_edges.union(near_edges)
+    edges = (
+        e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .repartition("src")
+        .persist()
+    )
+
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .persist()
+    )
+    # Convergence check without a join: min-propagation labels are
+    # monotonically non-increasing, so sum(label) is a fixpoint detector —
+    # one map-side-combined aggregate per round instead of a change-join.
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    while True:
+        msgs = edges.join(
+            labels.withColumnRenamed("doc_id", "src"), "src"
+        ).select(F.col("dst").alias("doc_id"), "label")
+        new_labels = (
+            labels.union(msgs).groupBy("doc_id").agg(F.min("label").alias("label"))
+        ).persist()
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .select(
+            "doc_id",
+            F.col("label").alias("cluster_id"),
+            "cluster_size",
+            (F.col("doc_id") == F.col("label")).alias("keep"),
+        )
+    )
+
+
+def _dup_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE
+exact_reps AS (
+  SELECT md5(text) AS m, MIN(doc_id) AS rep, COUNT(*) AS n
+  FROM documents GROUP BY 1
+),
+exact_edges AS (
+  SELECT r.rep AS src, d.doc_id AS dst
+  FROM documents d JOIN exact_reps r ON md5(d.text) = r.m
+  WHERE r.n > 1 AND d.doc_id <> r.rep
+),
+near AS (SELECT doc_a, doc_b FROM ({_minhash_sql()}) q),
+e0 AS (SELECT src, dst FROM exact_edges UNION SELECT doc_a, doc_b FROM near),
+edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+reach(a, b) AS (
+  SELECT src AS a, src AS b FROM edges
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+)
+SELECT c.doc_id, c.cluster_id, s.cluster_size, c.doc_id = c.cluster_id AS keep
+FROM (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a) c
+JOIN (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM (SELECT a, MIN(b) AS cluster_id FROM reach GROUP BY a)
+      GROUP BY cluster_id) s USING (cluster_id)
+"""
+
+
+# --------------------------------------------------- mixture sampling
+# Deterministic hash-stratified sampling: per-language keep rates (the
+# "data mixture" step of a training pipeline), decided by a content-hash
+# bucket so the choice is reproducible across runs/engines and identical
+# for identical texts (plays well with dedup). Pure narrow map — no
+# shuffle at any scale; the predicate runs at scan time.
+
+_MIX_RATES = {"en": 20, "de": 50, "es": 60, "fr": 70, "zh": 40}
+_MIX_DEFAULT = 80
+
+
+def q_doc_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    rate = F.lit(_MIX_DEFAULT)
+    for lg, r in sorted(_MIX_RATES.items()):
+        rate = F.when(F.col("lang") == lg, F.lit(r)).otherwise(rate)
+    return (
+        docs.withColumn("bucket", _h(F.col("text")) % 100)
+        .withColumn("rate", rate.cast("bigint"))
+        .filter(F.col("bucket") < F.col("rate"))
+        .select("doc_id", "lang", "source", "bucket", "rate")
+    )
+
+
+def _sample_mixture_sql() -> str:
+    case = " ".join(
+        f"WHEN '{lg}' THEN {r}" for lg, r in sorted(_MIX_RATES.items())
+    )
+    return f"""
+SELECT doc_id, lang, source, {_sql_h('text')} % 100 AS bucket,
+       CAST(CASE lang {case} ELSE {_MIX_DEFAULT} END AS BIGINT) AS rate
+FROM documents
+WHERE {_sql_h('text')} % 100 < CASE lang {case} ELSE {_MIX_DEFAULT} END
+"""
+
+
+# ------------------------------------------------------- tf-idf terms
+# Top-3 characteristic terms per document by tf·idf with a rational idf
+# (N/df — no transcendental log, so both engines produce the identical
+# IEEE double). df is corpus-global; the per-doc output is bounded to
+# doc_id < 100 so result size is sf-independent. At scale: one explode +
+# two aggregates; df has token-vocabulary cardinality (tiny vs corpus),
+# broadcast back for the score join.
+
+_TFIDF_DOCS = 100
+_TFIDF_K = 3
+
+
+def q_doc_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _docs_par(spark, sf_dir)
+    toks = docs.select("doc_id", F.explode(_TOKENS()).alias("term"))
+    n_docs = docs.count()
+    dfreq = toks.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    tf = (
+        toks.filter(F.col("doc_id") < _TFIDF_DOCS)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+        "score",
+        F.col("tf").cast("double")
+        * (F.lit(float(n_docs)) / F.col("df").cast("double")),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= _TFIDF_K)
+        .select("doc_id", "term", "tf", "df", "score", "rk")
+    )
+
+
+_TFIDF_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest({SQL_TOKENS}) AS term FROM documents),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+dfreq AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+          FROM toks GROUP BY term),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+       WHERE doc_id < {_TFIDF_DOCS} GROUP BY doc_id, term),
+scored AS (
+  SELECT doc_id, tf.term, tf, df,
+         CAST(tf AS DOUBLE) * (n.n_docs / CAST(df AS DOUBLE)) AS score
+  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, score,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term ASC) AS BIGINT) AS rk
+FROM scored
+QUALIFY rk <= {_TFIDF_K}
+"""
+
+
 QUERIES = {
     "q_doc_exact_dedup": q_doc_exact_dedup,
     "q_doc_bpe_tokens": q_doc_bpe_tokens,
@@ -563,6 +760,9 @@ QUERIES = {
     "q_doc_ngram_jaccard": q_doc_ngram_jaccard,
     "q_doc_minhash_lsh": q_doc_minhash_lsh,
     "q_doc_simhash": q_doc_simhash,
+    "q_doc_dup_clusters": q_doc_dup_clusters,
+    "q_doc_sample_mixture": q_doc_sample_mixture,
+    "q_doc_tfidf_top": q_doc_tfidf_top,
 }
 
 ORACLES = {
@@ -575,4 +775,7 @@ ORACLES = {
     "q_doc_ngram_jaccard": _NGRAM_JACCARD_SQL,
     "q_doc_minhash_lsh": _minhash_sql(),
     "q_doc_simhash": _simhash_sql(),
+    "q_doc_dup_clusters": _dup_clusters_sql(),
+    "q_doc_sample_mixture": _sample_mixture_sql(),
+    "q_doc_tfidf_top": _TFIDF_SQL,
 }
