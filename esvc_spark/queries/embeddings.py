@@ -515,6 +515,56 @@ WHERE rank <= {_RAG_K}
 """
 
 
+
+
+# --------------------------------------------------------- ANN recall
+# Self-evaluation of the approximate index: recall@3 of IVF-nprobe
+# against the exact brute-force top-3, per query vector. The operator a
+# pipeline runs before trusting an index at scale; both sides are the
+# already-declared plans, so Catalyst shares nothing but the scan — the
+# join is on (query_id, neighbor_id) only, 20×3 rows each side.
+
+_RECALL_K = 3
+
+
+def q_emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    truth = q_emb_knn_cosine(spark, sf_dir).filter(
+        F.col("rank") <= _RECALL_K
+    ).select("query_id", "neighbor_id")
+    approx = q_emb_ivf_knn(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("a_neighbor")
+    )
+    joined = truth.join(
+        approx,
+        (truth["query_id"] == approx["query_id"])
+        & (truth["neighbor_id"] == approx["a_neighbor"]),
+        "left",
+    ).select(truth["query_id"], "a_neighbor")
+    return (
+        joined.groupBy("query_id")
+        .agg(F.count("a_neighbor").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            (F.col("n_hits").cast("double") / float(_RECALL_K)).alias("recall"),
+        )
+    )
+
+
+_RECALL_SQL = f"""
+WITH truth AS (
+  SELECT query_id, neighbor_id FROM ({_KNN_SQL}) WHERE rank <= {_RECALL_K}
+),
+approx AS (SELECT query_id, neighbor_id FROM ({_IVF_SQL}))
+SELECT t.query_id, CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(COUNT(a.neighbor_id) AS DOUBLE) / {_RECALL_K} AS recall
+FROM truth t
+LEFT JOIN approx a
+  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+GROUP BY t.query_id
+"""
+
+
 QUERIES = {
     "q_emb_knn_cosine": q_emb_knn_cosine,
     "q_emb_ivf_knn": q_emb_ivf_knn,
@@ -522,6 +572,7 @@ QUERIES = {
     "q_emb_neardup_cosine": q_emb_neardup_cosine,
     "q_emb_ann_lsh": q_emb_ann_lsh,
     "q_emb_label_centroids": q_emb_label_centroids,
+    "q_emb_ann_recall": q_emb_ann_recall,
 }
 
 ORACLES = {
@@ -531,4 +582,5 @@ ORACLES = {
     "q_emb_neardup_cosine": _NEARDUP_SQL,
     "q_emb_ann_lsh": _ann_lsh_sql(),
     "q_emb_label_centroids": _CENTROID_SQL,
+    "q_emb_ann_recall": _RECALL_SQL,
 }

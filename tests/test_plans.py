@@ -59,3 +59,24 @@ def test_asof_join_single_shuffle(spark):
     # union + one window shuffle on the key; crucially no join node at all
     assert st["shuffles"] == 1
     assert st["sort_merge_joins"] == 0 and st["nested_loop_joins"] == 0
+
+
+def test_sample_mixture_no_shuffle(spark):
+    from esvc_spark.queries.documents import q_doc_sample_mixture
+
+    st = plan_stats(q_doc_sample_mixture(spark, SF))
+    # a pure narrow map: predicate + projection, nothing to shuffle
+    assert st["shuffles"] == 0
+    assert st["broadcasts"] == 0
+    assert st["nested_loop_joins"] == 0
+
+
+def test_tfidf_broadcasts_df_table(spark):
+    from esvc_spark.queries.documents import q_doc_tfidf_top
+
+    st = plan_stats(q_doc_tfidf_top(spark, SF))
+    # the document-frequency table (vocabulary-sized) must broadcast;
+    # a sort-merge join here would shuffle the full token explosion twice
+    assert st["broadcast_hash_joins"] >= 1
+    # tf filter restricts the per-doc side at the scan
+    assert any("doc_id" in f for f in st["pushed_filters"])
