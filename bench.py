@@ -31,11 +31,30 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
 
+    # Execution order ≠ registry order. The registry fronts the esvc/
+    # multimodal/embedding queries (so a time-budgeted correctness harness
+    # checks them first), but for timing that order is pessimal: the
+    # array-lambda-heavy queries would pay the whole JVM JIT warm-up.
+    # Benchmark cheap relational queries first — the same staging a long-
+    # lived cluster session has — so steady-state throughput is measured,
+    # not interpreter warm-up.
+    def order_key(item):
+        name = item[0]
+        for i, prefix in enumerate(("q0", "q1", "q2", "q_window", "q_rollup",
+                                    "q_cube", "q_setops", "q_grouping",
+                                    "q_ev", "q_doc", "q_emb", "q_rag",
+                                    "q_mm", "q_esvc")):
+            if name.startswith(prefix):
+                return (i, name)
+        return (99, name)
+
+    ordered = sorted(queries.items(), key=order_key)
+
     # Warm up the JVM / parquet footer caches with the flagship query.
-    list(queries.values())[0](spark, sf_dir).count()
+    ordered[0][1](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
-    for name, fn in queries.items():
+    for name, fn in ordered:
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 4)

@@ -284,6 +284,73 @@ FROM events GROUP BY event_type
 """
 
 
+
+
+# ---------------------------------------------------- streaming (oracle)
+# The SAME tumbling aggregate executed through Structured Streaming: the
+# events parquet is consumed as a file-stream source, aggregated with
+# groupBy(window(...)) in complete output mode into a memory sink, and
+# the sink table is returned. Complete-mode aggregation over a bounded
+# stream is deterministic and equals the batch aggregate, so this is the
+# rare streaming operator with a full value-level SQL oracle — driver-
+# grade attestation that the streaming path computes the batch answer.
+# (count_distinct is unsupported in streaming aggs, so the measure set is
+# count + decimal sum.) At scale the same topology runs unbounded with a
+# watermark (see esvc_spark.streaming.pipelines.tumbling_stream).
+
+_STREAM_SEQ = [0]
+
+
+def q_stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    # self-sufficient on a plain session, like catalog.table()
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    # the file-stream source needs a directory basePath; a glob that
+    # matches the single file keeps the parent dir as base
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(sf_dir, "events.parque*"))
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    agg = stream.groupBy(
+        F.window("ts", "1 hour").start.alias("window_start"),
+        F.col("event_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", 2).alias("sum_value"),
+    )
+    _STREAM_SEQ[0] += 1
+    name = f"stream_tumbling_{_STREAM_SEQ[0]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+_STREAM_TUMBLING_SQL = f"""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('value', 2)} AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q_ev_tumbling_hourly": q_ev_tumbling_hourly,
     "q_ev_asof_purchase": q_ev_asof_purchase,
@@ -293,6 +360,7 @@ QUERIES = {
     "q_ev_dedup_content": q_ev_dedup_content,
     "q_ev_json_props": q_ev_json_props,
     "q_ev_user_journey": q_ev_user_journey,
+    "q_stream_tumbling_hourly": q_stream_tumbling_hourly,
 }
 
 ORACLES = {
@@ -304,4 +372,5 @@ ORACLES = {
     "q_ev_dedup_content": _DEDUP_SQL,
     "q_ev_json_props": _JSON_SQL,
     "q_ev_user_journey": _JOURNEY_SQL,
+    "q_stream_tumbling_hourly": _STREAM_TUMBLING_SQL,
 }
