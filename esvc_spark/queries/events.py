@@ -317,9 +317,9 @@ def q_stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(os.path.join(sf_dir, "events.parque*"))
     )
     if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        # integer ns->us floor, same as catalog.table (float division here
+        # rounds and drifts the odd microsecond)
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     agg = stream.groupBy(
         F.window("ts", "1 hour").start.alias("window_start"),
         F.col("event_type"),
@@ -351,6 +351,144 @@ GROUP BY 1, 2
 """
 
 
+
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows through Structured Streaming (complete mode, same
+    memory-sink pattern as q_stream_tumbling_hourly): attests that
+    streaming sessionization computes the identical gaps-and-islands
+    answer as the batch session_window / recursive-window oracle."""
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(sf_dir, "events.parque*"))
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        # integer ns->us floor, same as catalog.table (float division here
+        # rounds and drifts the odd microsecond)
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        stream.groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", 2).alias("sum_value"),
+            F.max("ts").alias("last_ts"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "last_ts",
+            "n_events",
+            "sum_value",
+        )
+    )
+    _STREAM_SEQ[0] += 1
+    name = f"stream_sessionize_{_STREAM_SEQ[0]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+
+# ------------------------------------------------------------- KMV sketch
+# K-minimum-values distinct-count sketch over user_id per event type —
+# the deterministic cousin of HyperLogLog (md5-derived hashes, so both
+# engines compute the identical sketch; approx_count_distinct would never
+# oracle-match). Estimator: (k-1) / U_k with U_k the k-th smallest hash
+# normalized to [0,1). Two-phase k-min: per-(type, salt) partial k-min
+# first (parallel, bounded state), then global k-min over the ≤ salt·k
+# survivors — the same shape a 1000-executor job needs, since a single
+# window over all distinct hashes of one type would funnel that type's
+# whole hash set through one task. Exact distinct rides along for the
+# relative-error column.
+
+_KMV_K = 64
+_KMV_SALTS = 16
+_KMV_SPACE = float(1 << 60)
+
+
+def q_ev_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    dh = ev.select("event_type", h.alias("h")).distinct().persist()
+    w_salt = Window.partitionBy("event_type", "salt").orderBy("h")
+    survivors = (
+        dh.withColumn("salt", F.pmod(F.col("h"), F.lit(_KMV_SALTS)))
+        .withColumn("rn", F.row_number().over(w_salt))
+        .filter(F.col("rn") <= _KMV_K)
+        .drop("salt", "rn")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    kth = (
+        survivors.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == _KMV_K)
+        .select("event_type", F.col("h").alias("kth_hash"))
+    )
+    exact = dh.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_exact"))
+    est = (
+        F.lit(float(_KMV_K - 1))
+        / (F.col("kth_hash").cast("double") / F.lit(_KMV_SPACE))
+    )
+    return (
+        exact.join(kth, "event_type", "left")
+        .select(
+            "event_type",
+            "n_exact",
+            "kth_hash",
+            F.when(F.col("kth_hash").isNull(), F.col("n_exact").cast("double"))
+            .otherwise(est)
+            .alias("est_distinct"),
+        )
+        .withColumn(
+            "rel_err",
+            (F.col("est_distinct") - F.col("n_exact").cast("double"))
+            / F.col("n_exact").cast("double"),
+        )
+    )
+
+
+_KMV_SQL = f"""
+WITH dh AS (
+  SELECT DISTINCT event_type,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM events
+),
+ranked AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM dh
+),
+kth AS (SELECT event_type, h AS kth_hash FROM ranked WHERE rn = {_KMV_K}),
+exact AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_exact
+          FROM dh GROUP BY event_type)
+SELECT e.event_type, e.n_exact, k.kth_hash,
+       CASE WHEN k.kth_hash IS NULL THEN CAST(e.n_exact AS DOUBLE)
+            ELSE CAST({_KMV_K - 1} AS DOUBLE)
+                 / (CAST(k.kth_hash AS DOUBLE) / {_KMV_SPACE!r})
+       END AS est_distinct,
+       (CASE WHEN k.kth_hash IS NULL THEN CAST(e.n_exact AS DOUBLE)
+             ELSE CAST({_KMV_K - 1} AS DOUBLE)
+                  / (CAST(k.kth_hash AS DOUBLE) / {_KMV_SPACE!r})
+        END - CAST(e.n_exact AS DOUBLE)) / CAST(e.n_exact AS DOUBLE) AS rel_err
+FROM exact e LEFT JOIN kth k USING (event_type)
+"""
+
+
 QUERIES = {
     "q_ev_tumbling_hourly": q_ev_tumbling_hourly,
     "q_ev_asof_purchase": q_ev_asof_purchase,
@@ -360,7 +498,9 @@ QUERIES = {
     "q_ev_dedup_content": q_ev_dedup_content,
     "q_ev_json_props": q_ev_json_props,
     "q_ev_user_journey": q_ev_user_journey,
+    "q_ev_kmv_distinct": q_ev_kmv_distinct,
     "q_stream_tumbling_hourly": q_stream_tumbling_hourly,
+    "q_stream_sessionize": q_stream_sessionize,
 }
 
 ORACLES = {
@@ -372,5 +512,7 @@ ORACLES = {
     "q_ev_dedup_content": _DEDUP_SQL,
     "q_ev_json_props": _JSON_SQL,
     "q_ev_user_journey": _JOURNEY_SQL,
+    "q_ev_kmv_distinct": _KMV_SQL,
     "q_stream_tumbling_hourly": _STREAM_TUMBLING_SQL,
+    "q_stream_sessionize": _SESSION_SQL,
 }

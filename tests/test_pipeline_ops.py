@@ -50,3 +50,26 @@ def test_tfidf_top_terms_ranked(spark, sf_dir):
         ranked = sorted(terms, key=lambda r: r["rk"])
         scores = [r["score"] for r in ranked]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_kmv_estimate_close_to_exact(spark, sf_dir):
+    from esvc_spark.queries.events import QUERIES as EV_QUERIES
+
+    rows = EV_QUERIES["q_ev_kmv_distinct"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # KMV with k=64 has ~1/sqrt(62) ≈ 13% stddev; 50% is a loose
+        # sanity bound that still catches a broken estimator
+        assert abs(r["rel_err"]) < 0.5, (r["event_type"], r["rel_err"])
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_dir):
+    from esvc_spark.queries.events import QUERIES as EV_QUERIES
+
+    stream = EV_QUERIES["q_stream_tumbling_hourly"](spark, sf_dir)
+    batch = (
+        EV_QUERIES["q_ev_tumbling_hourly"](spark, sf_dir)
+        .select("window_start", "event_type", "n_events", "sum_value")
+    )
+    assert stream.exceptAll(batch).isEmpty()
+    assert batch.exceptAll(stream).isEmpty()
