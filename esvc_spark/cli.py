@@ -33,15 +33,24 @@ _BODY_CMDS = {"append", "change", "insert"}
 class Repl:
     def __init__(self, init_lines: tuple[str, ...] = (), engine=None):
         self.engine = engine or ExEngine()
+        # Engine-agnostic bootstrapping (the reference's whole point): the
+        # in-memory ExEngine's Dat IS the line tuple; the Spark-backed
+        # engine wraps the lines in a persisted DataFrame + fingerprint.
+        init = (
+            self.engine.init_data(list(init_lines))
+            if hasattr(self.engine, "init_data")
+            else tuple(init_lines)
+        )
         self.graph = Graph()
-        self.wc = WorkCache(self.engine, init_lines)
+        self.wc = WorkCache(self.engine, init)
 
     @property
     def heads(self) -> set[bytes]:
         return set(self.graph.nstates.get("", set()))
 
     def materialize(self) -> tuple[str, ...]:
-        return self.wc.materialize(self.graph, self.heads)
+        dat = self.wc.materialize(self.graph, self.heads)
+        return tuple(self.engine.lines(dat)) if hasattr(self.engine, "lines") else dat
 
     # ---------------------------------------------------------------- ops
 

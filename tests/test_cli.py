@@ -85,3 +85,25 @@ def test_repl_save_merge_roundtrip(spark, tmp_path):
     # merge a's saved graph into b: identical base event is idempotent
     assert b.handle_line(f"m< {tmp_path}/g", out, lambda: [], spark=spark)
     assert list(b.materialize()) == ["base", "from-b"]
+
+
+def test_repl_spark_engine_save_merge(spark, tmp_path):
+    """≙ main.rs:54-111 driven through the REPL grammar with the
+    Spark-backed editor engine: two REPLs diverge, `w` their graphs to
+    parquet, a `m<` merges — same semantics as the in-memory engine."""
+    from esvc_spark.core.spark_engine import SparkExEngine
+
+    out = io.StringIO()
+    a = Repl(init_lines=("base",), engine=SparkExEngine(spark))
+    _drive(a, [("$a", ["alpha"])])
+    assert a.handle_line(f"w {tmp_path}/ga", out, lambda: [], spark=spark)
+
+    b = Repl(init_lines=("base",), engine=SparkExEngine(spark))
+    _drive(b, [("$a", ["alpha"])])  # shared event, same content address
+    _drive(b, [("$a", ["beta"])])
+    assert b.handle_line(f"m< {tmp_path}/ga", out, lambda: [], spark=spark)
+    assert list(b.materialize()) == ["base", "alpha", "beta"]
+
+    # print path works through engine.lines on the Spark engine too
+    b.handle_line("1,", out, lambda: [])
+    assert "beta" in out.getvalue()
