@@ -750,6 +750,82 @@ QUALIFY rk <= {_TFIDF_K}
 """
 
 
+
+# ------------------------------------------------- simhash banded pairs
+# The scale path for SimHash near-dup: band the 32-bit signature into
+# 4×8-bit keys; a pair within Hamming distance ≤ 3 must agree on ≥ 1
+# whole band (pigeonhole: 3 flipped bits cannot touch all 4 bands), so
+# the banded equality join finds EVERY such pair — this is exact banding,
+# not probabilistic — and the xor/bit_count re-rank keeps true ones.
+# Candidates shuffle on band keys; no all-pairs anywhere.
+
+_SIM_PAIR_BANDS = 4
+_SIM_BAND_BITS = 8
+_SIM_HAM_T = 3
+
+
+def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = q_doc_simhash(spark, sf_dir).persist()
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    (F.shiftright(F.col("simhash"), b * _SIM_BAND_BITS) % (1 << _SIM_BAND_BITS))
+                    for b in range(_SIM_PAIR_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("bigint"),
+        )
+        .filter(F.col("hamming") <= _SIM_HAM_T)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def _simhash_pairs_sql() -> str:
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band_idx, "
+        f"(simhash // {1 << (b * _SIM_BAND_BITS)}) % {1 << _SIM_BAND_BITS} AS band_val "
+        f"FROM sig"
+        for b in range(_SIM_PAIR_BANDS)
+    )
+    return f"""
+WITH sig AS ({_simhash_sql()}),
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {_SIM_HAM_T}
+"""
+
+
 QUERIES = {
     "q_doc_exact_dedup": q_doc_exact_dedup,
     "q_doc_bpe_tokens": q_doc_bpe_tokens,
@@ -760,6 +836,7 @@ QUERIES = {
     "q_doc_ngram_jaccard": q_doc_ngram_jaccard,
     "q_doc_minhash_lsh": q_doc_minhash_lsh,
     "q_doc_simhash": q_doc_simhash,
+    "q_doc_simhash_pairs": q_doc_simhash_pairs,
     "q_doc_dup_clusters": q_doc_dup_clusters,
     "q_doc_sample_mixture": q_doc_sample_mixture,
     "q_doc_tfidf_top": q_doc_tfidf_top,
@@ -775,6 +852,7 @@ ORACLES = {
     "q_doc_ngram_jaccard": _NGRAM_JACCARD_SQL,
     "q_doc_minhash_lsh": _minhash_sql(),
     "q_doc_simhash": _simhash_sql(),
+    "q_doc_simhash_pairs": _simhash_pairs_sql(),
     "q_doc_dup_clusters": _dup_clusters_sql(),
     "q_doc_sample_mixture": _sample_mixture_sql(),
     "q_doc_tfidf_top": _TFIDF_SQL,

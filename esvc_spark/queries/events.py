@@ -489,6 +489,77 @@ FROM exact e LEFT JOIN kth k USING (event_type)
 """
 
 
+
+# --------------------------------------------------------------- funnel
+# Ordered 3-step conversion funnel (view -> click -> purchase): first
+# qualifying event per user per stage, each stage constrained to strictly
+# after the previous stage's timestamp. Stage tables are per-user minima
+# (shuffle on user_id, map-side combined); the final output is a single
+# summary row. Time deltas are exact integer microseconds; the average is
+# one IEEE division at the end so both engines agree bitwise.
+
+
+def q_ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id", "t_view")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    pch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id", "t_view", "t_click")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n_view_users"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_click_users"))
+    np_ = pch.agg(
+        F.count(F.lit(1)).alias("n_purchase_users"),
+        (
+            F.sum(F.unix_micros("t_click") - F.unix_micros("t_view")).cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1000000.0)
+        ).alias("avg_view_to_click_sec"),
+        (
+            F.sum(F.unix_micros("t_purchase") - F.unix_micros("t_click")).cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1000000.0)
+        ).alias("avg_click_to_purchase_sec"),
+    )
+    return nv.crossJoin(nc).crossJoin(np_)
+
+
+_FUNNEL_SQL = """
+WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, v.t_view, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id, v.t_view),
+p AS (SELECT e.user_id, c.t_view, c.t_click, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id, c.t_view, c.t_click)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_view_users,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_click_users,
+       CAST(COUNT(*) AS BIGINT) AS n_purchase_users,
+       CAST(SUM(epoch_us(t_click) - epoch_us(t_view)) AS DOUBLE)
+         / COUNT(*) / 1000000.0 AS avg_view_to_click_sec,
+       CAST(SUM(epoch_us(t_purchase) - epoch_us(t_click)) AS DOUBLE)
+         / COUNT(*) / 1000000.0 AS avg_click_to_purchase_sec
+FROM p
+"""
+
+
 QUERIES = {
     "q_ev_tumbling_hourly": q_ev_tumbling_hourly,
     "q_ev_asof_purchase": q_ev_asof_purchase,
@@ -499,6 +570,7 @@ QUERIES = {
     "q_ev_json_props": q_ev_json_props,
     "q_ev_user_journey": q_ev_user_journey,
     "q_ev_kmv_distinct": q_ev_kmv_distinct,
+    "q_ev_funnel": q_ev_funnel,
     "q_stream_tumbling_hourly": q_stream_tumbling_hourly,
     "q_stream_sessionize": q_stream_sessionize,
 }
@@ -513,6 +585,7 @@ ORACLES = {
     "q_ev_json_props": _JSON_SQL,
     "q_ev_user_journey": _JOURNEY_SQL,
     "q_ev_kmv_distinct": _KMV_SQL,
+    "q_ev_funnel": _FUNNEL_SQL,
     "q_stream_tumbling_hourly": _STREAM_TUMBLING_SQL,
     "q_stream_sessionize": _SESSION_SQL,
 }
