@@ -233,3 +233,54 @@ def frame_sample(media: DataFrame, every_n: int = 4) -> DataFrame:
             yield out
 
     return media.mapInPandas(_frames, FRAME_SCHEMA)
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("new_w", IntegerType(), False),
+        StructField("new_h", IntegerType(), False),
+        StructField("out_bytes", LongType(), False),
+        StructField("resized_md5", StringType(), False),
+    ]
+)
+
+
+def resize_images(media: DataFrame, max_side: int = 64) -> DataFrame:
+    """Thumbnail the image payloads: aspect-preserving integer fit into
+    max_side², then nearest-neighbor byte subsample (index i ↦ byte
+    i·n//m) — the resize stage of an image pipeline as Arrow-batched
+    mapInPandas. Pure integer arithmetic so an SQL oracle can reproduce
+    every byte; swap the subsample for a real raster resize (PIL) at the
+    decode_real seam in production."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = {"doc_id": [], "new_w": [], "new_h": [], "out_bytes": [], "resized_md5": []}
+        for pdf in batches:
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                if meta["kind"] != "image":
+                    continue
+                w, h = int(meta["width"]), int(meta["height"])
+                side = max(w, h)
+                if side <= max_side:
+                    nw, nh = w, h
+                else:
+                    nw = max(w * max_side // side, 1)
+                    nh = max(h * max_side // side, 1)
+                n = len(payload)
+                m = min(n, nw * nh)
+                resized = bytes(payload[i * n // m] for i in range(m)) if m else b""
+                rows["doc_id"].append(int(doc_id))
+                rows["new_w"].append(nw)
+                rows["new_h"].append(nh)
+                rows["out_bytes"].append(m)
+                rows["resized_md5"].append(hashlib.md5(resized).hexdigest())
+        out = pd.DataFrame(rows)
+        out["doc_id"] = out["doc_id"].astype("int64")
+        out["new_w"] = out["new_w"].astype("int32")
+        out["new_h"] = out["new_h"].astype("int32")
+        out["out_bytes"] = out["out_bytes"].astype("int64")
+        yield out
+
+    return media.mapInPandas(_resize, RESIZE_SCHEMA)

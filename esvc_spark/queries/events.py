@@ -560,6 +560,51 @@ FROM p
 """
 
 
+
+def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming (applyInPandasWithState) under the
+    driver contract: per-user lifetime totals over the bounded event
+    stream. The single-file source yields one micro-batch, so the
+    emitted state equals the batch aggregate and a value-level oracle
+    applies: exact integer cents (one terminal round over the float sum,
+    error << 0.5 cent) and max event time per user."""
+    import os
+
+    from ..streaming.stateful import running_user_totals
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(
+        os.path.join(sf_dir, "events.parque*")
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    totals = running_user_totals(stream)
+    _STREAM_SEQ[0] += 1
+    name = f"stream_running_{_STREAM_SEQ[0]}"
+    q = (
+        totals.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+_RUNNING_TOTALS_SQL = """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(ROUND(SUM(value * 100)) AS BIGINT) AS value_cents,
+       MAX(ts) AS last_ts
+FROM events GROUP BY user_id
+"""
+
+
 QUERIES = {
     "q_ev_tumbling_hourly": q_ev_tumbling_hourly,
     "q_ev_asof_purchase": q_ev_asof_purchase,
@@ -573,6 +618,7 @@ QUERIES = {
     "q_ev_funnel": q_ev_funnel,
     "q_stream_tumbling_hourly": q_stream_tumbling_hourly,
     "q_stream_sessionize": q_stream_sessionize,
+    "q_stream_running_totals": q_stream_running_totals,
 }
 
 ORACLES = {
@@ -588,4 +634,5 @@ ORACLES = {
     "q_ev_funnel": _FUNNEL_SQL,
     "q_stream_tumbling_hourly": _STREAM_TUMBLING_SQL,
     "q_stream_sessionize": _SESSION_SQL,
+    "q_stream_running_totals": _RUNNING_TOTALS_SQL,
 }

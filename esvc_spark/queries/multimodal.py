@@ -18,6 +18,7 @@ from ..operators.multimodal import (
     extract_features,
     frame_sample,
     media_table,
+    resize_images,
 )
 
 _SQL_KIND = (
@@ -95,13 +96,55 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+_MAX_SIDE = 64
+
+
+def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image thumbnail plumbing, oracle-checked byte-for-byte (integer
+    fit + nearest-neighbor subsample; ASCII payloads so SQL can rebuild
+    the resized bytes)."""
+    return resize_images(media_table(spark, sf_dir), max_side=_MAX_SIDE)
+
+
+_RESIZE_SQL = f"""
+WITH media AS (
+  SELECT doc_id, text, {{kind}} AS kind,
+         CAST(n_chars % 640 + 1 AS INTEGER) AS w,
+         CAST(n_chars % 480 + 1 AS INTEGER) AS h
+  FROM documents
+),
+img AS (SELECT * FROM media WHERE kind = 'image'),
+dims AS (
+  SELECT doc_id, text, w, h, GREATEST(w, h) AS side,
+         CASE WHEN GREATEST(w, h) <= {_MAX_SIDE} THEN w
+              ELSE GREATEST(w * {_MAX_SIDE} // GREATEST(w, h), 1) END AS new_w,
+         CASE WHEN GREATEST(w, h) <= {_MAX_SIDE} THEN h
+              ELSE GREATEST(h * {_MAX_SIDE} // GREATEST(w, h), 1) END AS new_h
+  FROM img
+),
+sized AS (
+  SELECT doc_id, text, new_w, new_h,
+         LEAST(length(text), new_w * new_h) AS m, length(text) AS n
+  FROM dims
+)
+SELECT doc_id, new_w, new_h, CAST(m AS BIGINT) AS out_bytes,
+       md5(COALESCE(list_aggregate(
+             list_transform(range(0, m), i -> substr(text, (i * n) // m + 1, 1)),
+             'string_agg', ''), '')) AS resized_md5
+FROM sized
+""".format(kind=_SQL_KIND)
+
+
 QUERIES = {
     "q_mm_decode_stats": q_mm_decode_stats,
     "q_mm_frame_sample": q_mm_frame_sample,
+    "q_mm_resize": q_mm_resize,
     "q_mm_features": q_mm_features,
 }
 
 ORACLES = {
+    "q_mm_resize": _RESIZE_SQL,
     "q_mm_decode_stats": _DECODE_STATS_SQL,
     "q_mm_frame_sample": _FRAME_SQL,
 }
