@@ -126,12 +126,86 @@ FROM documents
 WHERE doc_id < {_SLICE}
 """
 
+
+# Editor-engine contract query: a deterministic ed/ex script shelved
+# through the full dependency-inference machinery on the distributed
+# lines dataset, then replayed. Each step is SQL-expressible, so the
+# oracle rebuilds the edited corpus line-by-line:
+#   1. substitute 'fast' -> 'QUICK' on the whole range (all occurrences,
+#      matching the engine's regexp_replace semantics)
+#   2. delete every line matching /slow/ (renumbers)
+#   3. append a trailer line at $
+_ED_SLICE = 40
+_ED_TRAILER = "-- end of corpus"
+
+
+def q_esvc_editor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..core.exparse import make_command
+    from ..core.spark_engine import SparkDat, SparkExEngine
+
+    eng = SparkExEngine(spark)
+    lines = (
+        T(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _ED_SLICE)
+        .select(F.col("doc_id").cast("bigint").alias("line_no"), "text")
+    )
+    # NO repartition: an editor dataset is tens of lines; fanning 40 rows
+    # over 8 partitions just multiplies task-scheduling latency across the
+    # ~20 fingerprint jobs the shelve loop runs (measured 1.6x slower).
+    # The corpus-scale distributed path is exercised by q_esvc_replay.
+    # doc_id is contiguous 0..N-1 on the test tables, so it IS the line
+    # number; init straight from the DataFrame (no driver round-trip)
+    init = SparkDat.create(lines, SparkExEngine.COLS)
+
+    script = [
+        make_command(
+            {"type": "rng", "start": 0, "end": _ED_SLICE},
+            "substitute",
+            ["fast", "QUICK"],
+        ),
+        make_command({"type": "rgx", "pattern": "slow"}, "delete"),
+        make_command({"type": "last"}, "append", [_ED_TRAILER]),
+    ]
+    g, wc = Graph(), WorkCache(eng, init)
+    heads: set[bytes] = set()
+    for arg in script:
+        h = wc.shelve_event(g, set(heads), Event(cmd=0, arg=arg))
+        if h is not None:
+            heads.add(h)
+    minimized = set(g.fold_state({h: False for h in heads}, expand=False).keys())
+    final, _ = wc.run_foreach_recursively(
+        g, {h: IncludeSpec.INCLUDE_ALL for h in minimized}
+    )
+    return final.df.select("line_no", F.md5("text").alias("text_md5"))
+
+
+_EDITOR_SQL = f"""
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS ln, text FROM documents
+  WHERE doc_id < {_ED_SLICE}
+),
+s1 AS (SELECT ln, regexp_replace(text, 'fast', 'QUICK', 'g') AS text FROM base),
+d2 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY ln) - 1 AS BIGINT) AS ln, text
+  FROM s1 WHERE NOT regexp_matches(text, 'slow')
+),
+ap AS (
+  SELECT ln, text FROM d2
+  UNION ALL
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d2), '{_ED_TRAILER}'
+)
+SELECT ln AS line_no, md5(text) AS text_md5 FROM ap
+"""
+
+
 QUERIES = {
     "q_esvc_replay": q_esvc_replay,
     "q_esvc_merge": q_esvc_merge,
+    "q_esvc_editor": q_esvc_editor,
 }
 
 ORACLES = {
     "q_esvc_replay": _REPLAY_SQL,
     "q_esvc_merge": _MERGE_SQL,
+    "q_esvc_editor": _EDITOR_SQL,
 }
