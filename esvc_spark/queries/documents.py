@@ -581,40 +581,13 @@ def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     # No dedup of edges: min-propagation is idempotent over duplicate
-    # edges, and a distinct would cost an extra |E| shuffle. Partition by
-    # the join key once so every round's edges ⋈ labels reuses this
-    # exchange and only the (much smaller) label side shuffles.
-    e0 = exact_edges.union(near_edges)
-    edges = (
-        e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .repartition("src")
-        .persist()
-    )
+    # edges, and a distinct would cost an extra |E| shuffle (see
+    # operators/cc.py for the round structure + convergence detection).
+    from ..operators.cc import connected_components
 
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
-        .persist()
+    labels = connected_components(
+        exact_edges.union(near_edges)
     )
-    # Convergence check without a join: min-propagation labels are
-    # monotonically non-increasing, so sum(label) is a fixpoint detector —
-    # one map-side-combined aggregate per round instead of a change-join.
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    while True:
-        msgs = edges.join(
-            labels.withColumnRenamed("doc_id", "src"), "src"
-        ).select(F.col("dst").alias("doc_id"), "label")
-        new_labels = (
-            labels.union(msgs).groupBy("doc_id").agg(F.min("label").alias("label"))
-        ).persist()
-        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
-        labels.unpersist()
-        labels = new_labels
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
-
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
         labels.join(sizes, "label")

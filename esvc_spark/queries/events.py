@@ -605,6 +605,53 @@ FROM events GROUP BY user_id
 """
 
 
+
+# ------------------------------------------------------------- cohorts
+# Weekly cohort retention: users grouped by first-seen week, counted by
+# distinct activity in each later week offset. Two shuffles total (first
+# -seen per user, then cohort x offset counts); the cohort dimension is
+# derived, never joined — the standard retention matrix at any scale.
+
+
+def q_ev_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events").select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    acts = ev.join(first, "user_id").select(
+        "user_id",
+        "cohort_week",
+        (
+            F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+            / 7
+        )
+        .cast("bigint")
+        .alias("week_offset"),
+    )
+    return (
+        acts.groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+_COHORT_SQL = """
+WITH first AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+acts AS (
+  SELECT e.user_id, f.cohort_week,
+         CAST(date_diff('day', f.cohort_week,
+                        date_trunc('week', e.ts)) // 7 AS BIGINT)
+           AS week_offset
+  FROM events e JOIN first f ON e.user_id = f.user_id
+)
+SELECT cohort_week, week_offset,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+FROM acts GROUP BY cohort_week, week_offset
+"""
+
+
 QUERIES = {
     "q_ev_tumbling_hourly": q_ev_tumbling_hourly,
     "q_ev_asof_purchase": q_ev_asof_purchase,
@@ -616,6 +663,7 @@ QUERIES = {
     "q_ev_user_journey": q_ev_user_journey,
     "q_ev_kmv_distinct": q_ev_kmv_distinct,
     "q_ev_funnel": q_ev_funnel,
+    "q_ev_cohort_retention": q_ev_cohort_retention,
     "q_stream_tumbling_hourly": q_stream_tumbling_hourly,
     "q_stream_sessionize": q_stream_sessionize,
     "q_stream_running_totals": q_stream_running_totals,
@@ -632,6 +680,7 @@ ORACLES = {
     "q_ev_user_journey": _JOURNEY_SQL,
     "q_ev_kmv_distinct": _KMV_SQL,
     "q_ev_funnel": _FUNNEL_SQL,
+    "q_ev_cohort_retention": _COHORT_SQL,
     "q_stream_tumbling_hourly": _STREAM_TUMBLING_SQL,
     "q_stream_sessionize": _SESSION_SQL,
     "q_stream_running_totals": _RUNNING_TOTALS_SQL,

@@ -73,3 +73,40 @@ def test_streaming_tumbling_equals_batch(spark, sf_dir):
     )
     assert stream.exceptAll(batch).isEmpty()
     assert batch.exceptAll(stream).isEmpty()
+
+
+def test_connected_components_property(spark):
+    """Spark min-label CC equals a pure-Python union-find on random edge
+    lists (bounded sizes keep each case to a couple of Spark rounds)."""
+    import random
+
+    from esvc_spark.operators.cc import connected_components
+
+    rng = random.Random(1234)
+    for _ in range(5):
+        n = rng.randint(2, 30)
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randint(1, 40))
+        ]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {x for e in edges for x in e}
+        want = {x: min(y for y in touched if find(y) == find(x)) for x in touched}
+
+        df = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+        got = {
+            r["doc_id"]: r["label"]
+            for r in connected_components(df).collect()
+        }
+        assert got == want
