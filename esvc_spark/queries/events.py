@@ -652,6 +652,65 @@ FROM acts GROUP BY cohort_week, week_offset
 """
 
 
+
+# ------------------------------------------------------------- sliding
+# 1-hour windows sliding every 15 minutes: each event lands in 4
+# overlapping windows. Spark's window(slideDuration) explodes window
+# membership before the aggregate (shuffle carries 4x rows — inherent to
+# hop windows); the oracle rebuilds membership with an explicit
+# range-unnest. Streaming runs the identical expression incrementally.
+
+
+def q_ev_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").start.alias("window_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", 2).alias("sum_value"),
+        )
+    )
+
+
+_SLIDING_SQL = f"""
+WITH hopped AS (
+  SELECT time_bucket(INTERVAL '15 minutes', ts)
+           - k * INTERVAL '15 minutes' AS window_start,
+         event_type, value
+  FROM events, unnest(range(0, 4)) t(k)
+)
+SELECT window_start, event_type, COUNT(*) AS n_events,
+       {sql_dsum('value', 2)} AS sum_value
+FROM hopped GROUP BY 1, 2
+"""
+
+
+
+def q_ev_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe exact distinct: operators.skew.salted_distinct_count
+    under the driver contract. Per event_type (a low-cardinality, hence
+    hot, key), distinct users are counted via (key, salt-of-value)
+    partials so no task ever assembles one key's whole distinct set —
+    the decomposition a 1000-executor job needs when one key dominates.
+    The oracle is the plain COUNT(DISTINCT): the decomposition is exact
+    by construction (salt is a function of the value)."""
+    from ..operators.skew import salted_distinct_count
+
+    ev = T(spark, sf_dir, "events")
+    return salted_distinct_count(ev, key="event_type", value="user_id").select(
+        "event_type", F.col("n_distinct").cast("bigint").alias("n_distinct")
+    )
+
+
+_SALTED_DISTINCT_SQL = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "q_ev_tumbling_hourly": q_ev_tumbling_hourly,
     "q_ev_asof_purchase": q_ev_asof_purchase,
@@ -664,6 +723,8 @@ QUERIES = {
     "q_ev_kmv_distinct": q_ev_kmv_distinct,
     "q_ev_funnel": q_ev_funnel,
     "q_ev_cohort_retention": q_ev_cohort_retention,
+    "q_ev_sliding_counts": q_ev_sliding_counts,
+    "q_ev_salted_distinct": q_ev_salted_distinct,
     "q_stream_tumbling_hourly": q_stream_tumbling_hourly,
     "q_stream_sessionize": q_stream_sessionize,
     "q_stream_running_totals": q_stream_running_totals,
@@ -681,6 +742,8 @@ ORACLES = {
     "q_ev_kmv_distinct": _KMV_SQL,
     "q_ev_funnel": _FUNNEL_SQL,
     "q_ev_cohort_retention": _COHORT_SQL,
+    "q_ev_sliding_counts": _SLIDING_SQL,
+    "q_ev_salted_distinct": _SALTED_DISTINCT_SQL,
     "q_stream_tumbling_hourly": _STREAM_TUMBLING_SQL,
     "q_stream_sessionize": _SESSION_SQL,
     "q_stream_running_totals": _RUNNING_TOTALS_SQL,
