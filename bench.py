@@ -22,6 +22,30 @@ from esvc_spark.queries import all_queries  # noqa: E402
 from esvc_spark.session import get_spark  # noqa: E402
 
 
+# The 56 queries benchmarked in round 1 (for r1_subset_total).
+_R1_QUERIES = frozenset({
+    "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
+    "q04_order_priority", "q05_local_supplier_volume", "q06_forecast_revenue",
+    "q07_volume_shipping", "q08_market_share", "q09_product_profit",
+    "q10_returned_items", "q11_value_concentration", "q12_ship_lag",
+    "q13_customer_distribution", "q14_promo_share", "q15_top_supplier",
+    "q16_parts_supplier", "q17_small_quantity", "q18_large_orders",
+    "q19_disjunctive_revenue", "q20_excess_stock", "q21_waiting_supplier",
+    "q22_dormant_customers", "q_cube_orders", "q_doc_bpe_tokens",
+    "q_doc_exact_dedup", "q_doc_fingerprint", "q_doc_lang_id",
+    "q_doc_minhash_lsh", "q_doc_ngram_jaccard", "q_doc_quality",
+    "q_doc_simhash", "q_doc_token_stats", "q_emb_ann_lsh",
+    "q_emb_ivf_knn", "q_emb_knn_cosine", "q_emb_label_centroids",
+    "q_emb_neardup_cosine", "q_esvc_merge", "q_esvc_replay",
+    "q_ev_asof_purchase", "q_ev_dedup_content", "q_ev_json_props",
+    "q_ev_percentiles", "q_ev_range_pairs", "q_ev_sessionize",
+    "q_ev_tumbling_hourly", "q_ev_user_journey", "q_grouping_sets",
+    "q_mm_decode_stats", "q_mm_features", "q_mm_frame_sample",
+    "q_rag_retrieval", "q_rollup_returns", "q_setops_customers",
+    "q_window_running_spend", "q_window_top_orders",
+})
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -80,6 +104,12 @@ def main() -> None:
             timings[name] = round(min(timings[name], run_once(fn)), 4)
 
     total = round(sum(timings.values()), 4)
+    # Like-for-like round comparison: the surface grows every round, so
+    # the grand total inflates by construction. r1_subset_total sums only
+    # the 56 queries that existed in round 1's benchmark.
+    r1_subset = round(
+        sum(t for name, t in timings.items() if name in _R1_QUERIES), 4
+    )
     print(
         json.dumps(
             {
@@ -87,6 +117,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "r1_subset_total": r1_subset,
+                "n_queries": len(timings),
                 "sf": sf,
             }
         )

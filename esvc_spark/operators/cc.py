@@ -25,10 +25,13 @@ def connected_components(edges: DataFrame) -> DataFrame:
         .repartition("src")
         .persist()
     )
+    # Seed each node with min(self, direct neighbors) — one aggregation
+    # that replaces the identity-init plus the entire first propagation
+    # round (a join + an aggregate).
     labels = (
-        sym.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
+        sym.groupBy("src")
+        .agg(F.least(F.col("src"), F.min("dst")).alias("label"))
+        .withColumnRenamed("src", "doc_id")
         .persist()
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
