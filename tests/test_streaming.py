@@ -188,3 +188,50 @@ def test_ingest_idempotent_under_replay(spark, tmp_path):
         read_events_stream(spark, src_dir), log_dir, str(tmp_path / "ckpt3")
     )
     assert spark.read.parquet(target).count() == 2 * n_src
+
+
+def test_stream_fed_event_log_replays(spark, tmp_path):
+    """The north-star loop end-to-end: an esvc graph's events are written
+    as parquet, ingested through the streaming event-log sink (idempotent
+    foreachBatch), the graph is rebuilt from the ingested log, and replay
+    of the rebuilt graph reproduces the original dataset state
+    (fingerprint equality — the same equality dependency inference uses)."""
+    import json as _json
+
+    from esvc_spark.core import Event, Graph, IncludeSpec, WorkCache
+    from esvc_spark.core.spark_engine import SparkReplaceEngine
+    from esvc_spark.core.store import EVENTS_SCHEMA, events_dataframe
+
+    eng = SparkReplaceEngine(spark)
+    g = Graph()
+    w = WorkCache(eng, eng.from_texts(["one two three", "three four"]))
+    heads: set[bytes] = set()
+    for s, r in [("one", "1"), ("three", "3"), ("3 four", "34")]:
+        h = w.shelve_event(g, set(heads), Event(cmd=0, arg={"search": s, "replacement": r}))
+        if h is not None:
+            heads.add(h)
+    want, _ = w.run_foreach_recursively(
+        g, {h: IncludeSpec.INCLUDE_ALL for h in heads}
+    )
+
+    # events -> parquet source -> streaming ingest into the log
+    src = str(tmp_path / "src")
+    events_dataframe(spark, g).repartition(1).write.parquet(src)
+    log_dir = str(tmp_path / "log")
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+    ingest_into_event_log(stream, log_dir, str(tmp_path / "ckpt"))
+
+    # rebuild the graph from the ingested log and replay
+    g2 = Graph()
+    for r in spark.read.parquet(os.path.join(log_dir, "events_stream")).collect():
+        g2.events[bytes(r["event_id"])] = Event(
+            cmd=r["cmd"],
+            arg=_json.loads(r["arg"]),
+            deps={bytes(k): v for k, v in (r["deps"] or {}).items()},
+        )
+    assert set(g2.events) == set(g.events)
+    w2 = WorkCache(eng, eng.from_texts(["one two three", "three four"]))
+    got, _ = w2.run_foreach_recursively(
+        g2, {h: IncludeSpec.INCLUDE_ALL for h in heads}
+    )
+    assert got == want  # fingerprint equality over the whole dataset
