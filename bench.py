@@ -99,7 +99,11 @@ def main() -> None:
     # and a single sample of a slow-looking query is as likely noise as
     # signal. Bounded: only queries > 2 s re-run, inside a global budget.
     _RERUN_BUDGET = 180.0
-    for name, fn in ordered:
+    # Worst-first: a single noisy-neighbor sample can read 25x (observed
+    # 55 s for a steady-state 2 s query), so spend the rerun budget on the
+    # most extreme outliers before the marginal ones.
+    by_time = sorted(ordered, key=lambda kv: -timings[kv[0]])
+    for name, fn in by_time:
         if timings[name] > 2.0 and time.perf_counter() - t_start < _RERUN_BUDGET:
             timings[name] = round(min(timings[name], run_once(fn)), 4)
 

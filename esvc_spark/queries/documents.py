@@ -799,6 +799,125 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= {_SIM_HAM_T}
 """
 
 
+
+# ------------------------------------------------------------- bigrams
+# Top-5 token bigrams per language — collocation stats (the n-gram LM
+# building block). One explode + posexplode pairing via index zip, one
+# aggregate, one windowed top-k; ties broken lexicographically so ranks
+# are deterministic.
+
+_BIGRAM_K = 5
+
+
+def q_doc_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _docs_par(spark, sf_dir)
+    toks = docs.select("lang", _TOKENS().alias("w"))
+    bi = toks.select(
+        "lang",
+        F.explode(
+            F.expr("transform(slice(w, 1, size(w) - 1), (x, i) -> concat(x, ' ', w[i + 1]))")
+        ).alias("bigram"),
+    )
+    counts = bi.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("bigram"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= _BIGRAM_K)
+        .select("lang", "bigram", "n", "rk")
+    )
+
+
+_BIGRAMS_SQL = f"""
+WITH toks AS (SELECT lang, {SQL_TOKENS} AS w FROM documents),
+bi AS (
+  SELECT lang, w[i] || ' ' || w[i + 1] AS bigram
+  FROM toks, unnest(range(1, len(w))) t(i)
+  WHERE len(w) >= 2
+),
+counts AS (SELECT lang, bigram, COUNT(*) AS n FROM bi GROUP BY lang, bigram)
+SELECT lang, bigram, n,
+       CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                               ORDER BY n DESC, bigram ASC) AS BIGINT) AS rk
+FROM counts QUALIFY rk <= {_BIGRAM_K}
+"""
+
+
+# ----------------------------------------------------- contamination
+# Benchmark-contamination check: token 5-gram overlap between every
+# corpus document and an eval set (doc_id < _EVAL_N stands in for the
+# benchmark). The decontamination pass every training pipeline runs
+# before release. Scale shape: the eval shingle set is tiny and
+# broadcast; the corpus side streams through one semi-join — the corpus
+# is never shuffled against itself.
+
+_EVAL_N = 20
+
+
+def q_doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_par(spark, sf_dir)
+    sh = _shingles_df(docs)
+    eval_sh = sh.filter(F.col("doc_id") < _EVAL_N).select("shingle").distinct()
+    corpus = sh.filter(F.col("doc_id") >= _EVAL_N)
+    counts = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    matched = (
+        corpus.join(F.broadcast(eval_sh), "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    return (
+        counts.join(matched, "doc_id")
+        .withColumn(
+            "contamination", F.col("n_matched").cast("double") / F.col("n_sh")
+        )
+        .select("doc_id", "n_sh", "n_matched", "contamination")
+    )
+
+
+_CONTAMINATION_SQL = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < {_EVAL_N}),
+corpus AS (SELECT * FROM sh WHERE doc_id >= {_EVAL_N}),
+cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM corpus GROUP BY doc_id),
+m AS (
+  SELECT doc_id, COUNT(*) AS n_matched FROM corpus
+  WHERE shingle IN (SELECT shingle FROM ev) GROUP BY doc_id
+)
+SELECT doc_id, n_sh, n_matched,
+       CAST(n_matched AS DOUBLE) / n_sh AS contamination
+FROM cnt JOIN m USING (doc_id)
+"""
+
+
+# ------------------------------------------------------------ vocabulary
+# Corpus vocabulary profile per language: distinct-token (type) counts vs
+# total occurrences — the type/token ratio a corpus audit reports. One
+# explode + one aggregate; the distinct count shuffles only (lang, token)
+# pairs, which is vocabulary-bounded, not corpus-bounded.
+
+
+def q_doc_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_par(spark, sf_dir)
+    tok = docs.select("lang", "doc_id", F.explode(_TOKENS()).alias("token"))
+    return tok.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("total_tokens"),
+        F.countDistinct("token").alias("vocab_size"),
+        (F.countDistinct("token").cast("double") / F.count(F.lit(1))).alias("ttr"),
+    )
+
+
+_VOCAB_SQL = f"""
+SELECT lang, COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS total_tokens,
+       COUNT(DISTINCT token) AS vocab_size,
+       CAST(COUNT(DISTINCT token) AS DOUBLE) / COUNT(*) AS ttr
+FROM (SELECT lang, doc_id, unnest({SQL_TOKENS}) AS token FROM documents)
+GROUP BY lang
+"""
+
+
 QUERIES = {
     "q_doc_exact_dedup": q_doc_exact_dedup,
     "q_doc_bpe_tokens": q_doc_bpe_tokens,
@@ -813,6 +932,9 @@ QUERIES = {
     "q_doc_dup_clusters": q_doc_dup_clusters,
     "q_doc_sample_mixture": q_doc_sample_mixture,
     "q_doc_tfidf_top": q_doc_tfidf_top,
+    "q_doc_bigrams": q_doc_bigrams,
+    "q_doc_contamination": q_doc_contamination,
+    "q_doc_vocab": q_doc_vocab,
 }
 
 ORACLES = {
@@ -829,4 +951,7 @@ ORACLES = {
     "q_doc_dup_clusters": _dup_clusters_sql(),
     "q_doc_sample_mixture": _sample_mixture_sql(),
     "q_doc_tfidf_top": _TFIDF_SQL,
+    "q_doc_bigrams": _BIGRAMS_SQL,
+    "q_doc_contamination": _CONTAMINATION_SQL,
+    "q_doc_vocab": _VOCAB_SQL,
 }

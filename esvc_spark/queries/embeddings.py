@@ -17,7 +17,7 @@ results are bit-identical to the DuckDB oracles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table as T
@@ -29,7 +29,7 @@ from ..functions.vectors import (
     sql_cosine_prenorm,
     sql_dot,
 )
-from ._util import sql_dsum
+from ._util import davg, sql_davg, sql_dsum
 
 # Embedding width is fixed (embeddings.embedding FLOAT[64], TESTDATA.md).
 _DIM = 64
@@ -565,6 +565,173 @@ GROUP BY t.query_id
 """
 
 
+
+# --------------------------------------------------- int8 quantization
+# Per-dimension scalar quantization audit: min/max range per dim, int8
+# quantize/dequantize, and the reconstruction error profile — the
+# compression check a pipeline runs before shipping 100 TB of vectors as
+# int8. Exactly two aggregates over the exploded vectors (range, then
+# error stats), with the tiny 64-row range table broadcast back. Every
+# expression is identically parenthesized in both engines; the error
+# mean uses the decimal-cast exact sum.
+
+
+def q_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    el = e.select("vec_id", F.posexplode("emb").alias("pos", "x")).select(
+        F.col("pos").cast("bigint").alias("pos"), "x"
+    )
+    rng = el.groupBy("pos").agg(F.min("x").alias("dmin"), F.max("x").alias("dmax"))
+    q = el.join(F.broadcast(rng), "pos").withColumn(
+        "qv",
+        F.round(((F.col("x") - F.col("dmin")) / (F.col("dmax") - F.col("dmin"))) * 255.0),
+    )
+    r = q.withColumn(
+        "err",
+        F.abs(
+            F.col("x")
+            - (((F.col("qv") / 255.0) * (F.col("dmax") - F.col("dmin"))) + F.col("dmin"))
+        ),
+    )
+    return r.groupBy("pos").agg(
+        F.min("dmin").alias("dmin"),
+        F.min("dmax").alias("dmax"),
+        F.max("err").alias("max_abs_err"),
+        davg("err", 12).alias("avg_abs_err"),
+    )
+
+
+_QUANTIZE_SQL = f"""
+WITH el AS (
+  SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos, emb[i] AS x
+  FROM ({_SQL_EMB}), unnest(range(1, {_DIM} + 1)) t(i)
+),
+rng AS (SELECT pos, MIN(x) AS dmin, MAX(x) AS dmax FROM el GROUP BY pos),
+q AS (
+  SELECT el.pos, x, dmin, dmax,
+         round(((x - dmin) / (dmax - dmin)) * 255.0) AS qv
+  FROM el JOIN rng USING (pos)
+),
+r AS (
+  SELECT pos, dmin, dmax,
+         abs(x - (((qv / 255.0) * (dmax - dmin)) + dmin)) AS err
+  FROM q
+)
+SELECT pos, MIN(dmin) AS dmin, MIN(dmax) AS dmax,
+       MAX(err) AS max_abs_err, {sql_davg('err', 12)} AS avg_abs_err
+FROM r GROUP BY pos
+"""
+
+
+# --------------------------------------------------------------- k-means
+# Two Lloyd iterations of distributed k-means (the clustering loop behind
+# IVF training and corpus bucketing), fully deterministic: init centroids
+# are the first K vectors, assignment is argmin of the sequential-fold
+# squared L2 distance (ties -> lowest centroid id), and the centroid
+# update is the exact decimal mean per dimension. The scale shape is the
+# canonical one: assignment joins the corpus against K broadcast centroid
+# arrays (no corpus shuffle), the update is one posexplode + groupBy of
+# K*dim cells. Iteration happens in the driver as a plan-building loop —
+# each round is a new Catalyst plan, no collect of the corpus.
+
+_KM_K = 8
+_KM_ROUNDS = 2  # assignment rounds (init-assign, update, re-assign)
+
+
+def _km_sqdist(a: Column, b: Column) -> Column:
+    """Sequential-fold squared L2 distance (index order => deterministic,
+    same reasoning as functions.vectors.dot)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+_SQL_KM_SQDIST = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(range(1, {dim} + 1), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), (acc, x) -> acc + x)"
+)
+
+
+def _km_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """Assign every vector to its nearest centroid: broadcast cross join
+    against K rows, fold distance, window argmin."""
+    scored = e.join(F.broadcast(cents)).select(
+        "vec_id",
+        "emb",
+        "cid",
+        _km_sqdist(F.col("emb"), F.col("cemb")).alias("sqd"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("sqd", "cid")
+    return (
+        scored.withColumn("arank", F.row_number().over(w))
+        .filter(F.col("arank") == 1)
+        .select("vec_id", "emb", "cid", "sqd")
+    )
+
+
+def _km_update(assigned: DataFrame) -> DataFrame:
+    """New centroid arrays: exact decimal mean per (cid, pos), re-packed
+    into index-ordered arrays (sort_array over (pos, val) structs)."""
+    el = assigned.select("cid", F.posexplode("emb").alias("pos", "val"))
+    cell = el.groupBy("cid", "pos").agg(
+        (
+            F.sum(F.col("val").cast("decimal(18,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("cval")
+    )
+    return cell.groupBy("cid").agg(
+        F.expr("transform(array_sort(collect_list(struct(pos, cval))), s -> s.cval)")
+        .alias("cemb")
+    )
+
+
+def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir).select("vec_id", "emb")
+    cents = e.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("emb").alias("cemb")
+    )
+    assigned = _km_assign(e, cents)
+    for _ in range(_KM_ROUNDS - 1):
+        cents = _km_update(assigned)
+        assigned = _km_assign(e, cents)
+    return assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        davg("sqd", 9).alias("avg_sqdist"),
+        F.max("sqd").alias("max_sqdist"),
+    )
+
+
+def _kmeans_sql() -> str:
+    d = _SQL_KM_SQDIST.format(dim=_DIM, a="emb", b="cemb")
+    assign = f"""
+  SELECT vec_id, emb, cid, {d} AS sqd,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY {d}, cid) AS arank
+  FROM e CROSS JOIN {{cents}}"""
+    update = """
+  SELECT cid, list(cval ORDER BY pos) AS cemb FROM (
+    SELECT cid, pos, {msum} / COUNT(*) AS cval
+    FROM (SELECT cid, CAST(i AS INT) AS pos, emb[i] AS val
+          FROM {assigned}, unnest(range(1, {dim} + 1)) t(i))
+    GROUP BY cid, pos
+  ) GROUP BY cid"""
+    return f"""
+WITH e AS (SELECT vec_id, emb FROM ({_SQL_EMB})),
+c0 AS (SELECT CAST(vec_id AS INT) AS cid, emb AS cemb FROM e
+       WHERE vec_id < {_KM_K}),
+a0 AS (SELECT vec_id, emb, cid, sqd FROM ({assign.format(cents="c0")})
+       WHERE arank = 1),
+c1 AS ({update.format(msum=sql_dsum('val', 9), assigned="a0", dim=_DIM)}),
+a1 AS (SELECT vec_id, emb, cid, sqd FROM ({assign.format(cents="c1")})
+       WHERE arank = 1)
+SELECT cid, COUNT(*) AS n_members,
+       {sql_davg('sqd', 9)} AS avg_sqdist, MAX(sqd) AS max_sqdist
+FROM a1 GROUP BY cid
+"""
+
+
 QUERIES = {
     "q_emb_knn_cosine": q_emb_knn_cosine,
     "q_emb_ivf_knn": q_emb_ivf_knn,
@@ -573,6 +740,8 @@ QUERIES = {
     "q_emb_ann_lsh": q_emb_ann_lsh,
     "q_emb_label_centroids": q_emb_label_centroids,
     "q_emb_ann_recall": q_emb_ann_recall,
+    "q_emb_quantize_int8": q_emb_quantize_int8,
+    "q_emb_kmeans": q_emb_kmeans,
 }
 
 ORACLES = {
@@ -583,4 +752,6 @@ ORACLES = {
     "q_emb_ann_lsh": _ann_lsh_sql(),
     "q_emb_label_centroids": _CENTROID_SQL,
     "q_emb_ann_recall": _RECALL_SQL,
+    "q_emb_quantize_int8": _QUANTIZE_SQL,
+    "q_emb_kmeans": _kmeans_sql(),
 }

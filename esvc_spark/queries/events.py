@@ -711,6 +711,108 @@ FROM events GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------- pagerank
+# PageRank over the event-type transition graph (3 power iterations,
+# damping 0.85): the iterative-graph-algorithm pattern on Spark. The heavy
+# work at scale is building the edge list — one window over (user_id, ts)
+# and one aggregate; the rank loop itself runs on the tiny node/edge
+# tables (joins on a broadcast-sized side), each iteration a new Catalyst
+# plan built in the driver — no corpus data ever leaves the cluster.
+# Determinism: transition probabilities are single IEEE divisions of exact
+# counts; each iteration's per-node contribution sum is a sequential fold
+# in src order (decimal rounding of full-precision doubles would sit at
+# the ulp boundary where engines disagree), so both engines walk
+# bit-identical rank vectors.
+
+_PR_DAMP = 0.85
+_PR_ITERS = 3
+
+
+def q_ev_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    edges = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    out = edges.groupBy("src").agg(F.sum("cnt").alias("out_cnt"))
+    # edges/probabilities feed every iteration — persist the tiny table
+    p = (
+        edges.join(out, "src")
+        .select("src", "dst", (F.col("cnt").cast("double") / F.col("out_cnt")).alias("p"))
+        .persist()
+    )
+    nodes = ev.select(F.col("event_type").alias("node")).distinct()
+    n = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    base = nodes.join(n)  # single-row cross join: N reaches every node row
+    ranks = base.select("node", (F.lit(1.0) / F.col("n_nodes")).alias("r"))
+    for _ in range(_PR_ITERS):
+        # every per-iteration table is node-cardinality (tiny): broadcast
+        # them so the rank loop never sorts or shuffles
+        contrib = p.join(
+            F.broadcast(ranks.select(F.col("node").alias("src"), "r")), "src"
+        ).select("dst", "src", (F.col("r") * F.col("p")).alias("c"))
+        agg = contrib.groupBy("dst").agg(
+            F.aggregate(
+                F.expr("transform(array_sort(collect_list(struct(src, c))), t -> t.c)"),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("s")
+        )
+        ranks = base.join(F.broadcast(agg), base["node"] == agg["dst"], "left").select(
+            "node",
+            (
+                (F.lit(1.0) - F.lit(_PR_DAMP)) / F.col("n_nodes")
+                + F.lit(_PR_DAMP) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("r"),
+        )
+    return ranks.select("node", F.col("r").alias("pagerank"))
+
+
+def _pagerank_sql() -> str:
+    it = """
+SELECT node,
+       (CAST(1.0 AS DOUBLE) - CAST({d} AS DOUBLE)) / n_nodes
+         + CAST({d} AS DOUBLE) * COALESCE(s, CAST(0.0 AS DOUBLE)) AS r
+FROM nodes CROSS JOIN n LEFT JOIN (
+  SELECT dst, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                       list(c ORDER BY src)),
+                          (acc, x) -> acc + x) AS s
+  FROM (SELECT dst, src, r * p AS c
+        FROM p JOIN {prev} ON {prev}.node = p.src)
+  GROUP BY dst
+) agg ON agg.dst = nodes.node"""
+    ctes = ",\n".join(
+        f"r{i + 1} AS ({it.format(d=_PR_DAMP, prev=f'r{i}')})"
+        for i in range(_PR_ITERS)
+    )
+    return f"""
+WITH seq AS (
+  SELECT event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+edges AS (
+  SELECT prev_type AS src, event_type AS dst, COUNT(*) AS cnt
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+outd AS (SELECT src, SUM(cnt) AS out_cnt FROM edges GROUP BY src),
+p AS (SELECT src, dst, CAST(cnt AS DOUBLE) / out_cnt AS p
+      FROM edges JOIN outd USING (src)),
+nodes AS (SELECT DISTINCT event_type AS node FROM events),
+n AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / n_nodes AS r
+       FROM nodes CROSS JOIN n),
+{ctes}
+SELECT node, r AS pagerank FROM r{_PR_ITERS}
+"""
+
+
 QUERIES = {
     "q_ev_tumbling_hourly": q_ev_tumbling_hourly,
     "q_ev_asof_purchase": q_ev_asof_purchase,
@@ -725,6 +827,7 @@ QUERIES = {
     "q_ev_cohort_retention": q_ev_cohort_retention,
     "q_ev_sliding_counts": q_ev_sliding_counts,
     "q_ev_salted_distinct": q_ev_salted_distinct,
+    "q_ev_pagerank": q_ev_pagerank,
     "q_stream_tumbling_hourly": q_stream_tumbling_hourly,
     "q_stream_sessionize": q_stream_sessionize,
     "q_stream_running_totals": q_stream_running_totals,
@@ -744,6 +847,7 @@ ORACLES = {
     "q_ev_cohort_retention": _COHORT_SQL,
     "q_ev_sliding_counts": _SLIDING_SQL,
     "q_ev_salted_distinct": _SALTED_DISTINCT_SQL,
+    "q_ev_pagerank": _pagerank_sql(),
     "q_stream_tumbling_hourly": _STREAM_TUMBLING_SQL,
     "q_stream_sessionize": _SESSION_SQL,
     "q_stream_running_totals": _RUNNING_TOTALS_SQL,
