@@ -918,6 +918,45 @@ GROUP BY lang
 """
 
 
+# ------------------------------------------------------- train/test split
+# Deterministic hash-based train/test split (90/10 by content hash, so the
+# assignment is stable under re-partitioning, re-ordering, and re-runs —
+# the property a 100 TB pipeline needs to reproduce a split without ever
+# materializing an assignment table). Per (lang, split): doc count, total
+# chars, and an order-invariant bit_xor checksum of the doc hashes that
+# downstream jobs can use to assert they read the identical split.
+
+_SPLIT_MOD = 10  # hash % 10 < 9 -> train (90%), else test
+
+
+def q_doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_par(spark, sf_dir)
+    d = docs.withColumn("h", _h(F.col("text"))).withColumn(
+        "split",
+        F.when(F.pmod(F.col("h"), F.lit(_SPLIT_MOD)) < _SPLIT_MOD - 1, "train")
+        .otherwise("test"),
+    )
+    return d.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.expr("bit_xor(h)").alias("checksum"),
+    )
+
+
+_SPLIT_SQL = f"""
+WITH d AS (
+  SELECT lang, n_chars, {_sql_h('text')} AS h,
+         CASE WHEN {_sql_h('text')} % {_SPLIT_MOD} < {_SPLIT_MOD - 1}
+              THEN 'train' ELSE 'test' END AS split
+  FROM documents
+)
+SELECT lang, split, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       bit_xor(h) AS checksum
+FROM d GROUP BY lang, split
+"""
+
+
 QUERIES = {
     "q_doc_exact_dedup": q_doc_exact_dedup,
     "q_doc_bpe_tokens": q_doc_bpe_tokens,
@@ -935,6 +974,7 @@ QUERIES = {
     "q_doc_bigrams": q_doc_bigrams,
     "q_doc_contamination": q_doc_contamination,
     "q_doc_vocab": q_doc_vocab,
+    "q_doc_split": q_doc_split,
 }
 
 ORACLES = {
@@ -954,4 +994,5 @@ ORACLES = {
     "q_doc_bigrams": _BIGRAMS_SQL,
     "q_doc_contamination": _CONTAMINATION_SQL,
     "q_doc_vocab": _VOCAB_SQL,
+    "q_doc_split": _SPLIT_SQL,
 }

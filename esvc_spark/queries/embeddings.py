@@ -732,6 +732,91 @@ FROM a1 GROUP BY cid
 """
 
 
+# ---------------------------------------------------- product quantization
+# PQ audit: split each vector into 8 subvectors of 8 dims, encode every
+# subvector as its nearest entry in a pinned 16-entry codebook (the
+# subvectors of the first 16 vectors — deterministic "training"), and
+# report per-subspace code usage + reconstruction error. The memory-
+# compression step an ANN index runs before sharding 100 TB of vectors:
+# 64 floats -> 8 codes. Scale shape: the codebook is 16x8 doubles and
+# broadcast; encoding is one narrow map + window argmin per subspace —
+# the corpus shuffles once on (vec_id, sub) for the argmin.
+
+_PQ_SUBS = 8
+_PQ_SUBDIM = _DIM // _PQ_SUBS
+_PQ_CODES = 16
+
+
+def _pq_parts(e: DataFrame) -> DataFrame:
+    """(vec_id, sub, part): the 8-dim subvector slices of every vector."""
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("sub"),
+                F.slice("emb", j * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("part"),
+            )
+            for j in range(_PQ_SUBS)
+        ]
+    )
+    return e.select("vec_id", F.explode(subs).alias("s")).select(
+        "vec_id", "s.sub", "s.part"
+    )
+
+
+def q_emb_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir).select("vec_id", "emb")
+    parts = _pq_parts(e)
+    book = _pq_parts(e.filter(F.col("vec_id") < _PQ_CODES)).select(
+        F.col("vec_id").cast("int").alias("code"),
+        "sub",
+        F.col("part").alias("cpart"),
+    )
+    scored = parts.join(F.broadcast(book), "sub").select(
+        "vec_id",
+        "sub",
+        "code",
+        _km_sqdist(F.col("part"), F.col("cpart")).alias("sqe"),
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy("sqe", "code")
+    enc = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("sub", "code", "sqe")
+    )
+    return enc.groupBy("sub").agg(
+        F.countDistinct("code").alias("codes_used"),
+        davg("sqe", 9).alias("avg_sqerr"),
+        F.max("sqe").alias("max_sqerr"),
+    )
+
+
+def _pq_sql() -> str:
+    d = _SQL_KM_SQDIST.format(dim=_PQ_SUBDIM, a="part", b="cpart")
+    part = (
+        f"SELECT vec_id, CAST(j AS INT) AS sub, "
+        f"emb[j * {_PQ_SUBDIM} + 1 : (j + 1) * {_PQ_SUBDIM}] AS part "
+        f"FROM e, unnest(range(0, {_PQ_SUBS})) t(j)"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, emb FROM ({_SQL_EMB})),
+parts AS ({part}),
+book AS (
+  SELECT CAST(vec_id AS INT) AS code, sub, part AS cpart
+  FROM parts WHERE vec_id < {_PQ_CODES}
+),
+scored AS (
+  SELECT vec_id, parts.sub, code, {d} AS sqe,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, parts.sub
+                            ORDER BY {d}, code) AS rk
+  FROM parts JOIN book USING (sub)
+),
+enc AS (SELECT sub, code, sqe FROM scored WHERE rk = 1)
+SELECT sub, COUNT(DISTINCT code) AS codes_used,
+       {sql_davg('sqe', 9)} AS avg_sqerr, MAX(sqe) AS max_sqerr
+FROM enc GROUP BY sub
+"""
+
+
 QUERIES = {
     "q_emb_knn_cosine": q_emb_knn_cosine,
     "q_emb_ivf_knn": q_emb_ivf_knn,
@@ -742,6 +827,7 @@ QUERIES = {
     "q_emb_ann_recall": q_emb_ann_recall,
     "q_emb_quantize_int8": q_emb_quantize_int8,
     "q_emb_kmeans": q_emb_kmeans,
+    "q_emb_pq": q_emb_pq,
 }
 
 ORACLES = {
@@ -754,4 +840,5 @@ ORACLES = {
     "q_emb_ann_recall": _RECALL_SQL,
     "q_emb_quantize_int8": _QUANTIZE_SQL,
     "q_emb_kmeans": _kmeans_sql(),
+    "q_emb_pq": _pq_sql(),
 }

@@ -711,6 +711,100 @@ FROM events GROUP BY event_type
 """
 
 
+# ------------------------------------------------------- count-min sketch
+# Count-min frequency sketch over user_id (depth 4 x width 512, md5-derived
+# row hashes — identical in both engines), with per-key estimates for a
+# fixed probe set and the exact counts alongside for the overcount column.
+# The streaming-aggregation workhorse for heavy-hitter detection: the
+# sketch build is one explode(d rows) + groupBy of at most d*w cells —
+# constant-size state no matter how many events flow through — and
+# estimation joins the d*w-cell sketch (broadcast) against the probe keys.
+
+_CMS_D = 4
+_CMS_W = 512
+_CMS_PROBE_N = 15
+
+
+def _cms_bucket(i: int) -> Column:
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{i}:"), F.col("user_id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return F.pmod(h, F.lit(_CMS_W))
+
+
+def _sql_cms_bucket(i: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('{i}:' || CAST(user_id AS VARCHAR)), 1, 15)) "
+        f"AS BIGINT) % {_CMS_W}"
+    )
+
+
+def q_ev_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events").select("user_id")
+    cells = ev.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_i"), _cms_bucket(i).alias("bucket")
+                    )
+                    for i in range(_CMS_D)
+                ]
+            )
+        ).alias("rb")
+    ).select("rb.row_i", "rb.bucket")
+    sketch = cells.groupBy("row_i", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    probes = ev.filter(F.col("user_id") < _CMS_PROBE_N)
+    exact = probes.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    keyed = exact.select(
+        "user_id",
+        "n_exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_i"), _cms_bucket(i).alias("bucket")
+                    )
+                    for i in range(_CMS_D)
+                ]
+            )
+        ).alias("rb"),
+    ).select("user_id", "n_exact", "rb.row_i", "rb.bucket")
+    return (
+        keyed.join(F.broadcast(sketch), ["row_i", "bucket"])
+        .groupBy("user_id", "n_exact")
+        .agg(F.min("cnt").alias("est"))
+        .withColumn("overcount", F.col("est") - F.col("n_exact"))
+        .select("user_id", "n_exact", "est", "overcount")
+    )
+
+
+def _cms_sql() -> str:
+    bucket_rows = " UNION ALL ".join(
+        f"SELECT user_id, {i} AS row_i, {_sql_cms_bucket(i)} AS bucket FROM ev"
+        for i in range(_CMS_D)
+    )
+    return f"""
+WITH ev AS (SELECT user_id FROM events),
+cells AS ({bucket_rows}),
+sketch AS (SELECT row_i, bucket, COUNT(*) AS cnt
+           FROM cells GROUP BY row_i, bucket),
+exact AS (SELECT user_id, COUNT(*) AS n_exact FROM ev
+          WHERE user_id < {_CMS_PROBE_N} GROUP BY user_id),
+keyed AS (
+  SELECT e.user_id, e.n_exact, c.row_i, c.bucket
+  FROM exact e JOIN (SELECT DISTINCT * FROM cells) c USING (user_id)
+)
+SELECT user_id, n_exact, MIN(cnt) AS est, MIN(cnt) - n_exact AS overcount
+FROM keyed JOIN sketch USING (row_i, bucket)
+GROUP BY user_id, n_exact
+"""
+
+
 # ---------------------------------------------------------------- pagerank
 # PageRank over the event-type transition graph (3 power iterations,
 # damping 0.85): the iterative-graph-algorithm pattern on Spark. The heavy
@@ -828,6 +922,7 @@ QUERIES = {
     "q_ev_sliding_counts": q_ev_sliding_counts,
     "q_ev_salted_distinct": q_ev_salted_distinct,
     "q_ev_pagerank": q_ev_pagerank,
+    "q_ev_cms_heavy": q_ev_cms_heavy,
     "q_stream_tumbling_hourly": q_stream_tumbling_hourly,
     "q_stream_sessionize": q_stream_sessionize,
     "q_stream_running_totals": q_stream_running_totals,
@@ -848,6 +943,7 @@ ORACLES = {
     "q_ev_sliding_counts": _SLIDING_SQL,
     "q_ev_salted_distinct": _SALTED_DISTINCT_SQL,
     "q_ev_pagerank": _pagerank_sql(),
+    "q_ev_cms_heavy": _cms_sql(),
     "q_stream_tumbling_hourly": _STREAM_TUMBLING_SQL,
     "q_stream_sessionize": _SESSION_SQL,
     "q_stream_running_totals": _RUNNING_TOTALS_SQL,
