@@ -957,6 +957,100 @@ FROM d GROUP BY lang, split
 """
 
 
+# ----------------------------------------------------- curation pipeline
+# The composed curation pass a training pipeline actually ships: exact
+# dedup (keep min doc_id per content hash) -> quality gate (the
+# q_doc_quality score) -> deterministic hash split -> per-(lang, split)
+# audit with checksum. One window for dedup, narrow maps for score and
+# split, one final aggregate: 2 shuffles end-to-end no matter the corpus
+# size, and every stage is the already-attested operator.
+
+_CUR_MIN_SCORE = 2.0
+
+
+def q_doc_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _docs_par(spark, sf_dir)
+    sw = ",".join(f"'{w}'" for w in _STOPWORDS)
+    w = Window.partitionBy("m").orderBy("doc_id")
+    kept = (
+        docs.withColumn("m", F.md5("text"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    scored = (
+        kept.withColumn("toks", _TOKENS())
+        .withColumn("n_tokens", F.size("toks").cast("bigint"))
+        .withColumn(
+            "n_stop",
+            F.size(F.expr(f"filter(toks, t -> t IN ({sw}))")).cast("bigint"),
+        )
+        .withColumn(
+            "n_punct",
+            (
+                F.length("text")
+                - F.length(F.regexp_replace("text", r"[.,!?;:]", ""))
+            ).cast("bigint"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .withColumn(
+            "quality_score",
+            (F.col("n_stop").cast("double") / F.col("n_tokens")) * 2.0
+            + (1.0 - F.col("n_punct").cast("double") / F.col("n_chars"))
+            + F.when(
+                (F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 1000), 1.0
+            ).otherwise(0.0),
+        )
+        .filter(F.col("quality_score") >= _CUR_MIN_SCORE)
+    )
+    d = scored.withColumn("h", _h(F.col("text"))).withColumn(
+        "split",
+        F.when(F.pmod(F.col("h"), F.lit(_SPLIT_MOD)) < _SPLIT_MOD - 1, "train")
+        .otherwise("test"),
+    )
+    return d.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.expr("bit_xor(h)").alias("checksum"),
+    )
+
+
+_CURATION_SQL = f"""
+WITH kept AS (
+  SELECT * FROM documents
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+),
+feat AS (
+  SELECT lang, n_chars, text,
+         CAST(len({SQL_TOKENS}) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter({SQL_TOKENS},
+              t -> t IN ({",".join(f"'{w}'" for w in _STOPWORDS)}))) AS BIGINT) AS n_stop,
+         CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+              AS BIGINT) AS n_punct
+  FROM kept
+),
+scored AS (
+  SELECT lang, n_chars, text,
+         CAST(n_stop AS DOUBLE) / n_tokens * 2.0
+           + (1.0 - CAST(n_punct AS DOUBLE) / n_chars)
+           + CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END
+           AS quality_score
+  FROM feat WHERE n_tokens > 0
+),
+d AS (
+  SELECT lang, n_chars, {_sql_h('text')} AS h,
+         CASE WHEN {_sql_h('text')} % {_SPLIT_MOD} < {_SPLIT_MOD - 1}
+              THEN 'train' ELSE 'test' END AS split
+  FROM scored WHERE quality_score >= {_CUR_MIN_SCORE}
+)
+SELECT lang, split, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       bit_xor(h) AS checksum
+FROM d GROUP BY lang, split
+"""
+
+
 QUERIES = {
     "q_doc_exact_dedup": q_doc_exact_dedup,
     "q_doc_bpe_tokens": q_doc_bpe_tokens,
@@ -975,6 +1069,7 @@ QUERIES = {
     "q_doc_contamination": q_doc_contamination,
     "q_doc_vocab": q_doc_vocab,
     "q_doc_split": q_doc_split,
+    "q_doc_curation": q_doc_curation,
 }
 
 ORACLES = {
@@ -995,4 +1090,5 @@ ORACLES = {
     "q_doc_contamination": _CONTAMINATION_SQL,
     "q_doc_vocab": _VOCAB_SQL,
     "q_doc_split": _SPLIT_SQL,
+    "q_doc_curation": _CURATION_SQL,
 }

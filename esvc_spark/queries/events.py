@@ -402,6 +402,80 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _event_stream(spark: SparkSession, sf_dir: str):
+    """File-stream source over the events parquet (shared setup for the
+    q_stream_* family): explicit schema, directory-glob basePath, integer
+    ns->us timestamp floor — all self-sufficient on a plain session."""
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(sf_dir, "events.parque*"))
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: clicks joined to same-user purchases
+    landing 1 s..300 s later, both sides watermarked so the state store
+    evicts rows older than the horizon — the unbounded-safe topology.
+    Inner interval joins emit eagerly, so over a bounded stream the result
+    equals the batch range join and shares q_ev_range_pairs' oracle
+    semantics (driver-grade attestation of the stream-stream join path)."""
+    clicks = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND "
+            "p_ts >= c_ts + INTERVAL 1 SECOND AND "
+            "p_ts <= c_ts + INTERVAL 300 SECOND"
+        ),
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+    )
+    _STREAM_SEQ[0] += 1
+    name = f"stream_join_{_STREAM_SEQ[0]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
 
 # ------------------------------------------------------------- KMV sketch
 # K-minimum-values distinct-count sketch over user_id per event type —
@@ -926,6 +1000,7 @@ QUERIES = {
     "q_stream_tumbling_hourly": q_stream_tumbling_hourly,
     "q_stream_sessionize": q_stream_sessionize,
     "q_stream_running_totals": q_stream_running_totals,
+    "q_stream_join": q_stream_join,
 }
 
 ORACLES = {
@@ -947,4 +1022,5 @@ ORACLES = {
     "q_stream_tumbling_hourly": _STREAM_TUMBLING_SQL,
     "q_stream_sessionize": _SESSION_SQL,
     "q_stream_running_totals": _RUNNING_TOTALS_SQL,
+    "q_stream_join": _RANGE_SQL,
 }
