@@ -657,18 +657,23 @@ _SQL_KM_SQDIST = (
 
 def _km_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
     """Assign every vector to its nearest centroid: broadcast cross join
-    against K rows, fold distance, window argmin."""
+    against K rows, fold distance, then argmin as min(struct(sqd, cid)) —
+    a hash aggregate with map-side partial combine, so the shuffle carries
+    N rows, not the N*K scored rows a window-rank argmin would sort.
+    Lexicographic struct-min == ORDER BY sqd, cid LIMIT 1 (same tiebreak
+    as the oracle's ROW_NUMBER). first(emb) is exact: emb is functionally
+    dependent on the group key."""
     scored = e.join(F.broadcast(cents)).select(
         "vec_id",
         "emb",
         "cid",
         _km_sqdist(F.col("emb"), F.col("cemb")).alias("sqd"),
     )
-    w = Window.partitionBy("vec_id").orderBy("sqd", "cid")
-    return (
-        scored.withColumn("arank", F.row_number().over(w))
-        .filter(F.col("arank") == 1)
-        .select("vec_id", "emb", "cid", "sqd")
+    best = scored.groupBy("vec_id").agg(
+        F.min(F.struct("sqd", "cid")).alias("b"), F.first("emb").alias("emb")
+    )
+    return best.select(
+        "vec_id", "emb", F.col("b.cid").alias("cid"), F.col("b.sqd").alias("sqd")
     )
 
 
@@ -777,11 +782,13 @@ def q_emb_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "code",
         _km_sqdist(F.col("part"), F.col("cpart")).alias("sqe"),
     )
-    w = Window.partitionBy("vec_id", "sub").orderBy("sqe", "code")
+    # argmin per (vec_id, sub) as a struct-min hash aggregate (same
+    # map-side-combine rationale as _km_assign; tiebreak == oracle's
+    # ORDER BY sqe, code)
     enc = (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("sub", "code", "sqe")
+        scored.groupBy("vec_id", "sub")
+        .agg(F.min(F.struct("sqe", "code")).alias("b"))
+        .select("sub", F.col("b.code").alias("code"), F.col("b.sqe").alias("sqe"))
     )
     return enc.groupBy("sub").agg(
         F.countDistinct("code").alias("codes_used"),

@@ -301,6 +301,30 @@ FROM events GROUP BY event_type
 _STREAM_SEQ = [0]
 
 
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def _bounded_stream_confs(spark: SparkSession):
+    """Cap state-store partitions while a bounded contract stream runs:
+    every stateful streaming operator spawns shuffle.partitions state
+    tasks per micro-batch, and a plain driver session defaults to 200 —
+    pure task-scheduling latency on a one-batch bounded stream (measured
+    ~2-4x of these queries' wall time). Restored afterwards so batch
+    queries on the same session keep their own sizing; an unbounded
+    production deployment sizes state partitions to key cardinality
+    instead (see esvc_spark.streaming.pipelines)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def q_stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
@@ -329,16 +353,17 @@ def q_stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _STREAM_SEQ[0] += 1
     name = f"stream_tumbling_{_STREAM_SEQ[0]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _bounded_stream_confs(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(name)
 
 
@@ -389,16 +414,17 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _STREAM_SEQ[0] += 1
     name = f"stream_sessionize_{_STREAM_SEQ[0]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _bounded_stream_confs(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(name)
 
 
@@ -464,16 +490,17 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _STREAM_SEQ[0] += 1
     name = f"stream_join_{_STREAM_SEQ[0]}"
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _bounded_stream_confs(spark):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(name)
 
 
@@ -658,16 +685,17 @@ def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = running_user_totals(stream)
     _STREAM_SEQ[0] += 1
     name = f"stream_running_{_STREAM_SEQ[0]}"
-    q = (
-        totals.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _bounded_stream_confs(spark):
+        q = (
+            totals.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(name)
 
 

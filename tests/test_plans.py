@@ -80,3 +80,44 @@ def test_tfidf_broadcasts_df_table(spark):
     assert st["broadcast_hash_joins"] >= 1
     # tf filter restricts the per-doc side at the scan
     assert any("doc_id" in f for f in st["pushed_filters"])
+
+
+def test_kmeans_assignment_never_sorts(spark):
+    from esvc_spark.queries.embeddings import q_emb_kmeans
+
+    st = plan_stats(q_emb_kmeans(spark, SF))
+    # argmin is a struct-min hash aggregate, not a window rank: no
+    # sort-merge join, and the only NLJs are the K-row broadcast cross
+    # joins of the centroid side
+    assert st["sort_merge_joins"] == 0
+    assert st["nested_loop_joins"] <= 2
+
+
+def test_contamination_broadcasts_eval_set(spark):
+    from esvc_spark.queries.documents import q_doc_contamination
+
+    st = plan_stats(q_doc_contamination(spark, SF))
+    # the eval shingle set must broadcast (semi-join); shuffling the
+    # corpus side against it would be the 100 TB failure mode
+    assert st["broadcasts"] >= 1
+    assert st["sort_merge_joins"] == 0
+
+
+def test_cms_sketch_broadcasts(spark):
+    from esvc_spark.queries.events import q_ev_cms_heavy
+
+    st = plan_stats(q_ev_cms_heavy(spark, SF))
+    # the d*w-cell sketch is constant-size and must broadcast to the
+    # probe side
+    assert st["broadcast_hash_joins"] >= 1
+    assert st["nested_loop_joins"] == 0
+
+
+def test_stream_confs_restored(spark):
+    from esvc_spark.queries.events import q_stream_tumbling_hourly
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    q_stream_tumbling_hourly(spark, SF).count()
+    # the bounded-stream state-partition cap must not leak into the
+    # session's batch configuration
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
