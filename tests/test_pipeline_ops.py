@@ -110,3 +110,102 @@ def test_connected_components_property(spark):
             for r in connected_components(df).collect()
         }
         assert got == want
+
+
+# ----------------------------------------------------- operator invariants
+# Structural invariants of the newer pipeline operators — properties that
+# must hold by construction, independent of the oracle value match.
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_cms_never_undercounts(spark):
+    """Count-min estimates are upper bounds on the exact count (the
+    sketch's defining one-sided error guarantee)."""
+    from esvc_spark.queries.events import q_ev_cms_heavy
+
+    rows = q_ev_cms_heavy(spark, SF).collect()
+    assert rows, "probe set must be non-empty"
+    for r in rows:
+        assert r["est"] >= r["n_exact"]
+        assert r["overcount"] == r["est"] - r["n_exact"]
+
+
+def test_kmeans_update_never_increases_wcss(spark):
+    """Lloyd monotonicity: re-assigning to the updated centroids cannot
+    increase the summed squared distance (each step minimizes it)."""
+    from pyspark.sql import functions as F
+
+    from esvc_spark.queries.embeddings import _emb, _km_assign, _km_update
+
+    e = _emb(spark, SF).select("vec_id", "emb")
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("emb").alias("cemb")
+    )
+    a0 = _km_assign(e, cents).persist()
+    wcss0 = a0.agg(F.sum("sqd")).collect()[0][0]
+    a1 = _km_assign(e, _km_update(a0))
+    wcss1 = a1.agg(F.sum("sqd")).collect()[0][0]
+    assert wcss1 <= wcss0 + 1e-9
+
+
+def test_pagerank_is_a_distribution(spark):
+    """Ranks are positive and sum to 1 (damping mass conservation holds
+    because every node in this graph has out-edges)."""
+    from esvc_spark.queries.events import q_ev_pagerank
+
+    rows = q_ev_pagerank(spark, SF).collect()
+    assert rows
+    total = sum(r["pagerank"] for r in rows)
+    assert abs(total - 1.0) < 1e-9
+    assert all(r["pagerank"] > 0 for r in rows)
+
+
+def test_split_partitions_every_doc_exactly_once(spark):
+    """Train/test split is a partition: per-lang doc counts add back up to
+    the corpus, and both splits are non-empty overall."""
+    from pyspark.sql import functions as F
+
+    from esvc_spark.catalog import table as T
+    from esvc_spark.queries.documents import q_doc_split
+
+    split = q_doc_split(spark, SF).collect()
+    per_lang = {}
+    for r in split:
+        per_lang[r["lang"]] = per_lang.get(r["lang"], 0) + r["n_docs"]
+    want = {
+        r["lang"]: r["n"]
+        for r in T(spark, SF, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert per_lang == want
+    assert {r["split"] for r in split} == {"train", "test"}
+
+
+def test_pq_reconstruction_beats_random_code(spark):
+    """The chosen PQ code's error is the subspace minimum: re-encoding
+    with code 0 everywhere can only do worse or equal in aggregate."""
+    from pyspark.sql import functions as F
+
+    from esvc_spark.queries.embeddings import _km_sqdist, _pq_parts, _emb
+
+    e = _emb(spark, SF).select("vec_id", "emb")
+    parts = _pq_parts(e)
+    book = _pq_parts(e.filter(F.col("vec_id") < 16)).select(
+        F.col("vec_id").cast("int").alias("code"), "sub",
+        F.col("part").alias("cpart"),
+    )
+    scored = parts.join(F.broadcast(book), "sub").select(
+        "vec_id", "sub", "code",
+        _km_sqdist(F.col("part"), F.col("cpart")).alias("sqe"),
+    ).persist()
+    best = (
+        scored.groupBy("vec_id", "sub")
+        .agg(F.min(F.struct("sqe", "code")).alias("b"))
+        .agg(F.sum("b.sqe"))
+        .collect()[0][0]
+    )
+    fixed = scored.filter(F.col("code") == 0).agg(F.sum("sqe")).collect()[0][0]
+    assert best <= fixed + 1e-9
