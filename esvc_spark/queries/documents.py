@@ -366,19 +366,22 @@ _ROWS_PER_BAND = _N_PERM // _N_BANDS
 _PERMS = [((1103515245 * i + 12345) % _P or 1, (69069 * i + 1) % _P) for i in range(1, _N_PERM + 1)]
 
 
-def q_doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs_par(spark, sf_dir)
+def _mh_sig(docs: DataFrame) -> DataFrame:
+    """MinHash signature table (doc_id, mh0..mh15) for any (doc_id, text)
+    frame — shared by the self-join LSH and the incremental variant."""
     sh = _shingles_df(docs)
     hashed = sh.select("doc_id", (_h(F.col("shingle")) % _P).alias("h"))
-    # persist: the signature table feeds four plan branches (2 band sides,
-    # 2 re-rank sides); without it the shingle+md5 pipeline re-runs per branch
-    sig = hashed.groupBy("doc_id").agg(
+    return hashed.groupBy("doc_id").agg(
         *[
             F.min((F.lit(a) * F.col("h") + F.lit(b)) % _P).alias(f"mh{i}")
             for i, (a, b) in enumerate(_PERMS)
         ]
-    ).persist()
-    bands = sig.select(
+    )
+
+
+def _mh_bands(sig: DataFrame) -> DataFrame:
+    """Banded LSH keys (doc_id, band_idx, band_key) from a signature table."""
+    return sig.select(
         "doc_id",
         F.posexplode(
             F.array(
@@ -395,6 +398,14 @@ def q_doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band_idx", "band_key"),
     )
+
+
+def q_doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_par(spark, sf_dir)
+    # persist: the signature table feeds four plan branches (2 band sides,
+    # 2 re-rank sides); without it the shingle+md5 pipeline re-runs per branch
+    sig = _mh_sig(docs).persist()
+    bands = _mh_bands(sig)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -456,6 +467,146 @@ FROM cand
 JOIN sig sa ON sa.doc_id = doc_a
 JOIN sig sb ON sb.doc_id = doc_b
 WHERE CAST({match_expr} AS DOUBLE) / {_N_PERM} >= 0.5
+"""
+
+
+# ------------------------------------------- incremental (batch) dedup
+# Dedup a NEW BATCH against an EXISTING CORPUS without ever self-joining
+# the corpus — the shape of streaming ingest dedup at 100 TB: the batch
+# (doc_id < _INC_BATCH stands in for today's arrivals) is tiny and
+# broadcast everywhere; the corpus is streamed exactly twice (once for
+# exact md5 matches, once for LSH band probes) and never shuffled against
+# itself. Verdict per batch doc: 'exact' (corpus copy exists), 'near'
+# (MinHash est_jaccard >= 0.5 with some corpus doc), else 'unique'.
+
+_INC_BATCH = 100
+
+
+def q_doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_par(spark, sf_dir)
+    batch = docs.filter(F.col("doc_id") < _INC_BATCH)
+    corpus = docs.filter(F.col("doc_id") >= _INC_BATCH)
+
+    # exact: stream the corpus md5s against the broadcast batch
+    bm = batch.select(F.col("doc_id").alias("b_doc"), F.md5("text").alias("m"))
+    n_exact = (
+        corpus.select(F.md5("text").alias("m"))
+        .join(F.broadcast(bm), "m")
+        .groupBy("b_doc")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+
+    # near: corpus band keys probed by the broadcast batch bands; the
+    # candidate list is LSH-bounded (batch-sized x bucket collisions), so
+    # it broadcasts into the corpus-signature re-rank join too — the big
+    # signature table is streamed, never shuffled.
+    sig_b = _mh_sig(batch).persist()
+    sig_c = _mh_sig(corpus)
+    cand = (
+        _mh_bands(sig_c)
+        .join(
+            F.broadcast(
+                _mh_bands(sig_b).select(
+                    F.col("doc_id").alias("b_doc"), "band_idx", "band_key"
+                )
+            ),
+            ["band_idx", "band_key"],
+        )
+        .select("b_doc", F.col("doc_id").alias("c_doc"))
+        .distinct()
+    )
+    cand_sig = cand.join(
+        F.broadcast(sig_b.select(F.col("doc_id").alias("b_doc"), *[f"mh{i}" for i in range(_N_PERM)])),
+        "b_doc",
+    )
+    matches = sum(
+        F.when(F.col(f"mh{i}") == F.col(f"cmh{i}"), 1).otherwise(0)
+        for i in range(_N_PERM)
+    )
+    n_near = (
+        F.broadcast(cand_sig)
+        .join(
+            sig_c.select(
+                F.col("doc_id").alias("c_doc"),
+                *[F.col(f"mh{i}").alias(f"cmh{i}") for i in range(_N_PERM)],
+            ),
+            "c_doc",
+        )
+        .withColumn("est", matches.cast("double") / float(_N_PERM))
+        .filter(F.col("est") >= 0.5)
+        .groupBy("b_doc")
+        .agg(F.count(F.lit(1)).alias("n_near"))
+    )
+
+    base = batch.select(F.col("doc_id").alias("b_doc"))
+    # both aggregates are batch-bounded: broadcast, never sort-merge
+    return (
+        base.join(F.broadcast(n_exact), "b_doc", "left")
+        .join(F.broadcast(n_near), "b_doc", "left")
+        .select(
+            F.col("b_doc").alias("doc_id"),
+            F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
+            F.coalesce("n_near", F.lit(0)).alias("n_near"),
+            F.when(F.coalesce("n_exact", F.lit(0)) > 0, "exact")
+            .when(F.coalesce("n_near", F.lit(0)) > 0, "near")
+            .otherwise("unique")
+            .alias("verdict"),
+        )
+    )
+
+
+def _incremental_sql() -> str:
+    mins = ", ".join(
+        f"MIN(({a} * h + {b}) % {_P}) AS mh{i}" for i, (a, b) in enumerate(_PERMS)
+    )
+    band_keys = ", ".join(
+        "concat_ws('_', "
+        + ", ".join(f"mh{j}" for j in range(b * _ROWS_PER_BAND, (b + 1) * _ROWS_PER_BAND))
+        + f") AS band{b}"
+        for b in range(_N_BANDS)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, band{b} AS band_key FROM banded"
+        for b in range(_N_BANDS)
+    )
+    match_expr = " + ".join(
+        f"CASE WHEN sb.mh{i} = sc.mh{i} THEN 1 ELSE 0 END" for i in range(_N_PERM)
+    )
+    return f"""
+WITH sh AS ({_SQL_SHINGLES}),
+hashed AS (SELECT doc_id, {_sql_h('shingle')} % {_P} AS h FROM sh),
+sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+banded AS (SELECT doc_id, {band_keys} FROM sig),
+bands AS ({band_rows}),
+n_exact AS (
+  SELECT b.doc_id AS b_doc, COUNT(*) AS n_exact
+  FROM (SELECT doc_id, md5(text) AS m FROM documents
+        WHERE doc_id < {_INC_BATCH}) b
+  JOIN (SELECT md5(text) AS m FROM documents
+        WHERE doc_id >= {_INC_BATCH}) c USING (m)
+  GROUP BY b.doc_id
+),
+cand AS (
+  SELECT DISTINCT b.doc_id AS b_doc, c.doc_id AS c_doc
+  FROM bands b JOIN bands c
+    ON b.band_idx = c.band_idx AND b.band_key = c.band_key
+  WHERE b.doc_id < {_INC_BATCH} AND c.doc_id >= {_INC_BATCH}
+),
+n_near AS (
+  SELECT b_doc, COUNT(*) AS n_near
+  FROM cand
+  JOIN sig sb ON sb.doc_id = b_doc
+  JOIN sig sc ON sc.doc_id = c_doc
+  WHERE CAST({match_expr} AS DOUBLE) / {_N_PERM} >= 0.5
+  GROUP BY b_doc
+)
+SELECT d.doc_id, COALESCE(n_exact, 0) AS n_exact, COALESCE(n_near, 0) AS n_near,
+       CASE WHEN COALESCE(n_exact, 0) > 0 THEN 'exact'
+            WHEN COALESCE(n_near, 0) > 0 THEN 'near'
+            ELSE 'unique' END AS verdict
+FROM (SELECT doc_id FROM documents WHERE doc_id < {_INC_BATCH}) d
+LEFT JOIN n_exact ON n_exact.b_doc = d.doc_id
+LEFT JOIN n_near ON n_near.b_doc = d.doc_id
 """
 
 
@@ -1070,6 +1221,7 @@ QUERIES = {
     "q_doc_vocab": q_doc_vocab,
     "q_doc_split": q_doc_split,
     "q_doc_curation": q_doc_curation,
+    "q_doc_incremental_dedup": q_doc_incremental_dedup,
 }
 
 ORACLES = {
@@ -1091,4 +1243,5 @@ ORACLES = {
     "q_doc_vocab": _VOCAB_SQL,
     "q_doc_split": _SPLIT_SQL,
     "q_doc_curation": _CURATION_SQL,
+    "q_doc_incremental_dedup": _incremental_sql(),
 }
