@@ -669,6 +669,72 @@ FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
+# ---------------------------------------------------------------- pivot / unpivot
+
+
+def q_pivot_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: quantity matrix of return flag x line status. The pivoted
+    value list is pinned (A/N/R), so the output schema is static — the
+    precondition for pivot at scale (a dynamic value scan would need an
+    extra pass). One shuffle on the group key; each cell is the exact
+    decimal sum."""
+    li = T(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(dsum("l_quantity", 2))
+    )
+    return p.select(
+        "l_linestatus",
+        F.col("A").alias("qty_a"),
+        F.col("N").alias("qty_n"),
+        F.col("R").alias("qty_r"),
+    )
+
+
+_QPIVOT_SQL = f"""
+SELECT l_linestatus,
+       {sql_dsum("CASE WHEN l_returnflag = 'A' THEN l_quantity END", 2)} AS qty_a,
+       {sql_dsum("CASE WHEN l_returnflag = 'N' THEN l_quantity END", 2)} AS qty_n,
+       {sql_dsum("CASE WHEN l_returnflag = 'R' THEN l_quantity END", 2)} AS qty_r
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
+def q_unpivot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): per-status order stats widened by aggregation, then
+    melted back to (status, measure, value) rows — the long format a
+    metrics store ingests. Narrow transform after one aggregate."""
+    orders = T(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        dsum("o_totalprice", 2).alias("sum_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+    return wide.unpivot(
+        "o_orderstatus",
+        ["n_orders", "sum_price", "min_price", "max_price"],
+        "measure",
+        "value",
+    )
+
+
+_QUNPIVOT_SQL = f"""
+WITH wide AS (
+  SELECT o_orderstatus,
+         CAST(COUNT(*) AS DOUBLE) AS n_orders,
+         {sql_dsum('o_totalprice', 2)} AS sum_price,
+         MIN(o_totalprice) AS min_price,
+         MAX(o_totalprice) AS max_price
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, measure, value
+FROM wide
+UNPIVOT (value FOR measure IN (n_orders, sum_price, min_price, max_price))
+"""
+
+
 # ---------------------------------------------------------------- set operations
 
 
@@ -1059,6 +1125,8 @@ QUERIES = {
     "q_rollup_returns": q_rollup_returns,
     "q_cube_orders": q_cube_orders,
     "q_setops_customers": q_setops_customers,
+    "q_pivot_returns": q_pivot_returns,
+    "q_unpivot_orders": q_unpivot_orders,
 }
 
 ORACLES = {
@@ -1090,4 +1158,6 @@ ORACLES = {
     "q_cube_orders": _QCUBE_SQL,
     "q_grouping_sets": _QGSETS_SQL,
     "q_setops_customers": _QSETOPS_SQL,
+    "q_pivot_returns": _QPIVOT_SQL,
+    "q_unpivot_orders": _QUNPIVOT_SQL,
 }
