@@ -504,6 +504,38 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with bounded state: dropDuplicatesWithinWatermark
+    on the content key evicts dedup state past the horizon. Over the
+    bounded one-batch stream every duplicate falls inside the horizon, so
+    the append-mode output equals batch SELECT DISTINCT — a value-level
+    oracle for the streaming dedup path (the unbounded topology is
+    esvc_spark.streaming.pipelines.dedup_stream)."""
+    stream = _event_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    deduped = stream.dropDuplicatesWithinWatermark(
+        ["user_id", "event_type", "value"]
+    ).select("user_id", "event_type", "value")
+    _STREAM_SEQ[0] += 1
+    name = f"stream_dedup_{_STREAM_SEQ[0]}"
+    with _bounded_stream_confs(spark):
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.table(name)
+
+
+_STREAM_DEDUP_SQL = """
+SELECT DISTINCT user_id, event_type, value FROM events
+"""
+
+
 # ------------------------------------------------------------- KMV sketch
 # K-minimum-values distinct-count sketch over user_id per event type —
 # the deterministic cousin of HyperLogLog (md5-derived hashes, so both
@@ -1029,6 +1061,7 @@ QUERIES = {
     "q_stream_sessionize": q_stream_sessionize,
     "q_stream_running_totals": q_stream_running_totals,
     "q_stream_join": q_stream_join,
+    "q_stream_dedup": q_stream_dedup,
 }
 
 ORACLES = {
@@ -1051,4 +1084,5 @@ ORACLES = {
     "q_stream_sessionize": _SESSION_SQL,
     "q_stream_running_totals": _RUNNING_TOTALS_SQL,
     "q_stream_join": _RANGE_SQL,
+    "q_stream_dedup": _STREAM_DEDUP_SQL,
 }
