@@ -610,6 +610,95 @@ LEFT JOIN n_near ON n_near.b_doc = d.doc_id
 """
 
 
+# ------------------------------------------------------- LM scoring
+# Bigram language-model scoring with add-1 smoothing: train on the whole
+# corpus, score a fixed slice by the MEAN bigram probability — the
+# perplexity-style fluency signal of a quality pipeline, kept log-free
+# (transcendentals are not correctly-rounded; a mean of rational
+# probabilities carries the same ordering signal with exact cross-engine
+# arithmetic). Each p is one IEEE division of exact integers; the per-doc
+# mean is a sequential fold in token-position order (full-precision
+# doubles never round through decimals — see the PageRank note).
+# Scale shape: the model tables are vocabulary-bounded; scoring joins the
+# scored slice's bigrams against them — the corpus shuffles once to count.
+
+_LM_SCORE_N = 100
+
+
+def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _docs_par(spark, sf_dir)
+    toks = docs.select("doc_id", F.posexplode(_TOKENS()).alias("pos", "w"))
+    bi = (
+        toks.withColumn(
+            "w2", F.lead("w").over(Window.partitionBy("doc_id").orderBy("pos"))
+        )
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", "pos", F.col("w").alias("w1"), "w2")
+    )
+    c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = toks.agg(F.countDistinct("w").alias("v"))
+    scored = (
+        bi.filter(F.col("doc_id") < _LM_SCORE_N)
+        .join(c12, ["w1", "w2"], "left")
+        .join(F.broadcast(c1), "w1", "left")
+        .join(vocab)
+        .withColumn(
+            "p",
+            (F.coalesce("c12", F.lit(0)) + 1).cast("double")
+            / (F.coalesce("c1", F.lit(0)) + F.col("v")),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.aggregate(
+                F.expr("transform(array_sort(collect_list(struct(pos, p))), t -> t.p)"),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("psum"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (F.col("psum") / F.col("n_bigrams")).alias("lm_score"),
+        )
+    )
+
+
+_LM_SCORE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos, w[i] AS w
+  FROM (SELECT doc_id, {SQL_TOKENS} AS w FROM documents),
+       unnest(range(1, len(w) + 1)) t(i)
+),
+bi AS (
+  SELECT doc_id, pos, w AS w1,
+         LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM toks QUALIFY w2 IS NOT NULL
+),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY w1, w2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY w1),
+vocab AS (SELECT COUNT(DISTINCT w) AS v FROM toks),
+scored AS (
+  SELECT b.doc_id, b.pos,
+         CAST(COALESCE(c12, 0) + 1 AS DOUBLE) / (COALESCE(c1, 0) + v) AS p
+  FROM bi b
+  LEFT JOIN c12 USING (w1, w2)
+  LEFT JOIN c1 USING (w1)
+  CROSS JOIN vocab
+  WHERE b.doc_id < {_LM_SCORE_N}
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(p ORDER BY pos)),
+                   (acc, x) -> acc + x) / COUNT(*) AS lm_score
+FROM scored GROUP BY doc_id
+"""
+
+
 # ------------------------------------------------------- simhash
 # 32-bit SimHash over token hashes: per bit, sign of the +1/-1 vote sum
 # across tokens; near-identical docs land within small Hamming distance.
@@ -1222,6 +1311,7 @@ QUERIES = {
     "q_doc_split": q_doc_split,
     "q_doc_curation": q_doc_curation,
     "q_doc_incremental_dedup": q_doc_incremental_dedup,
+    "q_doc_lm_score": q_doc_lm_score,
 }
 
 ORACLES = {
@@ -1244,4 +1334,5 @@ ORACLES = {
     "q_doc_split": _SPLIT_SQL,
     "q_doc_curation": _CURATION_SQL,
     "q_doc_incremental_dedup": _incremental_sql(),
+    "q_doc_lm_score": _LM_SCORE_SQL,
 }
