@@ -735,6 +735,84 @@ UNPIVOT (value FOR measure IN (n_orders, sum_price, min_price, max_price))
 """
 
 
+# ---------------------------------------------------------------- full outer
+
+
+def q_fullouter_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: daily order counts vs daily shipment counts —
+    days that only ordered, only shipped, or both all survive. Two
+    map-side-combined aggregates then one join of date-cardinality
+    tables (tiny at any sf)."""
+    # date_trunc keeps d a TIMESTAMP: Spark DATE surfaces as python
+    # date objects while DuckDB DATE arrives as datetime64 — a dtype
+    # mismatch under the driver's type-sensitive hash
+    o = (
+        T(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    s = (
+        T(spark, sf_dir, "lineitem")
+        .groupBy(F.date_trunc("day", "l_shipdate").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n_shipped"))
+    )
+    return o.join(s, "d", "full_outer").select(
+        "d",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("n_shipped", F.lit(0)).alias("n_shipped"),
+    )
+
+
+_QFULLOUTER_SQL = """
+WITH o AS (SELECT date_trunc('day', o_orderdate) AS d, COUNT(*) AS n_orders
+           FROM orders GROUP BY 1),
+s AS (SELECT date_trunc('day', l_shipdate) AS d, COUNT(*) AS n_shipped
+      FROM lineitem GROUP BY 1)
+SELECT COALESCE(o.d, s.d) AS d,
+       COALESCE(n_orders, 0) AS n_orders,
+       COALESCE(n_shipped, 0) AS n_shipped
+FROM o FULL OUTER JOIN s ON o.d = s.d
+"""
+
+
+def q_window_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE deciles of customer lifetime spend (ties broken by custkey so
+    bucket assignment is total-order deterministic), re-aggregated to one
+    row per decile."""
+    spend = (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(dsum("o_totalprice", 2).alias("spend"))
+    )
+    w = Window.orderBy(F.desc("spend"), "o_custkey")
+    return (
+        spend.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("spend", 2).alias("total_spend"),
+            F.min("spend").alias("min_spend"),
+            F.max("spend").alias("max_spend"),
+        )
+    )
+
+
+_QDECILES_SQL = f"""
+WITH spend AS (
+  SELECT o_custkey, {sql_dsum('o_totalprice', 2)} AS spend
+  FROM orders GROUP BY o_custkey
+),
+tiled AS (
+  SELECT spend, NTILE(10) OVER (ORDER BY spend DESC, o_custkey) AS decile
+  FROM spend
+)
+SELECT decile, COUNT(*) AS n_customers,
+       {sql_dsum('spend', 2)} AS total_spend,
+       MIN(spend) AS min_spend, MAX(spend) AS max_spend
+FROM tiled GROUP BY decile
+"""
+
+
 # ---------------------------------------------------------------- set operations
 
 
@@ -1127,6 +1205,8 @@ QUERIES = {
     "q_setops_customers": q_setops_customers,
     "q_pivot_returns": q_pivot_returns,
     "q_unpivot_orders": q_unpivot_orders,
+    "q_fullouter_daily": q_fullouter_daily,
+    "q_window_deciles": q_window_deciles,
 }
 
 ORACLES = {
@@ -1160,4 +1240,6 @@ ORACLES = {
     "q_setops_customers": _QSETOPS_SQL,
     "q_pivot_returns": _QPIVOT_SQL,
     "q_unpivot_orders": _QUNPIVOT_SQL,
+    "q_fullouter_daily": _QFULLOUTER_SQL,
+    "q_window_deciles": _QDECILES_SQL,
 }
