@@ -939,6 +939,149 @@ GROUP BY user_id, n_exact
 """
 
 
+# ------------------------------------------------------------ bloom filter
+# Deterministic Bloom filter over purchase user_ids (k=3 md5-derived
+# hashes into m=1024 bits, stored as 16 bigint words via bit_or
+# aggregation), probed with every distinct user to measure the actual
+# false-positive rate against ground truth. Completes the sketch family
+# (KMV = cardinality, count-min = frequency, Bloom = membership); the
+# filter build is a constant-size bit_or aggregate and the probe side
+# joins against 16 broadcast words.
+
+_BF_K = 3
+_BF_M = 1024  # bits
+# 63 usable bits per signed-64 word: bit 63 would overflow DuckDB's
+# checked left shift (and silently wrap in Spark)
+_BF_WORDS = -(-_BF_M // 63)
+_BF_ABSENT_OFFSET = 1_000_000  # shadow probe ids guaranteed non-member
+
+
+def _bf_bit(i: int, col: str = "user_id", dialect: str = "spark") -> str:
+    """Bit index of hash i — same md5-derived integer in both dialects
+    (Spark parses hex via conv(); DuckDB via the '0x' string cast)."""
+    if dialect == "spark":
+        return (
+            f"CAST(conv(substr(md5(concat('b{i}:', CAST({col} AS STRING))), "
+            f"1, 15), 16, 10) AS BIGINT) % {_BF_M}"
+        )
+    return (
+        f"CAST(('0x' || substr(md5('b{i}:' || CAST({col} AS VARCHAR)), 1, 15)) "
+        f"AS BIGINT) % {_BF_M}"
+    )
+
+
+def q_ev_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    members = (
+        ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    )
+    # word w collects bit (b % 64) of every hash landing in word b div 64
+    # (integer div — `/`+cast truncates in Spark but CAST(double) ROUNDS
+    # in DuckDB, so both dialects use their integer-division operator)
+    bits = members.select(
+        *[F.expr(_bf_bit(i)).alias(f"b{i}") for i in range(_BF_K)]
+    )
+    for w in range(_BF_WORDS):
+        ors = " | ".join(
+            f"CASE WHEN CAST(b{i} div 63 AS INT) = {w} "
+            f"THEN shiftleft(CAST(1 AS BIGINT), CAST(b{i} % 63 AS INT)) "
+            f"ELSE CAST(0 AS BIGINT) END"
+            for i in range(_BF_K)
+        )
+        bits = bits.withColumn(f"w{w}", F.expr(ors))
+    filt = bits.agg(
+        *[F.expr(f"bit_or(w{w})").alias(f"w{w}") for w in range(_BF_WORDS)]
+    )
+    # probe every real user plus an offset shadow set guaranteed absent,
+    # so the false-positive rate is measured against true negatives
+    real = ev.select("user_id").distinct()
+    probes = real.union(
+        real.select((F.col("user_id") + _BF_ABSENT_OFFSET).alias("user_id"))
+    ).distinct()
+    truth = members.withColumn("is_member", F.lit(True))
+    probe_bits = probes.join(F.broadcast(filt)).select(
+        "user_id",
+        *[F.col(f"w{w}") for w in range(_BF_WORDS)],
+        *[F.expr(_bf_bit(i)).alias(f"b{i}") for i in range(_BF_K)],
+    )
+    maybe = None
+    for i in range(_BF_K):
+        w_expr = " ".join(
+            f"WHEN CAST(b{i} div 63 AS INT) = {w} THEN w{w}"
+            for w in range(_BF_WORDS)
+        )
+        t = F.expr(
+            f"(shiftright(CASE {w_expr} END, CAST(b{i} % 63 AS INT)) & 1) = 1"
+        )
+        maybe = t if maybe is None else (maybe & t)
+    verdicts = probe_bits.withColumn("maybe", maybe).join(
+        F.broadcast(truth), "user_id", "left"
+    ).select(
+        "user_id",
+        "maybe",
+        F.coalesce("is_member", F.lit(False)).alias("is_member"),
+    )
+    return verdicts.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum(F.when(F.col("is_member"), 1).otherwise(0)).cast("bigint").alias("n_members"),
+        F.sum(F.when(F.col("maybe") & ~F.col("is_member"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_false_positives"),
+        F.sum(F.when(~F.col("maybe") & F.col("is_member"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_false_negatives"),
+    )
+
+
+def _bloom_sql() -> str:
+    bit_cols = ", ".join(
+        f"{_bf_bit(i, dialect='duckdb')} AS b{i}" for i in range(_BF_K)
+    )
+    word_exprs = ", ".join(
+        "bit_or(" + " | ".join(
+            f"CASE WHEN CAST(b{i} // 63 AS INT) = {w} "
+            f"THEN (CAST(1 AS BIGINT) << CAST(b{i} % 63 AS INT)) "
+            f"ELSE CAST(0 AS BIGINT) END"
+            for i in range(_BF_K)
+        ) + f") AS w{w}"
+        for w in range(_BF_WORDS)
+    )
+    tests = " AND ".join(
+        "((CASE "
+        + " ".join(f"WHEN CAST(b{i} // 63 AS INT) = {w} THEN w{w}" for w in range(_BF_WORDS))
+        + f" END >> CAST(b{i} % 63 AS INT)) & 1) = 1"
+        for i in range(_BF_K)
+    )
+    return f"""
+WITH members AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+),
+mbits AS (SELECT user_id, {bit_cols} FROM members),
+filt AS (SELECT {word_exprs} FROM mbits),
+probes AS (
+  SELECT DISTINCT user_id FROM (
+    SELECT user_id FROM events
+    UNION ALL
+    SELECT user_id + {_BF_ABSENT_OFFSET} FROM events
+  )
+),
+pbits AS (SELECT user_id, {bit_cols} FROM probes),
+verdicts AS (
+  SELECT p.user_id, ({tests}) AS maybe,
+         (m.user_id IS NOT NULL) AS is_member
+  FROM pbits p CROSS JOIN filt
+  LEFT JOIN members m ON m.user_id = p.user_id
+)
+SELECT COUNT(*) AS n_probes,
+       CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+       CAST(SUM(CASE WHEN maybe AND NOT is_member THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_positives,
+       CAST(SUM(CASE WHEN NOT maybe AND is_member THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_negatives
+FROM verdicts
+"""
+
+
 # ---------------------------------------------------------------- pagerank
 # PageRank over the event-type transition graph (3 power iterations,
 # damping 0.85): the iterative-graph-algorithm pattern on Spark. The heavy
@@ -1057,6 +1200,7 @@ QUERIES = {
     "q_ev_salted_distinct": q_ev_salted_distinct,
     "q_ev_pagerank": q_ev_pagerank,
     "q_ev_cms_heavy": q_ev_cms_heavy,
+    "q_ev_bloom": q_ev_bloom,
     "q_stream_tumbling_hourly": q_stream_tumbling_hourly,
     "q_stream_sessionize": q_stream_sessionize,
     "q_stream_running_totals": q_stream_running_totals,
@@ -1080,6 +1224,7 @@ ORACLES = {
     "q_ev_salted_distinct": _SALTED_DISTINCT_SQL,
     "q_ev_pagerank": _pagerank_sql(),
     "q_ev_cms_heavy": _cms_sql(),
+    "q_ev_bloom": _bloom_sql(),
     "q_stream_tumbling_hourly": _STREAM_TUMBLING_SQL,
     "q_stream_sessionize": _SESSION_SQL,
     "q_stream_running_totals": _RUNNING_TOTALS_SQL,

@@ -140,7 +140,12 @@ def main() -> int:
             status = f"rows-only ({len(got)} rows)"
             ok = True
         else:
-            want = canon(con.sql(oracles[name]).df())
+            try:
+                want = canon(con.sql(oracles[name]).df())
+            except Exception as e:  # noqa: BLE001 - oracle-side failure
+                print(f"FAIL {name:32s}    ORACLE ERR {type(e).__name__}: {e}")
+                failed.append(name)
+                continue
             ok = list(got.columns) == list(want.columns) and len(got) == len(want)
             if ok and dtype_kinds(got) != dtype_kinds(want):
                 ok = False
