@@ -209,3 +209,20 @@ def test_pq_reconstruction_beats_random_code(spark):
     )
     fixed = scored.filter(F.col("code") == 0).agg(F.sum("sqe")).collect()[0][0]
     assert best <= fixed + 1e-9
+
+
+def test_bloom_has_no_false_negatives(spark):
+    """Bloom filters are one-sided: every member must test positive; the
+    false-positive count stays under a loose multiple of the theoretical
+    rate for k=3, m=1024."""
+    from esvc_spark.queries.events import q_ev_bloom
+
+    row = q_ev_bloom(spark, SF).collect()[0]
+    assert row["n_false_negatives"] == 0
+    n_negatives = row["n_probes"] - row["n_members"]
+    assert n_negatives > 0, "probe set must contain true negatives"
+    # theoretical FPR (1 - e^(-k n/m))^k; allow 4x for small-sample noise
+    import math
+
+    fpr = (1 - math.exp(-3 * row["n_members"] / 1024)) ** 3
+    assert row["n_false_positives"] <= max(5, 4 * fpr * n_negatives)
