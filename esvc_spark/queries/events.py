@@ -939,6 +939,98 @@ GROUP BY user_id, n_exact
 """
 
 
+# ---------------------------------------------------------------- HLL
+# Real HyperLogLog (m=64 registers) over user_id per event type, next to
+# the exact count — raw estimator, no small-range correction (that needs
+# ln(), which is not correctly rounded across engines; KMV above is the
+# corrected-accuracy alternative). Register update is pure integer math:
+# bucket = hash div 2^54, rho = leading zeros of the 54-bit remainder + 1
+# computed as 55 - length(bin(rest)) (string length of the binary
+# expansion — identical in both engines, no log2). The indicator sum
+# folds 2^-rho in bucket order: each term is an exact power of two, but
+# adding 2^-60 into a ~64 accumulator rounds, so order is pinned.
+# Scale shape: constant 64-register state per group, map-side combined.
+
+_HLL_M = 64  # registers (6-bit bucket index)
+_HLL_REST_BITS = 54  # 60-bit hash minus 6 bucket bits
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)  # same literal in both engines
+
+
+def q_ev_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    hashed = ev.select("event_type", h.alias("h")).distinct()
+    regs = (
+        hashed.select(
+            "event_type",
+            F.expr(f"CAST(h div {1 << _HLL_REST_BITS} AS INT)").alias("bucket"),
+            F.expr(
+                f"CASE WHEN h % {1 << _HLL_REST_BITS} = 0 THEN {_HLL_REST_BITS + 1} "
+                f"ELSE {_HLL_REST_BITS + 1} - length(bin(h % {1 << _HLL_REST_BITS})) END"
+            ).alias("rho"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+    ind = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.aggregate(
+            F.expr("transform(array_sort(collect_list(struct(bucket, reg))), t -> pow(2.0, -t.reg))"),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("present_sum"),
+    )
+    exact = hashed.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_exact"))
+    est = (
+        F.lit(_HLL_ALPHA)
+        * F.lit(float(_HLL_M * _HLL_M))
+        / (F.col("present_sum") + (F.lit(_HLL_M) - F.col("n_present")).cast("double"))
+    )
+    return (
+        exact.join(F.broadcast(ind), "event_type")
+        .withColumn("est_hll", est)
+        .withColumn(
+            "rel_err",
+            (F.col("est_hll") - F.col("n_exact").cast("double"))
+            / F.col("n_exact").cast("double"),
+        )
+        .select("event_type", "n_exact", "est_hll", "rel_err")
+    )
+
+
+_HLL_SQL = f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM events
+),
+regs AS (
+  SELECT event_type, CAST(h // {1 << _HLL_REST_BITS} AS INT) AS bucket,
+         MAX(CASE WHEN h % {1 << _HLL_REST_BITS} = 0 THEN {_HLL_REST_BITS + 1}
+                  ELSE {_HLL_REST_BITS + 1} - length(bin(h % {1 << _HLL_REST_BITS})) END)
+           AS reg
+  FROM hashed GROUP BY 1, 2
+),
+ind AS (
+  SELECT event_type, COUNT(*) AS n_present,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(pow(2.0, -reg) ORDER BY bucket)),
+                     (acc, x) -> acc + x) AS present_sum
+  FROM regs GROUP BY event_type
+),
+exact AS (SELECT event_type, COUNT(*) AS n_exact FROM hashed GROUP BY event_type)
+SELECT event_type, n_exact,
+       CAST({_HLL_ALPHA!r} AS DOUBLE) * {float(_HLL_M * _HLL_M)!r}
+         / (present_sum + CAST({_HLL_M} - n_present AS DOUBLE)) AS est_hll,
+       (CAST({_HLL_ALPHA!r} AS DOUBLE) * {float(_HLL_M * _HLL_M)!r}
+         / (present_sum + CAST({_HLL_M} - n_present AS DOUBLE)) - CAST(n_exact AS DOUBLE))
+         / CAST(n_exact AS DOUBLE) AS rel_err
+FROM exact JOIN ind USING (event_type)
+"""
+
+
 # ------------------------------------------------------------ bloom filter
 # Deterministic Bloom filter over purchase user_ids (k=3 md5-derived
 # hashes into m=1024 bits, stored as 16 bigint words via bit_or
@@ -1201,6 +1293,7 @@ QUERIES = {
     "q_ev_pagerank": q_ev_pagerank,
     "q_ev_cms_heavy": q_ev_cms_heavy,
     "q_ev_bloom": q_ev_bloom,
+    "q_ev_hll_distinct": q_ev_hll_distinct,
     "q_stream_tumbling_hourly": q_stream_tumbling_hourly,
     "q_stream_sessionize": q_stream_sessionize,
     "q_stream_running_totals": q_stream_running_totals,
@@ -1225,6 +1318,7 @@ ORACLES = {
     "q_ev_pagerank": _pagerank_sql(),
     "q_ev_cms_heavy": _cms_sql(),
     "q_ev_bloom": _bloom_sql(),
+    "q_ev_hll_distinct": _HLL_SQL,
     "q_stream_tumbling_hourly": _STREAM_TUMBLING_SQL,
     "q_stream_sessionize": _SESSION_SQL,
     "q_stream_running_totals": _RUNNING_TOTALS_SQL,
