@@ -610,6 +610,59 @@ LEFT JOIN n_near ON n_near.b_doc = d.doc_id
 """
 
 
+# ------------------------------------------------------- upsampling
+# Domain up-sampling (epochs per language): each doc is replicated
+# factor-many times with a copy index — the "repeat high-quality domains
+# N epochs" step of a data-mixing recipe, as a narrow explode (no
+# shuffle until the audit aggregate). The checksum hashes (text, copy)
+# so downstream can verify the exact replicated multiset, not just
+# counts.
+
+_UP_FACTORS = {"en": 1, "de": 2, "es": 3, "fr": 2, "zh": 4}
+_UP_DEFAULT = 1
+
+
+def q_doc_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_par(spark, sf_dir)
+    factor = F.lit(_UP_DEFAULT)
+    for lang, f in _UP_FACTORS.items():
+        factor = F.when(F.col("lang") == lang, f).otherwise(factor)
+    d = (
+        docs.withColumn("factor", factor)
+        .withColumn("copy_idx", F.explode(F.expr("sequence(1, factor)")))
+        .withColumn(
+            "h", _h(F.concat(F.col("text"), F.lit(":"), F.col("copy_idx").cast("string")))
+        )
+    )
+    return d.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.max("factor").alias("factor"),
+        F.count(F.lit(1)).alias("n_out"),
+        F.expr("bit_xor(h)").alias("checksum"),
+    )
+
+
+def _upsample_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{lang}' THEN {f}" for lang, f in _UP_FACTORS.items()
+    )
+    return f"""
+WITH d AS (
+  SELECT lang, doc_id,
+         {_sql_h(f"text || ':' || CAST(copy_idx AS VARCHAR)")} AS h,
+         factor
+  FROM (
+    SELECT lang, doc_id, text,
+           CASE lang {cases} ELSE {_UP_DEFAULT} END AS factor
+    FROM documents
+  ), unnest(range(1, factor + 1)) t(copy_idx)
+)
+SELECT lang, COUNT(DISTINCT doc_id) AS n_docs, MAX(factor) AS factor,
+       COUNT(*) AS n_out, bit_xor(h) AS checksum
+FROM d GROUP BY lang
+"""
+
+
 # ------------------------------------------------------- LM scoring
 # Bigram language-model scoring with add-1 smoothing: train on the whole
 # corpus, score a fixed slice by the MEAN bigram probability — the
@@ -1312,6 +1365,7 @@ QUERIES = {
     "q_doc_curation": q_doc_curation,
     "q_doc_incremental_dedup": q_doc_incremental_dedup,
     "q_doc_lm_score": q_doc_lm_score,
+    "q_doc_upsample": q_doc_upsample,
 }
 
 ORACLES = {
@@ -1335,4 +1389,5 @@ ORACLES = {
     "q_doc_curation": _CURATION_SQL,
     "q_doc_incremental_dedup": _incremental_sql(),
     "q_doc_lm_score": _LM_SCORE_SQL,
+    "q_doc_upsample": _upsample_sql(),
 }
