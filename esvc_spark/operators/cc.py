@@ -11,14 +11,45 @@ instead of a change-join, one cheap job per round.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def connected_components(edges: DataFrame) -> DataFrame:
+@contextmanager
+def _scoped_shuffle_partitions(spark, n: int | None):
+    """Temporarily size shuffle partitions for the label-propagation
+    rounds. The label/edge tables of a dedup graph are pair-list-sized
+    (orders of magnitude below the corpus), so a session tuned for corpus
+    scans — or a plain driver session at 200 — pays pure task-scheduling
+    latency per round. Restored on exit; pass None to leave the session
+    untouched (e.g. when the edge list really is corpus-scale)."""
+    if n is None:
+        yield
+        return
+    old = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def connected_components(
+    edges: DataFrame, shuffle_partitions: int | None = 8
+) -> DataFrame:
     """`edges(src BIGINT, dst BIGINT)` (undirected; duplicates fine) →
     `(doc_id, label)` where label = min node id of the component. Nodes
     are those that appear in at least one edge."""
+    with _scoped_shuffle_partitions(edges.sparkSession, shuffle_partitions):
+        return _connected_components(edges)
+
+
+def _connected_components(edges: DataFrame) -> DataFrame:
     e0 = edges.select("src", "dst")
     sym = (
         e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
