@@ -62,3 +62,20 @@ def test_bucketed_join_skips_shuffle(spark, small, tmp_path):
     st = plan_stats(joined)
     assert st["shuffles"] == 0, "bucketed equi-join must not reshuffle"
     assert joined.count() == 100
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """A growing table (new column added by a later writer) reads as one
+    frame with mergeSchema: old files surface NULL for the new column.
+    The schema-evolution posture a long-lived 100 TB dataset needs."""
+    p = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([(1, "a")], "id BIGINT, name STRING")
+    write_sink(v1, p, mode="overwrite")
+    v2 = spark.createDataFrame(
+        [(2, "b", 9.5)], "id BIGINT, name STRING, score DOUBLE"
+    )
+    write_sink(v2, p, mode="append")
+    df = read_source(spark, p, mergeSchema="true")
+    assert set(df.columns) == {"id", "name", "score"}
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5
