@@ -813,6 +813,57 @@ FROM tiled GROUP BY decile
 """
 
 
+# ---------------------------------------------------------------- profiling
+
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile (the data-quality audit a pipeline
+    runs on every new partition): per numeric column — rows, nulls,
+    distincts, min/max. One pass over the scan; all measures are
+    map-side-combinable aggregates, then a narrow unpivot to long form."""
+    li = T(spark, sf_dir, "lineitem")
+    wide = li.agg(
+        *[
+            a
+            for c in _PROFILE_COLS
+            for a in (
+                F.count(F.lit(1)).alias(f"{c}__n"),
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"{c}__nulls"),
+                F.countDistinct(c).alias(f"{c}__distinct"),
+                F.min(c).alias(f"{c}__min"),
+                F.max(c).alias(f"{c}__max"),
+            )
+        ]
+    )
+    rows = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"{c}__n").alias("n_rows"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+            F.col(f"{c}__min").cast("double").alias("vmin"),
+            F.col(f"{c}__max").cast("double").alias("vmax"),
+        )
+        for c in _PROFILE_COLS
+    ]
+    return wide.select(F.explode(F.array(*rows)).alias("s")).select("s.*")
+
+
+_QPROFILE_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       CAST(MIN({c}) AS DOUBLE) AS vmin, CAST(MAX({c}) AS DOUBLE) AS vmax
+FROM lineitem"""
+    for c in _PROFILE_COLS
+)
+
+
 # ---------------------------------------------------------------- set operations
 
 
@@ -1207,6 +1258,7 @@ QUERIES = {
     "q_unpivot_orders": q_unpivot_orders,
     "q_fullouter_daily": q_fullouter_daily,
     "q_window_deciles": q_window_deciles,
+    "q_profile_lineitem": q_profile_lineitem,
 }
 
 ORACLES = {
@@ -1242,4 +1294,5 @@ ORACLES = {
     "q_unpivot_orders": _QUNPIVOT_SQL,
     "q_fullouter_daily": _QFULLOUTER_SQL,
     "q_window_deciles": _QDECILES_SQL,
+    "q_profile_lineitem": _QPROFILE_SQL,
 }
