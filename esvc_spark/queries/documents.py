@@ -683,13 +683,15 @@ def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs_par(spark, sf_dir)
     toks = docs.select("doc_id", F.posexplode(_TOKENS()).alias("pos", "w"))
+    # persist: the bigram table feeds the two model aggregates AND the
+    # scored slice — without it the tokenize + lead window runs 3x
     bi = (
         toks.withColumn(
             "w2", F.lead("w").over(Window.partitionBy("doc_id").orderBy("pos"))
         )
         .filter(F.col("w2").isNotNull())
         .select("doc_id", "pos", F.col("w").alias("w1"), "w2")
-    )
+    ).persist()
     c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     vocab = toks.agg(F.countDistinct("w").alias("v"))
@@ -1150,7 +1152,9 @@ _EVAL_N = 20
 
 def q_doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_par(spark, sf_dir)
-    sh = _shingles_df(docs)
+    # persist: the shingle pipeline feeds three branches (eval set, corpus
+    # counts, corpus matches) and would otherwise re-tokenize per branch
+    sh = _shingles_df(docs).persist()
     eval_sh = sh.filter(F.col("doc_id") < _EVAL_N).select("shingle").distinct()
     corpus = sh.filter(F.col("doc_id") >= _EVAL_N)
     counts = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))

@@ -961,7 +961,9 @@ def q_ev_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.conv(
         F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
     ).cast("bigint")
-    hashed = ev.select("event_type", h.alias("h")).distinct()
+    # persist: the distinct hash table feeds both the register build and
+    # the exact count (same pattern as the KMV sketch above)
+    hashed = ev.select("event_type", h.alias("h")).distinct().persist()
     regs = (
         hashed.select(
             "event_type",
