@@ -861,7 +861,9 @@ FROM d GROUP BY lang
 # per-round convergence count. Oracle: recursive-CTE transitive closure.
 
 
-def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-pair edge list: exact (md5 groups) ∪ MinHash-LSH near
+    pairs — shared by cluster labeling and canonical selection."""
     docs = _docs_par(spark, sf_dir)
     reps = docs.groupBy(F.md5("text").alias("m")).agg(
         F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("n")
@@ -878,11 +880,13 @@ def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # No dedup of edges: min-propagation is idempotent over duplicate
     # edges, and a distinct would cost an extra |E| shuffle (see
     # operators/cc.py for the round structure + convergence detection).
+    return exact_edges.union(near_edges)
+
+
+def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.cc import connected_components
 
-    labels = connected_components(
-        exact_edges.union(near_edges)
-    )
+    labels = connected_components(_dup_edges(spark, sf_dir))
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
         labels.join(sizes, "label")
@@ -895,9 +899,11 @@ def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dup_clusters_sql() -> str:
+def _reach_ctes() -> str:
+    """Recursive transitive-closure CTE chain over the duplicate-pair
+    edges (shared by the cluster and canonical oracles); yields
+    `reach(a, b)` and downstream `clusters(doc_id, cluster_id)`."""
     return f"""
-WITH RECURSIVE
 exact_reps AS (
   SELECT md5(text) AS m, MIN(doc_id) AS rep, COUNT(*) AS n
   FROM documents GROUP BY 1
@@ -914,12 +920,113 @@ reach(a, b) AS (
   SELECT src AS a, src AS b FROM edges
   UNION
   SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
-)
+),
+clusters AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a)"""
+
+
+def _dup_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE
+{_reach_ctes()}
 SELECT c.doc_id, c.cluster_id, s.cluster_size, c.doc_id = c.cluster_id AS keep
-FROM (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a) c
+FROM clusters c
 JOIN (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
-      FROM (SELECT a, MIN(b) AS cluster_id FROM reach GROUP BY a)
-      GROUP BY cluster_id) s USING (cluster_id)
+      FROM clusters GROUP BY cluster_id) s USING (cluster_id)
+"""
+
+
+# --------------------------------------------------- canonical selection
+# The step after clustering: per duplicate cluster keep the single best
+# member by quality score (ties -> lowest doc_id) — near-dedup
+# canonicalization, composed entirely from attested operators (CC labels
+# + the q_doc_quality score). Spark argmax is a struct-max hash aggregate
+# (map-side combined, no window sort); the quality join touches only the
+# clustered docs.
+
+
+def q_doc_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cc import connected_components
+
+    labels = connected_components(_dup_edges(spark, sf_dir))
+    docs = _docs_par(spark, sf_dir)
+    sw = ",".join(f"'{w}'" for w in _STOPWORDS)
+    quality = (
+        docs.withColumn("toks", _TOKENS())
+        .withColumn("n_tokens", F.size("toks").cast("bigint"))
+        .withColumn(
+            "n_stop",
+            F.size(F.expr(f"filter(toks, t -> t IN ({sw}))")).cast("bigint"),
+        )
+        .withColumn(
+            "n_punct",
+            (
+                F.length("text")
+                - F.length(F.regexp_replace("text", r"[.,!?;:]", ""))
+            ).cast("bigint"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            (
+                (F.col("n_stop").cast("double") / F.col("n_tokens")) * 2.0
+                + (1.0 - F.col("n_punct").cast("double") / F.col("n_chars"))
+                + F.when(
+                    (F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 1000), 1.0
+                ).otherwise(0.0)
+            ).alias("quality_score"),
+        )
+    )
+    j = labels.join(quality, "doc_id")
+    return (
+        j.groupBy(F.col("label").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(F.struct("quality_score", (-F.col("doc_id")).alias("negid"))).alias("b"),
+        )
+        .select(
+            "cluster_id",
+            "n_members",
+            (-F.col("b.negid")).alias("canonical_doc"),
+            F.col("b.quality_score").alias("canonical_quality"),
+        )
+    )
+
+
+def _canonical_sql() -> str:
+    sw = ",".join(f"'{w}'" for w in _STOPWORDS)
+    return f"""
+WITH RECURSIVE
+{_reach_ctes()},
+feat AS (
+  SELECT doc_id, n_chars,
+         CAST(len({SQL_TOKENS}) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter({SQL_TOKENS}, t -> t IN ({sw}))) AS BIGINT) AS n_stop,
+         CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+              AS BIGINT) AS n_punct
+  FROM documents
+),
+quality AS (
+  SELECT doc_id,
+         CAST(n_stop AS DOUBLE) / n_tokens * 2.0
+           + (1.0 - CAST(n_punct AS DOUBLE) / n_chars)
+           + CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END
+           AS quality_score
+  FROM feat WHERE n_tokens > 0
+),
+j AS (
+  SELECT cluster_id, c.doc_id, quality_score
+  FROM clusters c JOIN quality q ON q.doc_id = c.doc_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+              ORDER BY quality_score DESC, doc_id) AS rk
+  FROM j
+),
+sizes AS (SELECT cluster_id, COUNT(*) AS n_members FROM j GROUP BY cluster_id)
+SELECT r.cluster_id, s.n_members, r.doc_id AS canonical_doc,
+       r.quality_score AS canonical_quality
+FROM ranked r JOIN sizes s USING (cluster_id)
+WHERE rk = 1
 """
 
 
@@ -1370,6 +1477,7 @@ QUERIES = {
     "q_doc_incremental_dedup": q_doc_incremental_dedup,
     "q_doc_lm_score": q_doc_lm_score,
     "q_doc_upsample": q_doc_upsample,
+    "q_doc_canonical": q_doc_canonical,
 }
 
 ORACLES = {
@@ -1394,4 +1502,5 @@ ORACLES = {
     "q_doc_incremental_dedup": _incremental_sql(),
     "q_doc_lm_score": _LM_SCORE_SQL,
     "q_doc_upsample": _upsample_sql(),
+    "q_doc_canonical": _canonical_sql(),
 }
