@@ -824,6 +824,102 @@ FROM enc GROUP BY sub
 """
 
 
+# --------------------------------------------------- matryoshka audit
+# Truncated-dimension fidelity: how far does cosine similarity drift when
+# vectors are cut to their first 8/16/32 dims (the Matryoshka-
+# representation trade-off: shorter prefixes = cheaper ANN, some
+# ranking drift)? Measured over a pinned consecutive-id pair set; the
+# deviation mean folds in pair order (full-precision doubles, same
+# reasoning as PageRank). One narrow map per width — no shuffle beyond
+# the pair join and final aggregate.
+
+_MAT_WIDTHS = [8, 16, 32]
+_MAT_PAIRS = 200
+
+
+def q_emb_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir).select("vec_id", "emb")
+    a = e.filter(F.col("vec_id") < _MAT_PAIRS).select(
+        F.col("vec_id").alias("pair_id"), F.col("emb").alias("ea")
+    )
+    b = e.select((F.col("vec_id") - 1).alias("pair_id"), F.col("emb").alias("eb"))
+    pairs = a.join(b, "pair_id")
+
+    def cos_w(w: int) -> Column:
+        sa = F.slice("ea", 1, w)
+        sb = F.slice("eb", 1, w)
+        from ..functions.vectors import cosine
+
+        return cosine(sa, sb)
+
+    from ..functions.vectors import cosine
+
+    full = cosine(F.col("ea"), F.col("eb"))
+    wide = pairs.select(
+        "pair_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(w).alias("width"),
+                        F.abs(cos_w(w) - full).alias("dev"),
+                    )
+                    for w in _MAT_WIDTHS
+                ]
+            )
+        ).alias("s"),
+    ).select("pair_id", "s.width", "s.dev")
+    return (
+        wide.groupBy("width")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.aggregate(
+                F.expr("transform(array_sort(collect_list(struct(pair_id, dev))), t -> t.dev)"),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dev_sum"),
+            F.max("dev").alias("max_abs_dev"),
+        )
+        .select(
+            "width",
+            "n_pairs",
+            (F.col("dev_sum") / F.col("n_pairs")).alias("avg_abs_dev"),
+            "max_abs_dev",
+        )
+    )
+
+
+def _matryoshka_sql() -> str:
+    def sql_cos(a: str, b: str, w: int | None) -> str:
+        if w is None:
+            aa, bb = a, b
+        else:
+            aa, bb = f"{a}[1:{w}]", f"{b}[1:{w}]"
+        return sql_cosine(aa, bb)
+
+    width_rows = " UNION ALL ".join(
+        f"SELECT pair_id, {w} AS width, "
+        f"abs({sql_cos('ea', 'eb', w)} - {sql_cos('ea', 'eb', None)}) AS dev "
+        f"FROM pairs"
+        for w in _MAT_WIDTHS
+    )
+    return f"""
+WITH e AS (SELECT vec_id, emb FROM ({_SQL_EMB})),
+pairs AS (
+  SELECT a.vec_id AS pair_id, a.emb AS ea, b.emb AS eb
+  FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+  WHERE a.vec_id < {_MAT_PAIRS}
+),
+wide AS ({width_rows})
+SELECT width, COUNT(*) AS n_pairs,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                list(dev ORDER BY pair_id)),
+                   (acc, x) -> acc + x) / COUNT(*) AS avg_abs_dev,
+       MAX(dev) AS max_abs_dev
+FROM wide GROUP BY width
+"""
+
+
 QUERIES = {
     "q_emb_knn_cosine": q_emb_knn_cosine,
     "q_emb_ivf_knn": q_emb_ivf_knn,
@@ -835,6 +931,7 @@ QUERIES = {
     "q_emb_quantize_int8": q_emb_quantize_int8,
     "q_emb_kmeans": q_emb_kmeans,
     "q_emb_pq": q_emb_pq,
+    "q_emb_matryoshka": q_emb_matryoshka,
 }
 
 ORACLES = {
@@ -848,4 +945,5 @@ ORACLES = {
     "q_emb_quantize_int8": _QUANTIZE_SQL,
     "q_emb_kmeans": _kmeans_sql(),
     "q_emb_pq": _pq_sql(),
+    "q_emb_matryoshka": _matryoshka_sql(),
 }
