@@ -115,10 +115,21 @@ def test_cms_sketch_broadcasts(spark):
 
 
 def test_stream_confs_restored(spark):
-    from esvc_spark.queries.events import q_stream_tumbling_hourly
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from esvc_spark.queries import events as ev
 
     before = spark.conf.get("spark.sql.shuffle.partitions")
-    q_stream_tumbling_hourly(spark, SF).count()
-    # the bounded-stream state-partition cap must not leak into the
-    # session's batch configuration
-    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    for fn in (
+        ev.q_stream_tumbling_hourly,
+        ev.q_stream_sessionize,
+        ev.q_stream_join,
+        ev.q_stream_dedup,
+        ev.q_stream_running_totals,
+    ):
+        fn(spark, SF).count()
+        # the bounded-stream state-partition cap must not leak into the
+        # session's batch configuration
+        assert (
+            spark.conf.get("spark.sql.shuffle.partitions") == before
+        ), fn.__name__
