@@ -536,6 +536,75 @@ SELECT DISTINCT user_id, event_type, value FROM events
 """
 
 
+# ---------------------------------------------------------------- anomaly
+# Volume-anomaly detection: hourly event counts per type flagged when
+# they deviate more than 3 population-sigma from that type's mean — the
+# monitoring/alerting aggregate a pipeline runs over its own telemetry.
+# Mean and variance come from exact integer sums (count, sum, sum of
+# squares) with one IEEE division/multiplication chain parenthesized
+# identically in both engines; at scale this is two map-side-combined
+# aggregates and a broadcast join of the per-type stats.
+
+_ANOM_SIGMA = 3.0
+
+
+def q_ev_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.window("ts", "1 hour").start.alias("hr"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("sq"),
+    )
+    enriched = hourly.join(F.broadcast(stats), "event_type").select(
+        "hr",
+        "event_type",
+        "n",
+        (F.col("s").cast("double") / F.col("cnt")).alias("mean"),
+        F.sqrt(
+            F.col("sq").cast("double") / F.col("cnt")
+            - (F.col("s").cast("double") / F.col("cnt"))
+            * (F.col("s").cast("double") / F.col("cnt"))
+        ).alias("std"),
+    )
+    return enriched.filter(
+        F.abs(F.col("n").cast("double") - F.col("mean"))
+        > F.lit(_ANOM_SIGMA) * F.col("std")
+    ).select(
+        "hr",
+        "event_type",
+        "n",
+        "mean",
+        "std",
+        ((F.col("n").cast("double") - F.col("mean")) / F.col("std")).alias("z"),
+    )
+
+
+_ANOMALY_SQL = f"""
+WITH hourly AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS hr, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, COUNT(*) AS cnt, SUM(n) AS s, SUM(n * n) AS sq
+  FROM hourly GROUP BY event_type
+),
+enriched AS (
+  SELECT hr, hourly.event_type, n,
+         CAST(s AS DOUBLE) / cnt AS mean,
+         sqrt(CAST(sq AS DOUBLE) / cnt
+              - (CAST(s AS DOUBLE) / cnt) * (CAST(s AS DOUBLE) / cnt)) AS std
+  FROM hourly JOIN stats USING (event_type)
+)
+SELECT hr, event_type, n, mean, std,
+       (CAST(n AS DOUBLE) - mean) / std AS z
+FROM enriched
+WHERE abs(CAST(n AS DOUBLE) - mean) > {_ANOM_SIGMA} * std
+"""
+
+
 # ------------------------------------------------------------- KMV sketch
 # K-minimum-values distinct-count sketch over user_id per event type —
 # the deterministic cousin of HyperLogLog (md5-derived hashes, so both
@@ -1296,6 +1365,7 @@ QUERIES = {
     "q_ev_cms_heavy": q_ev_cms_heavy,
     "q_ev_bloom": q_ev_bloom,
     "q_ev_hll_distinct": q_ev_hll_distinct,
+    "q_ev_anomaly": q_ev_anomaly,
     "q_stream_tumbling_hourly": q_stream_tumbling_hourly,
     "q_stream_sessionize": q_stream_sessionize,
     "q_stream_running_totals": q_stream_running_totals,
@@ -1321,6 +1391,7 @@ ORACLES = {
     "q_ev_cms_heavy": _cms_sql(),
     "q_ev_bloom": _bloom_sql(),
     "q_ev_hll_distinct": _HLL_SQL,
+    "q_ev_anomaly": _ANOMALY_SQL,
     "q_stream_tumbling_hourly": _STREAM_TUMBLING_SQL,
     "q_stream_sessionize": _SESSION_SQL,
     "q_stream_running_totals": _RUNNING_TOTALS_SQL,
