@@ -610,6 +610,35 @@ LEFT JOIN n_near ON n_near.b_doc = d.doc_id
 """
 
 
+# ------------------------------------------------------- length histogram
+# Fixed-width document-length histogram per language — the distribution
+# profile behind truncation/packing decisions (sequence-length budgeting).
+# Bucketing is integer division of an exact column; one aggregate.
+
+_HIST_WIDTH = 100  # chars per bucket
+
+
+def q_doc_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_par(spark, sf_dir)
+    b = F.expr(f"CAST(n_chars div {_HIST_WIDTH} AS BIGINT)")
+    return (
+        docs.withColumn("bucket", b)
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+_LENGTH_HIST_SQL = f"""
+SELECT lang, CAST(n_chars // {_HIST_WIDTH} AS BIGINT) AS bucket, COUNT(*) AS n_docs,
+       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+FROM documents GROUP BY 1, 2
+"""
+
+
 # ------------------------------------------------------- upsampling
 # Domain up-sampling (epochs per language): each doc is replicated
 # factor-many times with a copy index — the "repeat high-quality domains
@@ -1478,6 +1507,7 @@ QUERIES = {
     "q_doc_lm_score": q_doc_lm_score,
     "q_doc_upsample": q_doc_upsample,
     "q_doc_canonical": q_doc_canonical,
+    "q_doc_length_hist": q_doc_length_hist,
 }
 
 ORACLES = {
@@ -1503,4 +1533,5 @@ ORACLES = {
     "q_doc_lm_score": _LM_SCORE_SQL,
     "q_doc_upsample": _upsample_sql(),
     "q_doc_canonical": _canonical_sql(),
+    "q_doc_length_hist": _LENGTH_HIST_SQL,
 }

@@ -49,6 +49,44 @@ def read_source(
     return reader.options(**options).load(path)
 
 
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_files: int,
+    fmt: str = "parquet",
+    compression: str = "zstd",
+) -> int:
+    """Small-file compaction: rewrite a table directory into exactly
+    `target_files` files and atomically swap it in. The housekeeping pass
+    every long-lived dataset needs — streaming sinks and incremental
+    appends accumulate files far below the optimal scan granularity, and
+    at 100 TB the scan's task count (and the namenode/listing load) is
+    the file count. Uses repartition (even-sized output via round-robin),
+    writes to a sibling temp dir, then renames — readers never see a
+    half-written table. Returns the number of data files after compaction."""
+    import os
+    import shutil
+
+    df = spark.read.format(fmt).load(path)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    (
+        df.repartition(target_files)
+        .write.format(fmt)
+        .mode("overwrite")
+        .option("compression", compression)
+        .save(tmp)
+    )
+    old = path.rstrip("/") + "._compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return sum(
+        1
+        for f in os.listdir(path)
+        if f.endswith(f".{fmt}") or (fmt == "parquet" and f.endswith(".parquet"))
+    )
+
+
 def write_sink(
     df: DataFrame,
     path: str,

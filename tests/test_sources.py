@@ -79,3 +79,19 @@ def test_schema_evolution_merge(spark, tmp_path):
     assert set(df.columns) == {"id", "name", "score"}
     rows = {r["id"]: r for r in df.collect()}
     assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+
+
+def test_compact_table(spark, tmp_path):
+    """20 tiny files -> 4 evenly-sized files, same rows, atomic swap."""
+    from esvc_spark.sources.io import compact_table
+
+    p = str(tmp_path / "fragged")
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    df.repartition(20).write.parquet(p)
+    import os
+
+    n_before = sum(1 for f in os.listdir(p) if f.endswith(".parquet"))
+    assert n_before == 20
+    n_after = compact_table(spark, p, target_files=4)
+    assert n_after == 4
+    assert spark.read.parquet(p).count() == 1000
