@@ -234,6 +234,59 @@ def frame_sample(media: DataFrame, every_n: int = 4) -> DataFrame:
 
     return media.mapInPandas(_frames, FRAME_SCHEMA)
 
+AUDIO_WINDOW_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("window_idx", IntegerType(), False),
+        StructField("n_samples", LongType(), False),
+        StructField("energy", LongType(), False),
+        StructField("peak", IntegerType(), False),
+    ]
+)
+
+
+def audio_windows(media: DataFrame, win: int = 32) -> DataFrame:
+    """Fixed-length window segmentation of audio payloads (bytes stand in
+    for samples) with per-window energy (sum of squares) and peak — the
+    framing stage of an audio feature pipeline (VAD, loudness
+    normalization), as a flat mapInPandas. Integer math, so a SQL oracle
+    can reproduce every window exactly."""
+
+    def _windows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {
+                "doc_id": [],
+                "window_idx": [],
+                "n_samples": [],
+                "energy": [],
+                "peak": [],
+            }
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                if meta["kind"] != "audio":
+                    continue
+                arr = np.frombuffer(payload, dtype=np.uint8).astype("int64")
+                for i in range(0, max((len(arr) + win - 1) // win, 1)):
+                    seg = arr[i * win : (i + 1) * win]
+                    rows["doc_id"].append(int(doc_id))
+                    rows["window_idx"].append(i)
+                    rows["n_samples"].append(int(len(seg)))
+                    rows["energy"].append(int((seg * seg).sum()) if len(seg) else 0)
+                    rows["peak"].append(int(seg.max()) if len(seg) else 0)
+            out = pd.DataFrame(rows)
+            out["doc_id"] = out["doc_id"].astype("int64")
+            out["window_idx"] = out["window_idx"].astype("int32")
+            out["n_samples"] = out["n_samples"].astype("int64")
+            out["energy"] = out["energy"].astype("int64")
+            out["peak"] = out["peak"].astype("int32")
+            yield out
+
+    return media.mapInPandas(_windows, AUDIO_WINDOW_SCHEMA)
+
+
 RESIZE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType(), False),

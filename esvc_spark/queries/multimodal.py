@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..operators.multimodal import (
     _KINDS,
+    audio_windows,
     decode_stats,
     extract_features,
     frame_sample,
@@ -136,15 +137,50 @@ FROM sized
 """.format(kind=_SQL_KIND)
 
 
+_AUDIO_WIN = 32
+
+
+def q_mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio framing (fixed 32-sample windows with energy/peak),
+    oracle-checked byte-for-byte — completes the per-kind multimodal
+    stages (image: resize, video: frame_sample, audio: windows)."""
+    return audio_windows(media_table(spark, sf_dir), win=_AUDIO_WIN)
+
+
+_AUDIO_SQL = f"""
+WITH media AS (
+  SELECT doc_id, text, {_SQL_KIND} AS kind FROM documents
+),
+audio AS (SELECT * FROM media WHERE kind = 'audio'),
+w AS (
+  SELECT doc_id, CAST(i AS INT) AS window_idx,
+         substr(text, CAST(i AS INT) * {_AUDIO_WIN} + 1, {_AUDIO_WIN}) AS seg
+  FROM audio,
+       unnest(range(0, GREATEST((length(text) + {_AUDIO_WIN - 1}) // {_AUDIO_WIN},
+                                1))) t(i)
+)
+SELECT doc_id, window_idx, CAST(length(seg) AS BIGINT) AS n_samples,
+       CAST(COALESCE(list_sum(list_transform(string_split(seg, ''),
+                                             c -> unicode(c) * unicode(c))), 0)
+            AS BIGINT) AS energy,
+       CAST(COALESCE(list_max(list_transform(string_split(seg, ''),
+                                             c -> unicode(c))), 0)
+            AS INTEGER) AS peak
+FROM w
+"""
+
+
 QUERIES = {
     "q_mm_decode_stats": q_mm_decode_stats,
     "q_mm_frame_sample": q_mm_frame_sample,
     "q_mm_resize": q_mm_resize,
     "q_mm_features": q_mm_features,
+    "q_mm_audio_windows": q_mm_audio_windows,
 }
 
 ORACLES = {
     "q_mm_resize": _RESIZE_SQL,
     "q_mm_decode_stats": _DECODE_STATS_SQL,
     "q_mm_frame_sample": _FRAME_SQL,
+    "q_mm_audio_windows": _AUDIO_SQL,
 }
