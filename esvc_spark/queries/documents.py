@@ -610,6 +610,55 @@ LEFT JOIN n_near ON n_near.b_doc = d.doc_id
 """
 
 
+# ------------------------------------------------------- sequence packing
+# Concat-and-chunk sequence packing: documents are laid end-to-end per
+# language in doc_id order and cut into fixed token-budget bins (the
+# packing step that turns a curated corpus into training sequences).
+# bin = cumulative-token-count div budget — one window cumsum per lang
+# partition, then one aggregate; deterministic because the layout order
+# (lang, doc_id) is total. Reported per bin: docs, tokens, fill ratio.
+
+_PACK_BUDGET = 256
+
+
+def q_doc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _docs_par(spark, sf_dir)
+    d = docs.select(
+        "lang", "doc_id", F.size(_TOKENS()).cast("bigint").alias("n_tokens")
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    binned = d.withColumn(
+        "bin",
+        F.expr(f"CAST((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) "
+               f"- n_tokens) div {_PACK_BUDGET} AS BIGINT)"),
+    )
+    return binned.groupBy("lang", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.sum("n_tokens").cast("double") / float(_PACK_BUDGET)).alias("fill"),
+    )
+
+
+_PACK_SQL = f"""
+WITH d AS (
+  SELECT lang, doc_id, CAST(len({SQL_TOKENS}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+binned AS (
+  SELECT lang, n_tokens,
+         CAST((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+               - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS bin
+  FROM d
+)
+SELECT lang, bin, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_tokens) AS DOUBLE) / {_PACK_BUDGET} AS fill
+FROM binned GROUP BY lang, bin
+"""
+
+
 # ------------------------------------------------------- length histogram
 # Fixed-width document-length histogram per language — the distribution
 # profile behind truncation/packing decisions (sequence-length budgeting).
@@ -1508,6 +1557,7 @@ QUERIES = {
     "q_doc_upsample": q_doc_upsample,
     "q_doc_canonical": q_doc_canonical,
     "q_doc_length_hist": q_doc_length_hist,
+    "q_doc_pack": q_doc_pack,
 }
 
 ORACLES = {
@@ -1534,4 +1584,5 @@ ORACLES = {
     "q_doc_upsample": _upsample_sql(),
     "q_doc_canonical": _canonical_sql(),
     "q_doc_length_hist": _LENGTH_HIST_SQL,
+    "q_doc_pack": _PACK_SQL,
 }
