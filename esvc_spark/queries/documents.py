@@ -610,6 +610,72 @@ LEFT JOIN n_near ON n_near.b_doc = d.doc_id
 """
 
 
+# ---------------------------------------------------------- dataset card
+# One-row-per-language dataset card: the summary artifact a curation
+# pipeline publishes alongside a release — volume, token budget, exact
+# duplication rate, and embedding coverage (documents ⋈ embeddings on
+# doc_id = vec_id). Two aggregates and one count join; every measure is
+# exact integers plus single divisions.
+
+
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_par(spark, sf_dir)
+    stats = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(_TOKENS()).cast("bigint")).alias("total_tokens"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    emb = T(spark, sf_dir, "embeddings").select(F.col("vec_id").alias("doc_id"))
+    cov = (
+        docs.select("lang", "doc_id")
+        .join(emb, "doc_id", "left_semi")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_embedded"))
+    )
+    return (
+        stats.join(F.broadcast(cov), "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            "total_tokens",
+            "total_chars",
+            (
+                1.0
+                - F.col("n_unique").cast("double") / F.col("n_docs").cast("double")
+            ).alias("dup_rate"),
+            F.coalesce("n_embedded", F.lit(0)).alias("n_embedded"),
+            (
+                F.coalesce("n_embedded", F.lit(0)).cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("embed_coverage"),
+        )
+    )
+
+
+_DATASET_CARD_SQL = f"""
+WITH stats AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         CAST(SUM(CAST(len({SQL_TOKENS}) AS BIGINT)) AS BIGINT) AS total_tokens,
+         COUNT(DISTINCT md5(text)) AS n_unique,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars
+  FROM documents GROUP BY lang
+),
+cov AS (
+  SELECT lang, COUNT(*) AS n_embedded
+  FROM documents d
+  WHERE EXISTS (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)
+  GROUP BY lang
+)
+SELECT lang, n_docs, total_tokens, total_chars,
+       1.0 - CAST(n_unique AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_rate,
+       COALESCE(n_embedded, 0) AS n_embedded,
+       CAST(COALESCE(n_embedded, 0) AS DOUBLE) / CAST(n_docs AS DOUBLE)
+         AS embed_coverage
+FROM stats LEFT JOIN cov USING (lang)
+"""
+
+
 # ------------------------------------------------------- sequence packing
 # Concat-and-chunk sequence packing: documents are laid end-to-end per
 # language in doc_id order and cut into fixed token-budget bins (the
@@ -1558,6 +1624,7 @@ QUERIES = {
     "q_doc_canonical": q_doc_canonical,
     "q_doc_length_hist": q_doc_length_hist,
     "q_doc_pack": q_doc_pack,
+    "q_dataset_card": q_dataset_card,
 }
 
 ORACLES = {
@@ -1585,4 +1652,5 @@ ORACLES = {
     "q_doc_canonical": _canonical_sql(),
     "q_doc_length_hist": _LENGTH_HIST_SQL,
     "q_doc_pack": _PACK_SQL,
+    "q_dataset_card": _DATASET_CARD_SQL,
 }
