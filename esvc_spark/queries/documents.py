@@ -610,6 +610,129 @@ LEFT JOIN n_near ON n_near.b_doc = d.doc_id
 """
 
 
+# ---------------------------------------------------------- normalization
+# Text normalization (lowercase, strip punctuation, collapse whitespace)
+# with before/after audit: the canonicalization pass that precedes
+# hashing/dedup in most pipelines, as pure JVM string functions. The
+# checksum over normalized hashes lets downstream jobs assert they read
+# the identical normalized corpus; shrinkage quantifies what the pass
+# removed.
+
+
+def q_doc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_par(spark, sf_dir)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[.,!?;:]", ""),
+            r"\s+",
+            " ",
+        )
+    )
+    d = docs.select(
+        "lang",
+        F.length("text").cast("bigint").alias("len_raw"),
+        F.length(norm).cast("bigint").alias("len_norm"),
+        _h(norm).alias("h"),
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("len_raw").alias("total_raw"),
+        F.sum("len_norm").alias("total_norm"),
+        (
+            1.0
+            - F.sum("len_norm").cast("double") / F.sum("len_raw").cast("double")
+        ).alias("shrinkage"),
+        F.expr("bit_xor(h)").alias("norm_checksum"),
+    )
+
+
+_NORMALIZE_SQL = f"""
+WITH d AS (
+  SELECT lang,
+         CAST(length(text) AS BIGINT) AS len_raw,
+         CAST(length(n) AS BIGINT) AS len_norm,
+         {_sql_h('n')} AS h
+  FROM (
+    SELECT lang, text,
+           trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'),
+                               '\\s+', ' ', 'g')) AS n
+    FROM documents
+  )
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(len_raw) AS BIGINT) AS total_raw,
+       CAST(SUM(len_norm) AS BIGINT) AS total_norm,
+       1.0 - CAST(SUM(len_norm) AS DOUBLE) / CAST(SUM(len_raw) AS DOUBLE)
+         AS shrinkage,
+       bit_xor(h) AS norm_checksum
+FROM d GROUP BY lang
+"""
+
+
+# -------------------------------------------------------- negative sampling
+# Deterministic negative sampling for contrastive training: each anchor
+# doc gets k pseudo-random negatives via md5-derived modular offsets in
+# [1, N-1], so a negative can never be its own anchor and the sample is
+# reproducible across runs and engines (no RNG). Hydrating the negative's
+# metadata is one join keyed by the sampled ids — the only shuffled rows
+# are the k x |anchors| samples, never the corpus.
+
+_NEG_ANCHORS = 50
+_NEG_K = 3
+
+
+def q_doc_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_par(spark, sf_dir)
+    n = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    anchors = docs.filter(F.col("doc_id") < _NEG_ANCHORS).select("doc_id", "text")
+    sampled = (
+        anchors.join(n)
+        .select(
+            F.col("doc_id").alias("anchor_id"),
+            "text",
+            "n_total",
+            F.explode(F.array(*[F.lit(j) for j in range(_NEG_K)])).alias("neg_rank"),
+        )
+        .select(
+            "anchor_id",
+            "neg_rank",
+            (
+                (
+                    F.col("anchor_id")
+                    + F.pmod(
+                        _h(F.concat(F.col("text"), F.lit(":"), F.col("neg_rank").cast("string"))),
+                        F.col("n_total") - 1,
+                    )
+                    + 1
+                )
+                % F.col("n_total")
+            ).alias("neg_id"),
+        )
+    )
+    hydr = docs.select(F.col("doc_id").alias("neg_id"), F.col("lang").alias("neg_lang"))
+    return sampled.join(hydr, "neg_id").select(
+        "anchor_id",
+        F.col("neg_rank").cast("bigint").alias("neg_rank"),
+        "neg_id",
+        "neg_lang",
+    )
+
+
+_NEGATIVES_SQL = f"""
+WITH n AS (SELECT COUNT(*) AS n_total FROM documents),
+anchors AS (SELECT doc_id, text FROM documents WHERE doc_id < {_NEG_ANCHORS}),
+sampled AS (
+  SELECT doc_id AS anchor_id, j AS neg_rank,
+         (doc_id + ({_sql_h("text || ':' || CAST(j AS VARCHAR)")} % (n_total - 1))
+          + 1) % n_total AS neg_id
+  FROM anchors CROSS JOIN n, unnest(range(0, {_NEG_K})) t(j)
+)
+SELECT anchor_id, CAST(neg_rank AS BIGINT) AS neg_rank, neg_id,
+       d.lang AS neg_lang
+FROM sampled JOIN documents d ON d.doc_id = sampled.neg_id
+"""
+
+
 # ---------------------------------------------------------- dataset card
 # One-row-per-language dataset card: the summary artifact a curation
 # pipeline publishes alongside a release — volume, token budget, exact
@@ -1625,6 +1748,8 @@ QUERIES = {
     "q_doc_length_hist": q_doc_length_hist,
     "q_doc_pack": q_doc_pack,
     "q_dataset_card": q_dataset_card,
+    "q_doc_normalize": q_doc_normalize,
+    "q_doc_negatives": q_doc_negatives,
 }
 
 ORACLES = {
@@ -1653,4 +1778,6 @@ ORACLES = {
     "q_doc_length_hist": _LENGTH_HIST_SQL,
     "q_doc_pack": _PACK_SQL,
     "q_dataset_card": _DATASET_CARD_SQL,
+    "q_doc_normalize": _NORMALIZE_SQL,
+    "q_doc_negatives": _NEGATIVES_SQL,
 }
