@@ -824,6 +824,59 @@ FROM enc GROUP BY sub
 """
 
 
+# ----------------------------------------------- hard-negative mining
+# Semi-hard negative mining for contrastive training: per anchor, the
+# neighbors ranked just BELOW the top-k (similar enough to be
+# informative, not so similar they are positives) — here ranks 6..10 of
+# the exact cosine ranking. Same scale shape as q_emb_knn_cosine (tiny
+# broadcast anchor side, corpus streams once); only the rank band
+# differs.
+
+_HARD_LO = 6
+_HARD_HI = 10
+
+
+def q_emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb_normed(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = e.join(F.broadcast(q), F.col("vec_id") != F.col("anchor_id")).select(
+        "anchor_id",
+        F.col("vec_id").alias("neg_id"),
+        cosine_prenorm(F.col("qemb"), F.col("emb"), F.col("qnrm"), F.col("nrm")).alias(
+            "cos_sim"
+        ),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.col("cos_sim").desc(), "neg_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank").between(_HARD_LO, _HARD_HI))
+        .select("anchor_id", "neg_id", "cos_sim", "rank")
+    )
+
+
+_HARD_NEG_SQL = f"""
+WITH e AS ({_SQL_EMB_NORMED}),
+q AS (SELECT vec_id AS anchor_id, emb AS qemb, nrm AS qnrm
+      FROM e WHERE vec_id < {_N_QUERIES}),
+scored AS (
+  SELECT anchor_id, e.vec_id AS neg_id,
+         {sql_cosine_prenorm('qemb', 'emb', 'qnrm', 'nrm')} AS cos_sim
+  FROM q JOIN e ON e.vec_id <> q.anchor_id
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY anchor_id
+              ORDER BY cos_sim DESC, neg_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT anchor_id, neg_id, cos_sim, rank FROM ranked
+WHERE rank BETWEEN {_HARD_LO} AND {_HARD_HI}
+"""
+
+
 # --------------------------------------------------- matryoshka audit
 # Truncated-dimension fidelity: how far does cosine similarity drift when
 # vectors are cut to their first 8/16/32 dims (the Matryoshka-
@@ -932,6 +985,7 @@ QUERIES = {
     "q_emb_kmeans": q_emb_kmeans,
     "q_emb_pq": q_emb_pq,
     "q_emb_matryoshka": q_emb_matryoshka,
+    "q_emb_hard_negatives": q_emb_hard_negatives,
 }
 
 ORACLES = {
@@ -946,4 +1000,5 @@ ORACLES = {
     "q_emb_kmeans": _kmeans_sql(),
     "q_emb_pq": _pq_sql(),
     "q_emb_matryoshka": _matryoshka_sql(),
+    "q_emb_hard_negatives": _HARD_NEG_SQL,
 }

@@ -536,6 +536,50 @@ SELECT DISTINCT user_id, event_type, value FROM events
 """
 
 
+# ------------------------------------------------------------- path mining
+# Frequent event paths: 3-step sequences per user (lead x2 over event
+# time), counted corpus-wide with a deterministic top-10 — the sequence-
+# pattern mining behind funnel discovery. One window + one aggregate +
+# one windowed top-k.
+
+_PATH_K = 10
+
+
+def q_ev_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    counts = seq.groupBy("e1", "e2", "e3").agg(F.count(F.lit(1)).alias("n"))
+    wr = Window.orderBy(F.desc("n"), "e1", "e2", "e3")
+    return (
+        counts.withColumn("rk", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rk") <= _PATH_K)
+        .select("e1", "e2", "e3", "n", "rk")
+    )
+
+
+_TOP_PATHS_SQL = f"""
+WITH seq AS (
+  SELECT event_type AS e1,
+         LEAD(event_type, 1) OVER w AS e2,
+         LEAD(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+counts AS (
+  SELECT e1, e2, e3, COUNT(*) AS n FROM seq
+  WHERE e3 IS NOT NULL GROUP BY e1, e2, e3
+)
+SELECT e1, e2, e3, n,
+       CAST(ROW_NUMBER() OVER (ORDER BY n DESC, e1, e2, e3) AS BIGINT) AS rk
+FROM counts QUALIFY rk <= {_PATH_K}
+"""
+
+
 # ---------------------------------------------------------------- anomaly
 # Volume-anomaly detection: hourly event counts per type flagged when
 # they deviate more than 3 population-sigma from that type's mean — the
@@ -1366,6 +1410,7 @@ QUERIES = {
     "q_ev_bloom": q_ev_bloom,
     "q_ev_hll_distinct": q_ev_hll_distinct,
     "q_ev_anomaly": q_ev_anomaly,
+    "q_ev_top_paths": q_ev_top_paths,
     "q_stream_tumbling_hourly": q_stream_tumbling_hourly,
     "q_stream_sessionize": q_stream_sessionize,
     "q_stream_running_totals": q_stream_running_totals,
@@ -1392,6 +1437,7 @@ ORACLES = {
     "q_ev_bloom": _bloom_sql(),
     "q_ev_hll_distinct": _HLL_SQL,
     "q_ev_anomaly": _ANOMALY_SQL,
+    "q_ev_top_paths": _TOP_PATHS_SQL,
     "q_stream_tumbling_hourly": _STREAM_TUMBLING_SQL,
     "q_stream_sessionize": _SESSION_SQL,
     "q_stream_running_totals": _RUNNING_TOTALS_SQL,
