@@ -107,6 +107,18 @@ def main() -> None:
         if timings[name] > 2.0 and time.perf_counter() - t_start < _RERUN_BUDGET:
             timings[name] = round(min(timings[name], run_once(fn)), 4)
 
+    # Second pass for extreme outliers only: a noise burst can hit BOTH
+    # samples of one query (observed 50 s for a steady-state 5 s query
+    # surviving its re-run). Anything still >10x the median gets one more
+    # chance inside the same budget.
+    med = sorted(timings.values())[len(timings) // 2]
+    for name, fn in sorted(ordered, key=lambda kv: -timings[kv[0]]):
+        if (
+            timings[name] > max(10 * med, 2.0)
+            and time.perf_counter() - t_start < _RERUN_BUDGET
+        ):
+            timings[name] = round(min(timings[name], run_once(fn)), 4)
+
     total = round(sum(timings.values()), 4)
     # Like-for-like round comparison: the surface grows every round, so
     # the grand total inflates by construction. r1_subset_total sums only
