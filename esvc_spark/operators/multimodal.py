@@ -256,33 +256,56 @@ def audio_windows(media: DataFrame, win: int = 32) -> DataFrame:
         import numpy as np
 
         for pdf in batches:
-            rows = {
-                "doc_id": [],
-                "window_idx": [],
-                "n_samples": [],
-                "energy": [],
-                "peak": [],
-            }
+            # Whole-batch vectorization: concatenate every audio payload
+            # into one sample buffer (each payload zero-padded to a
+            # multiple of `win`), reshape to (total_windows, win), and
+            # reduce along axis 1 — no interpreted per-window loop.
+            # Zero-padding is neutral for energy (0²) and peak (bytes ≥ 0);
+            # n_samples comes from the true lengths, not the padding.
+            doc_ids, lens, bufs = [], [], []
             for doc_id, payload, meta in zip(
                 pdf["doc_id"], pdf["payload"], pdf["meta"]
             ):
                 if meta["kind"] != "audio":
                     continue
-                arr = np.frombuffer(payload, dtype=np.uint8).astype("int64")
-                for i in range(0, max((len(arr) + win - 1) // win, 1)):
-                    seg = arr[i * win : (i + 1) * win]
-                    rows["doc_id"].append(int(doc_id))
-                    rows["window_idx"].append(i)
-                    rows["n_samples"].append(int(len(seg)))
-                    rows["energy"].append(int((seg * seg).sum()) if len(seg) else 0)
-                    rows["peak"].append(int(seg.max()) if len(seg) else 0)
-            out = pd.DataFrame(rows)
-            out["doc_id"] = out["doc_id"].astype("int64")
-            out["window_idx"] = out["window_idx"].astype("int32")
-            out["n_samples"] = out["n_samples"].astype("int64")
-            out["energy"] = out["energy"].astype("int64")
-            out["peak"] = out["peak"].astype("int32")
-            yield out
+                doc_ids.append(int(doc_id))
+                lens.append(len(payload))
+                bufs.append(np.frombuffer(payload, dtype=np.uint8))
+            if not doc_ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series([], dtype="int64"),
+                        "window_idx": pd.Series([], dtype="int32"),
+                        "n_samples": pd.Series([], dtype="int64"),
+                        "energy": pd.Series([], dtype="int64"),
+                        "peak": pd.Series([], dtype="int32"),
+                    }
+                )
+                continue
+            lens_arr = np.asarray(lens, dtype=np.int64)
+            # empty payloads still emit one (all-zero) window
+            n_wins = np.maximum((lens_arr + win - 1) // win, 1)
+            padded = np.zeros(int(n_wins.sum()) * win, dtype=np.int64)
+            starts = np.concatenate(([0], np.cumsum(n_wins[:-1]))) * win
+            for s, buf in zip(starts, bufs):
+                padded[s : s + len(buf)] = buf
+            mat = padded.reshape(-1, win)
+            # per-window true sample count: min(win, len - idx*win), >= 0
+            window_idx = np.concatenate([np.arange(k) for k in n_wins])
+            per_doc_len = np.repeat(lens_arr, n_wins)
+            n_samples = np.clip(per_doc_len - window_idx * win, 0, win)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(
+                        np.repeat(np.asarray(doc_ids, dtype=np.int64), n_wins),
+                        dtype="int64",
+                    ),
+                    "window_idx": pd.Series(window_idx, dtype="int32"),
+                    "n_samples": pd.Series(n_samples, dtype="int64"),
+                    "energy": pd.Series((mat * mat).sum(axis=1), dtype="int64"),
+                    "peak": pd.Series(mat.max(axis=1), dtype="int32"),
+                }
+            )
 
     return media.mapInPandas(_windows, AUDIO_WINDOW_SCHEMA)
 
