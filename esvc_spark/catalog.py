@@ -27,29 +27,44 @@ TABLES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def set_events_read_confs(spark: SparkSession) -> None:
+    """Confs an events read needs under ANY session (the driver harness
+    uses a plain SparkSession without the repo's session factory):
+    nanosAsLong so a TIMESTAMP(NANOS) file arrives as BIGINT ns instead of
+    failing with PARQUET_TYPE_ILLEGAL, and a UTC session timezone so
+    timestamp values are deterministic vs the naive-timestamp oracles."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize events.ts to TIMESTAMP microseconds regardless of the
+    driver's parquet physical type (it has shipped both):
+      * TIMESTAMP(NANOS) → BIGINT ns under nanosAsLong → integer-floored
+        to µs (`div 1000`; float division would round and drift);
+      * TIMESTAMP(MICROS, isAdjustedToUTC=false) → TIMESTAMP_NTZ under
+        Spark's inferTimestampNTZ → cast to TIMESTAMP, value-preserving
+        under the UTC session tz both loaders pin (and what watermarks,
+        unix_micros and window functions require)."""
+    from pyspark.sql import functions as F
+
+    t = dict(df.dtypes).get("ts")
+    if t == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif t == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table. Column pruning + predicate pushdown reach the
-    parquet scan because this is a plain file-source read.
-
-    events.ts is TIMESTAMP(NANOS) parquet: with
-    spark.sql.legacy.parquet.nanosAsLong it arrives as BIGINT nanoseconds
-    and is truncated (floored) to microseconds here — matching DuckDB's
-    ns→µs truncation, so oracle comparisons agree."""
+    parquet scan because this is a plain file-source read."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # The conf is runtime-settable; set it here so the read works under
-        # ANY session (the driver harness uses a plain SparkSession without
-        # the repo's session factory). Without it the scan fails with
-        # PARQUET_TYPE_ILLEGAL: INT64 (TIMESTAMP(NANOS)).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # Timestamp determinism vs. naive-timestamp oracles regardless of
-        # the host session's timezone.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        set_events_read_confs(spark)
     df = spark.read.parquet(path)
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        from pyspark.sql import functions as F
-
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = normalize_event_ts(df)
     return df
 
 

@@ -195,6 +195,67 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
     return media.mapInPandas(_extract, FEATURES_SCHEMA)
 
 
+FEATURE_SUMS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("chunk_idx", IntegerType(), False),
+        StructField("chunk_sum", LongType(), False),
+        StructField("chunk_len", LongType(), False),
+    ]
+)
+
+
+def extract_feature_sums(media: DataFrame, dim: int = 16) -> DataFrame:
+    """Exact-integer twin of `extract_features`: per-chunk byte sum and
+    length — the rational numerator/denominator of each chunk-mean
+    feature (chunk boundaries identical to np.array_split: the first
+    n % dim chunks get one extra byte). Emitting the integer pair instead
+    of the float quotient is what makes a SQL oracle exact; the float
+    stage stays for downstream consumers."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            doc_ids, idxs, sums, lens = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                n = len(arr)
+                q, r = divmod(n, dim)
+                sizes = np.full(dim, q, dtype=np.int64)
+                sizes[:r] += 1
+                # prefix-sum difference handles empty chunks (n < dim)
+                # without the reduceat repeated-index pitfall
+                cs = np.concatenate(
+                    ([0], np.cumsum(arr, dtype=np.int64))
+                )
+                ends = np.cumsum(sizes)
+                doc_ids.append(np.full(dim, int(doc_id), dtype=np.int64))
+                idxs.append(np.arange(dim, dtype=np.int32))
+                sums.append(cs[ends] - cs[ends - sizes])
+                lens.append(sizes)
+            if not doc_ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series([], dtype="int64"),
+                        "chunk_idx": pd.Series([], dtype="int32"),
+                        "chunk_sum": pd.Series([], dtype="int64"),
+                        "chunk_len": pd.Series([], dtype="int64"),
+                    }
+                )
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(np.concatenate(doc_ids), dtype="int64"),
+                    "chunk_idx": pd.Series(np.concatenate(idxs), dtype="int32"),
+                    "chunk_sum": pd.Series(np.concatenate(sums), dtype="int64"),
+                    "chunk_len": pd.Series(np.concatenate(lens), dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(_extract, FEATURE_SUMS_SCHEMA)
+
+
 FRAME_SCHEMA = StructType(
     [
         StructField("doc_id", LongType(), False),

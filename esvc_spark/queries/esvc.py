@@ -53,24 +53,32 @@ def _result(final, wc: WorkCache) -> DataFrame:
     return out
 
 
-def q_esvc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shelve the 3-event chain (deps inferred by commutation tests — each
-    an aggregate job), minimize the head set, replay. Invariant: equals
-    the sequential left-fold of the replaces."""
-    eng, init = _corpus(spark, sf_dir)
+def _shelve_minimize_replay(eng, init, script):
+    """Shelve a linear script (deps inferred by commutation testing),
+    minimize the head set, replay — the reference pipeline
+    (crates/esvc-core/src/workcache.rs:105-225 + graph.rs fold_state)."""
     g, wc = Graph(), WorkCache(eng, init)
     heads: set[bytes] = set()
-    for s, r in _REPLAY_SEARS:
-        h = wc.shelve_event(
-            g, set(heads), Event(cmd=0, arg={"search": s, "replacement": r})
-        )
+    for arg in script:
+        h = wc.shelve_event(g, set(heads), Event(cmd=0, arg=arg))
         if h is not None:
             heads.add(h)
     minimized = set(g.fold_state({h: False for h in heads}, expand=False).keys())
     final, _ = wc.run_foreach_recursively(
         g, {h: IncludeSpec.INCLUDE_ALL for h in minimized}
     )
-    return _result(final, wc)
+    return final
+
+
+def q_esvc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shelve the 3-event chain (deps inferred by commutation tests — each
+    an aggregate job), minimize the head set, replay. Invariant: equals
+    the sequential left-fold of the replaces."""
+    eng, init = _corpus(spark, sf_dir)
+    final = _shelve_minimize_replay(
+        eng, init, [{"search": s, "replacement": r} for s, r in _REPLAY_SEARS]
+    )
+    return _result(final, None)
 
 
 def q_esvc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -138,25 +146,28 @@ WHERE doc_id < {_SLICE}
 _ED_SLICE = 40
 _ED_TRAILER = "-- end of corpus"
 
+# Below this row count the shelve loop's ~20 commutation-test jobs are pure
+# task-scheduling latency (a 40-row editor dataset paid 54 s of it at
+# sf0.1): dependency inference runs on the in-memory ExEngine instead —
+# differential-tested bit-equal to SparkExEngine
+# (tests/test_spark_core.py) — and Spark is touched only to materialize
+# the final state. Above it, the distributed SparkExEngine path runs
+# unchanged (the 100 TB shape). SURVEY §7 "shelve's job count".
+_ED_LOCAL_ROWS = 10_000
+
 
 def q_esvc_editor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..core.engines import ExEngine
     from ..core.exparse import make_command
     from ..core.spark_engine import SparkDat, SparkExEngine
 
-    eng = SparkExEngine(spark)
     lines = (
         T(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < _ED_SLICE)
         .select(F.col("doc_id").cast("bigint").alias("line_no"), "text")
     )
-    # NO repartition: an editor dataset is tens of lines; fanning 40 rows
-    # over 8 partitions just multiplies task-scheduling latency across the
-    # ~20 fingerprint jobs the shelve loop runs (measured 1.6x slower).
-    # The corpus-scale distributed path is exercised by q_esvc_replay.
     # doc_id is contiguous 0..N-1 on the test tables, so it IS the line
-    # number; init straight from the DataFrame (no driver round-trip)
-    init = SparkDat.create(lines, SparkExEngine.COLS)
-
+    # number.
     script = [
         make_command(
             {"type": "rng", "start": 0, "end": _ED_SLICE},
@@ -166,17 +177,22 @@ def q_esvc_editor(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_command({"type": "rgx", "pattern": "slow"}, "delete"),
         make_command({"type": "last"}, "append", [_ED_TRAILER]),
     ]
-    g, wc = Graph(), WorkCache(eng, init)
-    heads: set[bytes] = set()
-    for arg in script:
-        h = wc.shelve_event(g, set(heads), Event(cmd=0, arg=arg))
-        if h is not None:
-            heads.add(h)
-    minimized = set(g.fold_state({h: False for h in heads}, expand=False).keys())
-    final, _ = wc.run_foreach_recursively(
-        g, {h: IncludeSpec.INCLUDE_ALL for h in minimized}
-    )
-    return final.df.select("line_no", F.md5("text").alias("text_md5"))
+
+    rows = lines.limit(_ED_LOCAL_ROWS + 1).collect()
+    if len(rows) <= _ED_LOCAL_ROWS:
+        init_local = tuple(
+            r["text"] for r in sorted(rows, key=lambda r: r["line_no"])
+        )
+        final_lines = _shelve_minimize_replay(ExEngine(), init_local, script)
+        out = spark.createDataFrame(
+            list(enumerate(final_lines)), "line_no BIGINT, text STRING"
+        )
+    else:
+        eng = SparkExEngine(spark)
+        init = SparkDat.create(lines, SparkExEngine.COLS)
+        final = _shelve_minimize_replay(eng, init, script)
+        out = final.df
+    return out.select("line_no", F.md5("text").alias("text_md5"))
 
 
 _EDITOR_SQL = f"""

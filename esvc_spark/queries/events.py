@@ -326,24 +326,9 @@ def _bounded_stream_confs(spark: SparkSession):
 
 
 def q_stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
-    # self-sufficient on a plain session, like catalog.table()
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
     # the file-stream source needs a directory basePath; a glob that
     # matches the single file keeps the parent dir as base
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(os.path.join(sf_dir, "events.parque*"))
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        # integer ns->us floor, same as catalog.table (float division here
-        # rounds and drifts the odd microsecond)
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _event_stream(spark, sf_dir)
     agg = stream.groupBy(
         F.window("ts", "1 hour").start.alias("window_start"),
         F.col("event_type"),
@@ -382,21 +367,7 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory-sink pattern as q_stream_tumbling_hourly): attests that
     streaming sessionization computes the identical gaps-and-islands
     answer as the batch session_window / recursive-window oracle."""
-    import os
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(os.path.join(sf_dir, "events.parque*"))
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        # integer ns->us floor, same as catalog.table (float division here
-        # rounds and drifts the odd microsecond)
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _event_stream(spark, sf_dir)
     agg = (
         stream.groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
         .agg(
@@ -430,12 +401,15 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _event_stream(spark: SparkSession, sf_dir: str):
     """File-stream source over the events parquet (shared setup for the
-    q_stream_* family): explicit schema, directory-glob basePath, integer
-    ns->us timestamp floor — all self-sufficient on a plain session."""
+    q_stream_* family): schema pinned from the batch footer, directory-glob
+    basePath, ts normalized to TIMESTAMP µs whatever the file's physical
+    type (catalog.normalize_event_ts) — all self-sufficient on a plain
+    session."""
     import os
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from ..catalog import normalize_event_ts, set_events_read_confs
+
+    set_events_read_confs(spark)
     path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
     stream = (
@@ -443,9 +417,7 @@ def _event_stream(spark: SparkSession, sf_dir: str):
         .option("maxFilesPerTrigger", 1)
         .parquet(os.path.join(sf_dir, "events.parque*"))
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    return normalize_event_ts(stream)
 
 
 def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -814,20 +786,9 @@ def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted state equals the batch aggregate and a value-level oracle
     applies: exact integer cents (one terminal round over the float sum,
     error << 0.5 cent) and max event time per user."""
-    import os
-
     from ..streaming.stateful import running_user_totals
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
-    stream = spark.readStream.schema(schema).parquet(
-        os.path.join(sf_dir, "events.parque*")
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    totals = running_user_totals(stream)
+    totals = running_user_totals(_event_stream(spark, sf_dir))
     _STREAM_SEQ[0] += 1
     name = f"stream_running_{_STREAM_SEQ[0]}"
     with _bounded_stream_confs(spark):

@@ -3,8 +3,10 @@ of esvc_spark.operators.multimodal, aggregated to oracle-checkable stats.
 
 The fake decode is exact integer byte math and the payloads are ASCII
 text, so DuckDB can reproduce byte sums (codepoint == byte) and md5
-content addresses exactly. `q_mm_features` is Python-side float math with
-no practical SQL twin — declared without an oracle (rows-only check).
+content addresses exactly. `q_mm_features` emits each chunk-mean feature
+as its exact integer (sum, len) pair so even the feature stage is
+hash-checkable; the float vector stage (`extract_features`) remains for
+downstream embedding consumers and is covered structurally in pytest.
 """
 
 from __future__ import annotations
@@ -16,7 +18,7 @@ from ..operators.multimodal import (
     _KINDS,
     audio_windows,
     decode_stats,
-    extract_features,
+    extract_feature_sums,
     frame_sample,
     media_table,
     resize_images,
@@ -88,13 +90,36 @@ FROM sized, unnest(range(0, n_frames, {_EVERY_N})) t(i)
 """
 
 
+_FEAT_DIM = 16
+
+
 def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Chunk-mean feature vectors (no SQL oracle — Python float math);
-    aggregated so the rows-only check still pins cardinality + schema."""
-    feats = extract_features(media_table(spark, sf_dir), dim=16)
-    return feats.select(
-        "doc_id", "feat_norm", F.size("feature").alias("feat_dim")
-    )
+    """Feature-extraction stage with an exact oracle: each float feature
+    of `extract_features` is chunk_sum/chunk_len, so the query emits the
+    integer pair per chunk (same rational-pair trick as q_doc_tfidf_top's
+    idf) and DuckDB rebuilds every value from sliced codepoints."""
+    return extract_feature_sums(media_table(spark, sf_dir), dim=_FEAT_DIM)
+
+
+_FEATURES_SQL = f"""
+WITH sized AS (
+  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n FROM documents
+),
+chunks AS (
+  SELECT doc_id, text, CAST(i AS INTEGER) AS chunk_idx,
+         CAST(i * (n // {_FEAT_DIM}) + LEAST(i, n % {_FEAT_DIM}) AS BIGINT) AS lo,
+         CAST(n // {_FEAT_DIM}
+              + CASE WHEN i < n % {_FEAT_DIM} THEN 1 ELSE 0 END AS BIGINT)
+           AS chunk_len
+  FROM sized, unnest(range(0, {_FEAT_DIM})) t(i)
+)
+SELECT doc_id, chunk_idx,
+       CAST(COALESCE(list_sum(list_transform(
+              string_split(substr(text, lo + 1, chunk_len), ''),
+              c -> unicode(c))), 0) AS BIGINT) AS chunk_sum,
+       chunk_len
+FROM chunks
+"""
 
 
 
@@ -179,6 +204,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_mm_features": _FEATURES_SQL,
     "q_mm_resize": _RESIZE_SQL,
     "q_mm_decode_stats": _DECODE_STATS_SQL,
     "q_mm_frame_sample": _FRAME_SQL,

@@ -26,40 +26,27 @@ from typing import Callable
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
 
-# ts is TIMESTAMP(NANOS) in the driver's parquet; the session reads nanos
-# as BIGINT (spark.sql.legacy.parquet.nanosAsLong) and we truncate to
-# micros after the scan, same as the batch catalog loader.
-EVENTS_STREAM_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType(), False),
-        StructField("ts", LongType(), False),
-        StructField("user_id", LongType(), False),
-        StructField("event_type", StringType(), False),
-        StructField("value", DoubleType(), False),
-        StructField("props", StringType(), True),
-    ]
-)
+# The on-file physical timestamp type has varied across driver testdata
+# generations (TIMESTAMP(NANOS) vs TIMESTAMP(MICROS) NTZ), so reads pin
+# the footer schema and normalize ts via catalog.normalize_event_ts.
 
 
 def read_events_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     """File-source stream over a directory (or glob) of events parquet.
-    Schema must be pinned for streaming reads; maxFilesPerTrigger bounds
-    micro-batch size for backpressure."""
-    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+    Schema must be pinned for streaming reads (taken from the batch
+    footer); maxFilesPerTrigger bounds micro-batch size for backpressure."""
+    from ..catalog import normalize_event_ts, set_events_read_confs
+
+    set_events_read_confs(spark)
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(path)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(df)
 
 
 def tumbling_stream(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:

@@ -9,10 +9,12 @@ import pytest
 
 from esvc_spark.operators.multimodal import (
     DECODE_STATS_SCHEMA,
+    FEATURE_SUMS_SCHEMA,
     FEATURES_SCHEMA,
     FRAME_SCHEMA,
     decode_real,
     decode_stats,
+    extract_feature_sums,
     extract_features,
     frame_sample,
     media_table,
@@ -53,6 +55,30 @@ def test_features_shape_and_determinism(spark, media):
     b = {r["doc_id"]: (tuple(r["feature"]), r["feat_norm"]) for r in f.collect()}
     assert a == b
     assert all(len(v[0]) == 16 for v in a.values())
+
+
+def test_feature_sums_are_the_exact_rational_of_features(spark, media):
+    """chunk_sum/chunk_len must equal the float chunk-mean feature (the
+    integer pair IS the feature, exactly), and the lens partition the
+    payload (np.array_split boundaries)."""
+    sums = extract_feature_sums(media, dim=16)
+    assert sums.schema == FEATURE_SUMS_SCHEMA
+    by_doc: dict[int, list] = {}
+    for r in sums.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    feats = {r["doc_id"]: list(r["feature"]) for r in extract_features(media, dim=16).collect()}
+    for r in media.limit(20).collect():
+        p = bytes(r["payload"])
+        rows = sorted(by_doc[r["doc_id"]], key=lambda x: x["chunk_idx"])
+        assert [x["chunk_idx"] for x in rows] == list(range(16))
+        assert sum(x["chunk_len"] for x in rows) == len(p)
+        pos = 0
+        for x, fv in zip(rows, feats[r["doc_id"]]):
+            seg = p[pos : pos + x["chunk_len"]]
+            pos += x["chunk_len"]
+            assert x["chunk_sum"] == sum(seg)
+            mean = x["chunk_sum"] / x["chunk_len"] if x["chunk_len"] else 0.0
+            assert abs(mean - fv) < 1e-3  # feature stored as float32
 
 
 def test_frame_sample_flatmap(spark, media):
