@@ -37,6 +37,10 @@ _FRONT = (
     "q_stream_running_totals",
     "q_stream_join",
     "q_stream_dedup",
+    "q_stream_enrich",
+    # new this round
+    "q_doc_repetition",
+    "q_doc_pii_redact",
     # never driver-graded: sketches / graph / event analytics
     "q_ev_kmv_distinct",
     "q_ev_hll_distinct",

@@ -1722,6 +1722,175 @@ FROM d GROUP BY lang, split
 """
 
 
+# ------------------------------------------------------------- repetition
+# Gopher-style repetition filters (Rae et al. 2021 §A1.1 as public
+# prior art): fraction of duplicated tokens and the most-frequent-bigram
+# share, per document, with an integer-arithmetic keep decision. The
+# Spark plan is fully narrow — the per-doc top-bigram count is a pinned
+# fold over the SORTED bigram array (max run length == max group count),
+# so at 100 TB this is scan → project with NO shuffle at all; the oracle
+# states the same values relationally (group-by) because DuckDB's
+# list_reduce can't carry a struct accumulator.
+
+_REP_TOP = (
+    "aggregate(array_sort(bi), "
+    "named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L), "
+    "(acc, x) -> named_struct("
+    "  'prev', x, "
+    "  'run', IF(x <=> acc.prev, acc.run + 1L, 1L), "
+    "  'best', greatest(acc.best, IF(x <=> acc.prev, acc.run + 1L, 1L))), "
+    "acc -> acc.best)"
+)
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_par(spark, sf_dir)
+    d = (
+        docs.withColumn("toks", _TOKENS())
+        .withColumn("n_tokens", F.size("toks").cast("bigint"))
+        .withColumn(
+            "n_distinct", F.size(F.array_distinct("toks")).cast("bigint")
+        )
+        .withColumn(
+            "bi",
+            F.expr(
+                "transform(slice(toks, 1, size(toks) - 1),"
+                " (x, i) -> concat(x, ' ', toks[i + 1]))"
+            ),
+        )
+        .withColumn("n_bigrams", F.greatest(F.size("toks") - 1, F.lit(0)).cast("bigint"))
+        .withColumn("top_bigram_n", F.expr(_REP_TOP).cast("bigint"))
+    )
+    # keep: duplicated-token fraction <= 0.8 AND top-bigram share <= 0.05,
+    # decided in exact integer cross-multiplication (no float compare)
+    keep = (
+        (F.lit(5) * (F.col("n_tokens") - F.col("n_distinct")) <= F.lit(4) * F.col("n_tokens"))
+        & (F.lit(20) * F.col("top_bigram_n") <= F.col("n_bigrams"))
+    )
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        "top_bigram_n",
+        "n_bigrams",
+        F.when(
+            F.col("n_tokens") > 0,
+            (F.col("n_tokens") - F.col("n_distinct")).cast("double") / F.col("n_tokens"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_token_frac"),
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.col("top_bigram_n").cast("double") / F.col("n_bigrams"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
+        keep.cast("int").alias("keep"),
+    )
+
+
+_REPETITION_SQL = f"""
+WITH toks AS (SELECT doc_id, {SQL_TOKENS} AS w FROM documents),
+base AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+         CAST(GREATEST(len(w) - 1, 0) AS BIGINT) AS n_bigrams
+  FROM toks
+),
+bi AS (
+  SELECT doc_id, w[i] || ' ' || w[i + 1] AS bigram
+  FROM toks, unnest(range(1, len(w))) t(i)
+  WHERE len(w) >= 2
+),
+bc AS (SELECT doc_id, bigram, COUNT(*) AS n FROM bi GROUP BY 1, 2),
+top AS (SELECT doc_id, CAST(MAX(n) AS BIGINT) AS top_bigram_n FROM bc GROUP BY 1)
+SELECT b.doc_id, b.n_tokens, b.n_distinct,
+       CAST(COALESCE(t.top_bigram_n, 0) AS BIGINT) AS top_bigram_n, b.n_bigrams,
+       CASE WHEN b.n_tokens > 0
+            THEN CAST(b.n_tokens - b.n_distinct AS DOUBLE) / b.n_tokens
+            ELSE 0.0 END AS dup_token_frac,
+       CASE WHEN b.n_bigrams > 0
+            THEN CAST(COALESCE(t.top_bigram_n, 0) AS DOUBLE) / b.n_bigrams
+            ELSE 0.0 END AS top_bigram_frac,
+       CAST(5 * (b.n_tokens - b.n_distinct) <= 4 * b.n_tokens
+            AND 20 * COALESCE(t.top_bigram_n, 0) <= b.n_bigrams AS INTEGER) AS keep
+FROM base b LEFT JOIN top t USING (doc_id)
+"""
+
+# ------------------------------------------------------------- PII redaction
+# PII detection + redaction (emails, IPv4, phone numbers) — the privacy
+# scrub every training pipeline runs. The synthetic corpus contains no
+# PII, so the query plants a deterministic doc_id-derived contact footer
+# on each document first; both engines build the identical string, so
+# the oracle genuinely exercises the detection/redaction regexes (a
+# no-op corpus would vacuously hash-match even with broken patterns).
+# Narrow plan: scan → project, no shuffle; at 100 TB this is the shape
+# you want (regex work scales with bytes, embarrassingly parallel).
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def q_doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_par(spark, sf_dir)
+    footer = F.concat(
+        F.lit(" contact user"),
+        F.col("doc_id"),
+        F.lit("@example."),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("com")).otherwise(F.lit("org")),
+        F.lit(" from 10."),
+        (F.col("doc_id") % 256).cast("bigint"),
+        F.lit("."),
+        ((F.col("doc_id") * 7) % 256).cast("bigint"),
+        F.lit(".1 call 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad(((F.col("doc_id") * 13) % 10000).cast("string"), 4, "0"),
+    )
+    d = docs.withColumn("full_text", F.concat(F.col("text"), footer))
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("full_text", _PII_EMAIL, "[EMAIL]"),
+            _PII_PHONE,
+            "[PHONE]",
+        ),
+        _PII_IP,
+        "[IP]",
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count("full_text", F.lit(_PII_EMAIL)).cast("bigint").alias("n_emails"),
+        F.regexp_count("full_text", F.lit(_PII_IP)).cast("bigint").alias("n_ips"),
+        F.regexp_count("full_text", F.lit(_PII_PHONE)).cast("bigint").alias("n_phones"),
+        F.md5(red).alias("redacted_md5"),
+    )
+
+
+_PII_SQL = rf"""
+WITH with_footer AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.'
+              || CASE WHEN doc_id % 2 = 0 THEN 'com' ELSE 'org' END
+              || ' from 10.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+              || '.1 call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+              || '-' || lpad(CAST((doc_id * 13) % 10000 AS VARCHAR), 4, '0')
+           AS full_text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(full_text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(full_text, '{_PII_IP}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(full_text, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(
+             regexp_replace(
+               regexp_replace(full_text, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+               '{_PII_PHONE}', '[PHONE]', 'g'),
+             '{_PII_IP}', '[IP]', 'g')) AS redacted_md5
+FROM with_footer
+"""
+
+
 QUERIES = {
     "q_doc_exact_dedup": q_doc_exact_dedup,
     "q_doc_bpe_tokens": q_doc_bpe_tokens,
@@ -1750,6 +1919,8 @@ QUERIES = {
     "q_dataset_card": q_dataset_card,
     "q_doc_normalize": q_doc_normalize,
     "q_doc_negatives": q_doc_negatives,
+    "q_doc_repetition": q_doc_repetition,
+    "q_doc_pii_redact": q_doc_pii_redact,
 }
 
 ORACLES = {
@@ -1780,4 +1951,6 @@ ORACLES = {
     "q_dataset_card": _DATASET_CARD_SQL,
     "q_doc_normalize": _NORMALIZE_SQL,
     "q_doc_negatives": _NEGATIVES_SQL,
+    "q_doc_repetition": _REPETITION_SQL,
+    "q_doc_pii_redact": _PII_SQL,
 }

@@ -508,6 +508,51 @@ SELECT DISTINCT user_id, event_type, value FROM events
 """
 
 
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joined to the
+    static `customer` dimension (broadcast — the dim rides to every
+    executor once; no stream-side state, no shuffle of the stream), then
+    a windowless streaming aggregate per market segment in complete mode.
+    This is the canonical unbounded-safe dimension-enrichment topology;
+    over the bounded stream it equals the batch join+aggregate, giving
+    the stream-static join path a full value-level oracle."""
+    from ..catalog import table as T
+
+    stream = _event_stream(spark, sf_dir)
+    cust = F.broadcast(
+        T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+    enriched = stream.join(cust, stream.user_id == cust.c_custkey, "inner")
+    # (count_distinct is unsupported in streaming aggs — count + exact
+    # decimal sum, like q_stream_tumbling_hourly)
+    agg = enriched.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", 2).alias("sum_value"),
+    )
+    _STREAM_SEQ[0] += 1
+    name = f"stream_enrich_{_STREAM_SEQ[0]}"
+    with _bounded_stream_confs(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.table(name)
+
+
+_STREAM_ENRICH_SQL = f"""
+SELECT c_mktsegment, event_type, COUNT(*) AS n_events,
+       {sql_dsum('value', 2)} AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
 # ------------------------------------------------------------- path mining
 # Frequent event paths: 3-step sequences per user (lead x2 over event
 # time), counted corpus-wide with a deterministic top-10 — the sequence-
@@ -1377,6 +1422,7 @@ QUERIES = {
     "q_stream_running_totals": q_stream_running_totals,
     "q_stream_join": q_stream_join,
     "q_stream_dedup": q_stream_dedup,
+    "q_stream_enrich": q_stream_enrich,
 }
 
 ORACLES = {
@@ -1404,4 +1450,5 @@ ORACLES = {
     "q_stream_running_totals": _RUNNING_TOTALS_SQL,
     "q_stream_join": _RANGE_SQL,
     "q_stream_dedup": _STREAM_DEDUP_SQL,
+    "q_stream_enrich": _STREAM_ENRICH_SQL,
 }
