@@ -41,6 +41,8 @@ _FRONT = (
     # new this round
     "q_doc_repetition",
     "q_doc_pii_redact",
+    "q_doc_chunk",
+    "q_doc_bpe_merges",
     # never driver-graded: sketches / graph / event analytics
     "q_ev_kmv_distinct",
     "q_ev_hll_distinct",

@@ -1891,6 +1891,150 @@ FROM with_footer
 """
 
 
+# ------------------------------------------------------------- RAG chunking
+# Sliding-window document chunking (64-token windows, stride 48 → 16
+# tokens of overlap) — the retrieval-corpus preparation stage of a RAG
+# pipeline. One explode per doc, narrow otherwise; at 100 TB the chunk
+# blowup (~n_tokens/48 rows per doc) stays partition-local until a
+# downstream op shuffles it.
+
+_CHUNK_SIZE = 64
+_CHUNK_STRIDE = 48
+
+
+def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_par(spark, sf_dir)
+    d = (
+        docs.withColumn("toks", _TOKENS())
+        .withColumn("n_tokens", F.size("toks").cast("bigint"))
+        .filter(F.col("n_tokens") > 0)
+        .withColumn(
+            "chunk_idx",
+            F.explode(
+                F.expr(
+                    f"sequence(0, cast((n_tokens + {_CHUNK_STRIDE - 1}) div {_CHUNK_STRIDE} as int) - 1)"
+                )
+            ),
+        )
+        .withColumn(
+            "chunk_toks",
+            F.expr(f"slice(toks, chunk_idx * {_CHUNK_STRIDE} + 1, {_CHUNK_SIZE})"),
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size("chunk_toks").cast("bigint").alias("n_chunk_tokens"),
+        F.md5(F.array_join("chunk_toks", " ")).alias("chunk_md5"),
+    )
+
+
+_CHUNK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {SQL_TOKENS} AS w, CAST(len({SQL_TOKENS}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+         list_slice(w, i * {_CHUNK_STRIDE} + 1,
+                    LEAST(i * {_CHUNK_STRIDE} + {_CHUNK_SIZE}, n_tokens)) AS cw
+  FROM toks, unnest(range(0, (n_tokens + {_CHUNK_STRIDE - 1}) // {_CHUNK_STRIDE})) t(i)
+  WHERE n_tokens > 0
+)
+SELECT doc_id, chunk_idx, CAST(len(cw) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(cw, ' ')) AS chunk_md5
+FROM chunks
+"""
+
+# ------------------------------------------------------------- BPE merges
+# Distributed BPE merge induction (Sennrich et al. 2016 as public prior
+# art): two unrolled merge rounds of the tokenizer-training loop. Words
+# are encoded as marker-wrapped symbol strings ('>a<>b<>c<'), so a merge
+# is a plain string replace of '>a<>b<' with '>ab<' — left-to-right
+# non-overlapping in both engines, which IS greedy BPE order — and a
+# symbol can never false-match a suffix/prefix of another (the '>'/'<'
+# markers anchor whole symbols). Fully declarative: each round's top
+# pair is a 1-row DataFrame cross-joined (broadcast) into the corpus;
+# no driver-side collect. At 100 TB each round is one pair-count
+# shuffle + one broadcast — the same shape per extra merge.
+
+
+def q_doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_par(spark, sf_dir)
+    words = docs.select(F.explode(_TOKENS()).alias("word"))
+    enc0 = F.concat(F.lit(">"), F.array_join(F.split("word", ""), "<>"), F.lit("<"))
+    w = words.select(enc0.alias("enc")).persist()
+
+    # wrapped symbols of each word: ['>a<', '>b<', ...]; a pair pattern is
+    # just wrapped[i] || wrapped[i+1]
+    syms = F.expr("regexp_extract_all(enc, '(>[^<]*<)', 1)")
+
+    def top_pair(wdf: DataFrame, rank: int) -> DataFrame:
+        pairs = wdf.withColumn("syms", syms).select(
+            F.explode(
+                F.expr(
+                    "transform(slice(syms, 1, size(syms) - 1),"
+                    " (x, i) -> concat(x, syms[i + 1]))"
+                )
+            ).alias("pair")
+        )
+        return (
+            pairs.groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("pair_count"))
+            .orderBy(F.desc("pair_count"), F.asc("pair"))
+            .limit(1)
+            .select(F.lit(rank).alias("merge_rank"), "pair", "pair_count")
+        )
+
+    rounds = []
+    for rank in (1, 2):
+        t = top_pair(w, rank)
+        rounds.append(t)
+        # apply the merge: '>a<>b<' -> '>ab<' (drop the inner markers)
+        w = w.crossJoin(F.broadcast(t.select(F.col("pair").alias("p")))).select(
+            F.replace(
+                F.col("enc"), F.col("p"), F.replace(F.col("p"), F.lit("<>"), F.lit(""))
+            ).alias("enc")
+        )
+
+    out = rounds[0].unionByName(rounds[1])
+    return out.select(
+        "merge_rank",
+        F.regexp_replace("pair", "[<>]", "").alias("merged"),
+        "pair_count",
+    )
+
+
+_BPE_MERGES_SQL = f"""
+WITH words AS (SELECT unnest({SQL_TOKENS}) AS word FROM documents),
+enc1 AS (
+  SELECT '>' || array_to_string(string_split(word, ''), '<>') || '<' AS enc
+  FROM words
+),
+s1 AS (SELECT regexp_extract_all(enc, '(>[^<]*<)', 1) AS s FROM enc1),
+p1 AS (
+  SELECT s[i] || s[i + 1] AS pair, COUNT(*) AS pair_count
+  FROM s1, unnest(range(1, len(s))) t(i)
+  GROUP BY 1 ORDER BY pair_count DESC, pair ASC LIMIT 1
+),
+enc2 AS (
+  SELECT replace(enc, (SELECT pair FROM p1),
+                 replace((SELECT pair FROM p1), '<>', '')) AS enc
+  FROM enc1
+),
+s2 AS (SELECT regexp_extract_all(enc, '(>[^<]*<)', 1) AS s FROM enc2),
+p2 AS (
+  SELECT s[i] || s[i + 1] AS pair, COUNT(*) AS pair_count
+  FROM s2, unnest(range(1, len(s))) t(i)
+  GROUP BY 1 ORDER BY pair_count DESC, pair ASC LIMIT 1
+)
+SELECT 1 AS merge_rank, regexp_replace(pair, '[<>]', '', 'g') AS merged, pair_count
+FROM p1
+UNION ALL
+SELECT 2, regexp_replace(pair, '[<>]', '', 'g'), pair_count FROM p2
+"""
+
+
 QUERIES = {
     "q_doc_exact_dedup": q_doc_exact_dedup,
     "q_doc_bpe_tokens": q_doc_bpe_tokens,
@@ -1921,6 +2065,8 @@ QUERIES = {
     "q_doc_negatives": q_doc_negatives,
     "q_doc_repetition": q_doc_repetition,
     "q_doc_pii_redact": q_doc_pii_redact,
+    "q_doc_chunk": q_doc_chunk,
+    "q_doc_bpe_merges": q_doc_bpe_merges,
 }
 
 ORACLES = {
@@ -1953,4 +2099,6 @@ ORACLES = {
     "q_doc_negatives": _NEGATIVES_SQL,
     "q_doc_repetition": _REPETITION_SQL,
     "q_doc_pii_redact": _PII_SQL,
+    "q_doc_chunk": _CHUNK_SQL,
+    "q_doc_bpe_merges": _BPE_MERGES_SQL,
 }
