@@ -43,6 +43,8 @@ _FRONT = (
     "q_doc_pii_redact",
     "q_doc_chunk",
     "q_doc_bpe_merges",
+    "q_doc_upsert",
+    "q_emb_dup_clusters",
     # never driver-graded: sketches / graph / event analytics
     "q_ev_kmv_distinct",
     "q_ev_hll_distinct",

@@ -2035,6 +2035,64 @@ SELECT 2, regexp_replace(pair, '[<>]', '', 'g'), pair_count FROM p2
 """
 
 
+# ------------------------------------------------------------- upsert/MERGE
+# Incremental corpus maintenance: MERGE-INTO semantics (matched → update,
+# not-matched → insert) expressed as one full-outer join on the key —
+# the table-maintenance op an incremental ingest pipeline runs per batch.
+# Base = docs with doc_id % 3 != 0; update batch = uppercased docs with
+# doc_id % 2 == 0. Output = per-action counts + an order-invariant
+# bit_xor content checksum, so the oracle pins every merged row's final
+# text without emitting the corpus. Scale shape: one co-partitioned
+# shuffle join on the key — exactly what Delta/Iceberg MERGE compiles to.
+
+
+def q_doc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_par(spark, sf_dir)
+    base = docs.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text", "n_chars")
+    upd = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id",
+        F.upper("text").alias("u_text"),
+        F.col("n_chars").alias("u_chars"),
+    )
+    m = base.join(upd, "doc_id", "full_outer").select(
+        F.when(F.col("u_text").isNull(), F.lit("keep"))
+        .when(F.col("text").isNull(), F.lit("insert"))
+        .otherwise(F.lit("update"))
+        .alias("action"),
+        F.coalesce("u_text", "text").alias("ftext"),
+        F.coalesce("u_chars", "n_chars").alias("fchars"),
+    )
+    return m.groupBy("action").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("fchars").alias("total_chars"),
+        F.expr(
+            "bit_xor(CAST(conv(substring(md5(ftext), 1, 15), 16, 10) AS BIGINT))"
+        ).alias("content_xor"),
+    )
+
+
+_UPSERT_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text, n_chars FROM documents WHERE doc_id % 3 <> 0
+),
+upd AS (
+  SELECT doc_id, upper(text) AS u_text, n_chars AS u_chars
+  FROM documents WHERE doc_id % 2 = 0
+),
+m AS (
+  SELECT CASE WHEN u.u_text IS NULL THEN 'keep'
+              WHEN b.text IS NULL THEN 'insert'
+              ELSE 'update' END AS action,
+         COALESCE(u.u_text, b.text) AS ftext,
+         COALESCE(u.u_chars, b.n_chars) AS fchars
+  FROM base b FULL OUTER JOIN upd u ON b.doc_id = u.doc_id
+)
+SELECT action, COUNT(*) AS n_docs, CAST(SUM(fchars) AS BIGINT) AS total_chars,
+       bit_xor({_sql_h('ftext')}) AS content_xor
+FROM m GROUP BY action
+"""
+
+
 QUERIES = {
     "q_doc_exact_dedup": q_doc_exact_dedup,
     "q_doc_bpe_tokens": q_doc_bpe_tokens,
@@ -2067,6 +2125,7 @@ QUERIES = {
     "q_doc_pii_redact": q_doc_pii_redact,
     "q_doc_chunk": q_doc_chunk,
     "q_doc_bpe_merges": q_doc_bpe_merges,
+    "q_doc_upsert": q_doc_upsert,
 }
 
 ORACLES = {
@@ -2101,4 +2160,5 @@ ORACLES = {
     "q_doc_pii_redact": _PII_SQL,
     "q_doc_chunk": _CHUNK_SQL,
     "q_doc_bpe_merges": _BPE_MERGES_SQL,
+    "q_doc_upsert": _UPSERT_SQL,
 }

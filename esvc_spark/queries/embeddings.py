@@ -973,6 +973,49 @@ FROM wide GROUP BY width
 """
 
 
+# --------------------------------------------------------- dup clustering
+# Embedding near-duplicate clustering: connected components over the LSH
+# candidate graph (band-bucketed pairs at the near-dup threshold) — the
+# embedding-space twin of q_doc_dup_clusters, closing the dedup story for
+# the vector modality: LSH bounds the pair explosion, CC turns pairwise
+# hits into dedup groups, keep = cluster representative. Scale shape:
+# |E|-bounded Pregel rounds (operators/cc.py), never an all-pairs join.
+
+
+def q_emb_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cc import connected_components
+
+    pairs = q_emb_ann_lsh(spark, sf_dir).filter(F.col("cos_sim") >= _NEARDUP_T)
+    edges = pairs.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
+    labels = connected_components(edges)
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "label").select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("label").alias("cluster_id"),
+        "cluster_size",
+        (F.col("doc_id") == F.col("label")).alias("keep"),
+    )
+
+
+def _emb_dup_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE
+lsh AS (SELECT * FROM ({_ann_lsh_sql()}) q WHERE cos_sim >= {_NEARDUP_T}),
+e0 AS (SELECT vec_a AS src, vec_b AS dst FROM lsh),
+edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+reach(a, b) AS (
+  SELECT src AS a, src AS b FROM edges
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+),
+clusters AS (SELECT a AS vec_id, MIN(b) AS cluster_id FROM reach GROUP BY a)
+SELECT c.vec_id, c.cluster_id, s.cluster_size, c.vec_id = c.cluster_id AS keep
+FROM clusters c
+JOIN (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM clusters GROUP BY cluster_id) s USING (cluster_id)
+"""
+
+
 QUERIES = {
     "q_emb_knn_cosine": q_emb_knn_cosine,
     "q_emb_ivf_knn": q_emb_ivf_knn,
@@ -986,6 +1029,7 @@ QUERIES = {
     "q_emb_pq": q_emb_pq,
     "q_emb_matryoshka": q_emb_matryoshka,
     "q_emb_hard_negatives": q_emb_hard_negatives,
+    "q_emb_dup_clusters": q_emb_dup_clusters,
 }
 
 ORACLES = {
@@ -1001,4 +1045,5 @@ ORACLES = {
     "q_emb_pq": _pq_sql(),
     "q_emb_matryoshka": _matryoshka_sql(),
     "q_emb_hard_negatives": _HARD_NEG_SQL,
+    "q_emb_dup_clusters": _emb_dup_clusters_sql(),
 }
