@@ -38,6 +38,8 @@ _FRONT = (
     "q_stream_join",
     "q_stream_dedup",
     "q_stream_enrich",
+    "q_stream_heads",
+    "q_ev_attribution",
     # new this round
     "q_doc_repetition",
     "q_doc_pii_redact",

@@ -256,6 +256,72 @@ WHERE epoch_us(p.ts::TIMESTAMP) - epoch_us(c.ts::TIMESTAMP)
 """
 
 
+# ------------------------------------------------------------ attribution
+# Multi-touch attribution with linear time decay: every click landing
+# 1 s..300 s before a same-user purchase gets integer weight
+# 301 - gap_seconds, normalized to a share of that purchase's credit —
+# the marketing-analytics sibling of the funnel/as-of family. Exact
+# integer weights + one IEEE division keep both engines bit-identical;
+# the pair generation reuses the bucketized bounded range join (no
+# inequality NLJ), and the normalization is one window sum over the
+# (small) pair set.
+
+
+def q_ev_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.temporal import range_join
+
+    ev = T(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    pairs = range_join(
+        clicks, purchases, on="ts", by=["user_id"],
+        lower_us=1_000_000, upper_us=300_000_000,
+    ).select(
+        "click_id",
+        F.col("purchase_id_r").alias("purchase_id"),
+        "user_id",
+        F.expr("301 - _gap_us div 1000000").cast("bigint").alias("weight"),
+    )
+    total = Window.partitionBy("purchase_id")
+    return pairs.select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        "weight",
+        (
+            F.col("weight").cast("double")
+            / F.sum("weight").over(total).cast("double")
+        ).alias("credit_share"),
+    )
+
+
+_ATTRIBUTION_SQL = """
+WITH c AS (SELECT event_id AS click_id, user_id, ts
+           FROM events WHERE event_type = 'click'),
+p AS (SELECT event_id AS purchase_id, user_id, ts
+      FROM events WHERE event_type = 'purchase'),
+pairs AS (
+  SELECT purchase_id, click_id, c.user_id AS user_id,
+         CAST(301 - (epoch_us(p.ts::TIMESTAMP) - epoch_us(c.ts::TIMESTAMP))
+                    // 1000000 AS BIGINT) AS weight
+  FROM c JOIN p ON c.user_id = p.user_id
+  WHERE epoch_us(p.ts::TIMESTAMP) - epoch_us(c.ts::TIMESTAMP)
+        BETWEEN 1000000 AND 300000000
+)
+SELECT purchase_id, click_id, user_id, weight,
+       CAST(weight AS DOUBLE)
+         / CAST(SUM(weight) OVER (PARTITION BY purchase_id) AS DOUBLE)
+         AS credit_share
+FROM pairs
+"""
+
+
 # ---------------------------------------------------------------- percentiles
 # Exact distribution stats per event type: Spark's exact `percentile`
 # (sort-based, not the t-digest approx) matches DuckDB quantile_cont
@@ -550,6 +616,78 @@ SELECT c_mktsegment, event_type, COUNT(*) AS n_events,
        {sql_dsum('value', 2)} AS sum_value
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY 1, 2
+"""
+
+
+def q_stream_heads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The esvc head-set antichain maintained incrementally in a stream
+    (streaming/stateful.streaming_head_tracker — the streaming twin of
+    append_head + compaction, ref crates/exvc/src/main.rs:217-250), under
+    the driver contract. Events are sharded into 16 graph keys by id; an
+    event depends on its key-predecessor (id-16) except every third
+    generation, which starts a fresh chain — so the final head set per
+    key is exactly the events never named as a later event's dependency,
+    which a closed-form oracle can state. event ids are contiguous and ts
+    is id-monotone in the testdata, making the sequential fold the state
+    op runs well-defined."""
+    from ..streaming.stateful import streaming_head_tracker
+
+    ev = _event_stream(spark, sf_dir)
+    has_dep = (F.col("event_id") >= 16) & (
+        F.expr("(event_id div 16) % 3") != 0
+    )
+    stream = ev.select(
+        (F.col("event_id") % 16).cast("string").alias("graph_key"),
+        "event_id",
+        "ts",
+        F.when(
+            has_dep,
+            F.concat(F.lit('["'), (F.col("event_id") - 16).cast("string"), F.lit('"]')),
+        )
+        .otherwise(F.lit("[]"))
+        .alias("deps_json"),
+    )
+    tracked = streaming_head_tracker(stream)
+    _STREAM_SEQ[0] += 1
+    name = f"stream_heads_{_STREAM_SEQ[0]}"
+    with _bounded_stream_confs(spark):
+        q = (
+            tracked.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.table(name).select(
+        "graph_key",
+        F.array_join("heads", ",").alias("heads_csv"),
+        F.size("heads").cast("bigint").alias("n_heads"),
+        "n_events",
+    )
+
+
+# head ⟺ never referenced as a later event's dep: its successor (id+16)
+# is past the end of the log, or starts a fresh chain ((id+16) div 16 ≡ 0
+# mod 3 — Spark's has_dep rule negated)
+_STREAM_HEADS_SQL = """
+WITH e AS (SELECT event_id, event_id % 16 AS gk FROM events),
+mx AS (SELECT MAX(event_id) AS m FROM e),
+heads AS (
+  SELECT gk, event_id FROM e, mx
+  WHERE event_id + 16 > m OR ((event_id + 16) // 16) % 3 = 0
+),
+agg AS (
+  SELECT gk,
+         array_to_string(list_sort(list(CAST(event_id AS VARCHAR))), ',') AS heads_csv,
+         CAST(COUNT(*) AS BIGINT) AS n_heads
+  FROM heads GROUP BY gk
+),
+cnt AS (SELECT gk, CAST(COUNT(*) AS BIGINT) AS n_events FROM e GROUP BY gk)
+SELECT CAST(a.gk AS VARCHAR) AS graph_key, a.heads_csv, a.n_heads, c.n_events
+FROM agg a JOIN cnt c ON a.gk = c.gk
 """
 
 
@@ -1401,6 +1539,7 @@ QUERIES = {
     "q_ev_tumbling_hourly": q_ev_tumbling_hourly,
     "q_ev_asof_purchase": q_ev_asof_purchase,
     "q_ev_range_pairs": q_ev_range_pairs,
+    "q_ev_attribution": q_ev_attribution,
     "q_ev_percentiles": q_ev_percentiles,
     "q_ev_sessionize": q_ev_sessionize,
     "q_ev_dedup_content": q_ev_dedup_content,
@@ -1423,12 +1562,14 @@ QUERIES = {
     "q_stream_join": q_stream_join,
     "q_stream_dedup": q_stream_dedup,
     "q_stream_enrich": q_stream_enrich,
+    "q_stream_heads": q_stream_heads,
 }
 
 ORACLES = {
     "q_ev_tumbling_hourly": _TUMBLING_SQL,
     "q_ev_asof_purchase": _ASOF_SQL,
     "q_ev_range_pairs": _RANGE_SQL,
+    "q_ev_attribution": _ATTRIBUTION_SQL,
     "q_ev_percentiles": _PCT_SQL,
     "q_ev_sessionize": _SESSION_SQL,
     "q_ev_dedup_content": _DEDUP_SQL,
@@ -1451,4 +1592,5 @@ ORACLES = {
     "q_stream_join": _RANGE_SQL,
     "q_stream_dedup": _STREAM_DEDUP_SQL,
     "q_stream_enrich": _STREAM_ENRICH_SQL,
+    "q_stream_heads": _STREAM_HEADS_SQL,
 }
