@@ -47,6 +47,8 @@ _FRONT = (
     "q_doc_bpe_merges",
     "q_doc_upsert",
     "q_emb_dup_clusters",
+    "q_doc_dup_spans",
+    "q_doc_minhash_audit",
     # never driver-graded: sketches / graph / event analytics
     "q_ev_kmv_distinct",
     "q_ev_hll_distinct",

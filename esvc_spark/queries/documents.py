@@ -2035,6 +2035,185 @@ SELECT 2, regexp_replace(pair, '[<>]', '', 'g'), pair_count FROM p2
 """
 
 
+# ---------------------------------------------------------- duplicate spans
+# Substring-level duplication coverage (Lee et al. 2021 "Deduplicating
+# Training Data" as public prior art, at shingle granularity): per doc,
+# the fraction of its distinct 5-token shingles that also occur in some
+# other document — the metric behind duplicate-span removal decisions.
+# Shape: one shingle explode + one df aggregate + one join back; no
+# self-join, so no pair explosion at any scale.
+
+
+def q_doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_par(spark, sf_dir)
+    sh = _shingles_df(docs).persist()
+    df_tbl = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        sh.join(df_tbl, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias("n_dup_shingles"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        F.col("n_dup_shingles").cast("bigint").alias("n_dup_shingles"),
+        (F.col("n_dup_shingles").cast("double") / F.col("n_shingles")).alias(
+            "dup_coverage"
+        ),
+        # keep iff <= 50% of the doc's shingles are duplicated elsewhere
+        (F.lit(2) * F.col("n_dup_shingles") <= F.col("n_shingles"))
+        .cast("int")
+        .alias("keep"),
+    )
+
+
+_DUP_SPANS_SQL = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+dfs AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_shingles
+  FROM sh JOIN dfs USING (shingle) GROUP BY doc_id
+)
+SELECT doc_id, n_shingles, n_dup_shingles,
+       CAST(n_dup_shingles AS DOUBLE) / n_shingles AS dup_coverage,
+       CAST(2 * n_dup_shingles <= n_shingles AS INTEGER) AS keep
+FROM per_doc
+"""
+
+# ---------------------------------------------------------- minhash audit
+# Sketch-fidelity audit: for every LSH band candidate pair, the MinHash
+# signature estimate (matches/16) next to the TRUE shingle Jaccard —
+# the dedup twin of q_emb_ann_recall's "measure, don't guess" check. The
+# exact side is hydrated ONLY for candidate docs (semi-join before the
+# shingle equality join), so the audit never pays the all-pairs cost the
+# sketch exists to avoid.
+
+
+def q_doc_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_par(spark, sf_dir)
+    sig = _mh_sig(docs).persist()
+    bands = _mh_bands(sig)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .persist()
+    )
+    sa, sb = sig.alias("sa"), sig.alias("sb")
+    matches = sum(
+        F.when(F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}"), 1).otherwise(0)
+        for i in range(_N_PERM)
+    )
+    est = (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", matches.cast("bigint").alias("sig_matches"))
+    )
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select("doc_b"))
+        .distinct()
+    )
+    shc = _shingles_df(docs).join(F.broadcast(cand_docs), "doc_id").persist()
+    counts = shc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    xa, xb = shc.alias("xa"), shc.alias("xb")
+    shared = (
+        xa.join(
+            xb,
+            (F.col("xa.shingle") == F.col("xb.shingle"))
+            & (F.col("xa.doc_id") < F.col("xb.doc_id")),
+        )
+        .select(F.col("xa.doc_id").alias("doc_a"), F.col("xb.doc_id").alias("doc_b"))
+        .join(F.broadcast(cand), ["doc_a", "doc_b"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    ca, cb = counts.alias("ca"), counts.alias("cb")
+    return (
+        est.join(shared, ["doc_a", "doc_b"], "left")
+        .withColumn("shared", F.coalesce("shared", F.lit(0)).cast("bigint"))
+        .join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "sig_matches",
+            (F.col("sig_matches").cast("double") / float(_N_PERM)).alias("est_jaccard"),
+            "shared",
+            (
+                F.col("shared").cast("double")
+                / (F.col("ca.n_sh") + F.col("cb.n_sh") - F.col("shared"))
+            ).alias("exact_jaccard"),
+        )
+    )
+
+
+def _minhash_audit_sql() -> str:
+    mins = ", ".join(
+        f"MIN(({a} * h + {b}) % {_P}) AS mh{i}" for i, (a, b) in enumerate(_PERMS)
+    )
+    band_keys = ", ".join(
+        "concat_ws('_', "
+        + ", ".join(f"mh{j}" for j in range(b * _ROWS_PER_BAND, (b + 1) * _ROWS_PER_BAND))
+        + f") AS band{b}"
+        for b in range(_N_BANDS)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, band{b} AS band_key FROM banded"
+        for b in range(_N_BANDS)
+    )
+    match_expr = " + ".join(
+        f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(_N_PERM)
+    )
+    return f"""
+WITH sh AS ({_SQL_SHINGLES}),
+hashed AS (SELECT doc_id, {_sql_h('shingle')} % {_P} AS h FROM sh),
+sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+banded AS (SELECT doc_id, {band_keys} FROM sig),
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+cnt AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh
+  WHERE doc_id IN (SELECT doc_a FROM cand UNION SELECT doc_b FROM cand)
+  GROUP BY doc_id
+),
+shared AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS shared
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b,
+       CAST({match_expr} AS BIGINT) AS sig_matches,
+       CAST({match_expr} AS DOUBLE) / {_N_PERM} AS est_jaccard,
+       CAST(COALESCE(s.shared, 0) AS BIGINT) AS shared,
+       CAST(COALESCE(s.shared, 0) AS DOUBLE)
+         / (ca.n_sh + cb.n_sh - COALESCE(s.shared, 0)) AS exact_jaccard
+FROM cand c
+LEFT JOIN shared s ON s.doc_a = c.doc_a AND s.doc_b = c.doc_b
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b
+JOIN cnt ca ON ca.doc_id = c.doc_a
+JOIN cnt cb ON cb.doc_id = c.doc_b
+"""
+
+
 # ------------------------------------------------------------- upsert/MERGE
 # Incremental corpus maintenance: MERGE-INTO semantics (matched → update,
 # not-matched → insert) expressed as one full-outer join on the key —
@@ -2126,6 +2305,8 @@ QUERIES = {
     "q_doc_chunk": q_doc_chunk,
     "q_doc_bpe_merges": q_doc_bpe_merges,
     "q_doc_upsert": q_doc_upsert,
+    "q_doc_dup_spans": q_doc_dup_spans,
+    "q_doc_minhash_audit": q_doc_minhash_audit,
 }
 
 ORACLES = {
@@ -2161,4 +2342,6 @@ ORACLES = {
     "q_doc_chunk": _CHUNK_SQL,
     "q_doc_bpe_merges": _BPE_MERGES_SQL,
     "q_doc_upsert": _UPSERT_SQL,
+    "q_doc_dup_spans": _DUP_SPANS_SQL,
+    "q_doc_minhash_audit": _minhash_audit_sql(),
 }
