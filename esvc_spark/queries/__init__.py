@@ -40,6 +40,7 @@ _FRONT = (
     "q_stream_enrich",
     "q_stream_heads",
     "q_ev_attribution",
+    "q_ev_approx_quantiles",
     # new this round
     "q_doc_repetition",
     "q_doc_pii_redact",

@@ -256,6 +256,89 @@ WHERE epoch_us(p.ts::TIMESTAMP) - epoch_us(c.ts::TIMESTAMP)
 """
 
 
+# ------------------------------------------------------ histogram quantiles
+# Mergeable approximate quantiles: a fixed-width histogram sketch (1024
+# bins of 0.5 over value ∈ [0, 512)) whose per-type quantile estimate is
+# the lower bound of the bin where the cumulative count crosses the
+# ceil(p·n) rank — O(bins) state per group, mergeable by addition, the
+# scale alternative to exact sort-based percentiles. Reported NEXT TO
+# the exact percentile (audit style, like q_doc_minhash_audit): at 100 TB
+# you run the sketch, and this query is the evidence for how much error
+# that buys. Bin ids are floor(value·2) — one IEEE multiply both engines
+# compute identically; rank targets are exact integer arithmetic.
+
+_HQ_PS = [(50, "p50"), (90, "p90"), (99, "p99")]
+
+
+def q_ev_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = T(spark, sf_dir, "events").select("event_type", "value")
+    binned = ev.withColumn("bin", F.floor(F.col("value") * 2).cast("bigint"))
+    counts = binned.groupBy("event_type", "bin").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("event_type").orderBy("bin")
+    cum = counts.withColumn("cum", F.sum("c").over(w))
+    totals = counts.groupBy("event_type").agg(F.sum("c").alias("n_events"))
+    j = cum.join(totals, "event_type")
+    ests = [
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr(f"(n_events * {p} + 99) div 100"),
+                F.col("bin"),
+            )
+        ).alias(f"bin_{name}")
+        for p, name in _HQ_PS
+    ]
+    est = j.groupBy("event_type").agg(F.max("n_events").alias("n_events"), *ests)
+    exact = ev.groupBy("event_type").agg(
+        *[
+            F.expr(f"percentile(value, {p / 100})").alias(f"exact_{name}")
+            for p, name in _HQ_PS
+        ]
+    )
+    out = est.join(exact, "event_type")
+    cols = [F.col("event_type"), F.col("n_events")]
+    for _, name in _HQ_PS:
+        cols.append((F.col(f"bin_{name}").cast("double") * 0.5).alias(f"est_{name}"))
+        cols.append(F.col(f"exact_{name}"))
+    return out.select(*cols)
+
+
+def _hq_sql() -> str:
+    est_cols = ", ".join(
+        f"MIN(CASE WHEN cum >= (n_events * {p} + 99) // 100 THEN bin END) AS bin_{name}"
+        for p, name in _HQ_PS
+    )
+    exact_cols = ", ".join(
+        f"quantile_cont(value, {p / 100}) AS exact_{name}" for p, name in _HQ_PS
+    )
+    sel = ", ".join(
+        f"CAST(bin_{name} AS DOUBLE) * 0.5 AS est_{name}, exact_{name}"
+        for _, name in _HQ_PS
+    )
+    return f"""
+WITH binned AS (
+  SELECT event_type, value, CAST(floor(value * 2) AS BIGINT) AS bin FROM events
+),
+counts AS (
+  SELECT event_type, bin, COUNT(*) AS c FROM binned GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, bin, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         SUM(c) OVER (PARTITION BY event_type) AS n_events
+  FROM counts
+),
+est AS (
+  SELECT event_type, CAST(MAX(n_events) AS BIGINT) AS n_events, {est_cols}
+  FROM cum GROUP BY event_type
+),
+exact AS (SELECT event_type, {exact_cols} FROM events GROUP BY event_type)
+SELECT e.event_type, e.n_events, {sel}
+FROM est e JOIN exact USING (event_type)
+"""
+
+
 # ------------------------------------------------------------ attribution
 # Multi-touch attribution with linear time decay: every click landing
 # 1 s..300 s before a same-user purchase gets integer weight
@@ -1540,6 +1623,7 @@ QUERIES = {
     "q_ev_asof_purchase": q_ev_asof_purchase,
     "q_ev_range_pairs": q_ev_range_pairs,
     "q_ev_attribution": q_ev_attribution,
+    "q_ev_approx_quantiles": q_ev_approx_quantiles,
     "q_ev_percentiles": q_ev_percentiles,
     "q_ev_sessionize": q_ev_sessionize,
     "q_ev_dedup_content": q_ev_dedup_content,
@@ -1570,6 +1654,7 @@ ORACLES = {
     "q_ev_asof_purchase": _ASOF_SQL,
     "q_ev_range_pairs": _RANGE_SQL,
     "q_ev_attribution": _ATTRIBUTION_SQL,
+    "q_ev_approx_quantiles": _hq_sql(),
     "q_ev_percentiles": _PCT_SQL,
     "q_ev_sessionize": _SESSION_SQL,
     "q_ev_dedup_content": _DEDUP_SQL,
