@@ -59,11 +59,20 @@ def _connected_components(edges: DataFrame) -> DataFrame:
     # Seed each node with min(self, direct neighbors) — one aggregation
     # that replaces the identity-init plus the entire first propagation
     # round (a join + an aggregate).
+    #
+    # Each round's plan references the previous round's twice
+    # (labels ∪ (sym ⋈ labels)), so without lineage truncation the
+    # LOGICAL plan tree doubles per round — caching shortcuts execution
+    # but not analysis, and by round ~15 (a diameter-16 component) the
+    # driver spends minutes in the optimizer. localCheckpoint
+    # materializes the round AND truncates lineage to the materialized
+    # RDD (the iterative-algorithm idiom; on a cluster with dynamic
+    # allocation use checkpoint() to reliable storage instead).
     labels = (
         sym.groupBy("src")
         .agg(F.least(F.col("src"), F.min("dst")).alias("label"))
         .withColumnRenamed("src", "doc_id")
-        .persist()
+        .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     while True:
@@ -72,9 +81,8 @@ def _connected_components(edges: DataFrame) -> DataFrame:
         )
         new_labels = (
             labels.union(msgs).groupBy("doc_id").agg(F.min("label").alias("label"))
-        ).persist()
+        ).localCheckpoint()
         new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
-        labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
             break
