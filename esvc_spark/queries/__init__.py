@@ -41,6 +41,8 @@ _FRONT = (
     "q_stream_heads",
     "q_ev_attribution",
     "q_ev_approx_quantiles",
+    "q_ev_rfm",
+    "q_ev_resample",
     # new this round
     "q_doc_repetition",
     "q_doc_pii_redact",

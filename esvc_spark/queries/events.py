@@ -256,6 +256,121 @@ WHERE epoch_us(p.ts::TIMESTAMP) - epoch_us(c.ts::TIMESTAMP)
 """
 
 
+# ------------------------------------------------------------- RFM features
+# User feature engineering: recency / frequency / monetary per user with
+# quartile binning (ntile over a pinned total order — metric then
+# user_id, so both engines tile identically) and a composed RFM segment
+# label — the feature-store shape behind churn/LTV training sets. One
+# aggregate + three window passes over the (small) per-user table.
+
+
+def q_ev_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = T(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", 2).alias("monetary"),
+    )
+    wr = Window.orderBy("last_ts", "user_id")
+    wf = Window.orderBy("n_events", "user_id")
+    wm = Window.orderBy("monetary", "user_id")
+    return per_user.select(
+        "user_id",
+        "last_ts",
+        "n_events",
+        "monetary",
+        F.ntile(4).over(wr).cast("int").alias("r_quartile"),
+        F.ntile(4).over(wf).cast("int").alias("f_quartile"),
+        F.ntile(4).over(wm).cast("int").alias("m_quartile"),
+        F.concat(
+            F.ntile(4).over(wr).cast("string"),
+            F.ntile(4).over(wf).cast("string"),
+            F.ntile(4).over(wm).cast("string"),
+        ).alias("rfm_segment"),
+    )
+
+
+_RFM_SQL = f"""
+WITH per_user AS (
+  SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS n_events,
+         {sql_dsum('value', 2)} AS monetary
+  FROM events GROUP BY user_id
+)
+SELECT user_id, last_ts, n_events, monetary,
+       NTILE(4) OVER (ORDER BY last_ts, user_id) AS r_quartile,
+       NTILE(4) OVER (ORDER BY n_events, user_id) AS f_quartile,
+       NTILE(4) OVER (ORDER BY monetary, user_id) AS m_quartile,
+       CAST(NTILE(4) OVER (ORDER BY last_ts, user_id) AS VARCHAR)
+         || CAST(NTILE(4) OVER (ORDER BY n_events, user_id) AS VARCHAR)
+         || CAST(NTILE(4) OVER (ORDER BY monetary, user_id) AS VARCHAR)
+         AS rfm_segment
+FROM per_user
+"""
+
+# ---------------------------------------------------------------- resample
+# Gap-filled time-series resample: the hourly count series per event
+# type densified onto the full hour grid (missing hours = 0) with a
+# trailing 3-hour moving average — the regularization step before any
+# time-series model. The grid is integer epoch-hour arithmetic (exact
+# both engines); the moving average is an integer window sum divided by
+# the window row count (one IEEE division).
+
+
+def q_ev_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = T(spark, sf_dir, "events")
+    hours = ev.select(
+        F.expr("unix_micros(ts) div 3600000000").alias("h"), "event_type"
+    )
+    counts = hours.groupBy("h", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    bounds = hours.agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = (
+        bounds.select(F.explode(F.expr("sequence(h0, h1)")).alias("h"))
+        .crossJoin(ev.select("event_type").distinct())
+    )
+    filled = grid.join(counts, ["h", "event_type"], "left").select(
+        "h", "event_type", F.coalesce("c", F.lit(0)).cast("bigint").alias("n_events")
+    )
+    w = Window.partitionBy("event_type").orderBy("h").rowsBetween(-2, 0)
+    return filled.select(
+        F.timestamp_micros(F.expr("h * 3600000000")).alias("ts_hour"),
+        "event_type",
+        "n_events",
+        (
+            F.sum("n_events").over(w).cast("double")
+            / F.count(F.lit(1)).over(w).cast("double")
+        ).alias("ma3"),
+    )
+
+
+_RESAMPLE_SQL = """
+WITH hours AS (
+  SELECT epoch_us(ts::TIMESTAMP) // 3600000000 AS h, event_type FROM events
+),
+counts AS (SELECT h, event_type, COUNT(*) AS c FROM hours GROUP BY 1, 2),
+bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hours),
+grid AS (
+  SELECT t.i AS h, et.event_type
+  FROM bounds, unnest(range(h0, h1 + 1)) t(i)
+  CROSS JOIN (SELECT DISTINCT event_type FROM events) et
+),
+filled AS (
+  SELECT g.h, g.event_type, CAST(COALESCE(c.c, 0) AS BIGINT) AS n_events
+  FROM grid g LEFT JOIN counts c ON g.h = c.h AND g.event_type = c.event_type
+)
+SELECT make_timestamp(h * 3600000000) AS ts_hour, event_type, n_events,
+       CAST(SUM(n_events) OVER w AS DOUBLE)
+         / CAST(COUNT(*) OVER w AS DOUBLE) AS ma3
+FROM filled
+WINDOW w AS (PARTITION BY event_type ORDER BY h ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
 # ------------------------------------------------------ histogram quantiles
 # Mergeable approximate quantiles: a fixed-width histogram sketch (1024
 # bins of 0.5 over value ∈ [0, 512)) whose per-type quantile estimate is
@@ -1624,6 +1739,8 @@ QUERIES = {
     "q_ev_range_pairs": q_ev_range_pairs,
     "q_ev_attribution": q_ev_attribution,
     "q_ev_approx_quantiles": q_ev_approx_quantiles,
+    "q_ev_rfm": q_ev_rfm,
+    "q_ev_resample": q_ev_resample,
     "q_ev_percentiles": q_ev_percentiles,
     "q_ev_sessionize": q_ev_sessionize,
     "q_ev_dedup_content": q_ev_dedup_content,
@@ -1655,6 +1772,8 @@ ORACLES = {
     "q_ev_range_pairs": _RANGE_SQL,
     "q_ev_attribution": _ATTRIBUTION_SQL,
     "q_ev_approx_quantiles": _hq_sql(),
+    "q_ev_rfm": _RFM_SQL,
+    "q_ev_resample": _RESAMPLE_SQL,
     "q_ev_percentiles": _PCT_SQL,
     "q_ev_sessionize": _SESSION_SQL,
     "q_ev_dedup_content": _DEDUP_SQL,

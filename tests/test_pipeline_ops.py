@@ -112,6 +112,24 @@ def test_connected_components_property(spark):
         assert got == want
 
 
+def test_connected_components_long_path(spark):
+    """A path graph of diameter 60: the regression case for the round-3
+    lineage-explosion bug (each round's plan referenced the previous
+    round's twice; without localCheckpoint the analyzer cost doubled per
+    round and a diameter-16 graph took minutes). Must converge to one
+    component labeled 0, and fast."""
+    import time
+
+    from esvc_spark.operators.cc import connected_components
+
+    edges = [(i, i + 1) for i in range(60)]
+    df = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+    t0 = time.perf_counter()
+    got = {r["doc_id"]: r["label"] for r in connected_components(df).collect()}
+    assert got == {i: 0 for i in range(61)}
+    assert time.perf_counter() - t0 < 120  # was unbounded pre-fix
+
+
 # ----------------------------------------------------- operator invariants
 # Structural invariants of the newer pipeline operators — properties that
 # must hold by construction, independent of the oracle value match.
