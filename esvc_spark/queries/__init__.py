@@ -43,6 +43,8 @@ _FRONT = (
     "q_ev_approx_quantiles",
     "q_ev_rfm",
     "q_ev_resample",
+    "q_ev_lift",
+    "q_emb_ood",
     # new this round
     "q_doc_repetition",
     "q_doc_pii_redact",

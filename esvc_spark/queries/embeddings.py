@@ -973,6 +973,79 @@ FROM wide GROUP BY width
 """
 
 
+# ------------------------------------------------------------- OOD scoring
+# Embedding-space data-quality filter: per-vector squared distance to its
+# label centroid, normalized by the label's mean squared distance — an
+# out-of-distribution ratio (≈ z² without the transcendental sqrt/σ),
+# with a flag at ratio > 4. The centroid and both aggregates reuse the
+# exact-decimal discipline of q_emb_label_centroids, so the only IEEE
+# steps are per-dim subtract/multiply and one final division — identical
+# in both engines. The filter every curated embedding corpus runs before
+# training on mined pairs.
+
+
+def q_emb_ood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    el = e.select(
+        "vec_id", "label", F.posexplode("emb").alias("pos0", "val")
+    ).withColumn("pos", F.col("pos0") + 1)
+    cent = el.groupBy("label", "pos").agg(
+        (
+            F.sum(F.col("val").cast("decimal(18,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("cval")
+    )
+    d2 = (
+        el.join(cent, ["label", "pos"])
+        .withColumn(
+            "sq", (F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.sum(F.col("sq").cast("decimal(18,12)")).cast("double").alias("d2"))
+    )
+    stats = d2.groupBy("label").agg(
+        (
+            F.sum(F.col("d2").cast("decimal(18,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_d2")
+    )
+    return d2.join(F.broadcast(stats), "label").select(
+        "vec_id",
+        "label",
+        "d2",
+        "mean_d2",
+        (F.col("d2") / F.col("mean_d2")).alias("ood_ratio"),
+        (F.col("d2") > 4 * F.col("mean_d2")).cast("int").alias("is_outlier"),
+    )
+
+
+_OOD_SQL = f"""
+WITH e AS ({_SQL_EMB}),
+el AS (
+  SELECT vec_id, label, unnest(emb) AS val,
+         generate_subscripts(emb, 1) AS pos
+  FROM e
+),
+cent AS (
+  SELECT label, pos, {sql_dsum('val', 9)} / COUNT(*) AS cval
+  FROM el GROUP BY label, pos
+),
+d2 AS (
+  SELECT el.vec_id, el.label,
+         {sql_dsum('(val - cval) * (val - cval)', 12)} AS d2
+  FROM el JOIN cent ON el.label = cent.label AND el.pos = cent.pos
+  GROUP BY el.vec_id, el.label
+),
+stats AS (
+  SELECT label, {sql_dsum('d2', 9)} / COUNT(*) AS mean_d2 FROM d2 GROUP BY label
+)
+SELECT vec_id, d2.label, d2, mean_d2,
+       d2 / mean_d2 AS ood_ratio,
+       CAST(d2 > 4 * mean_d2 AS INTEGER) AS is_outlier
+FROM d2 JOIN stats ON d2.label = stats.label
+"""
+
+
 # --------------------------------------------------------- dup clustering
 # Embedding near-duplicate clustering: connected components over the LSH
 # candidate graph (band-bucketed pairs at the near-dup threshold) — the
@@ -1030,6 +1103,7 @@ QUERIES = {
     "q_emb_matryoshka": q_emb_matryoshka,
     "q_emb_hard_negatives": q_emb_hard_negatives,
     "q_emb_dup_clusters": q_emb_dup_clusters,
+    "q_emb_ood": q_emb_ood,
 }
 
 ORACLES = {
@@ -1046,4 +1120,5 @@ ORACLES = {
     "q_emb_matryoshka": _matryoshka_sql(),
     "q_emb_hard_negatives": _HARD_NEG_SQL,
     "q_emb_dup_clusters": _emb_dup_clusters_sql(),
+    "q_emb_ood": _OOD_SQL,
 }

@@ -256,6 +256,90 @@ WHERE epoch_us(p.ts::TIMESTAMP) - epoch_us(c.ts::TIMESTAMP)
 """
 
 
+# ------------------------------------------------------------------- lift
+# Market-basket association lift between event types co-occurring in the
+# same (user, hour) basket: lift(a,b) = P(a,b)/(P(a)·P(b)) computed as
+# the exact rational n_ab·N/(n_a·n_b) — PMI without the log, so the
+# value is one IEEE division of exact integers (cross-engine identical).
+# Shape: distinct baskets (one shuffle), then a self-join whose side is
+# |baskets|×|types| with only ~types² output — never corpus-quadratic.
+
+
+def q_ev_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    baskets = (
+        ev.select(
+            "user_id",
+            F.expr("unix_micros(ts) div 3600000000").alias("h"),
+            "event_type",
+        )
+        .distinct()
+        .persist()
+    )
+    nb_row = (
+        baskets.select("user_id", "h")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+    )
+    per_type = baskets.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    na = per_type.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    nb = per_type.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .crossJoin(F.broadcast(nb_row))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            "n_baskets",
+            (
+                (F.col("n_ab") * F.col("n_baskets")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+    )
+
+
+_LIFT_SQL = """
+WITH baskets AS (
+  SELECT DISTINCT user_id, epoch_us(ts::TIMESTAMP) // 3600000000 AS h, event_type
+  FROM events
+),
+nb AS (SELECT COUNT(*) AS n_baskets FROM (SELECT DISTINCT user_id, h FROM baskets)),
+per_type AS (SELECT event_type, COUNT(*) AS n FROM baskets GROUP BY 1),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_ab
+  FROM baskets a JOIN baskets b
+    ON a.user_id = b.user_id AND a.h = b.h AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_ab, ta.n AS n_a, tb.n AS n_b,
+       CAST(nb.n_baskets AS BIGINT) AS n_baskets,
+       CAST(n_ab * nb.n_baskets AS DOUBLE) / CAST(ta.n * tb.n AS DOUBLE) AS lift
+FROM pairs
+JOIN per_type ta ON ta.event_type = type_a
+JOIN per_type tb ON tb.event_type = type_b
+CROSS JOIN nb
+"""
+
+
 # ------------------------------------------------------------- RFM features
 # User feature engineering: recency / frequency / monetary per user with
 # quartile binning (ntile over a pinned total order — metric then
@@ -1741,6 +1825,7 @@ QUERIES = {
     "q_ev_approx_quantiles": q_ev_approx_quantiles,
     "q_ev_rfm": q_ev_rfm,
     "q_ev_resample": q_ev_resample,
+    "q_ev_lift": q_ev_lift,
     "q_ev_percentiles": q_ev_percentiles,
     "q_ev_sessionize": q_ev_sessionize,
     "q_ev_dedup_content": q_ev_dedup_content,
@@ -1774,6 +1859,7 @@ ORACLES = {
     "q_ev_approx_quantiles": _hq_sql(),
     "q_ev_rfm": _RFM_SQL,
     "q_ev_resample": _RESAMPLE_SQL,
+    "q_ev_lift": _LIFT_SQL,
     "q_ev_percentiles": _PCT_SQL,
     "q_ev_sessionize": _SESSION_SQL,
     "q_ev_dedup_content": _DEDUP_SQL,
