@@ -45,6 +45,7 @@ _FRONT = (
     "q_ev_resample",
     "q_ev_lift",
     "q_emb_ood",
+    "q_mm_silence",
     # new this round
     "q_doc_repetition",
     "q_doc_pii_redact",

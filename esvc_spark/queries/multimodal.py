@@ -195,12 +195,119 @@ FROM w
 """
 
 
+# Energy-threshold voice-activity segmentation composed on top of
+# audio_windows: a window is "active" when its energy clears the
+# threshold; consecutive active windows form segments (gaps-and-islands
+# via one lag window over window_idx). Per-doc segment counts and the
+# longest segment — the VAD/segmentation stage of an audio pipeline,
+# in exact integer arithmetic end to end.
+
+_VAD_ENERGY = 310_000  # ≈ median window energy on ASCII payloads —
+# chosen so activity flips mid-document and the island logic is exercised
+# (at sf0.01: 949/1670 active windows forming 444 segments)
+
+
+def q_mm_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = audio_windows(media_table(spark, sf_dir), win=_AUDIO_WIN)
+    flagged = w.withColumn(
+        "active", (F.col("energy") >= _VAD_ENERGY).cast("int")
+    )
+    lagw = Window.partitionBy("doc_id").orderBy("window_idx")
+    runs = flagged.withColumn(
+        "run_start",
+        (
+            (F.col("active") == 1)
+            & (F.coalesce(F.lag("active").over(lagw), F.lit(0)) == 0)
+        ).cast("int"),
+    ).withColumn(
+        "seg_id",
+        F.when(
+            F.col("active") == 1, F.sum("run_start").over(lagw)
+        ),
+    )
+    seg_lens = (
+        runs.filter(F.col("active") == 1)
+        .groupBy("doc_id", "seg_id")
+        .agg(F.count(F.lit(1)).alias("seg_len"))
+    )
+    per_doc = runs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("active").cast("bigint").alias("n_active"),
+        F.sum("run_start").cast("bigint").alias("n_segments"),
+    )
+    longest = seg_lens.groupBy("doc_id").agg(F.max("seg_len").alias("longest_segment"))
+    return per_doc.join(longest, "doc_id", "left").select(
+        "doc_id",
+        "n_windows",
+        "n_active",
+        "n_segments",
+        F.coalesce("longest_segment", F.lit(0)).cast("bigint").alias("longest_segment"),
+    )
+
+
+_SILENCE_SQL = f"""
+WITH media AS (
+  SELECT doc_id, text, {_SQL_KIND} AS kind FROM documents
+),
+audio AS (SELECT * FROM media WHERE kind = 'audio'),
+w AS (
+  SELECT doc_id, CAST(i AS INT) AS window_idx,
+         substr(text, CAST(i AS INT) * {_AUDIO_WIN} + 1, {_AUDIO_WIN}) AS seg
+  FROM audio,
+       unnest(range(0, GREATEST((length(text) + {_AUDIO_WIN - 1}) // {_AUDIO_WIN},
+                                1))) t(i)
+),
+en AS (
+  SELECT doc_id, window_idx,
+         CAST(COALESCE(list_sum(list_transform(string_split(seg, ''),
+                                               c -> unicode(c) * unicode(c))), 0)
+              AS BIGINT) AS energy
+  FROM w
+),
+flagged AS (
+  SELECT doc_id, window_idx,
+         CASE WHEN energy >= {_VAD_ENERGY} THEN 1 ELSE 0 END AS active
+  FROM en
+),
+runs AS (
+  SELECT doc_id, window_idx, active,
+         CASE WHEN active = 1 AND COALESCE(LAG(active) OVER
+                (PARTITION BY doc_id ORDER BY window_idx), 0) = 0
+              THEN 1 ELSE 0 END AS run_start
+  FROM flagged
+),
+seg_ids AS (
+  SELECT doc_id, active,
+         SUM(run_start) OVER (PARTITION BY doc_id ORDER BY window_idx
+                              ROWS UNBOUNDED PRECEDING) AS seg_id
+  FROM runs
+),
+seg_lens AS (
+  SELECT doc_id, seg_id, COUNT(*) AS seg_len
+  FROM seg_ids WHERE active = 1 GROUP BY 1, 2
+),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+         CAST(SUM(active) AS BIGINT) AS n_active,
+         CAST(SUM(run_start) AS BIGINT) AS n_segments
+  FROM runs GROUP BY doc_id
+),
+longest AS (SELECT doc_id, MAX(seg_len) AS longest_segment FROM seg_lens GROUP BY 1)
+SELECT p.doc_id, p.n_windows, p.n_active, p.n_segments,
+       CAST(COALESCE(l.longest_segment, 0) AS BIGINT) AS longest_segment
+FROM per_doc p LEFT JOIN longest l USING (doc_id)
+"""
+
+
 QUERIES = {
     "q_mm_decode_stats": q_mm_decode_stats,
     "q_mm_frame_sample": q_mm_frame_sample,
     "q_mm_resize": q_mm_resize,
     "q_mm_features": q_mm_features,
     "q_mm_audio_windows": q_mm_audio_windows,
+    "q_mm_silence": q_mm_silence,
 }
 
 ORACLES = {
@@ -209,4 +316,5 @@ ORACLES = {
     "q_mm_decode_stats": _DECODE_STATS_SQL,
     "q_mm_frame_sample": _FRAME_SQL,
     "q_mm_audio_windows": _AUDIO_SQL,
+    "q_mm_silence": _SILENCE_SQL,
 }
