@@ -46,6 +46,8 @@ _FRONT = (
     "q_ev_lift",
     "q_emb_ood",
     "q_mm_silence",
+    "q_doc_bpe_encode",
+    "q_stream_topk",
     # new this round
     "q_doc_repetition",
     "q_doc_pii_redact",

@@ -2005,6 +2005,104 @@ def q_doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the two learned BPE merges to encode the corpus and report
+    the compression they buy — closing the tokenizer-training loop
+    (learn merges → encode → measure). Symbol counts are marker counts
+    on the encoded string (pure integer string math); one row per lang
+    so the oracle pins per-domain compression."""
+    docs = _docs_par(spark, sf_dir)
+    words = docs.select("lang", F.explode(_TOKENS()).alias("word"))
+    enc0 = F.concat(F.lit(">"), F.array_join(F.split("word", ""), "<>"), F.lit("<"))
+    w = words.select("lang", enc0.alias("enc")).persist()
+
+    syms = F.expr("regexp_extract_all(enc, '(>[^<]*<)', 1)")
+    cur = w
+    for _ in (1, 2):
+        pairs = cur.withColumn("syms", syms).select(
+            "lang",
+            "enc",
+            F.explode(
+                F.expr(
+                    "transform(slice(syms, 1, size(syms) - 1),"
+                    " (x, i) -> concat(x, syms[i + 1]))"
+                )
+            ).alias("pair"),
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.desc("c"), F.asc("pair"))
+            .limit(1)
+            .select(F.col("pair").alias("p"))
+        )
+        cur = cur.crossJoin(F.broadcast(top)).select(
+            "lang",
+            F.replace(
+                F.col("enc"), F.col("p"), F.replace(F.col("p"), F.lit("<>"), F.lit(""))
+            ).alias("enc"),
+        )
+    # symbol count = number of '<' markers; char count = marker-free length
+    n_syms = F.length("enc") - F.length(F.replace(F.col("enc"), F.lit("<"), F.lit("")))
+    chars = F.length(F.regexp_replace("enc", "[<>]", "")).cast("bigint")
+    return (
+        cur.select(
+            "lang", n_syms.cast("bigint").alias("n_syms"), chars.alias("n_chars")
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_chars").alias("chars_total"),
+            F.sum("n_syms").alias("symbols_after"),
+            (
+                F.sum("n_chars").cast("double") / F.sum("n_syms").cast("double")
+            ).alias("chars_per_symbol"),
+        )
+    )
+
+
+def _bpe_encode_sql() -> str:
+    return f"""
+WITH words AS (SELECT lang, unnest({SQL_TOKENS}) AS word FROM documents),
+enc1 AS (
+  SELECT lang, '>' || array_to_string(string_split(word, ''), '<>') || '<' AS enc
+  FROM words
+),
+s1 AS (SELECT regexp_extract_all(enc, '(>[^<]*<)', 1) AS s FROM enc1),
+p1 AS (
+  SELECT s[i] || s[i + 1] AS pair FROM s1, unnest(range(1, len(s))) t(i)
+  GROUP BY 1 ORDER BY COUNT(*) DESC, pair ASC LIMIT 1
+),
+enc2 AS (
+  SELECT lang, replace(enc, (SELECT pair FROM p1),
+                       replace((SELECT pair FROM p1), '<>', '')) AS enc
+  FROM enc1
+),
+s2 AS (SELECT regexp_extract_all(enc, '(>[^<]*<)', 1) AS s FROM enc2),
+p2 AS (
+  SELECT s[i] || s[i + 1] AS pair FROM s2, unnest(range(1, len(s))) t(i)
+  GROUP BY 1 ORDER BY COUNT(*) DESC, pair ASC LIMIT 1
+),
+enc3 AS (
+  SELECT lang, replace(enc, (SELECT pair FROM p2),
+                       replace((SELECT pair FROM p2), '<>', '')) AS enc
+  FROM enc2
+),
+m AS (
+  SELECT lang,
+         CAST(length(enc) - length(replace(enc, '<', '')) AS BIGINT) AS n_syms,
+         CAST(length(regexp_replace(enc, '[<>]', '', 'g')) AS BIGINT) AS n_chars
+  FROM enc3
+)
+SELECT lang, COUNT(*) AS n_words,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+       CAST(SUM(n_syms) AS BIGINT) AS symbols_after,
+       CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(n_syms) AS DOUBLE)
+         AS chars_per_symbol
+FROM m GROUP BY lang
+"""
+
+
 _BPE_MERGES_SQL = f"""
 WITH words AS (SELECT unnest({SQL_TOKENS}) AS word FROM documents),
 enc1 AS (
@@ -2307,6 +2405,7 @@ QUERIES = {
     "q_doc_upsert": q_doc_upsert,
     "q_doc_dup_spans": q_doc_dup_spans,
     "q_doc_minhash_audit": q_doc_minhash_audit,
+    "q_doc_bpe_encode": q_doc_bpe_encode,
 }
 
 ORACLES = {
@@ -2344,4 +2443,5 @@ ORACLES = {
     "q_doc_upsert": _UPSERT_SQL,
     "q_doc_dup_spans": _DUP_SPANS_SQL,
     "q_doc_minhash_audit": _minhash_audit_sql(),
+    "q_doc_bpe_encode": _bpe_encode_sql(),
 }

@@ -901,6 +901,45 @@ GROUP BY 1, 2
 """
 
 
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k: the 5 highest-volume users by event count through
+    a complete-mode streaming aggregate with sorted, limited output —
+    the leaderboard topology (sorting is only legal in complete mode,
+    which is exactly what this attests). Deterministic tiebreak on
+    user_id; exact decimal value sum."""
+    stream = _event_stream(spark, sf_dir)
+    agg = (
+        stream.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", 2).alias("sum_value"),
+        )
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(5)
+    )
+    _STREAM_SEQ[0] += 1
+    name = f"stream_topk_{_STREAM_SEQ[0]}"
+    with _bounded_stream_confs(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.table(name)
+
+
+_STREAM_TOPK_SQL = f"""
+SELECT user_id, COUNT(*) AS n_events, {sql_dsum('value', 2)} AS sum_value
+FROM events GROUP BY user_id
+ORDER BY n_events DESC, user_id ASC LIMIT 5
+"""
+
+
 def q_stream_heads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The esvc head-set antichain maintained incrementally in a stream
     (streaming/stateful.streaming_head_tracker — the streaming twin of
@@ -1849,6 +1888,7 @@ QUERIES = {
     "q_stream_dedup": q_stream_dedup,
     "q_stream_enrich": q_stream_enrich,
     "q_stream_heads": q_stream_heads,
+    "q_stream_topk": q_stream_topk,
 }
 
 ORACLES = {
@@ -1883,4 +1923,5 @@ ORACLES = {
     "q_stream_dedup": _STREAM_DEDUP_SQL,
     "q_stream_enrich": _STREAM_ENRICH_SQL,
     "q_stream_heads": _STREAM_HEADS_SQL,
+    "q_stream_topk": _STREAM_TOPK_SQL,
 }
