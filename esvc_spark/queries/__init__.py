@@ -48,6 +48,8 @@ _FRONT = (
     "q_mm_silence",
     "q_doc_bpe_encode",
     "q_stream_topk",
+    "q_doc_containment",
+    "q_ev_kmv_windows",
     # new this round
     "q_doc_repetition",
     "q_doc_pii_redact",

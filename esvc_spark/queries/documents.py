@@ -2133,6 +2133,74 @@ SELECT 2, regexp_replace(pair, '[<>]', '', 'g'), pair_count FROM p2
 """
 
 
+# ------------------------------------------------------------- containment
+# Containment dedup: shared / min(|A|, |B|) instead of Jaccard — catches
+# the subset-duplicate (one doc embedded in a larger one) that Jaccard
+# dilutes below threshold. Same df-capped inverted-index shape as
+# q_doc_ngram_jaccard; only the denominator differs.
+
+_CONTAIN_T = 0.5
+
+
+def q_doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_par(spark, sf_dir)
+    all_sh = _shingles_df(docs).persist()
+    hot = (
+        all_sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > _DF_CAP)
+        .select("shingle")
+    )
+    sh = all_sh.join(F.broadcast(hot), "shingle", "left_anti").persist()
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    ca, cb = counts.alias("ca"), counts.alias("cb")
+    return (
+        pairs.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        .withColumn(
+            "containment",
+            F.col("shared").cast("double")
+            / F.least(F.col("ca.n_sh"), F.col("cb.n_sh")).cast("double"),
+        )
+        .filter(F.col("containment") >= _CONTAIN_T)
+        .select("doc_a", "doc_b", "shared", "containment")
+    )
+
+
+_CONTAINMENT_SQL = f"""
+WITH all_sh AS ({_SQL_SHINGLES}),
+sh AS (
+  SELECT doc_id, shingle FROM all_sh
+  WHERE shingle IN (SELECT shingle FROM all_sh
+                    GROUP BY shingle HAVING COUNT(*) <= {_DF_CAP})
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, shared,
+       CAST(shared AS DOUBLE) / CAST(LEAST(ca.n_sh, cb.n_sh) AS DOUBLE)
+         AS containment
+FROM pairs
+JOIN cnt ca ON ca.doc_id = doc_a
+JOIN cnt cb ON cb.doc_id = doc_b
+WHERE CAST(shared AS DOUBLE) / CAST(LEAST(ca.n_sh, cb.n_sh) AS DOUBLE)
+      >= {_CONTAIN_T}
+"""
+
+
 # ---------------------------------------------------------- duplicate spans
 # Substring-level duplication coverage (Lee et al. 2021 "Deduplicating
 # Training Data" as public prior art, at shingle granularity): per doc,
@@ -2406,6 +2474,7 @@ QUERIES = {
     "q_doc_dup_spans": q_doc_dup_spans,
     "q_doc_minhash_audit": q_doc_minhash_audit,
     "q_doc_bpe_encode": q_doc_bpe_encode,
+    "q_doc_containment": q_doc_containment,
 }
 
 ORACLES = {
@@ -2444,4 +2513,5 @@ ORACLES = {
     "q_doc_dup_spans": _DUP_SPANS_SQL,
     "q_doc_minhash_audit": _minhash_audit_sql(),
     "q_doc_bpe_encode": _bpe_encode_sql(),
+    "q_doc_containment": _CONTAINMENT_SQL,
 }

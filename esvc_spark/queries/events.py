@@ -256,6 +256,142 @@ WHERE epoch_us(p.ts::TIMESTAMP) - epoch_us(c.ts::TIMESTAMP)
 """
 
 
+# ------------------------------------------------------- KMV window merge
+# The mergeability story: per-day KMV sketches (k smallest distinct
+# user-hashes per type) merged over a trailing 7-day window by taking
+# the k smallest of the union — the reason sketches exist at scale (a
+# sliding distinct count without re-touching raw data), audited against
+# the exact windowed distinct. If the union holds fewer than k hashes,
+# every contributing day was complete, so the union IS exact — the
+# fallback uses its size. One explode (×7) of sketch rows, never of raw
+# events.
+
+_KMVW_K = 32
+_KMVW_DAYS = 7
+_DAY_US = 86_400_000_000
+_KMVW_SPACE = float(1 << 60)  # 15 hex digits of md5 = 60-bit hash space
+
+
+def q_ev_kmv_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    dh = (
+        ev.select(
+            "event_type",
+            F.expr(f"unix_micros(ts) div {_DAY_US}").alias("day"),
+            h.alias("h"),
+        )
+        .distinct()
+        .persist()
+    )
+    wd = Window.partitionBy("event_type", "day").orderBy("h")
+    sketch = (
+        dh.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") <= _KMVW_K)
+        .drop("rn")
+    )
+    bounds = dh.agg(F.max("day").alias("max_day"))
+    merged = (
+        sketch.withColumn(
+            "out_day", F.explode(F.expr(f"sequence(day, day + {_KMVW_DAYS - 1})"))
+        )
+        .crossJoin(F.broadcast(bounds))
+        .filter(F.col("out_day") <= F.col("max_day"))
+        .select("event_type", "out_day", "h")
+        .distinct()
+    )
+    wo = Window.partitionBy("event_type", "out_day").orderBy("h")
+    ranked = merged.withColumn("rn", F.row_number().over(wo))
+    kth = ranked.filter(F.col("rn") == _KMVW_K).select(
+        "event_type", "out_day", F.col("h").alias("kth_hash")
+    )
+    union_n = ranked.groupBy("event_type", "out_day").agg(
+        F.count(F.lit(1)).alias("n_union")
+    )
+    exact = (
+        dh.withColumn(
+            "out_day", F.explode(F.expr(f"sequence(day, day + {_KMVW_DAYS - 1})"))
+        )
+        .crossJoin(F.broadcast(bounds))
+        .filter(F.col("out_day") <= F.col("max_day"))
+        .select("event_type", "out_day", "h")
+        .distinct()
+        .groupBy("event_type", "out_day")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    est = F.lit(float(_KMVW_K - 1)) / (
+        F.col("kth_hash").cast("double") / F.lit(_KMVW_SPACE)
+    )
+    return (
+        exact.join(union_n, ["event_type", "out_day"])
+        .join(kth, ["event_type", "out_day"], "left")
+        .select(
+            "event_type",
+            "out_day",
+            "n_exact",
+            F.when(F.col("kth_hash").isNull(), F.col("n_union").cast("double"))
+            .otherwise(est)
+            .alias("est_distinct"),
+        )
+        .withColumn(
+            "rel_err",
+            (F.col("est_distinct") - F.col("n_exact").cast("double"))
+            / F.col("n_exact").cast("double"),
+        )
+    )
+
+
+_KMVW_SQL = f"""
+WITH dh AS (
+  SELECT DISTINCT event_type,
+         epoch_us(ts::TIMESTAMP) // {_DAY_US} AS day,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM events
+),
+sketch AS (
+  SELECT event_type, day, h FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, day ORDER BY h) AS rn
+    FROM dh
+  ) WHERE rn <= {_KMVW_K}
+),
+mx AS (SELECT MAX(day) AS max_day FROM dh),
+merged AS (
+  SELECT DISTINCT event_type, day + t.i AS out_day, h
+  FROM sketch, unnest(range(0, {_KMVW_DAYS})) t(i), mx
+  WHERE day + t.i <= mx.max_day
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, out_day ORDER BY h) AS rn
+  FROM merged
+),
+kth AS (
+  SELECT event_type, out_day, h AS kth_hash FROM ranked WHERE rn = {_KMVW_K}
+),
+un AS (
+  SELECT event_type, out_day, COUNT(*) AS n_union FROM merged GROUP BY 1, 2
+),
+exact AS (
+  SELECT event_type, out_day, COUNT(*) AS n_exact FROM (
+    SELECT DISTINCT event_type, day + t.i AS out_day, h
+    FROM dh, unnest(range(0, {_KMVW_DAYS})) t(i), mx
+    WHERE day + t.i <= mx.max_day
+  ) GROUP BY 1, 2
+)
+SELECT e.event_type, e.out_day, CAST(e.n_exact AS BIGINT) AS n_exact,
+       CASE WHEN k.kth_hash IS NULL THEN CAST(u.n_union AS DOUBLE)
+            ELSE {float(_KMVW_K - 1)} / (CAST(k.kth_hash AS DOUBLE) / {_KMVW_SPACE})
+       END AS est_distinct,
+       (CASE WHEN k.kth_hash IS NULL THEN CAST(u.n_union AS DOUBLE)
+             ELSE {float(_KMVW_K - 1)} / (CAST(k.kth_hash AS DOUBLE) / {_KMVW_SPACE})
+        END - CAST(e.n_exact AS DOUBLE)) / CAST(e.n_exact AS DOUBLE) AS rel_err
+FROM exact e
+JOIN un u ON u.event_type = e.event_type AND u.out_day = e.out_day
+LEFT JOIN kth k ON k.event_type = e.event_type AND k.out_day = e.out_day
+"""
+
+
 # ------------------------------------------------------------------- lift
 # Market-basket association lift between event types co-occurring in the
 # same (user, hour) basket: lift(a,b) = P(a,b)/(P(a)·P(b)) computed as
@@ -1865,6 +2001,7 @@ QUERIES = {
     "q_ev_rfm": q_ev_rfm,
     "q_ev_resample": q_ev_resample,
     "q_ev_lift": q_ev_lift,
+    "q_ev_kmv_windows": q_ev_kmv_windows,
     "q_ev_percentiles": q_ev_percentiles,
     "q_ev_sessionize": q_ev_sessionize,
     "q_ev_dedup_content": q_ev_dedup_content,
@@ -1900,6 +2037,7 @@ ORACLES = {
     "q_ev_rfm": _RFM_SQL,
     "q_ev_resample": _RESAMPLE_SQL,
     "q_ev_lift": _LIFT_SQL,
+    "q_ev_kmv_windows": _KMVW_SQL,
     "q_ev_percentiles": _PCT_SQL,
     "q_ev_sessionize": _SESSION_SQL,
     "q_ev_dedup_content": _DEDUP_SQL,
