@@ -17,13 +17,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 # Registry order matters: the driver's correctness harness has a time
 # budget and truncates the tail (~50 rows/round). Coverage rotates:
-# round 3 fronts the queries with no green driver row yet — the 21
-# never-graded (event sketches/graph/streaming + 5 new relational), the
-# 5 q_ev_* that failed in round 1 and were fixed after round 2's run
-# truncated, q_mm_features (red `no_oracle` in r2; has an exact oracle
-# now), and the two whose implementation changed this round
-# (q_esvc_editor fast path, vectorized q_mm_audio_windows). Queries with
-# green r1/r2 rows absorb truncation.
+# _FRONT holds every query that is new or changed this round (needs a
+# fresh driver row) ordered roughly by contract criticality; queries
+# with green rows from earlier rounds absorb the truncation. Rotate at
+# the START of each round: drop freshly-graded names from _FRONT, add
+# anything new/changed.
 _MODULE_ORDER = ("esvc", "multimodal", "embeddings", "documents", "events", "relational")
 
 _FRONT = (

@@ -301,3 +301,134 @@ def test_audio_windows_cover_payload(spark):
         .collect()
     }
     assert got == want
+
+
+def test_bpe_merges_match_pure_python_reference(spark):
+    """q_doc_bpe_merges equals a from-scratch Python BPE on the same
+    corpus: same top pair, same count, per round (greedy left-to-right
+    merge order, count-desc/pair-asc tiebreak)."""
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    from esvc_spark.queries.documents import q_doc_bpe_merges
+
+    texts = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT text FROM '{SF}/documents.parquet'"
+        ).fetchall()
+    ]
+    words = [w for t in texts for w in re.findall(r"\S+", t)]
+    encoded = [list(w) for w in words]
+
+    def top_pair(enc):
+        c = Counter()
+        for syms in enc:
+            for i in range(len(syms) - 1):
+                c[(syms[i], syms[i + 1])] += 1
+        # count desc, then pair-string asc on the wrapped form the query
+        # sorts by ('>a<>b<' lexicographic == tuple lexicographic for
+        # ASCII symbols)
+        return min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+
+    def merge(enc, pair):
+        a, b = pair
+        out = []
+        for syms in enc:
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            out.append(merged)
+        return out
+
+    want = []
+    for _ in (1, 2):
+        pair, cnt = top_pair(encoded)
+        want.append((pair[0] + pair[1], cnt))
+        encoded = merge(encoded, pair)
+
+    got = sorted(
+        (r["merge_rank"], r["merged"], r["pair_count"])
+        for r in q_doc_bpe_merges(spark, SF).collect()
+    )
+    assert got == [(1, want[0][0], want[0][1]), (2, want[1][0], want[1][1])]
+
+
+def test_attribution_shares_sum_to_one(spark):
+    from pyspark.sql import functions as F
+
+    from esvc_spark.queries.events import q_ev_attribution
+
+    rows = q_ev_attribution(spark, SF)
+    sums = (
+        rows.groupBy("purchase_id")
+        .agg(F.sum("credit_share").alias("s"))
+        .collect()
+    )
+    assert sums  # the sf0.001 slice produces at least one attributed purchase
+    for r in sums:
+        assert abs(r["s"] - 1.0) < 1e-9
+
+
+def test_resample_grid_is_dense(spark):
+    """Every hour between the corpus bounds appears exactly once per
+    event type, and gap hours carry n_events = 0."""
+    from pyspark.sql import functions as F
+
+    from esvc_spark.queries.events import q_ev_resample
+
+    out = q_ev_resample(spark, SF).persist()
+    per_type = (
+        out.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("ts_hour").alias("nd"),
+            F.min("ts_hour").alias("lo"),
+            F.max("ts_hour").alias("hi"),
+        )
+        .collect()
+    )
+    spans = {(r["lo"], r["hi"]) for r in per_type}
+    assert len(spans) == 1  # same global grid for every type
+    for r in per_type:
+        hours = int((r["hi"] - r["lo"]).total_seconds() // 3600) + 1
+        assert r["n"] == r["nd"] == hours
+    assert out.filter(F.col("n_events") == 0).count() > 0
+    out.unpersist()
+
+
+def test_chunk_windows_tile_tokens(spark):
+    """Chunks start every 48 tokens, each holds min(64, n - start)
+    tokens, and the last chunk reaches the end of the doc."""
+    from pyspark.sql import functions as F
+
+    from esvc_spark.queries.documents import q_doc_chunk
+
+    rows = q_doc_chunk(spark, SF).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    import duckdb
+
+    n_tokens = {
+        r[0]: r[1]
+        for r in duckdb.sql(
+            f"SELECT doc_id, len(regexp_extract_all(text, '(\\S+)', 1)) "
+            f"FROM '{SF}/documents.parquet'"
+        ).fetchall()
+    }
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        n = n_tokens[doc_id]
+        assert [c["chunk_idx"] for c in chunks] == list(range(len(chunks)))
+        for c in chunks:
+            start = c["chunk_idx"] * 48
+            assert c["n_chunk_tokens"] == min(64, n - start)
+        assert (len(chunks) - 1) * 48 + chunks[-1]["n_chunk_tokens"] == n
