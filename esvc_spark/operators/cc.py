@@ -39,14 +39,51 @@ def _scoped_shuffle_partitions(spark, n: int | None):
             spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+# Below this many edges the label-propagation rounds are pure
+# task-scheduling latency (~0.3 s/round × diameter): collect the edge
+# list and union-find on the driver instead — identical min-labels, and
+# the same small-dataset fast-path policy as the editor engine
+# (queries/esvc.py). A dedup pair-graph at 100 TB corpus scale is STILL
+# usually under this bound (pairs ≪ corpus); the Pregel loop below
+# remains the unbounded path.
+_LOCAL_EDGES = 200_000
+
+
 def connected_components(
     edges: DataFrame, shuffle_partitions: int | None = 8
 ) -> DataFrame:
     """`edges(src BIGINT, dst BIGINT)` (undirected; duplicates fine) →
     `(doc_id, label)` where label = min node id of the component. Nodes
     are those that appear in at least one edge."""
+    rows = edges.select("src", "dst").limit(_LOCAL_EDGES + 1).collect()
+    if len(rows) <= _LOCAL_EDGES:
+        return _local_cc(edges.sparkSession, rows)
     with _scoped_shuffle_partitions(edges.sparkSession, shuffle_partitions):
         return _connected_components(edges)
+
+
+def _local_cc(spark, rows) -> DataFrame:
+    """Driver-side union-find (path-halving) producing the same
+    min-label-per-component output as the distributed loop; property-
+    tested equal in tests/test_pipeline_ops.py."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in rows:
+        a, b = r["src"], r["dst"]
+        for n in (a, b):
+            if n not in parent:
+                parent[n] = n
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    labels = [(n, find(n)) for n in parent]
+    return spark.createDataFrame(labels, "doc_id BIGINT, label BIGINT")
 
 
 def _connected_components(edges: DataFrame) -> DataFrame:

@@ -110,22 +110,33 @@ def test_connected_components_property(spark):
             for r in connected_components(df).collect()
         }
         assert got == want
+        # the distributed Pregel loop (bypassing the small-edge-list
+        # union-find fast path) must produce the identical labels
+        from esvc_spark.operators.cc import _connected_components, _scoped_shuffle_partitions
+
+        with _scoped_shuffle_partitions(spark, 4):
+            got_dist = {
+                r["doc_id"]: r["label"]
+                for r in _connected_components(df).collect()
+            }
+        assert got_dist == want
 
 
 def test_connected_components_long_path(spark):
-    """A path graph of diameter 60: the regression case for the round-3
-    lineage-explosion bug (each round's plan referenced the previous
-    round's twice; without localCheckpoint the analyzer cost doubled per
-    round and a diameter-16 graph took minutes). Must converge to one
-    component labeled 0, and fast."""
+    """A path graph of diameter 60 through the DISTRIBUTED loop: the
+    regression case for the round-3 lineage-explosion bug (each round's
+    plan referenced the previous round's twice; without localCheckpoint
+    the analyzer cost doubled per round and a diameter-16 graph took
+    minutes). Must converge to one component labeled 0, and fast."""
     import time
 
-    from esvc_spark.operators.cc import connected_components
+    from esvc_spark.operators.cc import _connected_components, _scoped_shuffle_partitions
 
     edges = [(i, i + 1) for i in range(60)]
     df = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
     t0 = time.perf_counter()
-    got = {r["doc_id"]: r["label"] for r in connected_components(df).collect()}
+    with _scoped_shuffle_partitions(spark, 4):
+        got = {r["doc_id"]: r["label"] for r in _connected_components(df).collect()}
     assert got == {i: 0 for i in range(61)}
     assert time.perf_counter() - t0 < 120  # was unbounded pre-fix
 
