@@ -48,6 +48,7 @@ _FRONT = (
     "q_stream_topk",
     "q_doc_containment",
     "q_ev_kmv_windows",
+    "q_fuzzy_match",
     # new this round
     "q_doc_repetition",
     "q_doc_pii_redact",

@@ -1225,7 +1225,69 @@ GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 """
 
 
+# -------------------------------------------------------- fuzzy matching
+# Entity resolution: a "dirty" probe list (customer names with one
+# deterministically deleted character — the external-spreadsheet
+# scenario) matched back to the customer dimension by edit distance.
+# Shape: the probe batch broadcasts, the dimension streams once through
+# a length-banded Levenshtein filter — the canonical ER topology; at
+# real scale the band predicate becomes a blocking key (length, prefix)
+# equality join. Levenshtein is the classic integer DP, identical in
+# Spark and DuckDB.
+
+_FUZZY_MOD = 97  # every 97th customer contributes a dirty probe name
+
+
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    # delete one character at a key-derived position ≥ 10 (inside the
+    # numeric suffix of 'Customer#000000123')
+    probes = (
+        cust.filter(F.col("c_custkey") % _FUZZY_MOD == 0)
+        .select(
+            F.col("c_custkey").alias("probe_key"),
+            F.concat(
+                F.expr("substring(c_name, 1, c_custkey % 8 + 9)"),
+                F.expr("substring(c_name, c_custkey % 8 + 11, length(c_name))"),
+            ).alias("dirty_name"),
+        )
+    )
+    j = cust.join(
+        F.broadcast(probes),
+        (
+            F.abs(F.length("c_name") - F.length("dirty_name")) <= 1
+        )
+        & (F.levenshtein("c_name", "dirty_name") <= 1),
+    )
+    return j.select(
+        "probe_key",
+        "dirty_name",
+        F.col("c_custkey").alias("matched_key"),
+        "c_name",
+        F.levenshtein("c_name", "dirty_name").cast("int").alias("edit_distance"),
+        (F.col("c_custkey") == F.col("probe_key")).cast("int").alias("is_true_match"),
+    )
+
+
+_FUZZY_SQL = f"""
+WITH probes AS (
+  SELECT c_custkey AS probe_key,
+         substr(c_name, 1, CAST(c_custkey % 8 + 9 AS INT))
+           || substr(c_name, CAST(c_custkey % 8 + 11 AS INT), length(c_name))
+           AS dirty_name
+  FROM customer WHERE c_custkey % {_FUZZY_MOD} = 0
+)
+SELECT probe_key, dirty_name, c_custkey AS matched_key, c_name,
+       CAST(levenshtein(c_name, dirty_name) AS INTEGER) AS edit_distance,
+       CAST(c_custkey = probe_key AS INTEGER) AS is_true_match
+FROM customer JOIN probes
+  ON abs(length(c_name) - length(dirty_name)) <= 1
+ AND levenshtein(c_name, dirty_name) <= 1
+"""
+
+
 QUERIES = {
+    "q_fuzzy_match": q_fuzzy_match,
     "q01_pricing_summary": q01_pricing_summary,
     "q02_min_cost_supplier": q02_min_cost_supplier,
     "q_grouping_sets": q_grouping_sets,
@@ -1262,6 +1324,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_fuzzy_match": _FUZZY_SQL,
     "q01_pricing_summary": _Q01_SQL,
     "q02_min_cost_supplier": _Q02_SQL,
     "q08_market_share": _Q08_SQL,
