@@ -29,7 +29,7 @@ _FRONT = (
     "q_mm_features",
     "q_mm_audio_windows",
     "q_esvc_editor",
-    # never driver-graded: streaming
+    # never driver-graded: streaming (3 brand-new + 5 from round 2)
     "q_stream_tumbling_hourly",
     "q_stream_sessionize",
     "q_stream_running_totals",
@@ -37,28 +37,29 @@ _FRONT = (
     "q_stream_dedup",
     "q_stream_enrich",
     "q_stream_heads",
+    "q_stream_topk",
+    # brand-new this round (neither driver nor judge has seen them)
     "q_ev_attribution",
     "q_ev_approx_quantiles",
     "q_ev_rfm",
     "q_ev_resample",
     "q_ev_lift",
-    "q_emb_ood",
-    "q_mm_silence",
-    "q_doc_bpe_encode",
-    "q_stream_topk",
-    "q_doc_containment",
     "q_ev_kmv_windows",
-    "q_fuzzy_match",
-    # new this round
     "q_doc_repetition",
     "q_doc_pii_redact",
     "q_doc_chunk",
     "q_doc_bpe_merges",
+    "q_doc_bpe_encode",
     "q_doc_upsert",
-    "q_emb_dup_clusters",
     "q_doc_dup_spans",
     "q_doc_minhash_audit",
-    # never driver-graded: sketches / graph / event analytics
+    "q_doc_containment",
+    "q_emb_dup_clusters",
+    "q_emb_ood",
+    "q_mm_silence",
+    "q_fuzzy_match",
+    # never driver-graded but judge-verified in round 2 (absorb overflow
+    # last: sketches / graph / event analytics, then relational)
     "q_ev_kmv_distinct",
     "q_ev_hll_distinct",
     "q_ev_cms_heavy",
@@ -70,18 +71,17 @@ _FRONT = (
     "q_ev_pagerank",
     "q_ev_anomaly",
     "q_ev_top_paths",
-    # failed in round 1, fixed, never re-graded (r2 truncated first)
-    "q_ev_percentiles",
-    "q_ev_sessionize",
-    "q_ev_dedup_content",
-    "q_ev_json_props",
-    "q_ev_user_journey",
-    # never driver-graded: round-2 relational additions
     "q_pivot_returns",
     "q_unpivot_orders",
     "q_fullouter_daily",
     "q_window_deciles",
     "q_profile_lineitem",
+    # failed in round 1, fixed, judge-verified twice since
+    "q_ev_percentiles",
+    "q_ev_sessionize",
+    "q_ev_dedup_content",
+    "q_ev_json_props",
+    "q_ev_user_journey",
 )
 
 
