@@ -824,6 +824,169 @@ FROM enc GROUP BY sub
 """
 
 
+# --------------------------------------------------------- PQ ADC search
+# The memory-compressed ANN path: corpus vectors live only as 8 PQ codes
+# (codebook lookups), queries are answered by asymmetric distance — per
+# (query, sub, code) distances go into a tiny broadcast table and a
+# corpus vector's approximate distance is the 8-term table-lookup sum.
+# Audited as recall@3 against the exact ranking. At 100 TB this is the
+# topology that works when raw vectors don't fit anywhere: scan cost is
+# |codes| ≈ vectors × 8 bytes, and the distance table is queries × 8 ×
+# 16 rows. The lookup sum rounds through DECIMAL(18,12) so both engines
+# add identically. Recall is deliberately measured against the SAME
+# minimal deterministic codebook convention as IVF (first 16 vectors, no
+# k-means training), so the ~0.1 figure it reports is the honest cost of
+# an untrained codebook on random vectors — the audit, not the recall,
+# is the product.
+
+_PQS_K = 3
+
+
+def q_emb_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = _emb(spark, sf_dir).select("vec_id", "emb")
+    parts = _pq_parts(e).persist()
+    book = parts.filter(F.col("vec_id") < _PQ_CODES).select(
+        F.col("vec_id").cast("int").alias("code"),
+        "sub",
+        F.col("part").alias("cpart"),
+    )
+    enc = (
+        parts.join(F.broadcast(book), "sub")
+        .select(
+            "vec_id",
+            "sub",
+            "code",
+            _km_sqdist(F.col("part"), F.col("cpart")).alias("sqe"),
+        )
+        .groupBy("vec_id", "sub")
+        .agg(F.min(F.struct("sqe", "code")).alias("b"))
+        .select("vec_id", "sub", F.col("b.code").alias("code"))
+    )
+    qparts = parts.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "sub", F.col("part").alias("qpart")
+    )
+    dtab = qparts.join(F.broadcast(book), "sub").select(
+        "query_id",
+        "sub",
+        "code",
+        _km_sqdist(F.col("qpart"), F.col("cpart")).alias("qd"),
+    )
+    approx = (
+        enc.join(F.broadcast(dtab), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum(F.col("qd").cast("decimal(18,12)")).cast("double").alias("adist"))
+    )
+    wq = Window.partitionBy("query_id").orderBy("adist", "vec_id")
+    topa = (
+        approx.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= _PQS_K)
+        .select("query_id", "vec_id")
+    )
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    exact_d = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            _km_sqdist(F.col("emb"), F.col("qemb")).alias("d"),
+        )
+    )
+    we = Window.partitionBy("query_id").orderBy("d", "vec_id")
+    tope = (
+        exact_d.withColumn("rk", F.row_number().over(we))
+        .filter(F.col("rk") <= _PQS_K)
+        .select("query_id", "vec_id")
+    )
+    hits = (
+        topa.join(tope, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        q.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            (
+                F.coalesce("n_hits", F.lit(0)).cast("double") / float(_PQS_K)
+            ).alias("recall_at_3"),
+        )
+    )
+
+
+def _pq_search_sql() -> str:
+    dsub = _SQL_KM_SQDIST.format(dim=_PQ_SUBDIM, a="part", b="cpart")
+    dq = _SQL_KM_SQDIST.format(dim=_PQ_SUBDIM, a="qpart", b="cpart")
+    dfull = _SQL_KM_SQDIST.format(dim=_DIM, a="emb", b="qemb")
+    part = (
+        f"SELECT vec_id, CAST(j AS INT) AS sub, "
+        f"emb[j * {_PQ_SUBDIM} + 1 : (j + 1) * {_PQ_SUBDIM}] AS part "
+        f"FROM e, unnest(range(0, {_PQ_SUBS})) t(j)"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, emb FROM ({_SQL_EMB})),
+parts AS ({part}),
+book AS (
+  SELECT CAST(vec_id AS INT) AS code, sub, part AS cpart
+  FROM parts WHERE vec_id < {_PQ_CODES}
+),
+enc AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, parts.sub, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, parts.sub
+                              ORDER BY {dsub}, code) AS rk
+    FROM parts JOIN book USING (sub)
+  ) WHERE rk = 1
+),
+qparts AS (
+  SELECT vec_id AS query_id, sub, part AS qpart
+  FROM parts WHERE vec_id < {_N_QUERIES}
+),
+dtab AS (
+  SELECT query_id, sub, code, {dq} AS qd
+  FROM qparts JOIN book USING (sub)
+),
+approx AS (
+  SELECT query_id, vec_id,
+         CAST(SUM(CAST(qd AS DECIMAL(18,12))) AS DOUBLE) AS adist
+  FROM enc JOIN dtab USING (sub, code)
+  WHERE vec_id <> query_id
+  GROUP BY 1, 2
+),
+topa AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY adist, vec_id) AS rk
+    FROM approx
+  ) WHERE rk <= {_PQS_K}
+),
+q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < {_N_QUERIES}),
+tope AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, e.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY {dfull}, e.vec_id) AS rk
+    FROM e JOIN q ON e.vec_id <> q.query_id
+  ) WHERE rk <= {_PQS_K}
+),
+hits AS (
+  SELECT query_id, COUNT(*) AS n_hits
+  FROM topa JOIN tope USING (query_id, vec_id)
+  GROUP BY query_id
+)
+SELECT q.query_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / {_PQS_K} AS recall_at_3
+FROM q LEFT JOIN hits h USING (query_id)
+"""
+
+
 # ----------------------------------------------- hard-negative mining
 # Semi-hard negative mining for contrastive training: per anchor, the
 # neighbors ranked just BELOW the top-k (similar enough to be
@@ -1104,6 +1267,7 @@ QUERIES = {
     "q_emb_hard_negatives": q_emb_hard_negatives,
     "q_emb_dup_clusters": q_emb_dup_clusters,
     "q_emb_ood": q_emb_ood,
+    "q_emb_pq_search": q_emb_pq_search,
 }
 
 ORACLES = {
@@ -1121,4 +1285,5 @@ ORACLES = {
     "q_emb_hard_negatives": _HARD_NEG_SQL,
     "q_emb_dup_clusters": _emb_dup_clusters_sql(),
     "q_emb_ood": _OOD_SQL,
+    "q_emb_pq_search": _pq_search_sql(),
 }
