@@ -256,6 +256,155 @@ WHERE epoch_us(p.ts::TIMESTAMP) - epoch_us(c.ts::TIMESTAMP)
 """
 
 
+# ------------------------------------------------------ audience overlap
+# Sketch SET OPERATIONS: estimate the user-audience intersection of
+# every event-type pair from per-type KMV sketches alone —
+# est(A∩B) = est(A) + est(B) − est(A∪B), where the union sketch is just
+# the k smallest of the two sketches' union (KMV's closure property).
+# Audited against the exact intersection. This is how audience-overlap
+# questions get answered at 100 TB without ever joining raw user sets:
+# sketches are k rows per type, the pair lattice is |types|² tiny.
+
+_AOV_K = 64
+_AOV_SPACE = float(1 << 60)
+
+
+def q_ev_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    dh = ev.select("event_type", h.alias("h")).distinct().persist()
+    wt = Window.partitionBy("event_type").orderBy("h")
+    sketch = (
+        dh.withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") <= _AOV_K)
+        .drop("rn")
+        .persist()
+    )
+
+    def est_from(df, keys):
+        w = Window.partitionBy(*keys).orderBy("h")
+        ranked = df.withColumn("rn", F.row_number().over(w))
+        kth = ranked.filter(F.col("rn") == _AOV_K).select(
+            *keys, F.col("h").alias("kth")
+        )
+        n = ranked.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_seen"))
+        return n.join(kth, list(keys), "left").select(
+            *keys,
+            F.when(F.col("kth").isNull(), F.col("n_seen").cast("double"))
+            .otherwise(
+                F.lit(float(_AOV_K - 1))
+                / (F.col("kth").cast("double") / F.lit(_AOV_SPACE))
+            )
+            .alias("est"),
+        )
+
+    singles = est_from(sketch, ["event_type"])
+    ta = sketch.select(F.col("event_type").alias("type_a"), "h")
+    tb = sketch.select(F.col("event_type").alias("type_b"), "h")
+    pair_rows = (
+        ta.join(tb.select("type_b").distinct(), F.col("type_a") < F.col("type_b"))
+        .select("type_a", "type_b", "h")
+        .unionByName(
+            tb.join(
+                ta.select("type_a").distinct(), F.col("type_a") < F.col("type_b")
+            ).select("type_a", "type_b", "h")
+        )
+        .distinct()
+    )
+    unions = est_from(pair_rows, ["type_a", "type_b"]).withColumnRenamed(
+        "est", "est_union"
+    )
+    ea = singles.select(
+        F.col("event_type").alias("type_a"), F.col("est").alias("est_a")
+    )
+    eb = singles.select(
+        F.col("event_type").alias("type_b"), F.col("est").alias("est_b")
+    )
+    xa = dh.select(F.col("event_type").alias("type_a"), "h")
+    xb = dh.select(F.col("event_type").alias("type_b"), "h")
+    exact = (
+        xa.join(xb, ["h"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_exact_overlap"))
+    )
+    return (
+        unions.join(F.broadcast(ea), "type_a")
+        .join(F.broadcast(eb), "type_b")
+        .join(exact, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            F.coalesce("n_exact_overlap", F.lit(0)).cast("bigint").alias(
+                "n_exact_overlap"
+            ),
+            (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias(
+                "est_overlap"
+            ),
+        )
+    )
+
+
+_AOV_SQL = f"""
+WITH dh AS (
+  SELECT DISTINCT event_type,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM events
+),
+sketch AS (
+  SELECT event_type, h FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM dh
+  ) WHERE rn <= {_AOV_K}
+),
+singles AS (
+  SELECT event_type,
+         CASE WHEN MAX(CASE WHEN rn = {_AOV_K} THEN h END) IS NULL
+              THEN CAST(COUNT(*) AS DOUBLE)
+              ELSE {float(_AOV_K - 1)}
+                   / (CAST(MAX(CASE WHEN rn = {_AOV_K} THEN h END) AS DOUBLE)
+                      / {_AOV_SPACE}) END AS est
+  FROM (SELECT event_type, h,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM sketch)
+  GROUP BY event_type
+),
+pair_rows AS (
+  SELECT DISTINCT a.event_type AS type_a, b.event_type AS type_b, x.h
+  FROM (SELECT DISTINCT event_type FROM sketch) a
+  JOIN (SELECT DISTINCT event_type FROM sketch) b ON a.event_type < b.event_type
+  JOIN sketch x ON x.event_type IN (a.event_type, b.event_type)
+),
+unions AS (
+  SELECT type_a, type_b,
+         CASE WHEN MAX(CASE WHEN rn = {_AOV_K} THEN h END) IS NULL
+              THEN CAST(COUNT(*) AS DOUBLE)
+              ELSE {float(_AOV_K - 1)}
+                   / (CAST(MAX(CASE WHEN rn = {_AOV_K} THEN h END) AS DOUBLE)
+                      / {_AOV_SPACE}) END AS est_union
+  FROM (SELECT type_a, type_b, h,
+               ROW_NUMBER() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rn
+        FROM pair_rows)
+  GROUP BY type_a, type_b
+),
+exact AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         COUNT(*) AS n_exact_overlap
+  FROM dh a JOIN dh b ON a.h = b.h AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT u.type_a, u.type_b,
+       CAST(COALESCE(e.n_exact_overlap, 0) AS BIGINT) AS n_exact_overlap,
+       sa.est + sb.est - u.est_union AS est_overlap
+FROM unions u
+JOIN singles sa ON sa.event_type = u.type_a
+JOIN singles sb ON sb.event_type = u.type_b
+LEFT JOIN exact e ON e.type_a = u.type_a AND e.type_b = u.type_b
+"""
+
+
 # ------------------------------------------------------- KMV window merge
 # The mergeability story: per-day KMV sketches (k smallest distinct
 # user-hashes per type) merged over a trailing 7-day window by taking
@@ -2002,6 +2151,7 @@ QUERIES = {
     "q_ev_resample": q_ev_resample,
     "q_ev_lift": q_ev_lift,
     "q_ev_kmv_windows": q_ev_kmv_windows,
+    "q_ev_audience_overlap": q_ev_audience_overlap,
     "q_ev_percentiles": q_ev_percentiles,
     "q_ev_sessionize": q_ev_sessionize,
     "q_ev_dedup_content": q_ev_dedup_content,
@@ -2038,6 +2188,7 @@ ORACLES = {
     "q_ev_resample": _RESAMPLE_SQL,
     "q_ev_lift": _LIFT_SQL,
     "q_ev_kmv_windows": _KMVW_SQL,
+    "q_ev_audience_overlap": _AOV_SQL,
     "q_ev_percentiles": _PCT_SQL,
     "q_ev_sessionize": _SESSION_SQL,
     "q_ev_dedup_content": _DEDUP_SQL,
