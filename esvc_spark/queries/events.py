@@ -1896,6 +1896,133 @@ FROM exact JOIN ind USING (event_type)
 """
 
 
+# --------------------------------------------------------- HLL union merge
+# HLL's defining merge: register-wise MAX. Prefix unions over the
+# alphabetically-ranked event types (types 1..k merged per row) show the
+# estimate stays calibrated as sketches from different partitions merge
+# — the exact op a 1000-executor rollup runs when per-partition HLL
+# states combine. Audited per prefix against the exact distinct count;
+# estimates use the same pinned-order pow(2,-reg) fold as
+# q_ev_hll_distinct.
+
+
+def q_ev_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    hashed = ev.select("event_type", h.alias("h")).distinct().persist()
+    wt = Window.orderBy("event_type")
+    ranks = (
+        hashed.select("event_type")
+        .distinct()
+        .withColumn("rank", F.row_number().over(wt))
+    )
+    n_types = 5  # the events table's closed type set; asserted by ranks
+    regs = (
+        hashed.select(
+            "event_type",
+            F.expr(f"CAST(h div {1 << _HLL_REST_BITS} AS INT)").alias("bucket"),
+            F.expr(
+                f"CASE WHEN h % {1 << _HLL_REST_BITS} = 0 THEN {_HLL_REST_BITS + 1} "
+                f"ELSE {_HLL_REST_BITS + 1} - length(bin(h % {1 << _HLL_REST_BITS})) END"
+            ).alias("rho"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+    pref = (
+        regs.join(F.broadcast(ranks), "event_type")
+        .withColumn("prefix_k", F.explode(F.expr(f"sequence(rank, {n_types})")))
+        .groupBy("prefix_k", "bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+    ind = pref.groupBy("prefix_k").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.aggregate(
+            F.expr(
+                "transform(array_sort(collect_list(struct(bucket, reg))),"
+                " t -> pow(2.0, -t.reg))"
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("present_sum"),
+    )
+    exact = (
+        hashed.join(F.broadcast(ranks), "event_type")
+        .withColumn("prefix_k", F.explode(F.expr(f"sequence(rank, {n_types})")))
+        .select("prefix_k", "h")
+        .distinct()
+        .groupBy("prefix_k")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    est = (
+        F.lit(_HLL_ALPHA)
+        * F.lit(float(_HLL_M * _HLL_M))
+        / (F.col("present_sum") + (F.lit(_HLL_M) - F.col("n_present")).cast("double"))
+    )
+    return (
+        exact.join(F.broadcast(ind), "prefix_k")
+        .withColumn("est_hll", est)
+        .withColumn(
+            "rel_err",
+            (F.col("est_hll") - F.col("n_exact").cast("double"))
+            / F.col("n_exact").cast("double"),
+        )
+        .select(
+            F.col("prefix_k").cast("int").alias("prefix_k"),
+            "n_exact",
+            "est_hll",
+            "rel_err",
+        )
+    )
+
+
+_HLL_UNION_SQL = f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM events
+),
+ranks AS (
+  SELECT event_type, ROW_NUMBER() OVER (ORDER BY event_type) AS rank
+  FROM (SELECT DISTINCT event_type FROM hashed)
+),
+regs AS (
+  SELECT event_type, CAST(h // {1 << _HLL_REST_BITS} AS INT) AS bucket,
+         MAX(CASE WHEN h % {1 << _HLL_REST_BITS} = 0 THEN {_HLL_REST_BITS + 1}
+                  ELSE {_HLL_REST_BITS + 1} - length(bin(h % {1 << _HLL_REST_BITS})) END)
+           AS reg
+  FROM hashed GROUP BY 1, 2
+),
+pref AS (
+  SELECT CAST(p AS INT) AS prefix_k, bucket, MAX(reg) AS reg
+  FROM regs JOIN ranks USING (event_type), unnest(range(rank, 6)) t(p)
+  GROUP BY 1, 2
+),
+ind AS (
+  SELECT prefix_k, COUNT(*) AS n_present,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(pow(2.0, -reg) ORDER BY bucket)),
+                     (acc, x) -> acc + x) AS present_sum
+  FROM pref GROUP BY prefix_k
+),
+exact AS (
+  SELECT prefix_k, COUNT(*) AS n_exact FROM (
+    SELECT DISTINCT CAST(p AS INT) AS prefix_k, h
+    FROM hashed JOIN ranks USING (event_type), unnest(range(rank, 6)) t(p)
+  ) GROUP BY prefix_k
+)
+SELECT e.prefix_k, e.n_exact,
+       CAST({_HLL_ALPHA!r} AS DOUBLE) * {float(_HLL_M * _HLL_M)!r}
+         / (present_sum + CAST({_HLL_M} - n_present AS DOUBLE)) AS est_hll,
+       (CAST({_HLL_ALPHA!r} AS DOUBLE) * {float(_HLL_M * _HLL_M)!r}
+         / (present_sum + CAST({_HLL_M} - n_present AS DOUBLE))
+        - CAST(e.n_exact AS DOUBLE)) / CAST(e.n_exact AS DOUBLE) AS rel_err
+FROM exact e JOIN ind USING (prefix_k)
+"""
+
+
 # ------------------------------------------------------------ bloom filter
 # Deterministic Bloom filter over purchase user_ids (k=3 md5-derived
 # hashes into m=1024 bits, stored as 16 bigint words via bit_or
@@ -2152,6 +2279,7 @@ QUERIES = {
     "q_ev_lift": q_ev_lift,
     "q_ev_kmv_windows": q_ev_kmv_windows,
     "q_ev_audience_overlap": q_ev_audience_overlap,
+    "q_ev_hll_union": q_ev_hll_union,
     "q_ev_percentiles": q_ev_percentiles,
     "q_ev_sessionize": q_ev_sessionize,
     "q_ev_dedup_content": q_ev_dedup_content,
@@ -2189,6 +2317,7 @@ ORACLES = {
     "q_ev_lift": _LIFT_SQL,
     "q_ev_kmv_windows": _KMVW_SQL,
     "q_ev_audience_overlap": _AOV_SQL,
+    "q_ev_hll_union": _HLL_UNION_SQL,
     "q_ev_percentiles": _PCT_SQL,
     "q_ev_sessionize": _SESSION_SQL,
     "q_ev_dedup_content": _DEDUP_SQL,
