@@ -2380,6 +2380,77 @@ JOIN cnt cb ON cb.doc_id = c.doc_b
 """
 
 
+# ------------------------------------------------------- dedup agreement
+# Cross-modality dedup audit: do lexical near-dup pairs (MinHash-LSH
+# over token shingles) and semantic near-dup pairs (cosine-LSH over
+# embeddings, restricted to ids that exist as documents) flag the same
+# pairs? Reported as edge-set sizes + their Jaccard — the calibration
+# check a pipeline runs before trusting one dedup modality to stand in
+# for the other. (On this synthetic corpus embeddings are independent
+# of text, so near-zero agreement is the honest expected answer.)
+
+
+def q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .embeddings import _NEARDUP_T, q_emb_ann_lsh
+
+    lex = q_doc_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    docs = _docs_par(spark, sf_dir).select("doc_id")
+    sem = (
+        q_emb_ann_lsh(spark, sf_dir)
+        .filter(F.col("cos_sim") >= _NEARDUP_T)
+        .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+        .join(docs.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi")
+        .join(docs.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
+    )
+    j = lex.withColumn("in_lex", F.lit(1)).join(
+        sem.withColumn("in_sem", F.lit(1)), ["doc_a", "doc_b"], "full_outer"
+    )
+    both = F.coalesce("in_lex", F.lit(0)) * F.coalesce("in_sem", F.lit(0))
+    return j.agg(
+        F.sum(F.coalesce("in_lex", F.lit(0))).cast("bigint").alias("n_lexical"),
+        F.sum(F.coalesce("in_sem", F.lit(0))).cast("bigint").alias("n_semantic"),
+        F.sum(both).cast("bigint").alias("n_both"),
+        F.count(F.lit(1)).alias("n_union"),
+        F.when(
+            F.count(F.lit(1)) > 0,
+            F.sum(both).cast("double") / F.count(F.lit(1)).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("edge_jaccard"),
+    )
+
+
+def _dedup_agreement_sql() -> str:
+    from .embeddings import _NEARDUP_T, _ann_lsh_sql
+
+    return f"""
+WITH lex AS (SELECT doc_a, doc_b FROM ({_minhash_sql()}) q),
+sem0 AS (
+  SELECT vec_a AS doc_a, vec_b AS doc_b
+  FROM ({_ann_lsh_sql()}) q WHERE cos_sim >= {_NEARDUP_T}
+),
+sem AS (
+  SELECT * FROM sem0
+  WHERE doc_a IN (SELECT doc_id FROM documents)
+    AND doc_b IN (SELECT doc_id FROM documents)
+),
+j AS (
+  SELECT CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_lex,
+         CASE WHEN s.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_sem
+  FROM lex l FULL OUTER JOIN sem s
+    ON l.doc_a = s.doc_a AND l.doc_b = s.doc_b
+)
+SELECT CAST(SUM(in_lex) AS BIGINT) AS n_lexical,
+       CAST(SUM(in_sem) AS BIGINT) AS n_semantic,
+       CAST(SUM(in_lex * in_sem) AS BIGINT) AS n_both,
+       COUNT(*) AS n_union,
+       CASE WHEN COUNT(*) > 0
+            THEN CAST(SUM(in_lex * in_sem) AS DOUBLE) / COUNT(*)
+            ELSE 0.0 END AS edge_jaccard
+FROM j
+"""
+
+
 # ------------------------------------------------------------- upsert/MERGE
 # Incremental corpus maintenance: MERGE-INTO semantics (matched → update,
 # not-matched → insert) expressed as one full-outer join on the key —
@@ -2475,6 +2546,7 @@ QUERIES = {
     "q_doc_minhash_audit": q_doc_minhash_audit,
     "q_doc_bpe_encode": q_doc_bpe_encode,
     "q_doc_containment": q_doc_containment,
+    "q_dedup_agreement": q_dedup_agreement,
 }
 
 ORACLES = {
@@ -2514,4 +2586,5 @@ ORACLES = {
     "q_doc_minhash_audit": _minhash_audit_sql(),
     "q_doc_bpe_encode": _bpe_encode_sql(),
     "q_doc_containment": _CONTAINMENT_SQL,
+    "q_dedup_agreement": _dedup_agreement_sql(),
 }
