@@ -62,6 +62,7 @@ _FRONT = (
     "q_ev_audience_overlap",
     "q_ev_hll_union",
     "q_dedup_agreement",
+    "q_ev_changepoints",
     # never driver-graded but judge-verified in round 2 (absorb overflow
     # last: sketches / graph / event analytics, then relational)
     "q_ev_kmv_distinct",

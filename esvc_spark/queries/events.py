@@ -740,6 +740,88 @@ WINDOW w AS (PARTITION BY event_type ORDER BY h ROWS BETWEEN 2 PRECEDING AND CUR
 """
 
 
+# ------------------------------------------------------------ change points
+# Change detection on the gap-filled hourly series: per event type, the
+# k hours with the largest absolute jump between the trailing-3h mean
+# before and after the hour — a windows-only CUSUM-style detector on
+# exact integer sums (the one IEEE step is the final mean difference).
+# Composes the q_ev_resample grid; at scale this is two window passes
+# over an already-aggregated series.
+
+_CHG_K = 3
+
+
+def q_ev_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    filled = q_ev_resample(spark, sf_dir).select(
+        "ts_hour", "event_type", "n_events"
+    )
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("ts_hour")
+        .rowsBetween(-3, -1)
+    )
+    wa = Window.partitionBy("event_type").orderBy("ts_hour").rowsBetween(0, 2)
+    d = (
+        filled.withColumn("sum_b", F.sum("n_events").over(wb))
+        .withColumn("cnt_b", F.count(F.lit(1)).over(wb))
+        .withColumn("sum_a", F.sum("n_events").over(wa))
+        .withColumn("cnt_a", F.count(F.lit(1)).over(wa))
+        .filter(F.col("cnt_b") == 3)  # full windows only
+        .withColumn(
+            "jump",
+            F.abs(
+                F.col("sum_a").cast("double") / F.col("cnt_a").cast("double")
+                - F.col("sum_b").cast("double") / F.col("cnt_b").cast("double")
+            ),
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.desc("jump"), F.asc("ts_hour")
+    )
+    return (
+        d.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= _CHG_K)
+        .select(
+            "event_type",
+            "ts_hour",
+            "n_events",
+            "jump",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+_CHG_SQL = f"""
+WITH filled AS (
+  SELECT ts_hour, event_type, n_events FROM ({_RESAMPLE_SQL})
+),
+d AS (
+  SELECT ts_hour, event_type, n_events,
+         SUM(n_events) OVER wb AS sum_b, COUNT(*) OVER wb AS cnt_b,
+         SUM(n_events) OVER wa AS sum_a, COUNT(*) OVER wa AS cnt_a
+  FROM filled
+  WINDOW wb AS (PARTITION BY event_type ORDER BY ts_hour
+                ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING),
+         wa AS (PARTITION BY event_type ORDER BY ts_hour
+                ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING)
+)
+SELECT event_type, ts_hour, n_events, jump, CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT *,
+         abs(CAST(sum_a AS DOUBLE) / cnt_a - CAST(sum_b AS DOUBLE) / cnt_b)
+           AS jump,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY abs(CAST(sum_a AS DOUBLE) / cnt_a
+                                         - CAST(sum_b AS DOUBLE) / cnt_b) DESC,
+                                     ts_hour ASC) AS rk
+  FROM d WHERE cnt_b = 3
+)
+WHERE rk <= {_CHG_K}
+"""
+
+
 # ------------------------------------------------------ histogram quantiles
 # Mergeable approximate quantiles: a fixed-width histogram sketch (1024
 # bins of 0.5 over value ∈ [0, 512)) whose per-type quantile estimate is
@@ -2276,6 +2358,7 @@ QUERIES = {
     "q_ev_approx_quantiles": q_ev_approx_quantiles,
     "q_ev_rfm": q_ev_rfm,
     "q_ev_resample": q_ev_resample,
+    "q_ev_changepoints": q_ev_changepoints,
     "q_ev_lift": q_ev_lift,
     "q_ev_kmv_windows": q_ev_kmv_windows,
     "q_ev_audience_overlap": q_ev_audience_overlap,
@@ -2314,6 +2397,7 @@ ORACLES = {
     "q_ev_approx_quantiles": _hq_sql(),
     "q_ev_rfm": _RFM_SQL,
     "q_ev_resample": _RESAMPLE_SQL,
+    "q_ev_changepoints": _CHG_SQL,
     "q_ev_lift": _LIFT_SQL,
     "q_ev_kmv_windows": _KMVW_SQL,
     "q_ev_audience_overlap": _AOV_SQL,
