@@ -26,3 +26,11 @@ def test_query_matches_oracle(spark, sf_dir, name):
 def test_all_queries_have_callables():
     for name in ORACLES:
         assert name in QUERIES
+
+
+def test_every_query_has_a_full_oracle():
+    """The whole surface is value-hash checkable: no rows-only entries.
+    (A query without an oracle gets only the driver's weak rows-only
+    check — round 2's single red row; keep this invariant at zero.)"""
+    missing = [name for name in QUERIES if name not in ORACLES]
+    assert missing == []
