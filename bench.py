@@ -19,6 +19,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from esvc_spark.queries import all_queries  # noqa: E402
+from esvc_spark.queries._util import release_cached  # noqa: E402
 from esvc_spark.session import get_spark  # noqa: E402
 
 
@@ -80,13 +81,24 @@ def main() -> None:
     # planner, memory sink — ~15 s of one-time class-load/JIT otherwise
     # billed to whichever q_stream_* runs first) with one tiny bounded
     # stream at the smallest sf.
+    # Warm on the smallest sibling sf of the benchmark dir (falling back
+    # to the benchmark dir itself), and LOG a skipped warm-up: silently
+    # absorbing it would bill ~15 s of one-time state-store/JIT cost to
+    # whichever q_stream_* query runs first.
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
     try:
-        queries["q_stream_tumbling_hourly"](spark, "/root/testdata/sf0.001").count()
+        queries["q_stream_tumbling_hourly"](spark, warm_dir).count()
         for v in spark.catalog.listTables():
             if v.name.startswith("stream_"):
                 spark.catalog.dropTempView(v.name)
-    except Exception:
-        pass
+    except Exception as exc:
+        print(
+            f"warning: streaming warm-up skipped ({type(exc).__name__}: {exc}); "
+            "first q_stream_* timing will include one-time streaming init",
+            file=sys.stderr,
+        )
 
     t_start = time.perf_counter()
 
@@ -98,6 +110,11 @@ def main() -> None:
         # branches; dropping them between queries keeps 60+ queries from
         # accumulating cached blocks in one driver heap (and keeps each
         # measurement independent of its predecessors' cache residue).
+        # release_cached() drops exactly the intermediates the query
+        # library registered (the hygiene contract a long-lived host
+        # session relies on); clearCache() stays as a belt-and-braces
+        # guard for anything persisted outside that registry.
+        release_cached()
         spark.catalog.clearCache()
         # The q_stream_* queries leave their memory-sink result tables
         # registered (each run gets a fresh name); drop them so 100+
@@ -115,7 +132,11 @@ def main() -> None:
     # noisy-neighbor variance (same query 2-10x slower across minutes),
     # and a single sample of a slow-looking query is as likely noise as
     # signal. Bounded: only queries > 2 s re-run, inside a global budget.
-    _RERUN_BUDGET = 180.0
+    # Budget covers the whole run INCLUDING the first pass; the surface
+    # has grown past the point where 180 s leaves re-run headroom, and
+    # without re-runs single noisy-neighbor samples (observed 25x) stand
+    # unchallenged in the recorded JSON.
+    _RERUN_BUDGET = 420.0
     # Worst-first: a single noisy-neighbor sample can read 25x (observed
     # 55 s for a steady-state 2 s query), so spend the rerun budget on the
     # most extreme outliers before the marginal ones.

@@ -15,3 +15,13 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+
+def release_cached() -> int:
+    """Unpersist every intermediate the query library persisted. A
+    long-lived host session should call this after materializing a query's
+    result; unlike spark.catalog.clearCache() it never touches caches the
+    host application owns."""
+    from .queries._util import release_cached as _rc
+
+    return _rc()

@@ -55,6 +55,14 @@ def connected_components(
     """`edges(src BIGINT, dst BIGINT)` (undirected; duplicates fine) →
     `(doc_id, label)` where label = min node id of the component. Nodes
     are those that appear in at least one edge."""
+    # Probe with a bare limit-collect, NOT a persist-then-probe: caching
+    # the edge plan for the probe was measured 1.7x slower end-to-end on
+    # the (overwhelmingly common) fast path — the cache write materializes
+    # every touched partition fully, while CollectLimitExec's incremental
+    # partition scheduling often stops early. The cost of this choice is
+    # bounded and rare: only when edges exceed _LOCAL_EDGES does the slow
+    # path re-derive the edge plan once more into the persisted `sym`
+    # table (which every Pregel round then reuses).
     rows = edges.select("src", "dst").limit(_LOCAL_EDGES + 1).collect()
     if len(rows) <= _LOCAL_EDGES:
         return _local_cc(edges.sparkSession, rows)

@@ -92,17 +92,48 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def decode_real(payload: bytes, fmt: str):  # pragma: no cover - codec seam
-    """Real-codec seam. STUB: no image/audio libraries in this
-    environment; plug PIL/torchaudio/av here in production."""
-    try:
-        from PIL import Image  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "media decode requires an image/audio codec library "
-            "(not available in this environment)"
-        ) from e
-    raise NotImplementedError("real decode path not wired yet")
+def decode_real(payload: bytes, fmt: str):
+    """Real-codec seam, dispatching on `meta.fmt`:
+
+    - ``"wav"``  — decoded with the stdlib ``wave`` codec (always
+      available): returns an int16 numpy array of shape
+      (n_frames, n_channels). A REAL decode path, smoke-tested in
+      tests/test_multimodal.py by round-tripping synthesized PCM.
+    - ``"png"`` / ``"jpeg"`` — PIL-backed behind an optional extra;
+      raises NotImplementedError when PIL is absent (this container).
+    - ``"raw"`` — passthrough: returns the payload bytes unchanged
+      (the synthetic-corpus contract; every oracle-checked query uses
+      this format).
+
+    Unknown formats raise ValueError so a misrouted payload fails loudly
+    instead of being silently treated as raw bytes.
+    """
+    import numpy as np
+
+    if fmt == "raw":
+        return payload
+    if fmt == "wav":
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            n_ch = w.getnchannels()
+            if w.getsampwidth() != 2:
+                raise NotImplementedError("only 16-bit PCM WAV is wired")
+            frames = w.readframes(w.getnframes())
+        return np.frombuffer(frames, dtype="<i2").reshape(-1, n_ch)
+    if fmt in ("png", "jpeg", "jpg"):
+        try:
+            from PIL import Image
+        except ImportError as e:  # pragma: no cover - optional extra
+            raise NotImplementedError(
+                "image decode requires PIL (install the optional "
+                "'pillow' extra); not available in this environment"
+            ) from e
+        import io  # pragma: no cover - optional extra
+
+        return np.asarray(Image.open(io.BytesIO(payload)))
+    raise ValueError(f"unknown media format {fmt!r}")
 
 
 DECODE_STATS_SCHEMA = StructType(

@@ -25,68 +25,61 @@ from pyspark.sql import DataFrame, SparkSession
 _MODULE_ORDER = ("esvc", "multimodal", "embeddings", "documents", "events", "relational")
 
 _FRONT = (
-    # changed this round — need fresh attestation
+    # brand-new this round (round 4): the distributed shelve path and the
+    # idempotent streaming event-log ingest, both under full oracles
+    "q_esvc_editor_large",
+    "q_stream_ingest_log",
+    # changed this round — oracle guards / derived bounds / cc probe /
+    # O(N²) gate — need fresh attestation
+    "q_doc_repetition",
+    "q_ev_hll_union",
     "q_mm_features",
     "q_mm_audio_windows",
-    "q_esvc_editor",
-    # never driver-graded: streaming (3 brand-new + 5 from round 2)
-    "q_stream_tumbling_hourly",
-    "q_stream_sessionize",
-    "q_stream_running_totals",
-    "q_stream_join",
-    "q_stream_dedup",
-    "q_stream_enrich",
-    "q_stream_heads",
-    "q_stream_topk",
-    # brand-new this round (neither driver nor judge has seen them)
-    "q_ev_attribution",
-    "q_ev_approx_quantiles",
-    "q_ev_rfm",
-    "q_ev_resample",
-    "q_ev_lift",
-    "q_ev_kmv_windows",
-    "q_doc_repetition",
-    "q_doc_pii_redact",
-    "q_doc_chunk",
-    "q_doc_bpe_merges",
-    "q_doc_bpe_encode",
-    "q_doc_upsert",
-    "q_doc_dup_spans",
-    "q_doc_minhash_audit",
-    "q_doc_containment",
-    "q_emb_dup_clusters",
-    "q_emb_ood",
     "q_mm_silence",
-    "q_fuzzy_match",
-    "q_emb_pq_search",
-    "q_ev_audience_overlap",
-    "q_ev_hll_union",
-    "q_dedup_agreement",
-    "q_ev_changepoints",
-    # never driver-graded but judge-verified in round 2 (absorb overflow
-    # last: sketches / graph / event analytics, then relational)
+    "q_mm_decode_stats",
+    "q_doc_dup_clusters",
+    "q_emb_neardup_cosine",
+    # never driver-graded in any round
+    "q_profile_lineitem",
+    # r1-vintage attestation: their only driver rows predate the r2
+    # dsum/decimal helper rewrite and r3 registry churn in relational.py
+    # (VERDICT r3 next-round #1) — refresh all 28
+    "q01_pricing_summary",
+    "q02_min_cost_supplier",
+    "q03_shipping_priority",
+    "q04_order_priority",
+    "q05_local_supplier_volume",
+    "q06_forecast_revenue",
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q09_product_profit",
+    "q10_returned_items",
+    "q11_value_concentration",
+    "q12_ship_lag",
+    "q13_customer_distribution",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q16_parts_supplier",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_excess_stock",
+    "q21_waiting_supplier",
+    "q22_dormant_customers",
+    "q_cube_orders",
+    "q_grouping_sets",
+    "q_rollup_returns",
+    "q_setops_customers",
+    "q_window_running_spend",
+    "q_window_top_orders",
+    # judge-only attestation + touched by this round's tracked_persist
+    # swap — absorb any truncation overflow
+    "q_doc_minhash_lsh",
+    "q_emb_ann_lsh",
+    "q_doc_ngram_jaccard",
+    "q_doc_incremental_dedup",
     "q_ev_kmv_distinct",
     "q_ev_hll_distinct",
-    "q_ev_cms_heavy",
-    "q_ev_bloom",
-    "q_ev_funnel",
-    "q_ev_cohort_retention",
-    "q_ev_sliding_counts",
-    "q_ev_salted_distinct",
-    "q_ev_pagerank",
-    "q_ev_anomaly",
-    "q_ev_top_paths",
-    "q_pivot_returns",
-    "q_unpivot_orders",
-    "q_fullouter_daily",
-    "q_window_deciles",
-    "q_profile_lineitem",
-    # failed in round 1, fixed, judge-verified twice since
-    "q_ev_percentiles",
-    "q_ev_sessionize",
-    "q_ev_dedup_content",
-    "q_ev_json_props",
-    "q_ev_user_journey",
 )
 
 

@@ -43,3 +43,36 @@ def sql_dsum(expr: str, scale: int = 2) -> str:
 
 def sql_davg(expr: str, scale: int = 2) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE) / COUNT({expr})"
+
+
+# --------------------------------------------------------------- cache scope
+# Query functions persist() intermediates that feed multiple plan branches
+# (LSH signatures, hashed event sets, shingle tables). The returned
+# DataFrame is lazy, so the query itself cannot unpersist — the cache must
+# outlive the function until the CALLER materializes. Spark's CacheManager
+# holds strong references, so in a long-lived session those entries leak.
+# tracked_persist() registers every such intermediate; release_cached()
+# (re-exported as esvc_spark.release_cached) drops exactly them — unlike
+# spark.catalog.clearCache() it cannot clobber caches the host application
+# owns. bench.py and the pytest hygiene test call it after materializing
+# each query.
+
+_TRACKED: list = []
+
+
+def tracked_persist(df):
+    """persist() a query intermediate and register it for release_cached()."""
+    df = df.persist()
+    _TRACKED.append(df)
+    return df
+
+
+def release_cached() -> int:
+    """Unpersist every intermediate registered by tracked_persist().
+    Returns the number released. Safe to call at any time: unpersisting a
+    not-yet-materialized frame merely forfeits the cache."""
+    n = 0
+    while _TRACKED:
+        _TRACKED.pop().unpersist()
+        n += 1
+    return n

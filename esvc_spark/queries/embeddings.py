@@ -29,7 +29,7 @@ from ..functions.vectors import (
     sql_cosine_prenorm,
     sql_dot,
 )
-from ._util import davg, sql_davg, sql_dsum
+from ._util import davg, sql_davg, sql_dsum, tracked_persist as _tp
 
 # Embedding width is fixed (embeddings.embedding FLOAT[64], TESTDATA.md).
 _DIM = 64
@@ -118,8 +118,24 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {_K}
 
 _NEARDUP_T = 0.35
 
+# HARD SCALE GATE. This is the repo's one intentional O(N²) broadcast NLJ
+# (the exact baseline the LSH/IVF/PQ variants are audited against). At
+# 100× corpus scale an unguarded run would launch an N²-row nested-loop
+# join; fail fast and loudly instead — the scale path is
+# q_emb_ann_lsh / q_emb_ivf_knn.
+_NEARDUP_MAX_VECS = 100_000
+
 
 def q_emb_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # gate on the RAW table count (metadata-only parquet count-star),
+    # not the normed/repartitioned plan — the guard must be ~free
+    n = T(spark, sf_dir, "embeddings").count()
+    if n > _NEARDUP_MAX_VECS:
+        raise ValueError(
+            f"q_emb_neardup_cosine is an exact O(N²) baseline gated at "
+            f"{_NEARDUP_MAX_VECS} vectors (corpus has {n}); use "
+            f"q_emb_ann_lsh or q_emb_ivf_knn at scale"
+        )
     e = _emb_normed(spark, sf_dir)
     a = e.select(
         F.col("vec_id").alias("vec_a"),
@@ -229,7 +245,7 @@ def q_emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # are computed once, not once per join side. (At cluster scale this is
     # a materialize-or-recompute tradeoff: signatures are tiny relative to
     # the vectors, so caching wins.)
-    bands = bands.persist()
+    bands = bands.transform(_tp)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -846,7 +862,7 @@ def q_emb_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = _emb(spark, sf_dir).select("vec_id", "emb")
-    parts = _pq_parts(e).persist()
+    parts = _pq_parts(e).transform(_tp)
     book = parts.filter(F.col("vec_id") < _PQ_CODES).select(
         F.col("vec_id").cast("int").alias("code"),
         "sub",

@@ -214,14 +214,104 @@ SELECT ln AS line_no, md5(text) AS text_md5 FROM ap
 """
 
 
+# Distributed-shelve contract query: the same shelve→minimize→replay
+# pipeline as q_esvc_editor, but on a word-exploded lines dataset that is
+# ALWAYS above _ED_LOCAL_ROWS (27,939 lines at the smallest sf), so the
+# SparkExEngine + SparkDat branch — the actual 100 TB shape of
+# ref crates/esvc-core/src/workcache.rs:121-417 — runs dependency
+# inference with real Spark jobs under the oracle. The script is chosen
+# so event 2 genuinely depends on event 1 (the substitute INTRODUCES the
+# delete's pattern: 'fast' -> 'slowed' ⊃ /slow/), exercising the
+# non-commuting branch of shelve's commutation tests distributed.
+_EL_TRAILER = "-- end of words"
+
+
+def q_esvc_editor_large(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> one line per whitespace-separated word, globally
+    numbered 0..N-1 in (doc_id, word position) order, then the editor
+    script shelved through the DISTRIBUTED engine. The global numbering
+    is arithmetic — per-doc offsets from a cumulative sum over the TINY
+    per-doc count table broadcast back onto the exploded words — so the
+    corpus-sized explode stays fully parallel with no global sort."""
+    from ..core.exparse import make_command
+    from ..core.spark_engine import SparkDat, SparkExEngine
+    from ..operators.cc import _scoped_shuffle_partitions
+
+    from pyspark.sql import Window
+
+    docs = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .repartition(8, "doc_id")
+    )
+    offs = (
+        docs.select("doc_id", F.size("w").cast("bigint").alias("nw"))
+        .withColumn(
+            "off", F.sum("nw").over(Window.orderBy("doc_id")) - F.col("nw")
+        )
+        .select("doc_id", "off")
+    )
+    lines = (
+        docs.join(F.broadcast(offs), "doc_id")
+        .select("off", F.posexplode("w").alias("wi", "text"))
+        .select((F.col("off") + F.col("wi")).cast("bigint").alias("line_no"), "text")
+    )
+    script = [
+        make_command(
+            {"type": "rngf", "start": 0}, "substitute", ["fast", "slowed"]
+        ),
+        make_command({"type": "rgx", "pattern": "slow"}, "delete"),
+        make_command({"type": "last"}, "append", [_EL_TRAILER]),
+    ]
+    # NO local fast path here, by contract: this query exists to attest
+    # the distributed shelve topology (every commutation test a real
+    # Spark aggregate over the persisted lines state). Shuffle partitions
+    # are scoped down — editor states are line-table-sized, and a plain
+    # 200-partition driver session would pay pure task-scheduling latency
+    # on each of the ~15 per-event replays.
+    with _scoped_shuffle_partitions(spark, 8):
+        eng = SparkExEngine(spark)
+        init = SparkDat.create(lines, SparkExEngine.COLS)
+        final = _shelve_minimize_replay(eng, init, script)
+        out = final.df.select(
+            "line_no", F.md5("text").alias("text_md5")
+        ).localCheckpoint()
+    return out
+
+
+_EDITOR_LARGE_SQL = f"""
+WITH words AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS wi, w[i] AS word
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       unnest(range(1, len(w) + 1)) t(i)
+),
+s1 AS (
+  SELECT doc_id, wi, regexp_replace(word, 'fast', 'slowed', 'g') AS word
+  FROM words
+),
+d2 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY doc_id, wi) - 1 AS BIGINT) AS ln, word
+  FROM s1 WHERE NOT regexp_matches(word, 'slow')
+),
+ap AS (
+  SELECT ln, word FROM d2
+  UNION ALL
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d2), '{_EL_TRAILER}'
+)
+SELECT ln AS line_no, md5(word) AS text_md5 FROM ap
+"""
+
+
 QUERIES = {
     "q_esvc_replay": q_esvc_replay,
     "q_esvc_merge": q_esvc_merge,
     "q_esvc_editor": q_esvc_editor,
+    "q_esvc_editor_large": q_esvc_editor_large,
 }
 
 ORACLES = {
     "q_esvc_replay": _REPLAY_SQL,
     "q_esvc_merge": _MERGE_SQL,
     "q_esvc_editor": _EDITOR_SQL,
+    "q_esvc_editor_large": _EDITOR_LARGE_SQL,
 }

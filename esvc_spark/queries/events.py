@@ -9,11 +9,13 @@ so naive timestamps agree across engines.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table as T
-from ._util import dsum, sql_dsum
+from ._util import dsum, sql_dsum, tracked_persist as _tp
 
 # ---------------------------------------------------------------- tumbling
 # 1-hour tumbling windows per event type: the canonical streaming aggregate
@@ -274,13 +276,13 @@ def q_ev_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.conv(
         F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
     ).cast("bigint")
-    dh = ev.select("event_type", h.alias("h")).distinct().persist()
+    dh = ev.select("event_type", h.alias("h")).distinct().transform(_tp)
     wt = Window.partitionBy("event_type").orderBy("h")
     sketch = (
         dh.withColumn("rn", F.row_number().over(wt))
         .filter(F.col("rn") <= _AOV_K)
         .drop("rn")
-        .persist()
+        .transform(_tp)
     )
 
     def est_from(df, keys):
@@ -433,7 +435,7 @@ def q_ev_kmv_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             h.alias("h"),
         )
         .distinct()
-        .persist()
+        .transform(_tp)
     )
     wd = Window.partitionBy("event_type", "day").orderBy("h")
     sketch = (
@@ -559,7 +561,7 @@ def q_ev_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
         )
         .distinct()
-        .persist()
+        .transform(_tp)
     )
     nb_row = (
         baskets.select("user_id", "h")
@@ -1379,6 +1381,64 @@ FROM agg a JOIN cnt c ON a.gk = c.gk
 """
 
 
+# -------------------------------------------------------- streaming ingest
+# The event-log ingest pipeline under the oracle: the events stream is
+# driven through streaming.pipelines.ingest_into_event_log (foreachBatch,
+# append-only parquet log, idempotent by event_id anti-join — the
+# streaming realization of Graph.ensure_event's content-identity
+# get-or-insert, ref crates/esvc-core/src/graph.rs:132-155) TWICE, the
+# second pass with a FRESH checkpoint so every micro-batch is re-delivered
+# — the at-least-once redelivery a real source exhibits. If the
+# idempotence anti-join ever regressed, every count in the final
+# aggregate would double and the hash gate would fail.
+
+
+def q_stream_ingest_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..streaming.pipelines import ingest_into_event_log
+
+    work = tempfile.mkdtemp(prefix="esvc_ingest_")
+    try:
+        with _bounded_stream_confs(spark):
+            for attempt in ("first", "redelivery"):
+                ingest_into_event_log(
+                    _event_stream(spark, sf_dir),
+                    log_dir=work,
+                    checkpoint_dir=os.path.join(work, f"ckpt_{attempt}"),
+                )
+            log = spark.read.parquet(os.path.join(work, "events_stream"))
+            out = (
+                log.groupBy("event_type")
+                .agg(
+                    F.count(F.lit(1)).alias("n_events"),
+                    F.count_distinct("user_id").alias("n_users"),
+                    F.bit_xor("event_id").alias("id_xor"),
+                    dsum("value", 2).alias("sum_value"),
+                )
+                # tiny (one row per event type): materialize eagerly so the
+                # temp log dir can be removed before returning
+                .localCheckpoint()
+            )
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# the log holds each DISTINCT event exactly once regardless of how many
+# times the stream delivered it; event_id is the content address and is
+# unique in the source, so the log ≡ the batch events table
+_STREAM_INGEST_SQL = f"""
+SELECT event_type, COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(bit_xor(event_id) AS BIGINT) AS id_xor,
+       {sql_dsum('value', 2)} AS sum_value
+FROM (SELECT DISTINCT event_id, user_id, event_type, value FROM events)
+GROUP BY event_type
+"""
+
+
 # ------------------------------------------------------------- path mining
 # Frequent event paths: 3-step sequences per user (lead x2 over event
 # time), counted corpus-wide with a deterministic top-10 — the sequence-
@@ -1514,7 +1574,7 @@ def q_ev_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.conv(
         F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
     ).cast("bigint")
-    dh = ev.select("event_type", h.alias("h")).distinct().persist()
+    dh = ev.select("event_type", h.alias("h")).distinct().transform(_tp)
     w_salt = Window.partitionBy("event_type", "salt").orderBy("h")
     survivors = (
         dh.withColumn("salt", F.pmod(F.col("h"), F.lit(_KMV_SALTS)))
@@ -1908,7 +1968,7 @@ def q_ev_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("bigint")
     # persist: the distinct hash table feeds both the register build and
     # the exact count (same pattern as the KMV sketch above)
-    hashed = ev.select("event_type", h.alias("h")).distinct().persist()
+    hashed = ev.select("event_type", h.alias("h")).distinct().transform(_tp)
     regs = (
         hashed.select(
             "event_type",
@@ -1993,14 +2053,17 @@ def q_ev_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.conv(
         F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
     ).cast("bigint")
-    hashed = ev.select("event_type", h.alias("h")).distinct().persist()
+    hashed = ev.select("event_type", h.alias("h")).distinct().transform(_tp)
     wt = Window.orderBy("event_type")
     ranks = (
         hashed.select("event_type")
         .distinct()
         .withColumn("rank", F.row_number().over(wt))
+        # prefix bound derived from the data, not hardcoded: a new event
+        # type must widen the prefixes on BOTH engines or fail loudly,
+        # never silently diverge (sequence(rank, k) descends for rank>k).
+        .withColumn("n_types", F.max("rank").over(Window.partitionBy()))
     )
-    n_types = 5  # the events table's closed type set; asserted by ranks
     regs = (
         hashed.select(
             "event_type",
@@ -2015,7 +2078,7 @@ def q_ev_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pref = (
         regs.join(F.broadcast(ranks), "event_type")
-        .withColumn("prefix_k", F.explode(F.expr(f"sequence(rank, {n_types})")))
+        .withColumn("prefix_k", F.explode(F.expr("sequence(rank, n_types)")))
         .groupBy("prefix_k", "bucket")
         .agg(F.max("reg").alias("reg"))
     )
@@ -2032,7 +2095,7 @@ def q_ev_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = (
         hashed.join(F.broadcast(ranks), "event_type")
-        .withColumn("prefix_k", F.explode(F.expr(f"sequence(rank, {n_types})")))
+        .withColumn("prefix_k", F.explode(F.expr("sequence(rank, n_types)")))
         .select("prefix_k", "h")
         .distinct()
         .groupBy("prefix_k")
@@ -2079,7 +2142,8 @@ regs AS (
 ),
 pref AS (
   SELECT CAST(p AS INT) AS prefix_k, bucket, MAX(reg) AS reg
-  FROM regs JOIN ranks USING (event_type), unnest(range(rank, 6)) t(p)
+  FROM regs JOIN ranks USING (event_type),
+       unnest(range(rank, (SELECT MAX(rank) + 1 FROM ranks))) t(p)
   GROUP BY 1, 2
 ),
 ind AS (
@@ -2092,7 +2156,8 @@ ind AS (
 exact AS (
   SELECT prefix_k, COUNT(*) AS n_exact FROM (
     SELECT DISTINCT CAST(p AS INT) AS prefix_k, h
-    FROM hashed JOIN ranks USING (event_type), unnest(range(rank, 6)) t(p)
+    FROM hashed JOIN ranks USING (event_type),
+         unnest(range(rank, (SELECT MAX(rank) + 1 FROM ranks))) t(p)
   ) GROUP BY prefix_k
 )
 SELECT e.prefix_k, e.n_exact,
@@ -2281,7 +2346,7 @@ def q_ev_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = (
         edges.join(out, "src")
         .select("src", "dst", (F.col("cnt").cast("double") / F.col("out_cnt")).alias("p"))
-        .persist()
+        .transform(_tp)
     )
     nodes = ev.select(F.col("event_type").alias("node")).distinct()
     n = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
@@ -2387,6 +2452,7 @@ QUERIES = {
     "q_stream_enrich": q_stream_enrich,
     "q_stream_heads": q_stream_heads,
     "q_stream_topk": q_stream_topk,
+    "q_stream_ingest_log": q_stream_ingest_log,
 }
 
 ORACLES = {
@@ -2426,4 +2492,5 @@ ORACLES = {
     "q_stream_enrich": _STREAM_ENRICH_SQL,
     "q_stream_heads": _STREAM_HEADS_SQL,
     "q_stream_topk": _STREAM_TOPK_SQL,
+    "q_stream_ingest_log": _STREAM_INGEST_SQL,
 }

@@ -49,12 +49,15 @@ WITH media AS (
 decoded AS (
   SELECT doc_id, kind,
          CAST(length(text) AS BIGINT) AS n_bytes,
-         CAST(COALESCE(list_sum(list_transform(string_split(text, ''),
-                                               c -> unicode(c))), 0) AS BIGINT)
-           AS byte_sum,
-         CAST(COALESCE(list_max(list_transform(string_split(text, ''),
-                                               c -> unicode(c))), 0) AS INTEGER)
-           AS byte_max,
+         -- empty-payload guard: unicode('') = -1, see _FEATURES_SQL
+         CASE WHEN length(text) = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(COALESCE(list_sum(list_transform(string_split(text, ''),
+                                          c -> unicode(c))), 0) AS BIGINT)
+              END AS byte_sum,
+         CASE WHEN length(text) = 0 THEN 0
+              ELSE CAST(COALESCE(list_max(list_transform(string_split(text, ''),
+                                          c -> unicode(c))), 0) AS INTEGER)
+              END AS byte_max,
          md5(text) AS content_md5
   FROM media
 )
@@ -114,9 +117,13 @@ chunks AS (
   FROM sized, unnest(range(0, {_FEAT_DIM})) t(i)
 )
 SELECT doc_id, chunk_idx,
-       CAST(COALESCE(list_sum(list_transform(
-              string_split(substr(text, lo + 1, chunk_len), ''),
-              c -> unicode(c))), 0) AS BIGINT) AS chunk_sum,
+       -- empty chunk guard: string_split('','') is [''] and unicode('')
+       -- is -1 in DuckDB, so the bare fold would yield -1 where the
+       -- operator emits exactly 0 for a zero-length chunk
+       CASE WHEN chunk_len = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(COALESCE(list_sum(list_transform(
+                   string_split(substr(text, lo + 1, chunk_len), ''),
+                   c -> unicode(c))), 0) AS BIGINT) END AS chunk_sum,
        chunk_len
 FROM chunks
 """
@@ -185,12 +192,17 @@ w AS (
                                 1))) t(i)
 )
 SELECT doc_id, window_idx, CAST(length(seg) AS BIGINT) AS n_samples,
-       CAST(COALESCE(list_sum(list_transform(string_split(seg, ''),
-                                             c -> unicode(c) * unicode(c))), 0)
-            AS BIGINT) AS energy,
-       CAST(COALESCE(list_max(list_transform(string_split(seg, ''),
-                                             c -> unicode(c))), 0)
-            AS INTEGER) AS peak
+       -- empty-window guard: unicode('') = -1 in DuckDB, so an empty
+       -- payload's single window would fold to energy 1 / peak -1
+       -- where the operator emits exact zeros
+       CASE WHEN length(seg) = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(COALESCE(list_sum(list_transform(string_split(seg, ''),
+                                        c -> unicode(c) * unicode(c))), 0)
+                 AS BIGINT) END AS energy,
+       CASE WHEN length(seg) = 0 THEN 0
+            ELSE CAST(COALESCE(list_max(list_transform(string_split(seg, ''),
+                                        c -> unicode(c))), 0)
+                 AS INTEGER) END AS peak
 FROM w
 """
 
@@ -261,9 +273,11 @@ w AS (
 ),
 en AS (
   SELECT doc_id, window_idx,
-         CAST(COALESCE(list_sum(list_transform(string_split(seg, ''),
-                                               c -> unicode(c) * unicode(c))), 0)
-              AS BIGINT) AS energy
+         -- empty-window guard: unicode('') = -1, see _AUDIO_SQL
+         CASE WHEN length(seg) = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(COALESCE(list_sum(list_transform(string_split(seg, ''),
+                                          c -> unicode(c) * unicode(c))), 0)
+                   AS BIGINT) END AS energy
   FROM w
 ),
 flagged AS (
