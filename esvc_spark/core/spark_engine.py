@@ -21,9 +21,13 @@ Engines:
   - SparkExEngine: the ed/ex line editor (en.rs:214-258) over an ordered
     lines DataFrame (line_no, text). Spark rows are unordered, so the
     reference's implicit vector order is an explicit line_no column
-    (SURVEY.md §1.2); renumbering is a row_number window — a single-task
-    sort acceptable for editor datasets (documented scale limit; the
-    corpus engines have no such bottleneck).
+    (SURVEY.md §1.2). Renumbering switches on dataset size: below
+    _RENUMBER_LOCAL_ROWS a single row_number window (one-task sort, the
+    cheapest plan at editor scale); above it a distributed two-phase
+    prefix sum (range-partition on the order key, per-partition counts,
+    cumulative offsets broadcast back, within-partition rank + offset) —
+    no single-task stage at any size, so the editor holds up on
+    corpus-of-lines datasets too.
 """
 
 from __future__ import annotations
@@ -122,14 +126,61 @@ class SparkExEngine(SparkEngineBase):
         return [r["text"] for r in dat.df.orderBy("line_no").collect()]
 
     # -- helpers ---------------------------------------------------------
-    def _renumber(self, df: DataFrame) -> DataFrame:
-        """Reassign contiguous line_no by (pos, sub) order."""
+
+    # Below this many rows a single-task row_number window is the cheapest
+    # renumber (one tiny sort beats three distributed jobs); above it the
+    # two-phase prefix sum keeps every stage partition-parallel. The
+    # threshold is an upper bound on rows ONE task must sort — 1M short
+    # lines is a few tens of MB.
+    _RENUMBER_LOCAL_ROWS = 1 << 20
+
+    def _global_index(
+        self, df: DataFrame, order_cols: list[str], n_rows: int | None
+    ) -> DataFrame:
+        """(line_no, text) with line_no = 0-based contiguous global rank in
+        `order_cols` order.
+
+        Large path (> _RENUMBER_LOCAL_ROWS): distributed prefix sum —
+        1. range-partition on the order key and PIN the partitioning with
+           an eager localCheckpoint (repartitionByRange samples its
+           boundaries, so two jobs over the lazy plan could see different
+           partition ids);
+        2. one small aggregate collects per-partition counts (P rows) and
+           turns them into cumulative offsets on the driver;
+        3. within-partition row_number + broadcast offset. Every stage is
+           partition-parallel; the only driver data is P counts.
+        """
         from pyspark.sql import Window
 
-        w = Window.orderBy("pos", "sub")
-        return df.select(
-            (F.row_number().over(w) - 1).cast("bigint").alias("line_no"), "text"
+        if n_rows is None or n_rows <= self._RENUMBER_LOCAL_ROWS:
+            w = Window.orderBy(*order_cols)
+            return df.select(
+                (F.row_number().over(w) - 1).cast("bigint").alias("line_no"),
+                "text",
+            )
+        p = max(self.spark.sparkContext.defaultParallelism, 2)
+        part = (
+            df.repartitionByRange(p, *order_cols)
+            .withColumn("_pid", F.spark_partition_id())
+            .localCheckpoint()
         )
+        counts = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c")).collect()
+        offs, acc = [], 0
+        for r in sorted(counts, key=lambda r: r["_pid"]):
+            offs.append((r["_pid"], acc))
+            acc += r["_c"]
+        off_df = self.spark.createDataFrame(offs, "_pid INT, _off BIGINT")
+        w = Window.partitionBy("_pid").orderBy(*order_cols)
+        return part.join(F.broadcast(off_df), "_pid").select(
+            (F.row_number().over(w) - 1 + F.col("_off"))
+            .cast("bigint")
+            .alias("line_no"),
+            "text",
+        )
+
+    def _renumber(self, df: DataFrame, n_rows: int | None = None) -> DataFrame:
+        """Reassign contiguous line_no by (pos, sub) order."""
+        return self._global_index(df, ["pos", "sub"], n_rows)
 
     def _new_rows(self, lines: list[str], pos, sub_start: int = 1) -> DataFrame:
         return self.spark.createDataFrame(
@@ -155,7 +206,7 @@ class SparkExEngine(SparkEngineBase):
             return dat  # delete/substitute of an empty segment: no-op
 
         if t == "rgx":
-            return self._run_rgx(df, kind, addr["pattern"])
+            return self._run_rgx(df, kind, addr["pattern"], n)
 
         # ---- contiguous selection [lo, hi) on n rows
         if t == "rng":
@@ -188,21 +239,31 @@ class SparkExEngine(SparkEngineBase):
             F.col("line_no").cast("double").alias("pos"), F.lit(0).alias("sub"), "text"
         )
         if k == "delete":
-            out = self._renumber(base.filter(~((F.col("pos") >= lo) & (F.col("pos") < hi))))
+            out = self._renumber(
+                base.filter(~((F.col("pos") >= lo) & (F.col("pos") < hi))), n
+            )
         elif k == "append":
             # new lines right after the selected segment: boundary hi
-            out = self._renumber(base.unionByName(self._new_rows(kind["lines"], hi - 0.5)))
+            out = self._renumber(
+                base.unionByName(self._new_rows(kind["lines"], hi - 0.5)), n
+            )
         elif k == "insert":
             # before the segment: boundary lo
-            out = self._renumber(base.unionByName(self._new_rows(kind["lines"], lo - 0.5)))
+            out = self._renumber(
+                base.unionByName(self._new_rows(kind["lines"], lo - 0.5)), n
+            )
         elif k == "change":
             kept = base.filter(~((F.col("pos") >= lo) & (F.col("pos") < hi)))
-            out = self._renumber(kept.unionByName(self._new_rows(kind["lines"], lo - 0.5)))
+            out = self._renumber(
+                kept.unionByName(self._new_rows(kind["lines"], lo - 0.5)), n
+            )
         else:
             raise ValueError(f"unknown command kind {k!r}")
         return SparkDat.create(out, self.COLS)
 
-    def _run_rgx(self, df: DataFrame, kind: dict, pattern: str) -> SparkDat:
+    def _run_rgx(
+        self, df: DataFrame, kind: dict, pattern: str, n: int | None = None
+    ) -> SparkDat:
         """Per-line segments: each matching line is its own selected run
         (en.rs:143-148), so append/insert/change expand per matching line."""
         java_ok = True
@@ -223,13 +284,7 @@ class SparkExEngine(SparkEngineBase):
             )
             return SparkDat.create(out, self.COLS)
         if k == "delete":
-            from pyspark.sql import Window
-
-            w = Window.orderBy("line_no")
-            out = (
-                df.filter(~sel)
-                .select((F.row_number().over(w) - 1).cast("bigint").alias("line_no"), "text")
-            )
+            out = self._global_index(df.filter(~sel), ["line_no"], n)
             return SparkDat.create(out, self.COLS)
         lines_arr = F.array(*[F.lit(x) for x in kind["lines"]])
         if k == "append":
@@ -244,14 +299,8 @@ class SparkExEngine(SparkEngineBase):
             arr = F.when(sel, lines_arr).otherwise(F.array(F.col("text")))
         else:
             raise ValueError(f"unknown command kind {k!r}")
-        from pyspark.sql import Window
-
-        w = Window.orderBy("line_no", "sub")
-        out = (
-            df.select("line_no", F.posexplode(arr).alias("sub", "new_text"))
-            .select(
-                (F.row_number().over(w) - 1).cast("bigint").alias("line_no"),
-                F.col("new_text").alias("text"),
-            )
-        )
+        exploded = df.select(
+            "line_no", F.posexplode(arr).alias("sub", "new_text")
+        ).select("line_no", "sub", F.col("new_text").alias("text"))
+        out = self._global_index(exploded, ["line_no", "sub"], n)
         return SparkDat.create(out, self.COLS)

@@ -90,6 +90,37 @@ def test_spark_ex_engine_matches_local_oracle(spark, ex_engine):
         assert eng.lines(sdat) == list(ldat), f"divergence after {addr_s}{cmd}"
 
 
+def test_spark_ex_distributed_renumber_matches_local(spark, ex_engine, monkeypatch):
+    """Force the large-dataset renumber path (two-phase distributed prefix
+    sum) by zeroing the threshold and check the full editor script stays
+    bit-identical to the in-memory ExEngine — the differential contract
+    for the no-single-task-sort plan."""
+    from esvc_spark.core.engines import ExEngine as LocalEx
+
+    monkeypatch.setattr(SparkExEngine, "_RENUMBER_LOCAL_ROWS", 0)
+    local = LocalEx()
+    eng = ex_engine
+    # enough lines to span several range partitions
+    start = [f"line {i} {'odd' if i % 2 else 'even'}" for i in range(197)]
+    script = [
+        ("/odd/", "delete", None),
+        ("$", "append", ["tail1", "tail2"]),
+        ("/even/", "append", ["after-even"]),
+        ("5,40", "delete", None),
+        ("0,", "insert", ["head"]),
+        ("/line 1[0-9]0/", "change", ["rounded"]),
+    ]
+    sdat = eng.init_data(start)
+    ldat = tuple(start)
+    for addr_s, cmd, body in script:
+        addr, rest = parse_address(addr_s)
+        assert rest == ""
+        arg = make_command(addr, cmd, body)
+        sdat = eng.run_event_bare(0, arg, sdat)
+        ldat = local.run_event_bare(0, arg, ldat)
+        assert eng.lines(sdat) == list(ldat), f"divergence after {addr_s}{cmd}"
+
+
 def test_spark_ex_empty_data(spark, ex_engine):
     eng = ex_engine
     empty = eng.init_data([])
