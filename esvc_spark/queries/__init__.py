@@ -39,6 +39,16 @@ _FRONT = (
     "q_mm_decode_stats",
     "q_doc_dup_clusters",
     "q_emb_neardup_cosine",
+    # round-4 numeric-determinism rewrite: full-precision double means now
+    # use order-pinned folds (decimal casts of arbitrary doubles are
+    # engine-divergent — see _util docstring); all need fresh driver rows
+    "q_emb_label_centroids",
+    "q_emb_kmeans",
+    "q_emb_pq",
+    "q_emb_pq_search",
+    "q_emb_ood",
+    "q_emb_quantize_int8",
+    "q_doc_bigrams",
     # never driver-graded in any round
     "q_profile_lineitem",
     # r1-vintage attestation: their only driver rows predate the r2
@@ -78,8 +88,6 @@ _FRONT = (
     "q_emb_ann_lsh",
     "q_doc_ngram_jaccard",
     "q_doc_incremental_dedup",
-    "q_ev_kmv_distinct",
-    "q_ev_hll_distinct",
 )
 
 

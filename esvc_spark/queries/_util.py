@@ -13,6 +13,28 @@ The matching DuckDB SQL fragment for `dsum(c, s)` is
     CAST(SUM(CAST(c AS DECIMAL(18,s))) AS DOUBLE)
 and for `davg(c, s)`
     CAST(SUM(CAST(c AS DECIMAL(18,s))) AS DOUBLE) / COUNT(c)
+
+WHEN THE DECIMAL PATH IS SOUND — only for EXACT-GRID inputs. The cast
+double->decimal is engine-divergent for arbitrary doubles, in two ways
+found the hard way in round 4:
+  * ties: a double landing exactly on a 10^-s midpoint (possible — a
+    float32 embedding value 0.1494140625 is one at s=9) splits the
+    engines: Spark rounds half-up, DuckDB half-even;
+  * high scales don't save you: at s >= 17 DuckDB converts via the
+    double's SHORTEST STRING ("0.1494140625" + zero padding) while
+    Spark rounds the exact binary expansion — systematically different
+    decimals — and DuckDB's wide-DECIMAL -> DOUBLE cast-back is itself
+    not correctly rounded (route through VARCHAR if ever needed).
+So: use dsum/davg ONLY when the addends already sit exactly on the
+decimal grid (money at scale 2, money-product reals at 4/6) — then the
+cast never rounds and both engines agree exactly. For FULL-PRECISION
+doubles (distances, errors, float32-origin values) use the order-pinned
+sequential folds below (ofold_sum / sql_ofold_sum) — no decimals at
+all; bit-identical by construction. Their cost is collect_list state
+per group: bounded groups (array dims, PQ subcodes) are free; corpus-
+sized groups trade memory for reproducibility — at cluster scale
+accept last-ulp nondeterminism (plain double sum) or pre-quantize the
+metric to an exact grid instead.
 """
 
 from __future__ import annotations
@@ -21,9 +43,13 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def _prec(scale: int) -> int:
+    return 38 if scale > 16 else 18
+
+
 def dec(col: Column | str, scale: int = 2) -> Column:
     c = F.col(col) if isinstance(col, str) else col
-    return c.cast(f"decimal(18,{scale})")
+    return c.cast(f"decimal({_prec(scale)},{scale})")
 
 
 def dsum(col: Column | str, scale: int = 2) -> Column:
@@ -37,12 +63,47 @@ def davg(col: Column | str, scale: int = 2) -> Column:
     return F.sum(dec(c, scale)).cast("double") / F.count(c)
 
 
+def _sql_sum_to_double(expr: str, scale: int) -> str:
+    # Wide (int128-backed) decimals: DuckDB's direct DECIMAL->DOUBLE cast
+    # is NOT correctly rounded (two-step float division, observed 1 ulp
+    # off), while Spark's BigDecimal.doubleValue() is. Routing through
+    # VARCHAR (exact text, correctly-rounded parse) restores bit equality.
+    agg = f"SUM(CAST({expr} AS DECIMAL({_prec(scale)},{scale})))"
+    if scale > 16:
+        return f"CAST(CAST({agg} AS VARCHAR) AS DOUBLE)"
+    return f"CAST({agg} AS DOUBLE)"
+
+
 def sql_dsum(expr: str, scale: int = 2) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+    return _sql_sum_to_double(expr, scale)
 
 
 def sql_davg(expr: str, scale: int = 2) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE) / COUNT({expr})"
+    return f"{_sql_sum_to_double(expr, scale)} / COUNT({expr})"
+
+
+def ofold_sum(key: str, val: str) -> Column:
+    """Order-pinned sequential fold sum of a full-precision double column,
+    usable inside .agg(). `key` must be unique within the group (the fold
+    order); both args must be plain column names. DuckDB twin:
+    sql_ofold_sum."""
+    return F.aggregate(
+        F.expr(
+            f"transform(array_sort(collect_list(struct({key}, {val}))),"
+            f" t -> t.{val})"
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def sql_ofold_sum(key: str, val: str) -> str:
+    """DuckDB twin of ofold_sum: same pinned order, same left fold.
+    `val` may be any expression; `key` must order rows uniquely."""
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list({val} ORDER BY {key})), (acc, x) -> acc + x)"
+    )
 
 
 # --------------------------------------------------------------- cache scope

@@ -1486,7 +1486,12 @@ def q_doc_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     bi = toks.select(
         "lang",
         F.explode(
-            F.expr("transform(slice(w, 1, size(w) - 1), (x, i) -> concat(x, ' ', w[i + 1]))")
+            # greatest(...,0): a zero-token document would make the slice
+            # length -1, a runtime error (same guard as q_doc_repetition)
+            F.expr(
+                "transform(slice(w, 1, greatest(size(w) - 1, 0)),"
+                " (x, i) -> concat(x, ' ', w[i + 1]))"
+            )
         ).alias("bigram"),
     )
     counts = bi.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("n"))

@@ -29,7 +29,7 @@ from ..functions.vectors import (
     sql_cosine_prenorm,
     sql_dot,
 )
-from ._util import davg, sql_davg, sql_dsum, tracked_persist as _tp
+from ._util import ofold_sum, sql_ofold_sum, tracked_persist as _tp
 
 # Embedding width is fixed (embeddings.embedding FLOAT[64], TESTDATA.md).
 _DIM = 64
@@ -307,8 +307,11 @@ WHERE {sql_cosine_prenorm('ea.emb', 'eb.emb', 'ea.nrm', 'eb.nrm')} >= {_LSH_T}
 # ------------------------------------------------------------------ centroids
 # Per-label centroid + member-to-centroid distance stats (the assignment/
 # quality step of distributed k-means). Element-wise mean via posexplode →
-# groupBy(label, pos); distances re-aggregated with decimal sums so the
-# per-label averages are shuffle-order invariant.
+# groupBy(label, pos). All means/sums of full-precision doubles use
+# order-pinned sequential folds (see _util: decimal casts of arbitrary
+# doubles are engine-divergent) — the per-dim fold is 64-bounded; the
+# per-label folds carry collect_list state proportional to label size,
+# the documented bit-reproducibility trade.
 
 
 def q_emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -317,22 +320,17 @@ def q_emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", F.posexplode("emb").alias("pos0", "val")
     ).withColumn("pos", F.col("pos0") + 1)
     cent = el.groupBy("label", "pos").agg(
-        (
-            F.sum(F.col("val").cast("decimal(18,9)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("cval")
+        (ofold_sum("vec_id", "val") / F.count(F.lit(1))).alias("cval")
     )
     dist = (
         el.join(cent, ["label", "pos"])
         .withColumn("sq", (F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval")))
         .groupBy("vec_id", "label")
-        .agg(F.sqrt(F.sum(F.col("sq").cast("decimal(18,12)")).cast("double")).alias("dist"))
+        .agg(F.sqrt(ofold_sum("pos", "sq")).alias("dist"))
     )
     return dist.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),
-        (F.sum(F.col("dist").cast("decimal(18,9)")).cast("double") / F.count(F.lit(1))).alias(
-            "avg_dist"
-        ),
+        (ofold_sum("vec_id", "dist") / F.count(F.lit(1))).alias("avg_dist"),
         F.max("dist").alias("max_dist"),
     )
 
@@ -346,17 +344,17 @@ el AS (
 ),
 cent AS (
   SELECT label, pos,
-         {sql_dsum('val', 9)} / COUNT(*) AS cval
+         {sql_ofold_sum('vec_id', 'val')} / COUNT(*) AS cval
   FROM el GROUP BY label, pos
 ),
 dist AS (
   SELECT el.vec_id, el.label,
-         sqrt({sql_dsum('(val - cval) * (val - cval)', 12)}) AS dist
+         sqrt({sql_ofold_sum('el.pos', '(val - cval) * (val - cval)')}) AS dist
   FROM el JOIN cent ON el.label = cent.label AND el.pos = cent.pos
   GROUP BY el.vec_id, el.label
 )
 SELECT label, COUNT(*) AS n_vecs,
-       {sql_dsum('dist', 9)} / COUNT(*) AS avg_dist,
+       {sql_ofold_sum('vec_id', 'dist')} / COUNT(*) AS avg_dist,
        MAX(dist) AS max_dist
 FROM dist GROUP BY label
 """
@@ -595,7 +593,7 @@ GROUP BY t.query_id
 def q_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     el = e.select("vec_id", F.posexplode("emb").alias("pos", "x")).select(
-        F.col("pos").cast("bigint").alias("pos"), "x"
+        "vec_id", F.col("pos").cast("bigint").alias("pos"), "x"
     )
     rng = el.groupBy("pos").agg(F.min("x").alias("dmin"), F.max("x").alias("dmax"))
     q = el.join(F.broadcast(rng), "pos").withColumn(
@@ -613,7 +611,7 @@ def q_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("dmin").alias("dmin"),
         F.min("dmax").alias("dmax"),
         F.max("err").alias("max_abs_err"),
-        davg("err", 12).alias("avg_abs_err"),
+        (ofold_sum("vec_id", "err") / F.count(F.lit(1))).alias("avg_abs_err"),
     )
 
 
@@ -624,17 +622,18 @@ WITH el AS (
 ),
 rng AS (SELECT pos, MIN(x) AS dmin, MAX(x) AS dmax FROM el GROUP BY pos),
 q AS (
-  SELECT el.pos, x, dmin, dmax,
+  SELECT vec_id, el.pos, x, dmin, dmax,
          round(((x - dmin) / (dmax - dmin)) * 255.0) AS qv
   FROM el JOIN rng USING (pos)
 ),
 r AS (
-  SELECT pos, dmin, dmax,
+  SELECT vec_id, pos, dmin, dmax,
          abs(x - (((qv / 255.0) * (dmax - dmin)) + dmin)) AS err
   FROM q
 )
 SELECT pos, MIN(dmin) AS dmin, MIN(dmax) AS dmax,
-       MAX(err) AS max_abs_err, {sql_davg('err', 12)} AS avg_abs_err
+       MAX(err) AS max_abs_err,
+       {sql_ofold_sum('vec_id', 'err')} / COUNT(*) AS avg_abs_err
 FROM r GROUP BY pos
 """
 
@@ -694,14 +693,13 @@ def _km_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
 
 
 def _km_update(assigned: DataFrame) -> DataFrame:
-    """New centroid arrays: exact decimal mean per (cid, pos), re-packed
-    into index-ordered arrays (sort_array over (pos, val) structs)."""
-    el = assigned.select("cid", F.posexplode("emb").alias("pos", "val"))
+    """New centroid arrays: order-pinned-fold mean per (cid, pos) — a
+    decimal-cast mean is engine-divergent on arbitrary doubles (see
+    _util) — re-packed into index-ordered arrays (sort_array over
+    (pos, val) structs)."""
+    el = assigned.select("vec_id", "cid", F.posexplode("emb").alias("pos", "val"))
     cell = el.groupBy("cid", "pos").agg(
-        (
-            F.sum(F.col("val").cast("decimal(18,9)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("cval")
+        (ofold_sum("vec_id", "val") / F.count(F.lit(1))).alias("cval")
     )
     return cell.groupBy("cid").agg(
         F.expr("transform(array_sort(collect_list(struct(pos, cval))), s -> s.cval)")
@@ -720,7 +718,7 @@ def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned = _km_assign(e, cents)
     return assigned.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_members"),
-        davg("sqd", 9).alias("avg_sqdist"),
+        (ofold_sum("vec_id", "sqd") / F.count(F.lit(1))).alias("avg_sqdist"),
         F.max("sqd").alias("max_sqdist"),
     )
 
@@ -734,7 +732,7 @@ def _kmeans_sql() -> str:
     update = """
   SELECT cid, list(cval ORDER BY pos) AS cemb FROM (
     SELECT cid, pos, {msum} / COUNT(*) AS cval
-    FROM (SELECT cid, CAST(i AS INT) AS pos, emb[i] AS val
+    FROM (SELECT vec_id, cid, CAST(i AS INT) AS pos, emb[i] AS val
           FROM {assigned}, unnest(range(1, {dim} + 1)) t(i))
     GROUP BY cid, pos
   ) GROUP BY cid"""
@@ -744,11 +742,12 @@ c0 AS (SELECT CAST(vec_id AS INT) AS cid, emb AS cemb FROM e
        WHERE vec_id < {_KM_K}),
 a0 AS (SELECT vec_id, emb, cid, sqd FROM ({assign.format(cents="c0")})
        WHERE arank = 1),
-c1 AS ({update.format(msum=sql_dsum('val', 9), assigned="a0", dim=_DIM)}),
+c1 AS ({update.format(msum=sql_ofold_sum('vec_id', 'val'), assigned="a0", dim=_DIM)}),
 a1 AS (SELECT vec_id, emb, cid, sqd FROM ({assign.format(cents="c1")})
        WHERE arank = 1)
 SELECT cid, COUNT(*) AS n_members,
-       {sql_davg('sqd', 9)} AS avg_sqdist, MAX(sqd) AS max_sqdist
+       {sql_ofold_sum('vec_id', 'sqd')} / COUNT(*) AS avg_sqdist,
+       MAX(sqd) AS max_sqdist
 FROM a1 GROUP BY cid
 """
 
@@ -804,11 +803,13 @@ def q_emb_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = (
         scored.groupBy("vec_id", "sub")
         .agg(F.min(F.struct("sqe", "code")).alias("b"))
-        .select("sub", F.col("b.code").alias("code"), F.col("b.sqe").alias("sqe"))
+        .select(
+            "vec_id", "sub", F.col("b.code").alias("code"), F.col("b.sqe").alias("sqe")
+        )
     )
     return enc.groupBy("sub").agg(
         F.countDistinct("code").alias("codes_used"),
-        davg("sqe", 9).alias("avg_sqerr"),
+        (ofold_sum("vec_id", "sqe") / F.count(F.lit(1))).alias("avg_sqerr"),
         F.max("sqe").alias("max_sqerr"),
     )
 
@@ -833,9 +834,10 @@ scored AS (
                             ORDER BY {d}, code) AS rk
   FROM parts JOIN book USING (sub)
 ),
-enc AS (SELECT sub, code, sqe FROM scored WHERE rk = 1)
+enc AS (SELECT vec_id, sub, code, sqe FROM scored WHERE rk = 1)
 SELECT sub, COUNT(DISTINCT code) AS codes_used,
-       {sql_davg('sqe', 9)} AS avg_sqerr, MAX(sqe) AS max_sqerr
+       {sql_ofold_sum('vec_id', 'sqe')} / COUNT(*) AS avg_sqerr,
+       MAX(sqe) AS max_sqerr
 FROM enc GROUP BY sub
 """
 
@@ -848,8 +850,8 @@ FROM enc GROUP BY sub
 # Audited as recall@3 against the exact ranking. At 100 TB this is the
 # topology that works when raw vectors don't fit anywhere: scan cost is
 # |codes| ≈ vectors × 8 bytes, and the distance table is queries × 8 ×
-# 16 rows. The lookup sum rounds through DECIMAL(18,12) so both engines
-# add identically. Recall is deliberately measured against the SAME
+# 16 rows. The 8-term lookup sum folds in sub order (ofold_sum — a
+# bounded 8-element pinned fold) so both engines add identically. Recall is deliberately measured against the SAME
 # minimal deterministic codebook convention as IVF (first 16 vectors, no
 # k-means training), so the ~0.1 figure it reports is the honest cost of
 # an untrained codebook on random vectors — the audit, not the recall,
@@ -893,7 +895,7 @@ def q_emb_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         enc.join(F.broadcast(dtab), ["sub", "code"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", "vec_id")
-        .agg(F.sum(F.col("qd").cast("decimal(18,12)")).cast("double").alias("adist"))
+        .agg(ofold_sum("sub", "qd").alias("adist"))
     )
     wq = Window.partitionBy("query_id").orderBy("adist", "vec_id")
     topa = (
@@ -970,7 +972,7 @@ dtab AS (
 ),
 approx AS (
   SELECT query_id, vec_id,
-         CAST(SUM(CAST(qd AS DECIMAL(18,12))) AS DOUBLE) AS adist
+         {sql_ofold_sum('sub', 'qd')} AS adist
   FROM enc JOIN dtab USING (sub, code)
   WHERE vec_id <> query_id
   GROUP BY 1, 2
@@ -1169,10 +1171,7 @@ def q_emb_ood(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", F.posexplode("emb").alias("pos0", "val")
     ).withColumn("pos", F.col("pos0") + 1)
     cent = el.groupBy("label", "pos").agg(
-        (
-            F.sum(F.col("val").cast("decimal(18,9)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("cval")
+        (ofold_sum("vec_id", "val") / F.count(F.lit(1))).alias("cval")
     )
     d2 = (
         el.join(cent, ["label", "pos"])
@@ -1180,13 +1179,10 @@ def q_emb_ood(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sq", (F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))
         )
         .groupBy("vec_id", "label")
-        .agg(F.sum(F.col("sq").cast("decimal(18,12)")).cast("double").alias("d2"))
+        .agg(ofold_sum("pos", "sq").alias("d2"))
     )
     stats = d2.groupBy("label").agg(
-        (
-            F.sum(F.col("d2").cast("decimal(18,9)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("mean_d2")
+        (ofold_sum("vec_id", "d2") / F.count(F.lit(1))).alias("mean_d2")
     )
     return d2.join(F.broadcast(stats), "label").select(
         "vec_id",
@@ -1206,17 +1202,17 @@ el AS (
   FROM e
 ),
 cent AS (
-  SELECT label, pos, {sql_dsum('val', 9)} / COUNT(*) AS cval
+  SELECT label, pos, {sql_ofold_sum('vec_id', 'val')} / COUNT(*) AS cval
   FROM el GROUP BY label, pos
 ),
 d2 AS (
   SELECT el.vec_id, el.label,
-         {sql_dsum('(val - cval) * (val - cval)', 12)} AS d2
+         {sql_ofold_sum('el.pos', '(val - cval) * (val - cval)')} AS d2
   FROM el JOIN cent ON el.label = cent.label AND el.pos = cent.pos
   GROUP BY el.vec_id, el.label
 ),
 stats AS (
-  SELECT label, {sql_dsum('d2', 9)} / COUNT(*) AS mean_d2 FROM d2 GROUP BY label
+  SELECT label, {sql_ofold_sum('vec_id', 'd2')} / COUNT(*) AS mean_d2 FROM d2 GROUP BY label
 )
 SELECT vec_id, d2.label, d2, mean_d2,
        d2 / mean_d2 AS ood_ratio,
