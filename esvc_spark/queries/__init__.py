@@ -29,6 +29,9 @@ _FRONT = (
     # idempotent streaming event-log ingest, both under full oracles
     "q_esvc_editor_large",
     "q_stream_ingest_log",
+    # round-4 additions: DSIR importance scoring and SemDeDup pruning
+    "q_doc_dsir",
+    "q_emb_semdedup",
     # changed this round — oracle guards / derived bounds / cc probe /
     # O(N²) gate — need fresh attestation
     "q_doc_repetition",

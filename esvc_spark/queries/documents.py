@@ -2525,6 +2525,129 @@ SELECT action, COUNT(*) AS n_docs, CAST(SUM(fchars) AS BIGINT) AS total_chars,
 FROM m GROUP BY action
 """
 
+# ------------------------------------------------------------------- DSIR
+# Data Selection via Importance Resampling (Xie et al. 2023): score every
+# document by how much more likely its hashed n-gram features are under a
+# target distribution than under the raw pool, then keep the top-scoring
+# docs. Target here = the `en` slice (stand-in for "high-quality domain");
+# features = md5-hashed unigrams in _DSIR_B buckets; the importance
+# log-ratio is computed in EXACT fixed-point base-2 (4 fractional bits):
+#   ilog2(x)  = length(bin(x)) - 1                      (exact, both engines)
+#   qlog2(x)  = 16*ilog2(x) + (16x DIV 2^ilog2(x)) - 16 (piecewise-linear
+#               log2, monotone, max err ~0.09 octave — integer-only, so
+#               Spark and DuckDB agree bit-for-bit; no transcendentals)
+#   w_f       = qlog2((tc+1)(R+B)) - qlog2((rc+1)(T+B)) ≈ 16·log2(p̂_f/q̂_f)
+# where tc/rc = target/raw occurrences of bucket f, T/R their totals, +1/+B
+# the add-one smoothing. doc score = Σ_f c_f·w_f (BIGINT throughout); the
+# deterministic stand-in for DSIR's Gumbel-top-k is rank by (score, doc_id).
+#
+# Scale shape: ONE tokenize/explode pass → (doc_id, f) counts (the only
+# corpus-sized shuffle, map-side combined); the weight table is ≤ _DSIR_B
+# rows — re-aggregated from the doc counts (never a second corpus scan) and
+# broadcast back; totals are a single-row broadcast. Counts fit BIGINT
+# through ~10^15 tokens; beyond that widen the fixed-point to DECIMAL.
+
+_DSIR_B = 4096
+_DSIR_TARGET = "en"
+_DSIR_TAKE = 100
+
+
+def _dsir_weight_expr(dialect: str) -> str:
+    """The importance-weight expression over columns tc, rc, t_total,
+    r_total — one template, two dialects (bin vs printf('%%b'), DIV vs //),
+    so the engines cannot drift."""
+    if dialect == "spark":
+        div = "DIV"
+        ilog = lambda x: f"(length(bin({x})) - 1)"  # noqa: E731
+    else:
+        div = "//"
+        ilog = lambda x: f"(length(printf('%b', {x})) - 1)"  # noqa: E731
+
+    def qlog2(x: str) -> str:
+        e = ilog(x)
+        # 2^e exactly: pow is exact on powers of two < 2^62; the BIGINT
+        # cast truncates (Spark) / rounds (DuckDB) an already-exact value
+        p2 = f"CAST(pow(2, {e}) AS BIGINT)"
+        return f"((16 * {e}) + ((({x}) * 16) {div} {p2}) - 16)"
+
+    num = f"((tc + 1) * (r_total + {_DSIR_B}))"
+    den = f"((rc + 1) * (t_total + {_DSIR_B}))"
+    return f"({qlog2(num)} - {qlog2(den)})"
+
+
+def q_doc_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_par(spark, sf_dir)
+    feats = docs.select(
+        "doc_id", "lang", "source", F.explode(_TOKENS()).alias("tok")
+    ).select("doc_id", "lang", "source", (_h(F.col("tok")) % _DSIR_B).alias("f"))
+    # lang/source ride the group key (functionally dependent on doc_id),
+    # saving a join back to `documents` for the output columns
+    docf = feats.groupBy("doc_id", "lang", "source", "f").agg(
+        F.count(F.lit(1)).alias("c")
+    ).transform(_tp)
+    fw = docf.groupBy("f").agg(
+        F.sum(F.when(F.col("lang") == _DSIR_TARGET, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("tc"),
+        F.sum("c").cast("bigint").alias("rc"),
+    )
+    tot = fw.agg(
+        F.sum("tc").cast("bigint").alias("t_total"),
+        F.sum("rc").cast("bigint").alias("r_total"),
+    )
+    w = (
+        fw.join(F.broadcast(tot))  # single-row broadcast NLJ
+        .withColumn("w", F.expr(_dsir_weight_expr("spark")).cast("bigint"))
+        .select("f", "w")
+    )
+    scores = (
+        docf.join(F.broadcast(w), "f")
+        .groupBy("doc_id", "lang", "source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("w")).cast("bigint").alias("dsir_score"),
+        )
+    )
+    # deterministic top-k: TakeOrdered (per-partition top-k + merge), not a
+    # global sort; ties broken by doc_id
+    return scores.orderBy(F.col("dsir_score").desc(), "doc_id").limit(_DSIR_TAKE)
+
+
+def _dsir_sql() -> str:
+    return f"""
+WITH feats AS (
+  SELECT doc_id, lang, source, {_sql_h('tok')} % {_DSIR_B} AS f
+  FROM (SELECT doc_id, lang, source, unnest({SQL_TOKENS}) AS tok
+        FROM documents)
+),
+docf AS (
+  SELECT doc_id, lang, source, f, COUNT(*) AS c
+  FROM feats GROUP BY doc_id, lang, source, f
+),
+fw AS (
+  SELECT f,
+         CAST(SUM(CASE WHEN lang = '{_DSIR_TARGET}' THEN c ELSE 0 END) AS BIGINT) AS tc,
+         CAST(SUM(c) AS BIGINT) AS rc
+  FROM docf GROUP BY f
+),
+tot AS (
+  SELECT CAST(SUM(tc) AS BIGINT) AS t_total, CAST(SUM(rc) AS BIGINT) AS r_total
+  FROM fw
+),
+w AS (
+  SELECT f, CAST({_dsir_weight_expr('duckdb')} AS BIGINT) AS w
+  FROM fw CROSS JOIN tot
+),
+scores AS (
+  SELECT doc_id, lang, source,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(SUM(c * w) AS BIGINT) AS dsir_score
+  FROM docf JOIN w USING (f)
+  GROUP BY doc_id, lang, source
+)
+SELECT * FROM scores ORDER BY dsir_score DESC, doc_id LIMIT {_DSIR_TAKE}
+"""
+
 
 QUERIES = {
     "q_doc_exact_dedup": q_doc_exact_dedup,
@@ -2564,6 +2687,7 @@ QUERIES = {
     "q_doc_bpe_encode": q_doc_bpe_encode,
     "q_doc_containment": q_doc_containment,
     "q_dedup_agreement": q_dedup_agreement,
+    "q_doc_dsir": q_doc_dsir,
 }
 
 ORACLES = {
@@ -2604,4 +2728,5 @@ ORACLES = {
     "q_doc_bpe_encode": _bpe_encode_sql(),
     "q_doc_containment": _CONTAINMENT_SQL,
     "q_dedup_agreement": _dedup_agreement_sql(),
+    "q_doc_dsir": _dsir_sql(),
 }

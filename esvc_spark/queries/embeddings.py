@@ -1264,6 +1264,147 @@ JOIN (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
 """
 
 
+# --------------------------------------------------------------- SemDeDup
+# Semantic deduplication (Abbas et al. 2023, arXiv:2303.09540): cluster
+# the corpus, then look for near-duplicate pairs ONLY within each cluster
+# and keep, per duplicate pair, the member farther from its centroid (the
+# paper's keep-low-centroid-similarity rule; ties → lower vec_id). This is
+# the published answer to the O(N²) all-pairs problem: K grows with the
+# corpus so cluster populations stay bounded and the quadratic term is
+# (N/K)² per cluster — embarrassingly parallel across clusters. Distinct
+# from q_emb_dup_clusters (LSH candidates + connected components): here
+# the candidate generation is the clustering itself and the keep rule is
+# centroid-geometric, not graph-topological.
+#
+# Determinism: centroids pinned to the first _SD_K vectors, one assignment
+# pass (argmin of the sequential-fold sq-distance, ties → lowest cid),
+# cosine via the prenormed fold — all bit-identical to the DuckDB twin.
+# A vector is pruned iff SOME same-cluster near-dup beats it
+# (beats = strictly farther from the centroid, or equal-far with lower id).
+
+_SD_K = 8
+_SD_T = _NEARDUP_T  # near-dup threshold shared with the exact baseline
+
+
+def q_emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb_normed(spark, sf_dir).select("vec_id", "emb", "nrm")
+    cents = e.filter(F.col("vec_id") < _SD_K).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("emb").alias("cemb")
+    )
+    scored = e.join(F.broadcast(cents)).select(
+        "vec_id", "emb", "nrm", "cid",
+        _km_sqdist(F.col("emb"), F.col("cemb")).alias("sqd"),
+    )
+    # argmin as struct-min hash aggregate (same shape/tiebreak as _km_assign)
+    a = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.min(F.struct("sqd", "cid")).alias("b"),
+            F.first("emb").alias("emb"),
+            F.first("nrm").alias("nrm"),
+        )
+        .select(
+            "vec_id", "emb", "nrm",
+            F.col("b.cid").alias("cid"), F.col("b.sqd").alias("sqd"),
+        )
+        .transform(_tp)  # feeds both sides of the pair join + member counts
+    )
+    lhs = a.select(
+        "cid",
+        F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"),
+        F.col("nrm").alias("na"), F.col("sqd").alias("sa"),
+    )
+    rhs = a.select(
+        "cid",
+        F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"),
+        F.col("nrm").alias("nb"), F.col("sqd").alias("sb"),
+    )
+    # cluster-bounded pairs: equality join on cid — the (N/K)² work unit
+    pairs = (
+        lhs.join(rhs, "cid")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "cos_sim",
+            cosine_prenorm(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")),
+        )
+        .filter(F.col("cos_sim") >= F.lit(_SD_T))
+        .select("cid", "vec_a", "vec_b", "sa", "sb", "cos_sim")
+    )
+    # the beaten member of each pair; vec_a < vec_b, so an exact tie on
+    # centroid distance keeps vec_a
+    pruned = pairs.select(
+        "cid",
+        F.when(F.col("sb") > F.col("sa"), F.col("vec_a"))
+        .otherwise(F.col("vec_b"))
+        .alias("vec_id"),
+    ).distinct()
+    members = a.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
+    pair_stats = pairs.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_dup_pairs"),
+        F.max("cos_sim").alias("max_pair_sim"),
+    )
+    pr = pruned.groupBy("cid").agg(F.count(F.lit(1)).alias("n_pruned"))
+    out = (
+        members.join(pair_stats, "cid", "left")
+        .join(pr, "cid", "left")
+        .select(
+            "cid",
+            "n_members",
+            F.coalesce("n_dup_pairs", F.lit(0)).cast("bigint").alias("n_dup_pairs"),
+            F.coalesce("max_pair_sim", F.lit(-1.0)).alias("max_pair_sim"),
+            F.coalesce("n_pruned", F.lit(0)).cast("bigint").alias("n_pruned"),
+        )
+    )
+    return out.withColumn(
+        "retention",
+        (F.col("n_members") - F.col("n_pruned")).cast("double")
+        / F.col("n_members").cast("double"),
+    )
+
+
+def _semdedup_sql() -> str:
+    d = _SQL_KM_SQDIST.format(dim=_DIM, a="emb", b="cemb")
+    return f"""
+WITH e AS (SELECT vec_id, emb, nrm FROM ({_SQL_EMB_NORMED})),
+c0 AS (SELECT CAST(vec_id AS INT) AS cid, emb AS cemb FROM e
+       WHERE vec_id < {_SD_K}),
+scored AS (
+  SELECT vec_id, emb, nrm, cid, {d} AS sqd,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY {d}, cid) AS arank
+  FROM e CROSS JOIN c0
+),
+a AS (SELECT vec_id, emb, nrm, cid, sqd FROM scored WHERE arank = 1),
+pairs AS (
+  SELECT * FROM (
+    SELECT l.cid, l.vec_id AS vec_a, r.vec_id AS vec_b,
+           l.sqd AS sa, r.sqd AS sb,
+           {sql_cosine_prenorm('l.emb', 'r.emb', 'l.nrm', 'r.nrm')} AS cos_sim
+    FROM a l JOIN a r ON l.cid = r.cid AND l.vec_id < r.vec_id
+  ) WHERE cos_sim >= {_SD_T}
+),
+pruned AS (
+  SELECT DISTINCT cid,
+         CASE WHEN sb > sa THEN vec_a ELSE vec_b END AS vec_id
+  FROM pairs
+),
+members AS (SELECT cid, COUNT(*) AS n_members FROM a GROUP BY cid),
+pair_stats AS (
+  SELECT cid, COUNT(*) AS n_dup_pairs, MAX(cos_sim) AS max_pair_sim
+  FROM pairs GROUP BY cid
+),
+pr AS (SELECT cid, COUNT(*) AS n_pruned FROM pruned GROUP BY cid)
+SELECT m.cid, m.n_members,
+       CAST(COALESCE(p.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+       COALESCE(p.max_pair_sim, -1.0) AS max_pair_sim,
+       CAST(COALESCE(pr.n_pruned, 0) AS BIGINT) AS n_pruned,
+       CAST(m.n_members - COALESCE(pr.n_pruned, 0) AS DOUBLE)
+         / CAST(m.n_members AS DOUBLE) AS retention
+FROM members m
+LEFT JOIN pair_stats p USING (cid)
+LEFT JOIN pr USING (cid)
+"""
+
+
 QUERIES = {
     "q_emb_knn_cosine": q_emb_knn_cosine,
     "q_emb_ivf_knn": q_emb_ivf_knn,
@@ -1280,6 +1421,7 @@ QUERIES = {
     "q_emb_dup_clusters": q_emb_dup_clusters,
     "q_emb_ood": q_emb_ood,
     "q_emb_pq_search": q_emb_pq_search,
+    "q_emb_semdedup": q_emb_semdedup,
 }
 
 ORACLES = {
@@ -1298,4 +1440,5 @@ ORACLES = {
     "q_emb_dup_clusters": _emb_dup_clusters_sql(),
     "q_emb_ood": _OOD_SQL,
     "q_emb_pq_search": _pq_search_sql(),
+    "q_emb_semdedup": _semdedup_sql(),
 }
