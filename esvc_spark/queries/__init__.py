@@ -29,9 +29,12 @@ _FRONT = (
     # idempotent streaming event-log ingest, both under full oracles
     "q_esvc_editor_large",
     "q_stream_ingest_log",
-    # round-4 additions: DSIR importance scoring and SemDeDup pruning
+    # round-4 additions: DSIR importance scoring, SemDeDup pruning, CCNet
+    # fluency terciles, perceptual media dedup
     "q_doc_dsir",
     "q_emb_semdedup",
+    "q_doc_ccnet_buckets",
+    "q_mm_phash_dedup",
     # changed this round — oracle guards / derived bounds / cc probe /
     # O(N²) gate — need fresh attestation
     "q_doc_repetition",

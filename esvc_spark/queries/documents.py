@@ -1021,6 +1021,123 @@ FROM scored GROUP BY doc_id
 """
 
 
+# ------------------------------------------------- CCNet fluency buckets
+# CCNet-style corpus partitioning (Wenzek et al. 2020, arXiv:1911.00359):
+# score every document with the corpus-trained bigram LM (same smoothed
+# model as q_doc_lm_score, unsliced), then split EACH LANGUAGE into
+# equal-count head/middle/tail terciles by fluency — the standard
+# quality-tiering step before choosing which tier to train on. Output is
+# per (lang, tercile): doc/bigram volume, score range, and a bit_xor
+# membership checksum so the oracle attests the exact bucketing.
+#
+# Determinism: scores are order-pinned folds (bit-identical to DuckDB),
+# the tercile rank orders by (lm_score DESC, doc_id) — total order, so
+# NTILE agrees across engines. Docs with <2 tokens have no bigrams and
+# are absent (no fluency evidence), mirrored by the oracle.
+#
+# Scale: the model aggregates are map-side-combined counts; the per-lang
+# NTILE is a per-language sort — fine while each language fits a range
+# partition (CCNet itself shards per language); at 100× replace with
+# approx-quantile score cutoffs to avoid the per-key global sort.
+
+_CCNET_TILES = 3
+
+
+def q_doc_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _docs_par(spark, sf_dir)
+    toks = docs.select("doc_id", "lang", F.posexplode(_TOKENS()).alias("pos", "w"))
+    # persist: bigrams feed the two model aggregates AND the scored pass
+    # (same reuse rationale as q_doc_lm_score)
+    bi = (
+        toks.withColumn(
+            "w2", F.lead("w").over(Window.partitionBy("doc_id").orderBy("pos"))
+        )
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", "lang", "pos", F.col("w").alias("w1"), "w2")
+    ).transform(_tp)
+    c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = toks.agg(F.countDistinct("w").alias("v"))
+    scored = (
+        bi.join(c12, ["w1", "w2"], "left")
+        .join(F.broadcast(c1), "w1", "left")
+        .join(vocab)  # single-row vocabulary-size cross join
+        .withColumn(
+            "p",
+            (F.coalesce("c12", F.lit(0)) + 1).cast("double")
+            / (F.coalesce("c1", F.lit(0)) + F.col("v")),
+        )
+    )
+    perdoc = (
+        scored.groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.aggregate(
+                F.expr("transform(array_sort(collect_list(struct(pos, p))), t -> t.p)"),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("psum"),
+        )
+        .select(
+            "doc_id", "lang", "n_bigrams",
+            (F.col("psum") / F.col("n_bigrams")).alias("lm_score"),
+        )
+    )
+    wl = Window.partitionBy("lang").orderBy(F.col("lm_score").desc(), "doc_id")
+    ranked = perdoc.withColumn("tercile", F.ntile(_CCNET_TILES).over(wl))
+    return ranked.groupBy("lang", "tercile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bigrams").cast("bigint").alias("total_bigrams"),
+        F.min("lm_score").alias("min_score"),
+        F.max("lm_score").alias("max_score"),
+        F.expr("bit_xor(doc_id)").alias("member_xor"),
+    )
+
+
+_CCNET_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, CAST(i - 1 AS INT) AS pos, w[i] AS w
+  FROM (SELECT doc_id, lang, {SQL_TOKENS} AS w FROM documents),
+       unnest(range(1, len(w) + 1)) t(i)
+),
+bi AS (
+  SELECT doc_id, lang, pos, w AS w1,
+         LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM toks QUALIFY w2 IS NOT NULL
+),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY w1, w2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY w1),
+vocab AS (SELECT COUNT(DISTINCT w) AS v FROM toks),
+scored AS (
+  SELECT b.doc_id, b.lang, b.pos,
+         CAST(COALESCE(c12, 0) + 1 AS DOUBLE) / (COALESCE(c1, 0) + v) AS p
+  FROM bi b
+  LEFT JOIN c12 USING (w1, w2)
+  LEFT JOIN c1 USING (w1)
+  CROSS JOIN vocab
+),
+perdoc AS (
+  SELECT doc_id, lang, COUNT(*) AS n_bigrams,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(p ORDER BY pos)),
+                     (acc, x) -> acc + x) / COUNT(*) AS lm_score
+  FROM scored GROUP BY doc_id, lang
+),
+ranked AS (
+  SELECT *, CAST(NTILE({_CCNET_TILES}) OVER (
+           PARTITION BY lang ORDER BY lm_score DESC, doc_id) AS INTEGER)
+         AS tercile
+  FROM perdoc
+)
+SELECT lang, tercile, COUNT(*) AS n_docs,
+       CAST(SUM(n_bigrams) AS BIGINT) AS total_bigrams,
+       MIN(lm_score) AS min_score, MAX(lm_score) AS max_score,
+       bit_xor(doc_id) AS member_xor
+FROM ranked GROUP BY lang, tercile
+"""
+
+
 # ------------------------------------------------------- simhash
 # 32-bit SimHash over token hashes: per bit, sign of the +1/-1 vote sum
 # across tokens; near-identical docs land within small Hamming distance.
@@ -2688,6 +2805,7 @@ QUERIES = {
     "q_doc_containment": q_doc_containment,
     "q_dedup_agreement": q_dedup_agreement,
     "q_doc_dsir": q_doc_dsir,
+    "q_doc_ccnet_buckets": q_doc_ccnet_buckets,
 }
 
 ORACLES = {
@@ -2729,4 +2847,5 @@ ORACLES = {
     "q_doc_containment": _CONTAINMENT_SQL,
     "q_dedup_agreement": _dedup_agreement_sql(),
     "q_doc_dsir": _dsir_sql(),
+    "q_doc_ccnet_buckets": _CCNET_SQL,
 }

@@ -315,6 +315,80 @@ FROM per_doc p LEFT JOIN longest l USING (doc_id)
 """
 
 
+# ---------------------------------------------------- perceptual dedup
+# Average-hash (aHash) near-dup grouping for media payloads: one bit per
+# feature chunk — is the chunk mean above the whole-payload mean — packed
+# into a 16-bit fingerprint; payloads bucket by (kind, ahash), so
+# re-encoded/lightly-perturbed copies that defeat exact md5 dedup land in
+# the same bucket. n_exact (distinct md5 per bucket) > 1 is the
+# perceptual-dup signal. The compare is cross-multiplied integers
+# (chunk_sum·total_len > total_sum·chunk_len) — no division, exact in
+# both engines. Scale: one mapInPandas feature pass, a doc-partition
+# window, one groupBy — fingerprints shuffle, payloads never do.
+
+
+def q_mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..catalog import table as T
+
+    sums = extract_feature_sums(media_table(spark, sf_dir))
+    w = Window.partitionBy("doc_id")
+    bits = sums.withColumn("tsum", F.sum("chunk_sum").over(w)).withColumn(
+        "tlen", F.sum("chunk_len").over(w)
+    )
+    ah = bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("chunk_sum") * F.col("tlen")
+                > F.col("tsum") * F.col("chunk_len"),
+                F.pow(F.lit(2.0), F.col("chunk_idx").cast("double")).cast("bigint"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("ahash")
+    )
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("cmd5")
+    )
+    kinds = F.element_at(
+        F.array(*[F.lit(k) for k in _KINDS]), (F.col("doc_id") % 3 + 1).cast("int")
+    )
+    return (
+        ah.join(docs, "doc_id")
+        .withColumn("kind", kinds)
+        .groupBy("kind", "ahash")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.countDistinct("cmd5").alias("n_exact"),
+            F.min("doc_id").alias("rep_doc"),
+        )
+    )
+
+
+_PHASH_SQL = f"""
+WITH feats AS ({_FEATURES_SQL}),
+tot AS (
+  SELECT doc_id, chunk_idx, chunk_sum, chunk_len,
+         CAST(SUM(chunk_sum) OVER (PARTITION BY doc_id) AS BIGINT) AS tsum,
+         CAST(SUM(chunk_len) OVER (PARTITION BY doc_id) AS BIGINT) AS tlen
+  FROM feats
+),
+ah AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN chunk_sum * tlen > tsum * chunk_len
+                  THEN CAST(pow(2, chunk_idx) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS ahash
+  FROM tot GROUP BY doc_id
+)
+SELECT {_SQL_KIND} AS kind, ahash, COUNT(*) AS n_items,
+       COUNT(DISTINCT md5(text)) AS n_exact,
+       MIN(d.doc_id) AS rep_doc
+FROM ah JOIN documents d USING (doc_id)
+GROUP BY {_SQL_KIND}, ahash
+"""
+
+
 QUERIES = {
     "q_mm_decode_stats": q_mm_decode_stats,
     "q_mm_frame_sample": q_mm_frame_sample,
@@ -322,6 +396,7 @@ QUERIES = {
     "q_mm_features": q_mm_features,
     "q_mm_audio_windows": q_mm_audio_windows,
     "q_mm_silence": q_mm_silence,
+    "q_mm_phash_dedup": q_mm_phash_dedup,
 }
 
 ORACLES = {
@@ -331,4 +406,5 @@ ORACLES = {
     "q_mm_frame_sample": _FRAME_SQL,
     "q_mm_audio_windows": _AUDIO_SQL,
     "q_mm_silence": _SILENCE_SQL,
+    "q_mm_phash_dedup": _PHASH_SQL,
 }
