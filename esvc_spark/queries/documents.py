@@ -1138,6 +1138,182 @@ FROM ranked GROUP BY lang, tercile
 """
 
 
+# --------------------------------------------- DoReMi domain reweighting
+# Domain-mixture reweighting in the DoReMi spirit (Xie et al. 2023,
+# arXiv:2305.10429): upweight domains (`source`) whose documents score
+# WORSE than the corpus average under the proxy model — here the same
+# corpus-trained bigram LM as q_doc_lm_score/ccnet, standing in for
+# DoReMi's proxy-model excess loss. w_raw(d) = token_share(d) ·
+# (1 + α·excess(d)) with excess = relative fluency deficit clipped at 0,
+# normalized to a mixture over domains, plus the implied per-domain
+# document budget for a resampled corpus.
+#
+# Determinism without transcendentals: per-doc scores are order-pinned
+# folds QUANTIZED to a 2^20 grid (floor → exact BIGINT), so every domain
+# aggregate is integer; the remaining double ops are single IEEE
+# operations on identical inputs. The 20-domain normalizer is an
+# order-pinned fold. Scale: model counts are map-side combined; domain
+# table is |sources| rows; normalizer is a single-row broadcast.
+
+_DRW_ALPHA = 4
+_DRW_Q = 1 << 20
+
+
+def q_doc_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ._util import ofold_sum
+
+    docs = _docs_par(spark, sf_dir)
+    toks = docs.select("doc_id", "source", F.posexplode(_TOKENS()).alias("pos", "w"))
+    bi = (
+        toks.withColumn(
+            "w2", F.lead("w").over(Window.partitionBy("doc_id").orderBy("pos"))
+        )
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", "source", "pos", F.col("w").alias("w1"), "w2")
+    ).transform(_tp)
+    c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = toks.agg(F.countDistinct("w").alias("v"))
+    scored = (
+        bi.join(c12, ["w1", "w2"], "left")
+        .join(F.broadcast(c1), "w1", "left")
+        .join(vocab)  # single-row vocabulary-size cross join
+        .withColumn(
+            "p",
+            (F.coalesce("c12", F.lit(0)) + 1).cast("double")
+            / (F.coalesce("c1", F.lit(0)) + F.col("v")),
+        )
+    )
+    perdoc = (
+        scored.groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.aggregate(
+                F.expr("transform(array_sort(collect_list(struct(pos, p))), t -> t.p)"),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("psum"),
+        )
+        .select(
+            "doc_id", "source", "n_bigrams",
+            F.floor((F.col("psum") / F.col("n_bigrams")) * F.lit(float(_DRW_Q)))
+            .cast("bigint")
+            .alias("score_q"),
+        )
+    )
+    dom = perdoc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bigrams").cast("bigint").alias("n_bigrams"),
+        F.sum("score_q").cast("bigint").alias("sq"),
+    )
+    tot = dom.agg(
+        F.sum("n_docs").cast("bigint").alias("t_docs"),
+        F.sum("n_bigrams").cast("bigint").alias("t_bigrams"),
+        F.sum("sq").cast("bigint").alias("t_sq"),
+    )
+    j = (
+        dom.join(F.broadcast(tot))  # single-row totals cross join
+        .withColumn("avg_q", F.col("sq").cast("double") / F.col("n_docs"))
+        .withColumn("c_avg", F.col("t_sq").cast("double") / F.col("t_docs"))
+        .withColumn(
+            "excess",
+            F.greatest(
+                F.lit(0.0), (F.col("c_avg") - F.col("avg_q")) / F.col("c_avg")
+            ),
+        )
+        .withColumn(
+            "w_raw",
+            (F.col("n_bigrams").cast("double") / F.col("t_bigrams"))
+            * (F.lit(1.0) + F.lit(float(_DRW_ALPHA)) * F.col("excess")),
+        )
+    ).transform(_tp)
+    z = j.agg(ofold_sum("source", "w_raw").alias("z"))
+    return j.join(F.broadcast(z)).select(  # single-row normalizer cross join
+        "source",
+        "n_docs",
+        "n_bigrams",
+        (F.col("avg_q") / F.lit(float(_DRW_Q))).alias("avg_fluency"),
+        "excess",
+        (F.col("w_raw") / F.col("z")).alias("weight"),
+        F.floor((F.col("w_raw") / F.col("z")) * F.col("t_docs"))
+        .cast("bigint")
+        .alias("suggested_docs"),
+    )
+
+
+def _domain_reweight_sql() -> str:
+    from ._util import sql_ofold_sum
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source, CAST(i - 1 AS INT) AS pos, w[i] AS w
+  FROM (SELECT doc_id, source, {SQL_TOKENS} AS w FROM documents),
+       unnest(range(1, len(w) + 1)) t(i)
+),
+bi AS (
+  SELECT doc_id, source, pos, w AS w1,
+         LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM toks QUALIFY w2 IS NOT NULL
+),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY w1, w2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY w1),
+vocab AS (SELECT COUNT(DISTINCT w) AS v FROM toks),
+scored AS (
+  SELECT b.doc_id, b.source, b.pos,
+         CAST(COALESCE(c12, 0) + 1 AS DOUBLE) / (COALESCE(c1, 0) + v) AS p
+  FROM bi b
+  LEFT JOIN c12 USING (w1, w2)
+  LEFT JOIN c1 USING (w1)
+  CROSS JOIN vocab
+),
+perdoc AS (
+  SELECT doc_id, source, COUNT(*) AS n_bigrams,
+         CAST(FLOOR((list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                              list(p ORDER BY pos)),
+                                 (acc, x) -> acc + x) / COUNT(*))
+                    * CAST({_DRW_Q} AS DOUBLE)) AS BIGINT) AS score_q
+  FROM scored GROUP BY doc_id, source
+),
+dom AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams,
+         CAST(SUM(score_q) AS BIGINT) AS sq
+  FROM perdoc GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS t_docs,
+         CAST(SUM(n_bigrams) AS BIGINT) AS t_bigrams,
+         CAST(SUM(sq) AS BIGINT) AS t_sq
+  FROM dom
+),
+j AS (
+  SELECT source, n_docs, n_bigrams, t_docs, t_bigrams,
+         CAST(sq AS DOUBLE) / n_docs AS avg_q,
+         CAST(t_sq AS DOUBLE) / t_docs AS c_avg
+  FROM dom CROSS JOIN tot
+),
+j2 AS (
+  SELECT *, GREATEST(0.0, (c_avg - avg_q) / c_avg) AS excess
+  FROM j
+),
+j3 AS (
+  SELECT *,
+         (CAST(n_bigrams AS DOUBLE) / t_bigrams)
+           * (1.0 + CAST({_DRW_ALPHA} AS DOUBLE) * excess) AS w_raw
+  FROM j2
+),
+z AS (SELECT {sql_ofold_sum('source', 'w_raw')} AS z FROM j3)
+SELECT source, n_docs, n_bigrams,
+       avg_q / CAST({_DRW_Q} AS DOUBLE) AS avg_fluency,
+       excess,
+       w_raw / z AS weight,
+       CAST(FLOOR((w_raw / z) * t_docs) AS BIGINT) AS suggested_docs
+FROM j3 CROSS JOIN z
+"""
+
+
 # ------------------------------------------------------- simhash
 # 32-bit SimHash over token hashes: per bit, sign of the +1/-1 vote sum
 # across tokens; near-identical docs land within small Hamming distance.
@@ -2806,6 +2982,7 @@ QUERIES = {
     "q_dedup_agreement": q_dedup_agreement,
     "q_doc_dsir": q_doc_dsir,
     "q_doc_ccnet_buckets": q_doc_ccnet_buckets,
+    "q_doc_domain_reweight": q_doc_domain_reweight,
 }
 
 ORACLES = {
@@ -2848,4 +3025,5 @@ ORACLES = {
     "q_dedup_agreement": _dedup_agreement_sql(),
     "q_doc_dsir": _dsir_sql(),
     "q_doc_ccnet_buckets": _CCNET_SQL,
+    "q_doc_domain_reweight": _domain_reweight_sql(),
 }
