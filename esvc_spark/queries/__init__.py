@@ -36,6 +36,7 @@ _FRONT = (
     "q_doc_ccnet_buckets",
     "q_mm_phash_dedup",
     "q_doc_domain_reweight",
+    "q_ev_forecast",
     # changed this round — oracle guards / derived bounds / cc probe /
     # O(N²) gate — need fresh attestation
     "q_doc_repetition",

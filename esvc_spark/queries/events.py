@@ -824,6 +824,115 @@ WHERE rk <= {_CHG_K}
 """
 
 
+# ------------------------------------------------------ forecast baseline
+# Seasonal-naive forecasting with MASE evaluation (Hyndman & Koehler
+# 2006) on the gap-filled hourly series: predict each of the last
+# _FC_EVAL_H hours as the count 24 hours earlier, scale its MAE by the
+# in-sample naive-1 MAE — the standard sanity baseline any forecasting
+# pipeline must beat, and the scale-free error metric to beat it by.
+# Exact arithmetic: counts are integers, both MAEs are one integer-sum /
+# count division, MASE one further division of those two doubles.
+# Scale: composes the resample grid; two lag windows over the already-
+# aggregated series + one bounded groupBy, single-row hmax broadcast.
+
+_FC_PERIOD = 24
+_FC_EVAL_H = 48
+
+
+def q_ev_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    filled = q_ev_resample(spark, sf_dir).select(
+        "ts_hour", "event_type", "n_events"
+    )
+    w = Window.partitionBy("event_type").orderBy("ts_hour")
+    lagged = filled.withColumn(
+        "y24", F.lag("n_events", _FC_PERIOD).over(w)
+    ).withColumn("y1", F.lag("n_events", 1).over(w))
+    bounds = filled.agg(F.max("ts_hour").alias("hmax"))
+    in_eval = F.expr(f"ts_hour > hmax - INTERVAL {_FC_EVAL_H} HOURS")
+    agg = (
+        lagged.join(F.broadcast(bounds))  # single-row hmax cross join
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(
+                    in_eval & F.col("y24").isNotNull(),
+                    F.abs(F.col("n_events") - F.col("y24")),
+                )
+            )
+            .cast("bigint")
+            .alias("ae_snaive"),
+            F.count(
+                F.when(in_eval & F.col("y24").isNotNull(), F.lit(1))
+            ).alias("n_eval"),
+            F.sum(
+                F.when(
+                    (~in_eval) & F.col("y1").isNotNull(),
+                    F.abs(F.col("n_events") - F.col("y1")),
+                )
+            )
+            .cast("bigint")
+            .alias("ae_naive1"),
+            F.count(
+                F.when((~in_eval) & F.col("y1").isNotNull(), F.lit(1))
+            ).alias("n_train"),
+        )
+    )
+    m = agg.select(
+        "event_type",
+        "n_eval",
+        "n_train",
+        (F.col("ae_snaive").cast("double") / F.col("n_eval")).alias("mae_snaive"),
+        (F.col("ae_naive1").cast("double") / F.col("n_train")).alias("mae_naive1"),
+    )
+    return m.withColumn(
+        "mase",
+        F.when(
+            F.col("mae_naive1") > 0, F.col("mae_snaive") / F.col("mae_naive1")
+        ).otherwise(F.lit(-1.0)),
+    )
+
+
+_FORECAST_SQL = f"""
+WITH filled AS (
+  SELECT ts_hour, event_type, n_events FROM ({_RESAMPLE_SQL})
+),
+lagged AS (
+  SELECT ts_hour, event_type, n_events,
+         LAG(n_events, {_FC_PERIOD}) OVER w AS y24,
+         LAG(n_events, 1) OVER w AS y1
+  FROM filled
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts_hour)
+),
+bounds AS (SELECT MAX(ts_hour) AS hmax FROM filled),
+agg AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN ts_hour > hmax - INTERVAL {_FC_EVAL_H} HOUR
+                        AND y24 IS NOT NULL
+                       THEN abs(n_events - y24) END) AS BIGINT) AS ae_snaive,
+         COUNT(CASE WHEN ts_hour > hmax - INTERVAL {_FC_EVAL_H} HOUR
+                     AND y24 IS NOT NULL THEN 1 END) AS n_eval,
+         CAST(SUM(CASE WHEN ts_hour <= hmax - INTERVAL {_FC_EVAL_H} HOUR
+                        AND y1 IS NOT NULL
+                       THEN abs(n_events - y1) END) AS BIGINT) AS ae_naive1,
+         COUNT(CASE WHEN ts_hour <= hmax - INTERVAL {_FC_EVAL_H} HOUR
+                     AND y1 IS NOT NULL THEN 1 END) AS n_train
+  FROM lagged CROSS JOIN bounds GROUP BY event_type
+),
+m AS (
+  SELECT event_type, n_eval, n_train,
+         CAST(ae_snaive AS DOUBLE) / n_eval AS mae_snaive,
+         CAST(ae_naive1 AS DOUBLE) / n_train AS mae_naive1
+  FROM agg
+)
+SELECT event_type, n_eval, n_train, mae_snaive, mae_naive1,
+       CASE WHEN mae_naive1 > 0 THEN mae_snaive / mae_naive1
+            ELSE -1.0 END AS mase
+FROM m
+"""
+
+
 # ------------------------------------------------------ histogram quantiles
 # Mergeable approximate quantiles: a fixed-width histogram sketch (1024
 # bins of 0.5 over value ∈ [0, 512)) whose per-type quantile estimate is
@@ -2424,6 +2533,7 @@ QUERIES = {
     "q_ev_rfm": q_ev_rfm,
     "q_ev_resample": q_ev_resample,
     "q_ev_changepoints": q_ev_changepoints,
+    "q_ev_forecast": q_ev_forecast,
     "q_ev_lift": q_ev_lift,
     "q_ev_kmv_windows": q_ev_kmv_windows,
     "q_ev_audience_overlap": q_ev_audience_overlap,
@@ -2464,6 +2574,7 @@ ORACLES = {
     "q_ev_rfm": _RFM_SQL,
     "q_ev_resample": _RESAMPLE_SQL,
     "q_ev_changepoints": _CHG_SQL,
+    "q_ev_forecast": _FORECAST_SQL,
     "q_ev_lift": _LIFT_SQL,
     "q_ev_kmv_windows": _KMVW_SQL,
     "q_ev_audience_overlap": _AOV_SQL,

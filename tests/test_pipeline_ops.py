@@ -443,3 +443,42 @@ def test_chunk_windows_tile_tokens(spark):
             start = c["chunk_idx"] * 48
             assert c["n_chunk_tokens"] == min(64, n - start)
         assert (len(chunks) - 1) * 48 + chunks[-1]["n_chunk_tokens"] == n
+
+
+def test_dsir_fixed_point_log2_cross_engine_and_accuracy(spark):
+    """The DSIR weight is a difference of two fixed-point log2 terms that
+    must (a) agree bit-for-bit between the Spark and DuckDB dialects and
+    (b) track 16*log2(num/den) within the piecewise-linear error bound
+    (each qlog2 term underestimates by < 0.086 octave + 1 floor unit)."""
+    import math
+
+    import duckdb
+
+    from esvc_spark.queries.documents import _DSIR_B, _dsir_weight_expr
+
+    cases = []
+    for tc in (0, 1, 7, 999, 123_456, 5_000_000):
+        for rc in (tc, tc + 1, tc * 3 + 5, 9_999_999):
+            cases.append((tc, rc, 2_000_000, 9_000_000))
+    cases += [(0, 0, 1, 1), (1, 1, 1, 1), (42, 99, 123, 456)]
+
+    vals = ", ".join(
+        f"({tc}::BIGINT, {rc}::BIGINT, {t}::BIGINT, {r}::BIGINT)"
+        for tc, rc, t, r in cases
+    )
+    duck = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT CAST({_dsir_weight_expr('duckdb')} AS BIGINT) "
+            f"FROM (VALUES {vals}) t(tc, rc, t_total, r_total)"
+        ).fetchall()
+    ]
+    sdf = spark.createDataFrame(
+        cases, "tc long, rc long, t_total long, r_total long"
+    ).selectExpr(f"CAST({_dsir_weight_expr('spark')} AS BIGINT) AS w")
+    got = [r["w"] for r in sdf.collect()]
+    assert got == duck, "Spark and DuckDB dialects diverged"
+
+    for (tc, rc, t, r), w in zip(cases, duck):
+        true = 16 * math.log2(((tc + 1) * (r + _DSIR_B)) / ((rc + 1) * (t + _DSIR_B)))
+        assert abs(w - true) <= 3, (tc, rc, t, r, w, true)
