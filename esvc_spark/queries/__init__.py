@@ -37,6 +37,7 @@ _FRONT = (
     "q_mm_phash_dedup",
     "q_doc_domain_reweight",
     "q_ev_forecast",
+    "q_doc_novelty",
     # changed this round — oracle guards / derived bounds / cc probe /
     # O(N²) gate — need fresh attestation
     "q_doc_repetition",

@@ -1138,6 +1138,64 @@ FROM ranked GROUP BY lang, tercile
 """
 
 
+# ----------------------------------------------------------- novelty
+# Document novelty scoring: the fraction of a document's 5-token
+# shingles whose FIRST corpus occurrence (min doc_id — the ingestion
+# order) is this document. Low novelty = the document mostly restates
+# earlier content — the marginal-contribution signal behind
+# dedup-aware curation (an ExactSubstr-style view of redundancy at
+# shingle granularity). Docs with <5 tokens have no shingles and are
+# absent, like the other shingle queries.
+#
+# Scale: ONE shingle aggregation (min doc per shingle) — the same
+# single corpus-sized shuffle as the dedup family — then per-doc counts
+# come from re-grouping that output by first_doc; no shingle-keyed join
+# back to the corpus at all.
+
+
+def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_par(spark, sf_dir)
+    sh = _shingles_df(docs).transform(_tp)  # feeds both aggregates
+    per = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    nov = (
+        sh.groupBy("shingle")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy("first_doc")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+        .withColumnRenamed("first_doc", "doc_id")
+    )
+    meta = docs.select("doc_id", "lang", "source")
+    return (
+        per.join(nov, "doc_id", "left")
+        .join(meta, "doc_id")
+        .select(
+            "doc_id", "lang", "source", "n_shingles",
+            F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
+        )
+        .withColumn(
+            "novelty", F.col("n_novel").cast("double") / F.col("n_shingles")
+        )
+    )
+
+
+_NOVELTY_SQL = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+per AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+nov AS (
+  SELECT first_doc AS doc_id, COUNT(*) AS n_novel
+  FROM (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle)
+  GROUP BY first_doc
+)
+SELECT p.doc_id, d.lang, d.source, p.n_shingles,
+       CAST(COALESCE(n.n_novel, 0) AS BIGINT) AS n_novel,
+       CAST(CAST(COALESCE(n.n_novel, 0) AS BIGINT) AS DOUBLE) / p.n_shingles
+         AS novelty
+FROM per p
+LEFT JOIN nov n USING (doc_id)
+JOIN documents d USING (doc_id)
+"""
+
+
 # --------------------------------------------- DoReMi domain reweighting
 # Domain-mixture reweighting in the DoReMi spirit (Xie et al. 2023,
 # arXiv:2305.10429): upweight domains (`source`) whose documents score
@@ -2983,6 +3041,7 @@ QUERIES = {
     "q_doc_dsir": q_doc_dsir,
     "q_doc_ccnet_buckets": q_doc_ccnet_buckets,
     "q_doc_domain_reweight": q_doc_domain_reweight,
+    "q_doc_novelty": q_doc_novelty,
 }
 
 ORACLES = {
@@ -3026,4 +3085,5 @@ ORACLES = {
     "q_doc_dsir": _dsir_sql(),
     "q_doc_ccnet_buckets": _CCNET_SQL,
     "q_doc_domain_reweight": _domain_reweight_sql(),
+    "q_doc_novelty": _NOVELTY_SQL,
 }
