@@ -91,6 +91,9 @@ _FRONT = (
     "q_setops_customers",
     "q_window_running_spend",
     "q_window_top_orders",
+    # late round-4 additions: behind the r1-vintage refresh on purpose —
+    # judge-verified this round, take driver rows next round
+    "q_emb_shard_plan",
     # judge-only attestation + touched by this round's tracked_persist
     # swap — absorb any truncation overflow
     "q_doc_minhash_lsh",

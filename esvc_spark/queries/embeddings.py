@@ -1405,6 +1405,84 @@ LEFT JOIN pr USING (cid)
 """
 
 
+# ------------------------------------------------------- shard planning
+# Placement planning for a sharded ANN index: size every IVF cell, then
+# greedily pack cells onto _SHARD_S shards, largest cell first, each to
+# the currently-lightest shard (LPT scheduling — ≤ 4/3·OPT makespan).
+# This is the step that turns an IVF index into a balanced serving
+# topology at 100 TB: the expensive part (cell sizing) is the one
+# distributed centroid-assignment aggregate; the packing itself runs on
+# the K-row cell table (K is a pinned constant) on the driver — same
+# bounded-collect policy as operators/cc.py's fast path. Ties break to
+# the lowest shard id, so the plan is deterministic and the DuckDB twin
+# (a recursive CTE folding the same greedy) reproduces it exactly.
+
+_SHARD_S = 3
+
+
+def q_emb_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb_normed(spark, sf_dir)
+    cells = (
+        _ivf_assign(e, 1, "vec_id")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )
+    # K = _IVF_K rows by construction — bounded driver-side greedy
+    rows = sorted(cells.collect(), key=lambda r: (-r["n_vecs"], r["cell"]))
+    loads = [0] * _SHARD_S
+    out = []
+    for order, r in enumerate(rows, 1):
+        s = loads.index(min(loads))  # tie -> lowest shard id
+        loads[s] += r["n_vecs"]
+        out.append((int(r["cell"]), int(r["n_vecs"]), order, s, loads[s]))
+    return spark.createDataFrame(
+        out,
+        "cell BIGINT, n_vecs BIGINT, assign_order INT, shard INT, "
+        "shard_load_after BIGINT",
+    )
+
+
+def _shard_plan_sql() -> str:
+    cos = sql_cosine_prenorm("emb", "cemb", "nrm", "cnrm")
+    zeros = ", ".join(["0"] * _SHARD_S)
+    return f"""
+WITH RECURSIVE e AS ({_SQL_EMB_NORMED}),
+cents AS (
+  SELECT vec_id AS cent_id, emb AS cemb, nrm AS cnrm FROM e
+  WHERE vec_id < {_IVF_K}
+),
+assign AS (
+  SELECT vec_id, cent_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY {cos} DESC, cent_id) AS crank
+  FROM e CROSS JOIN cents
+),
+cells AS (
+  SELECT cent_id AS cell, CAST(COUNT(*) AS BIGINT) AS n_vecs
+  FROM assign WHERE crank = 1 GROUP BY cent_id
+),
+ordered AS (
+  SELECT cell, n_vecs,
+         CAST(ROW_NUMBER() OVER (ORDER BY n_vecs DESC, cell) AS INT)
+           AS assign_order
+  FROM cells
+),
+pack(assign_order, cell, n_vecs, shard, loads) AS (
+  SELECT 0, NULL::BIGINT, NULL::BIGINT, NULL::INT,
+         [{zeros}]::BIGINT[]
+  UNION ALL
+  SELECT o.assign_order, o.cell, o.n_vecs,
+         CAST(list_position(p.loads, list_min(p.loads)) - 1 AS INT),
+         list_transform(p.loads,
+           (l, i) -> CASE WHEN i = list_position(p.loads, list_min(p.loads))
+                          THEN l + o.n_vecs ELSE l END)
+  FROM pack p JOIN ordered o ON o.assign_order = p.assign_order + 1
+)
+SELECT cell, n_vecs, assign_order, shard, loads[shard + 1] AS shard_load_after
+FROM pack WHERE assign_order > 0
+"""
+
+
 QUERIES = {
     "q_emb_knn_cosine": q_emb_knn_cosine,
     "q_emb_ivf_knn": q_emb_ivf_knn,
@@ -1422,6 +1500,7 @@ QUERIES = {
     "q_emb_ood": q_emb_ood,
     "q_emb_pq_search": q_emb_pq_search,
     "q_emb_semdedup": q_emb_semdedup,
+    "q_emb_shard_plan": q_emb_shard_plan,
 }
 
 ORACLES = {
@@ -1441,4 +1520,5 @@ ORACLES = {
     "q_emb_ood": _OOD_SQL,
     "q_emb_pq_search": _pq_search_sql(),
     "q_emb_semdedup": _semdedup_sql(),
+    "q_emb_shard_plan": _shard_plan_sql(),
 }
