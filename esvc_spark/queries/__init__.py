@@ -94,6 +94,7 @@ _FRONT = (
     # late round-4 additions: behind the r1-vintage refresh on purpose —
     # judge-verified this round, take driver rows next round
     "q_emb_shard_plan",
+    "q_doc_entropy",
     # judge-only attestation + touched by this round's tracked_persist
     # swap — absorb any truncation overflow
     "q_doc_minhash_lsh",

@@ -1138,6 +1138,82 @@ FROM ranked GROUP BY lang, tercile
 """
 
 
+# ----------------------------------------------------------- entropy
+# Token-entropy quality filter: per-document Shannon entropy of the
+# token distribution in bits/token — the compression-proxy signal that
+# catches machine-generated boilerplate (near-zero entropy) and random
+# gibberish (entropy ≈ log2 vocab) that length/stopword heuristics miss.
+# Computed EXACTLY in fixed-point via the identity
+#   Σ_t c_t·(log2 n − log2 c_t) = n·log2 n − Σ_t c_t·log2 c_t
+# with _qlog2_expr (16× fixed-point, integer-only): per-doc state is two
+# BIGINT aggregates over the token histogram — one shuffle, map-side
+# combined — and the only float op is the final bits-per-token division.
+# Zero-token docs have no histogram rows and are absent (like the other
+# token queries).
+
+_ENTROPY_LOW = 4.5  # bits/token; below ≈ repetitive/boilerplate here
+
+
+def q_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_par(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", "lang", "source", F.explode(_TOKENS()).alias("tok")
+    )
+    hist = toks.groupBy("doc_id", "lang", "source", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per = hist.groupBy("doc_id", "lang", "source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).alias("distinct_tokens"),
+        F.sum(F.col("c") * F.expr(_qlog2_expr("c", "spark")))
+        .cast("bigint")
+        .alias("s1"),
+    )
+    e = per.withColumn(
+        "ent_q",
+        F.col("n_tokens") * F.expr(_qlog2_expr("n_tokens", "spark"))
+        - F.col("s1"),
+    ).withColumn(
+        "bits_per_token",
+        F.col("ent_q").cast("double") / (F.col("n_tokens") * 16),
+    )
+    return e.select(
+        "doc_id", "lang", "source", "n_tokens", "distinct_tokens", "ent_q",
+        "bits_per_token",
+        (F.col("bits_per_token") < F.lit(_ENTROPY_LOW)).alias("is_low"),
+    )
+
+
+def _entropy_sql() -> str:
+    qc = _qlog2_expr("c", "duckdb")
+    qn = _qlog2_expr("n_tokens", "duckdb")
+    return f"""
+WITH hist AS (
+  SELECT doc_id, lang, source, tok, COUNT(*) AS c
+  FROM (SELECT doc_id, lang, source, unnest({SQL_TOKENS}) AS tok
+        FROM documents)
+  GROUP BY doc_id, lang, source, tok
+),
+per AS (
+  SELECT doc_id, lang, source,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         COUNT(*) AS distinct_tokens,
+         CAST(SUM(c * {qc}) AS BIGINT) AS s1
+  FROM hist GROUP BY doc_id, lang, source
+),
+e AS (
+  SELECT doc_id, lang, source, n_tokens, distinct_tokens,
+         n_tokens * {qn} - s1 AS ent_q
+  FROM per
+)
+SELECT doc_id, lang, source, n_tokens, distinct_tokens,
+       CAST(ent_q AS BIGINT) AS ent_q,
+       CAST(ent_q AS DOUBLE) / (n_tokens * 16) AS bits_per_token,
+       CAST(ent_q AS DOUBLE) / (n_tokens * 16) < {_ENTROPY_LOW} AS is_low
+FROM e
+"""
+
+
 # ----------------------------------------------------------- novelty
 # Document novelty scoring: the fraction of a document's 5-token
 # shingles whose FIRST corpus occurrence (min doc_id — the ingestion
@@ -2903,27 +2979,31 @@ _DSIR_TARGET = "en"
 _DSIR_TAKE = 100
 
 
-def _dsir_weight_expr(dialect: str) -> str:
-    """The importance-weight expression over columns tc, rc, t_total,
-    r_total — one template, two dialects (bin vs printf('%%b'), DIV vs //),
-    so the engines cannot drift."""
+def _qlog2_expr(x: str, dialect: str) -> str:
+    """Fixed-point base-2 log of a positive BIGINT expression, ≈
+    16·log2(x): integer log from the binary-string length, 4 fractional
+    bits by linear interpolation within the octave. One template, two
+    dialects (bin vs printf('%%b'), DIV vs //), so the engines cannot
+    drift. Exactness: 2^e via pow is exact on powers of two < 2^62; the
+    BIGINT cast truncates (Spark) / rounds (DuckDB) an already-exact
+    value. Accuracy: underestimates by < 0.086 octave + 1 ulp
+    (tests/test_pipeline_ops.py pins both engines and the bound)."""
     if dialect == "spark":
         div = "DIV"
-        ilog = lambda x: f"(length(bin({x})) - 1)"  # noqa: E731
+        e = f"(length(bin({x})) - 1)"
     else:
         div = "//"
-        ilog = lambda x: f"(length(printf('%b', {x})) - 1)"  # noqa: E731
+        e = f"(length(printf('%b', {x})) - 1)"
+    p2 = f"CAST(pow(2, {e}) AS BIGINT)"
+    return f"((16 * {e}) + ((({x}) * 16) {div} {p2}) - 16)"
 
-    def qlog2(x: str) -> str:
-        e = ilog(x)
-        # 2^e exactly: pow is exact on powers of two < 2^62; the BIGINT
-        # cast truncates (Spark) / rounds (DuckDB) an already-exact value
-        p2 = f"CAST(pow(2, {e}) AS BIGINT)"
-        return f"((16 * {e}) + ((({x}) * 16) {div} {p2}) - 16)"
 
+def _dsir_weight_expr(dialect: str) -> str:
+    """The importance-weight expression over columns tc, rc, t_total,
+    r_total — the difference of two _qlog2_expr terms."""
     num = f"((tc + 1) * (r_total + {_DSIR_B}))"
     den = f"((rc + 1) * (t_total + {_DSIR_B}))"
-    return f"({qlog2(num)} - {qlog2(den)})"
+    return f"({_qlog2_expr(num, dialect)} - {_qlog2_expr(den, dialect)})"
 
 
 def q_doc_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3042,6 +3122,7 @@ QUERIES = {
     "q_doc_ccnet_buckets": q_doc_ccnet_buckets,
     "q_doc_domain_reweight": q_doc_domain_reweight,
     "q_doc_novelty": q_doc_novelty,
+    "q_doc_entropy": q_doc_entropy,
 }
 
 ORACLES = {
@@ -3086,4 +3167,5 @@ ORACLES = {
     "q_doc_ccnet_buckets": _CCNET_SQL,
     "q_doc_domain_reweight": _domain_reweight_sql(),
     "q_doc_novelty": _NOVELTY_SQL,
+    "q_doc_entropy": _entropy_sql(),
 }
