@@ -95,6 +95,7 @@ _FRONT = (
     # judge-verified this round, take driver rows next round
     "q_emb_shard_plan",
     "q_doc_entropy",
+    "q_doc_winnow_pairs",
     # judge-only attestation + touched by this round's tracked_persist
     # swap — absorb any truncation overflow
     "q_doc_minhash_lsh",

@@ -1138,6 +1138,112 @@ FROM ranked GROUP BY lang, tercile
 """
 
 
+# ----------------------------------------------------------- winnowing
+# Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the MOSS
+# algorithm): hash every 4-token k-gram, slide a 5-position window, keep
+# each window's MINIMUM hash; the distinct minima are the document's
+# fingerprint set. Guarantee: any shared run of ≥ w+k-1 tokens shares a
+# fingerprint, while the inverted index is ~w× smaller than full
+# shingling — the storage/shuffle win that makes exact-ish matching
+# practical at corpus scale. Pairs sharing ≥ 2 fingerprints are reported
+# with a Jaccard over the (df-capped) fingerprint sets, same hot-key
+# anti-join policy as the shingle queries.
+
+_WIN_K = 4
+_WIN_W = 5
+_WIN_MIN_SHARED = 2
+
+
+def q_doc_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _docs_par(spark, sf_dir)
+    kgrams = F.expr(
+        f"CASE WHEN size(w) >= {_WIN_K} THEN "
+        f"transform(sequence(0, size(w) - {_WIN_K}), "
+        f"i -> concat_ws(' ', slice(w, i + 1, {_WIN_K}))) "
+        "ELSE array() END"
+    )
+    h = (
+        docs.select("doc_id", _TOKENS().alias("w"))
+        .select("doc_id", F.posexplode(kgrams).alias("pos", "kgram"))
+        .select("doc_id", "pos", _h(F.col("kgram")).alias("h"))
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(_WIN_W - 1), 0)
+    )
+    fps = (
+        h.withColumn("mn", F.min("h").over(win))
+        .withColumn("cnt", F.count(F.lit(1)).over(win))
+        .filter(F.col("cnt") == _WIN_W)  # full windows only (canonical)
+        .select("doc_id", "mn")
+        .distinct()
+    )
+    # hot-fingerprint cap: one boilerplate minimum shared by k docs would
+    # contribute k² pair rows — same df-cap anti-join as the shingle index
+    dfs = fps.groupBy("mn").agg(F.count(F.lit(1)).alias("df"))
+    hot = dfs.filter(F.col("df") > _DF_CAP).select("mn")
+    fpc = fps.join(F.broadcast(hot), "mn", "left_anti").transform(_tp)
+    sizes = fpc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    pairs = (
+        fpc.select("mn", F.col("doc_id").alias("doc_a"))
+        .join(fpc.select("mn", F.col("doc_id").alias("doc_b")), "mn")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= _WIN_MIN_SHARED)
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("n_fp", "fp_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n_fp", "fp_b"), "doc_b")
+        .select(
+            "doc_a", "doc_b", "shared", "fp_a", "fp_b",
+            (
+                F.col("shared").cast("double")
+                / (F.col("fp_a") + F.col("fp_b") - F.col("shared"))
+            ).alias("winnow_jaccard"),
+        )
+    )
+
+
+_WINNOW_SQL = f"""
+WITH kg AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+         array_to_string(w[i:i+{_WIN_K - 1}], ' ') AS kgram
+  FROM (SELECT doc_id, {SQL_TOKENS} AS w FROM documents),
+       unnest(range(1, len(w) - {_WIN_K - 2})) t(i)
+),
+h AS (SELECT doc_id, pos, {_sql_h('kgram')} AS h FROM kg),
+winm AS (
+  SELECT doc_id, MIN(h) OVER w AS mn, COUNT(*) OVER w AS cnt
+  FROM h
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN {_WIN_W - 1} PRECEDING AND CURRENT ROW)
+),
+fps AS (SELECT DISTINCT doc_id, mn FROM winm WHERE cnt = {_WIN_W}),
+dfs AS (SELECT mn, COUNT(*) AS df FROM fps GROUP BY mn),
+fpc AS (SELECT f.doc_id, f.mn FROM fps f JOIN dfs USING (mn)
+        WHERE df <= {_DF_CAP}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_fp FROM fpc GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM fpc a JOIN fpc b ON a.mn = b.mn AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING COUNT(*) >= {_WIN_MIN_SHARED}
+)
+SELECT p.doc_a, p.doc_b, p.shared, sa.n_fp AS fp_a, sb.n_fp AS fp_b,
+       CAST(p.shared AS DOUBLE) / (sa.n_fp + sb.n_fp - p.shared)
+         AS winnow_jaccard
+FROM pairs p
+JOIN sizes sa ON p.doc_a = sa.doc_id
+JOIN sizes sb ON p.doc_b = sb.doc_id
+"""
+
+
 # ----------------------------------------------------------- entropy
 # Token-entropy quality filter: per-document Shannon entropy of the
 # token distribution in bits/token — the compression-proxy signal that
@@ -3123,6 +3229,7 @@ QUERIES = {
     "q_doc_domain_reweight": q_doc_domain_reweight,
     "q_doc_novelty": q_doc_novelty,
     "q_doc_entropy": q_doc_entropy,
+    "q_doc_winnow_pairs": q_doc_winnow_pairs,
 }
 
 ORACLES = {
@@ -3168,4 +3275,5 @@ ORACLES = {
     "q_doc_domain_reweight": _domain_reweight_sql(),
     "q_doc_novelty": _NOVELTY_SQL,
     "q_doc_entropy": _entropy_sql(),
+    "q_doc_winnow_pairs": _WINNOW_SQL,
 }
