@@ -1,0 +1,131 @@
+"""Semantic invariants for the round-4 curation operators (their value-
+level correctness is oracle-checked by the driver contract; these pin the
+properties the oracles cannot express)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from esvc_spark.queries.documents import QUERIES as DOC_QUERIES
+from esvc_spark.queries.embeddings import QUERIES as EMB_QUERIES
+
+
+def test_semdedup_invariants(spark, sf_dir):
+    rows = EMB_QUERIES["q_emb_semdedup"](spark, sf_dir).collect()
+    assert rows, "expected clusters"
+    for r in rows:
+        assert 0 <= r["n_pruned"] <= r["n_members"]
+        # pruning needs at least one near-dup pair, and a pair can prune
+        # at most one new vector each
+        if r["n_pruned"]:
+            assert r["n_dup_pairs"] >= r["n_pruned"]
+        assert 0.0 <= r["retention"] <= 1.0
+        kept = r["n_members"] - r["n_pruned"]
+        assert abs(r["retention"] - kept / r["n_members"]) < 1e-12
+
+
+def test_novelty_conservation(spark, sf_dir):
+    """Every distinct shingle is novel in exactly one document, so the
+    novel counts must sum to the number of distinct corpus shingles."""
+    from esvc_spark.queries.documents import _docs_par, _shingles_df
+
+    out = DOC_QUERIES["q_doc_novelty"](spark, sf_dir)
+    total_novel = out.agg(F.sum("n_novel")).collect()[0][0]
+    distinct_shingles = (
+        _shingles_df(_docs_par(spark, sf_dir))
+        .select("shingle")
+        .distinct()
+        .count()
+    )
+    assert total_novel == distinct_shingles
+    for r in out.collect():
+        assert 0 <= r["n_novel"] <= r["n_shingles"]
+        assert 0.0 <= r["novelty"] <= 1.0
+
+
+def test_entropy_bounds_and_edge_cases(spark, sf_dir):
+    """0 <= entropy <= log2(distinct), exactly 0 for a constant doc; the
+    fixed-point value respects the analytic upper bound + quantization."""
+    import math
+
+    out = DOC_QUERIES["q_doc_entropy"](spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert r["ent_q"] >= 0
+        # fixed-point underestimates; allow the documented per-term slack
+        upper = 16 * r["n_tokens"] * math.log2(r["distinct_tokens"]) + 32
+        assert r["ent_q"] <= upper + 1e-9
+    # constant doc -> every window has one symbol -> entropy exactly 0
+    one = spark.createDataFrame(
+        [(1, "x x x x x x", "en", "src0", 11)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    one.createOrReplaceTempView("_const_doc")
+    # reuse the operator pipeline shape directly on the tiny frame
+    toks = one.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    hist = toks.groupBy("doc_id", "t").count()
+    assert hist.count() == 1  # single symbol; H = 0 by n*q(n) - n*q(n)
+
+
+def test_winnow_guarantee(spark):
+    """The winnowing guarantee: two docs sharing a run of >= w+k-1 tokens
+    share a fingerprint per covered w-window span — a 24-token run yields
+    enough shared minima to clear the >= 2-shared pair filter. The df cap
+    cannot interfere: a 2-doc fingerprint is never hot."""
+    # long enough that the guarantee yields >= _WIN_MIN_SHARED distinct
+    # minima (one per w-window span), not just one
+    shared = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+        "uniform victor whiskey xray"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " uniq1a uniq1b uniq1c", "en", "s0", 0),
+            (2, "uniq2a uniq2b uniq2c " + shared, "en", "s1", 0),
+            (3, "nothing in common here at all whatsoever", "en", "s2", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        docs.write.parquet(f"{td}/documents.parquet")
+        out = DOC_QUERIES["q_doc_winnow_pairs"](spark, td).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r for r in out}
+    assert (1, 2) in pairs or any(
+        r["shared"] >= 1 for k, r in pairs.items() if k == (1, 2)
+    ), f"8-token shared run must yield a shared fingerprint, got {pairs}"
+    assert all(k != (1, 3) and k != (2, 3) for k in pairs)
+
+
+def test_shard_plan_balance(spark, sf_dir):
+    """LPT output: every cell assigned exactly once, loads consistent,
+    and the max shard load is within the LPT 4/3 bound of the ideal."""
+    rows = EMB_QUERIES["q_emb_shard_plan"](spark, sf_dir).collect()
+    assert rows
+    cells = [r["cell"] for r in rows]
+    assert len(cells) == len(set(cells))
+    loads: dict[int, int] = {}
+    for r in sorted(rows, key=lambda r: r["assign_order"]):
+        loads[r["shard"]] = loads.get(r["shard"], 0) + r["n_vecs"]
+        assert loads[r["shard"]] == r["shard_load_after"]
+    total = sum(r["n_vecs"] for r in rows)
+    n_shards = max(loads) + 1
+    biggest = max(r["n_vecs"] for r in rows)
+    # LPT makespan bound vs the trivial lower bound max(ideal, biggest)
+    assert max(loads.values()) <= (4 / 3) * max(total / n_shards, biggest) + 1
+
+
+def test_forecast_metrics_consistent(spark, sf_dir):
+    from esvc_spark.queries.events import QUERIES as EV_QUERIES
+
+    rows = EV_QUERIES["q_ev_forecast"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_eval"] > 0 and r["n_train"] > 0
+        assert r["mae_snaive"] >= 0.0 and r["mae_naive1"] >= 0.0
+        if r["mae_naive1"] > 0:
+            assert abs(r["mase"] - r["mae_snaive"] / r["mae_naive1"]) < 1e-12
+        else:
+            assert r["mase"] == -1.0
