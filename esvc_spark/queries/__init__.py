@@ -96,6 +96,7 @@ _FRONT = (
     "q_emb_shard_plan",
     "q_doc_entropy",
     "q_doc_winnow_pairs",
+    "q_stream_anomaly",
     # judge-only attestation + touched by this round's tracked_persist
     # swap — absorb any truncation overflow
     "q_doc_minhash_lsh",

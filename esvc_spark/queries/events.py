@@ -1418,6 +1418,71 @@ ORDER BY n_events DESC, user_id ASC LIMIT 5
 """
 
 
+def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming anomaly flagging — the live-monitoring topology: only
+    the hourly counting runs in the stream (tumbling window, complete
+    mode); the per-type baseline (mean/σ from exact integer moment sums)
+    is a precomputed static dimension broadcast onto the streamed counts.
+    On a real cluster the baseline refreshes out-of-band while the stream
+    only ever shuffles window counts. Over the bounded stream the flagged
+    set equals the batch q_ev_anomaly exactly, giving the topology a full
+    value-level oracle (shared: _ANOMALY_SQL)."""
+    stream = _event_stream(spark, sf_dir)
+    agg = stream.groupBy(
+        F.window("ts", "1 hour").start.alias("hr"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    _STREAM_SEQ[0] += 1
+    name = f"stream_anomaly_{_STREAM_SEQ[0]}"
+    with _bounded_stream_confs(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    hourly = spark.table(name)
+    # the memory-sink view resolves to one set of attribute ids, so the
+    # hourly⋈stats self-join needs the stats key re-aliased or analysis
+    # sees "conflicting attributes"
+    stats = (
+        hourly.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("n").alias("s"),
+            F.sum(F.col("n") * F.col("n")).alias("sq"),
+        )
+        .withColumnRenamed("event_type", "et")
+    )
+    enriched = hourly.join(
+        F.broadcast(stats), hourly["event_type"] == stats["et"]
+    ).select(
+        "hr",
+        "event_type",
+        "n",
+        (F.col("s").cast("double") / F.col("cnt")).alias("mean"),
+        F.sqrt(
+            F.col("sq").cast("double") / F.col("cnt")
+            - (F.col("s").cast("double") / F.col("cnt"))
+            * (F.col("s").cast("double") / F.col("cnt"))
+        ).alias("std"),
+    )
+    return enriched.filter(
+        F.abs(F.col("n").cast("double") - F.col("mean"))
+        > F.lit(_ANOM_SIGMA) * F.col("std")
+    ).select(
+        "hr",
+        "event_type",
+        "n",
+        "mean",
+        "std",
+        ((F.col("n").cast("double") - F.col("mean")) / F.col("std")).alias("z"),
+    )
+
+
 def q_stream_heads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The esvc head-set antichain maintained incrementally in a stream
     (streaming/stateful.streaming_head_tracker — the streaming twin of
@@ -2562,6 +2627,7 @@ QUERIES = {
     "q_stream_enrich": q_stream_enrich,
     "q_stream_heads": q_stream_heads,
     "q_stream_topk": q_stream_topk,
+    "q_stream_anomaly": q_stream_anomaly,
     "q_stream_ingest_log": q_stream_ingest_log,
 }
 
@@ -2603,5 +2669,6 @@ ORACLES = {
     "q_stream_enrich": _STREAM_ENRICH_SQL,
     "q_stream_heads": _STREAM_HEADS_SQL,
     "q_stream_topk": _STREAM_TOPK_SQL,
+    "q_stream_anomaly": _ANOMALY_SQL,
     "q_stream_ingest_log": _STREAM_INGEST_SQL,
 }
