@@ -97,6 +97,8 @@ _FRONT = (
     "q_doc_entropy",
     "q_doc_winnow_pairs",
     "q_stream_anomaly",
+    "q_emb_binary_hamming",
+    "q_doc_bm25",
     # judge-only attestation + touched by this round's tracked_persist
     # swap — absorb any truncation overflow
     "q_doc_minhash_lsh",

@@ -1138,6 +1138,140 @@ FROM ranked GROUP BY lang, tercile
 """
 
 
+# ----------------------------------------------------------- BM25
+# BM25 retrieval (Robertson & Zaragoza 2009) over the corpus for a fixed
+# query set — the lexical-search tier next to the embedding kNN/RAG
+# queries. idf uses the classic (N-df+0.5)/(df+0.5) ratio, computed in
+# exact fixed-point via _qlog2_expr on the integer-doubled counts
+# (2N-2df+1)/(2df+1), so the only engine-sensitive float work is the
+# per-term saturation formula — single IEEE ops on identical inputs —
+# and the ≤|query|-term score sum, order-pinned by term. Scale: one
+# tokenize pass; query terms broadcast; df/dl are corpus aggregates; the
+# scored table is |hits| rows, ranked per query.
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 10
+_BM25_QUERIES = (
+    (1, "table"), (1, "scan"), (1, "fast"),
+    (2, "join"), (2, "merge"), (2, "sort"),
+    (3, "customer"), (3, "order"), (3, "value"),
+)
+
+
+def q_doc_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ._util import ofold_sum
+
+    docs = _docs_par(spark, sf_dir)
+    toks = docs.select("doc_id", F.explode(_TOKENS()).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    nd_avg = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+        F.sum("dl").cast("bigint").alias("tot"),
+    )
+    qterms = spark.createDataFrame(list(_BM25_QUERIES), "qid INT, term STRING")
+    tf = (
+        toks.join(F.broadcast(qterms), "term")
+        .groupBy("qid", "term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    dfreq = (
+        tf.select("term", "doc_id")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    )
+    idf_expr = (
+        f"({_qlog2_expr('(2 * nd - 2 * df + 1)', 'spark')}"
+        f" - {_qlog2_expr('(2 * df + 1)', 'spark')})"
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(nd_avg))  # single-row corpus-stats cross join
+        .withColumn("idf_q", F.expr(idf_expr).cast("bigint"))
+        .withColumn("avgdl", F.col("tot").cast("double") / F.col("nd"))
+        .withColumn(
+            "contrib",
+            (F.col("idf_q").cast("double") / F.lit(16.0))
+            * (F.col("tf").cast("double") * F.lit(_BM25_K1 + 1))
+            / (
+                F.col("tf").cast("double")
+                + F.lit(_BM25_K1)
+                * (
+                    F.lit(1.0 - _BM25_B)
+                    + F.lit(_BM25_B)
+                    * (F.col("dl").cast("double") / F.col("avgdl"))
+                )
+            ),
+        )
+    )
+    per = scored.groupBy("qid", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_hit_terms"),
+        ofold_sum("term", "contrib").alias("score"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), "doc_id")
+    return (
+        per.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _BM25_TOPK)
+        .select("qid", "doc_id", "n_hit_terms", "score", "rank")
+    )
+
+
+def _bm25_sql() -> str:
+    from ._util import sql_ofold_sum
+
+    vals = ", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)
+    idf = (
+        f"({_qlog2_expr('(2 * nd - 2 * df + 1)', 'duckdb')}"
+        f" - {_qlog2_expr('(2 * df + 1)', 'duckdb')})"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({SQL_TOKENS}) AS term FROM documents
+),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+nd_avg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(dl) AS BIGINT) AS tot FROM dl
+),
+qterms AS (SELECT * FROM (VALUES {vals}) v(qid, term)),
+tf AS (
+  SELECT qid, term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks JOIN qterms USING (term)
+  GROUP BY qid, term, doc_id
+),
+dfreq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+  FROM (SELECT DISTINCT term, doc_id FROM tf) GROUP BY term
+),
+scored AS (
+  SELECT qid, doc_id, term,
+         (CAST({idf} AS DOUBLE) / 16.0)
+           * (CAST(tf AS DOUBLE) * {_BM25_K1 + 1})
+           / (CAST(tf AS DOUBLE)
+              + {_BM25_K1} * ({1.0 - _BM25_B}
+                 + {_BM25_B} * (CAST(dl AS DOUBLE)
+                                / (CAST(tot AS DOUBLE) / nd))))
+           AS contrib
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN nd_avg
+),
+per AS (
+  SELECT qid, doc_id, COUNT(*) AS n_hit_terms,
+         {sql_ofold_sum('term', 'contrib')} AS score
+  FROM scored GROUP BY qid, doc_id
+)
+SELECT qid, doc_id, n_hit_terms, score,
+       CAST(ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+FROM per QUALIFY rank <= {_BM25_TOPK}
+"""
+
+
 # ----------------------------------------------------------- winnowing
 # Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the MOSS
 # algorithm): hash every 4-token k-gram, slide a 5-position window, keep
@@ -3230,6 +3364,7 @@ QUERIES = {
     "q_doc_novelty": q_doc_novelty,
     "q_doc_entropy": q_doc_entropy,
     "q_doc_winnow_pairs": q_doc_winnow_pairs,
+    "q_doc_bm25": q_doc_bm25,
 }
 
 ORACLES = {
@@ -3276,4 +3411,5 @@ ORACLES = {
     "q_doc_novelty": _NOVELTY_SQL,
     "q_doc_entropy": _entropy_sql(),
     "q_doc_winnow_pairs": _WINNOW_SQL,
+    "q_doc_bm25": _bm25_sql(),
 }

@@ -1405,6 +1405,108 @@ LEFT JOIN pr USING (cid)
 """
 
 
+# ---------------------------------------------------- binary embeddings
+# Sign-bit binary quantization + Hamming search: each 64-dim vector
+# collapses to two 32-bit words (64× smaller than float32), candidates
+# rank by popcount of the XOR — the cheapest retrieval tier (binary
+# embeddings à la BQ/Hamming rerank), audited against the exact-cosine
+# top-k. Pure integer math end to end: the bit packing is a sequential
+# fold (MSB-first acc*2+bit), Hamming is bit_count(xor) — bit-identical
+# in DuckDB. Scale: the corpus is touched as 2 BIGINTs/vector; the
+# 20-query side broadcasts (knn shape).
+
+_BH_K = 5
+
+
+def _pack_expr(lo: int) -> str:
+    """Spark expression: 32 sign bits of emb[lo..lo+31] packed MSB-first
+    into one BIGINT (acc*2 + bit; max 2^32-1, no sign issues)."""
+    return (
+        f"aggregate(slice(emb, {lo + 1}, 32), CAST(0 AS BIGINT), "
+        "(acc, x) -> acc * 2 + CASE WHEN x >= CAST(0.0 AS DOUBLE) "
+        "THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    )
+
+
+def _sql_pack(lo: int) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(emb[{lo + 1}:{lo + 32}], "
+        f"x -> CASE WHEN x >= CAST(0.0 AS DOUBLE) THEN CAST(1 AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END)), (acc, x) -> acc * 2 + x)"
+    )
+
+
+def q_emb_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.expr(_pack_expr(0)).alias("w0"),
+        F.expr(_pack_expr(32)).alias("w1"),
+    )
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w0").alias("q0"),
+        F.col("w1").alias("q1"),
+    )
+    ham = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                F.bit_count(F.col("w0").bitwiseXOR(F.col("q0")))
+                + F.bit_count(F.col("w1").bitwiseXOR(F.col("q1")))
+            ).cast("int").alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id")
+    )
+    top = (
+        ham.withColumn("brank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("brank") <= _BH_K)
+    )
+    exact = q_emb_knn_cosine(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("in_exact")
+    )
+    return (
+        top.join(exact, ["query_id", "neighbor_id"], "left")
+        .select(
+            "query_id", "neighbor_id", "hamming", "brank",
+            F.coalesce("in_exact", F.lit(0)).cast("int").alias("in_exact"),
+        )
+    )
+
+
+def _binary_hamming_sql() -> str:
+    return f"""
+WITH e0 AS ({_SQL_EMB}),
+e AS (
+  SELECT vec_id, {_sql_pack(0)} AS w0, {_sql_pack(32)} AS w1 FROM e0
+),
+q AS (SELECT vec_id AS query_id, w0 AS q0, w1 AS q1 FROM e
+      WHERE vec_id < {_N_QUERIES}),
+ham AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         CAST(bit_count(xor(w0, q0)) + bit_count(xor(w1, q1)) AS INTEGER)
+           AS hamming
+  FROM q JOIN e ON e.vec_id <> q.query_id
+),
+top AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY hamming ASC, neighbor_id) AS BIGINT) AS brank
+  FROM ham QUALIFY brank <= {_BH_K}
+),
+exact AS (SELECT query_id, neighbor_id FROM ({_KNN_SQL}))
+SELECT t.query_id, t.neighbor_id, t.hamming, t.brank,
+       CAST(CASE WHEN x.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+         AS in_exact
+FROM top t
+LEFT JOIN exact x
+  ON t.query_id = x.query_id AND t.neighbor_id = x.neighbor_id
+"""
+
+
 # ------------------------------------------------------- shard planning
 # Placement planning for a sharded ANN index: size every IVF cell, then
 # greedily pack cells onto _SHARD_S shards, largest cell first, each to
@@ -1501,6 +1603,7 @@ QUERIES = {
     "q_emb_pq_search": q_emb_pq_search,
     "q_emb_semdedup": q_emb_semdedup,
     "q_emb_shard_plan": q_emb_shard_plan,
+    "q_emb_binary_hamming": q_emb_binary_hamming,
 }
 
 ORACLES = {
@@ -1521,4 +1624,5 @@ ORACLES = {
     "q_emb_pq_search": _pq_search_sql(),
     "q_emb_semdedup": _semdedup_sql(),
     "q_emb_shard_plan": _shard_plan_sql(),
+    "q_emb_binary_hamming": _binary_hamming_sql(),
 }
