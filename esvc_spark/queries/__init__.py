@@ -99,6 +99,7 @@ _FRONT = (
     "q_stream_anomaly",
     "q_emb_binary_hamming",
     "q_doc_bm25",
+    "q_ev_funnel_latency",
     # judge-only attestation + touched by this round's tracked_persist
     # swap — absorb any truncation overflow
     "q_doc_minhash_lsh",

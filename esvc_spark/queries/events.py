@@ -1861,6 +1861,79 @@ def q_ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nv.crossJoin(nc).crossJoin(np_)
 
 
+# -------------------------------------------------- funnel latency
+# Step-latency distribution for completed view→click→purchase journeys:
+# exact p50/p90/max of each hop, the SLO-style view of the funnel that
+# q_ev_funnel's averages hide (skewed hop times look fine on average).
+# Latencies are integer microseconds (unix_micros differences), so the
+# exact interpolated percentile is a deterministic rational → one double.
+# Scale: same three min-aggregates as the funnel; the latency table is
+# |converted users| rows, tiny next to the event scan.
+
+
+def q_ev_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id", "t_view")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    pch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id", "t_view", "t_click")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    lat = pch.select(
+        (F.unix_micros("t_click") - F.unix_micros("t_view")).alias("vc"),
+        (F.unix_micros("t_purchase") - F.unix_micros("t_click")).alias("cp"),
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_journeys"),
+        (F.expr("percentile(vc, 0.5)") / F.lit(1000000.0)).alias("vc_p50_sec"),
+        (F.expr("percentile(vc, 0.9)") / F.lit(1000000.0)).alias("vc_p90_sec"),
+        (F.max("vc").cast("double") / F.lit(1000000.0)).alias("vc_max_sec"),
+        (F.expr("percentile(cp, 0.5)") / F.lit(1000000.0)).alias("cp_p50_sec"),
+        (F.expr("percentile(cp, 0.9)") / F.lit(1000000.0)).alias("cp_p90_sec"),
+        (F.max("cp").cast("double") / F.lit(1000000.0)).alias("cp_max_sec"),
+    )
+
+
+_FUNNEL_LATENCY_SQL = """
+WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, v.t_view, MIN(e.ts) AS t_click
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id, v.t_view),
+p AS (SELECT e.user_id, c.t_view, c.t_click, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id, c.t_view, c.t_click),
+lat AS (
+  SELECT epoch_us(t_click::TIMESTAMP) - epoch_us(t_view::TIMESTAMP) AS vc,
+         epoch_us(t_purchase::TIMESTAMP) - epoch_us(t_click::TIMESTAMP) AS cp
+  FROM p
+)
+SELECT COUNT(*) AS n_journeys,
+       quantile_cont(vc, 0.5) / 1000000.0 AS vc_p50_sec,
+       quantile_cont(vc, 0.9) / 1000000.0 AS vc_p90_sec,
+       CAST(MAX(vc) AS DOUBLE) / 1000000.0 AS vc_max_sec,
+       quantile_cont(cp, 0.5) / 1000000.0 AS cp_p50_sec,
+       quantile_cont(cp, 0.9) / 1000000.0 AS cp_p90_sec,
+       CAST(MAX(cp) AS DOUBLE) / 1000000.0 AS cp_max_sec
+FROM lat
+"""
+
+
 _FUNNEL_SQL = """
 WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
            WHERE event_type = 'view' GROUP BY user_id),
@@ -2599,6 +2672,7 @@ QUERIES = {
     "q_ev_resample": q_ev_resample,
     "q_ev_changepoints": q_ev_changepoints,
     "q_ev_forecast": q_ev_forecast,
+    "q_ev_funnel_latency": q_ev_funnel_latency,
     "q_ev_lift": q_ev_lift,
     "q_ev_kmv_windows": q_ev_kmv_windows,
     "q_ev_audience_overlap": q_ev_audience_overlap,
@@ -2641,6 +2715,7 @@ ORACLES = {
     "q_ev_resample": _RESAMPLE_SQL,
     "q_ev_changepoints": _CHG_SQL,
     "q_ev_forecast": _FORECAST_SQL,
+    "q_ev_funnel_latency": _FUNNEL_LATENCY_SQL,
     "q_ev_lift": _LIFT_SQL,
     "q_ev_kmv_windows": _KMVW_SQL,
     "q_ev_audience_overlap": _AOV_SQL,
