@@ -100,6 +100,7 @@ _FRONT = (
     "q_emb_binary_hamming",
     "q_doc_bm25",
     "q_ev_funnel_latency",
+    "q_doc_leakage_split",
     # judge-only attestation + touched by this round's tracked_persist
     # swap — absorb any truncation overflow
     "q_doc_minhash_lsh",

@@ -1869,6 +1869,114 @@ JOIN (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
 """
 
 
+# --------------------------------------------------- leakage-aware split
+# Dedup-aware train/test splitting: the naive content-hash split scatters
+# members of a duplicate cluster across both sides — test-set leakage
+# that silently inflates eval scores. The group-aware split hashes the
+# CLUSTER representative instead, so every near-dup group lands on one
+# side and cross-split duplicate pairs are provably zero. Output is the
+# audit row: duplicate-pair leakage under both schemes plus the side
+# counts (group-aware pays a tiny train-fraction wobble for zero
+# leakage). Scale: the edges/labels are the attested dedup pipeline; the
+# audit itself is two hash maps + one pair join.
+
+
+def q_doc_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cc import connected_components
+
+    edges = _dup_edges(spark, sf_dir).transform(_tp)
+    labels = connected_components(edges).withColumnRenamed("label", "grp0")
+    d = (
+        _docs_par(spark, sf_dir)
+        .select("doc_id", _h(F.col("text")).alias("h"))
+        .join(labels, "doc_id", "left")
+        .withColumn("grp", F.coalesce("grp0", F.col("doc_id")))
+        .withColumn(
+            "naive_train", F.pmod(F.col("h"), F.lit(_SPLIT_MOD)) < _SPLIT_MOD - 1
+        )
+        .withColumn(
+            "group_train",
+            F.pmod(_h(F.col("grp").cast("string")), F.lit(_SPLIT_MOD))
+            < _SPLIT_MOD - 1,
+        )
+        .transform(_tp)  # feeds totals + both pair-join sides
+    )
+    pa = d.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("naive_train").alias("na"),
+        F.col("group_train").alias("ga"),
+    )
+    pb = d.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("naive_train").alias("nb"),
+        F.col("group_train").alias("gb"),
+    )
+    pj = (
+        edges.select(F.col("src").alias("doc_a"), F.col("dst").alias("doc_b"))
+        .join(pa, "doc_a")
+        .join(pb, "doc_b")
+    )
+    stats = pj.agg(
+        F.count(F.lit(1)).alias("n_dup_pairs"),
+        F.sum((F.col("na") != F.col("nb")).cast("int"))
+        .cast("bigint")
+        .alias("naive_leaked"),
+        F.sum((F.col("ga") != F.col("gb")).cast("int"))
+        .cast("bigint")
+        .alias("group_leaked"),
+    )
+    totals = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("naive_train").cast("int")).cast("bigint").alias("n_train_naive"),
+        F.sum(F.col("group_train").cast("int")).cast("bigint").alias("n_train_group"),
+    )
+    return totals.join(F.broadcast(stats))  # two single-row frames
+
+
+def _leakage_split_sql() -> str:
+    gh = _sql_h("CAST(grp AS VARCHAR)")
+    return f"""
+WITH RECURSIVE
+{_reach_ctes()},
+d0 AS (SELECT doc_id, {_sql_h('text')} AS h FROM documents),
+g AS (
+  SELECT d0.doc_id, d0.h, COALESCE(c.cluster_id, d0.doc_id) AS grp
+  FROM d0 LEFT JOIN clusters c USING (doc_id)
+),
+s AS (
+  SELECT doc_id, h % {_SPLIT_MOD} < {_SPLIT_MOD - 1} AS naive_train,
+         {gh} % {_SPLIT_MOD} < {_SPLIT_MOD - 1} AS group_train
+  FROM g
+),
+pj AS (
+  SELECT sa.naive_train AS na, sa.group_train AS ga,
+         sb.naive_train AS nb, sb.group_train AS gb
+  FROM e0
+  JOIN s sa ON e0.src = sa.doc_id
+  JOIN s sb ON e0.dst = sb.doc_id
+),
+stats AS (
+  SELECT COUNT(*) AS n_dup_pairs,
+         CAST(SUM(CASE WHEN na <> nb THEN 1 ELSE 0 END) AS BIGINT)
+           AS naive_leaked,
+         CAST(SUM(CASE WHEN ga <> gb THEN 1 ELSE 0 END) AS BIGINT)
+           AS group_leaked
+  FROM pj
+),
+totals AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(CASE WHEN naive_train THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_train_naive,
+         CAST(SUM(CASE WHEN group_train THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_train_group
+  FROM s
+)
+SELECT n_docs, n_train_naive, n_train_group, n_dup_pairs, naive_leaked,
+       group_leaked
+FROM totals CROSS JOIN stats
+"""
+
+
 # --------------------------------------------------- canonical selection
 # The step after clustering: per duplicate cluster keep the single best
 # member by quality score (ties -> lowest doc_id) — near-dedup
@@ -3365,6 +3473,7 @@ QUERIES = {
     "q_doc_entropy": q_doc_entropy,
     "q_doc_winnow_pairs": q_doc_winnow_pairs,
     "q_doc_bm25": q_doc_bm25,
+    "q_doc_leakage_split": q_doc_leakage_split,
 }
 
 ORACLES = {
@@ -3412,4 +3521,5 @@ ORACLES = {
     "q_doc_entropy": _entropy_sql(),
     "q_doc_winnow_pairs": _WINNOW_SQL,
     "q_doc_bm25": _bm25_sql(),
+    "q_doc_leakage_split": _leakage_split_sql(),
 }
