@@ -129,3 +129,60 @@ def test_forecast_metrics_consistent(spark, sf_dir):
             assert abs(r["mase"] - r["mae_snaive"] / r["mae_naive1"]) < 1e-12
         else:
             assert r["mase"] == -1.0
+
+
+def test_leakage_split_group_is_leak_free(spark, sf_dir):
+    """The theorem the operator exists for: hashing the cluster
+    representative makes cross-split duplicate pairs exactly zero."""
+    r = DOC_QUERIES["q_doc_leakage_split"](spark, sf_dir).collect()[0]
+    assert r["group_leaked"] == 0
+    assert r["n_dup_pairs"] >= 1
+    assert 0 <= r["n_train_naive"] <= r["n_docs"]
+    assert 0 <= r["n_train_group"] <= r["n_docs"]
+
+
+def test_bm25_ranking_sanity(spark, sf_dir):
+    """Per query: ranks contiguous from 1, scores non-increasing, hit
+    terms bounded by the query length."""
+    rows = DOC_QUERIES["q_doc_bm25"](spark, sf_dir).collect()
+    assert rows
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append(r)
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r["score"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        assert all(1 <= r["n_hit_terms"] <= 3 for r in rs)
+
+
+def test_binary_hamming_bounds_and_recall_signal(spark, sf_dir):
+    """Hamming distances lie in [0, 64]; each query returns exactly k
+    candidates; identical-sign vectors rank first (distance monotone in
+    rank by construction of the ordering)."""
+    rows = EMB_QUERIES["q_emb_binary_hamming"](spark, sf_dir).collect()
+    assert rows
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert 0 <= r["hamming"] <= 64
+        assert r["in_exact"] in (0, 1)
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r["brank"])
+        hams = [r["hamming"] for r in rs]
+        assert hams == sorted(hams)
+
+
+def test_stream_anomaly_equals_batch(spark, sf_dir):
+    from esvc_spark.queries.events import QUERIES as EV_QUERIES
+
+    got = {
+        (r["hr"], r["event_type"], r["n"])
+        for r in EV_QUERIES["q_stream_anomaly"](spark, sf_dir).collect()
+    }
+    want = {
+        (r["hr"], r["event_type"], r["n"])
+        for r in EV_QUERIES["q_ev_anomaly"](spark, sf_dir).collect()
+    }
+    assert got == want
