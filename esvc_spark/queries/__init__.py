@@ -101,6 +101,8 @@ _FRONT = (
     "q_doc_bm25",
     "q_ev_funnel_latency",
     "q_doc_leakage_split",
+    "q_ev_bot_detect",
+    "q_ev_ltv",
     # judge-only attestation + touched by this round's tracked_persist
     # swap — absorb any truncation overflow
     "q_doc_minhash_lsh",

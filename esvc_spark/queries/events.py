@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table as T
-from ._util import dsum, sql_dsum, tracked_persist as _tp
+from ._util import dec, dsum, sql_dsum, tracked_persist as _tp
 
 # ---------------------------------------------------------------- tumbling
 # 1-hour tumbling windows per event type: the canonical streaming aggregate
@@ -2662,6 +2662,186 @@ SELECT node, r AS pagerank FROM r{_PR_ITERS}
 """
 
 
+# ------------------------------------------------------------- bot detect
+# Automation / bot-traffic detection from inter-arrival timing: real user
+# gaps are exponential-ish (CV² ≈ 1), schedulers are metronomic (CV² → 0)
+# and scrapers are fast (small mean gap). Per user: exact integer moments
+# of the second-floored gaps (s1 = Σg, s2 = Σg²), the squared coefficient
+# of variation quantized to a 1e4 grid via INTEGER floor division
+# (CV² = (n·s2 − s1²)/s1² — no doubles anywhere, so both engines agree
+# bit-for-bit), the count of exact-minute gaps (cron signature), and two
+# calibrated flags. Thresholds are data-calibrated demonstrations (the
+# synthetic corpus has no true metronomes); the operator's contract is
+# the exact feature columns.
+#
+# Scale: one lag window + one aggregate per user — the same two-shuffle
+# shape as sessionize. The BIGINT moment arithmetic holds to ~1e6 events
+# per user (n·s2·1e4 < 9.2e18 for second-scale gaps); beyond that switch
+# s2 to DECIMAL(38,0) — noted, not needed at any test sf.
+
+_BOT_MIN_GAPS = 20
+
+
+def q_ev_bot_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    g = ev.select(
+        "user_id",
+        F.expr(
+            "(unix_micros(ts) - lag(unix_micros(ts)) over "
+            "(partition by user_id order by ts, event_id)) div 1000000"
+        ).alias("gap_s"),
+    ).where(F.col("gap_s").isNotNull())
+    per = g.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap_s").cast("bigint").alias("s1"),
+        F.sum(F.col("gap_s") * F.col("gap_s")).cast("bigint").alias("s2"),
+        F.min("gap_s").alias("min_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+        F.sum(
+            F.when((F.col("gap_s") > 0) & (F.col("gap_s") % 60 == 0), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("n_mod60"),
+    ).where(F.col("n_gaps") >= _BOT_MIN_GAPS)
+    feat = per.select(
+        "user_id", "n_gaps", "s1", "s2", "min_gap_s", "max_gap_s", "n_mod60",
+        F.expr("s1 div n_gaps").alias("mean_gap_s"),
+        F.expr("((n_gaps * s2 - s1 * s1) * 10000) div (s1 * s1)")
+        .alias("cv2_q4"),
+    )
+    return feat.select(
+        "*",
+        (F.col("cv2_q4") < 6500).alias("is_regular"),
+        (F.col("mean_gap_s") < 40000).alias("is_high_rate"),
+        (
+            (F.col("cv2_q4") < 6500).cast("int")
+            + (F.col("mean_gap_s") < 40000).cast("int")
+        ).alias("suspicion"),
+    )
+
+
+_BOT_SQL = f"""
+WITH g AS (
+  SELECT user_id,
+         (epoch_us(ts::TIMESTAMP)
+          - LAG(epoch_us(ts::TIMESTAMP))
+              OVER (PARTITION BY user_id ORDER BY ts, event_id)) // 1000000
+           AS gap_s
+  FROM events
+),
+per AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         CAST(SUM(gap_s) AS BIGINT) AS s1,
+         CAST(SUM(gap_s * gap_s) AS BIGINT) AS s2,
+         MIN(gap_s) AS min_gap_s, MAX(gap_s) AS max_gap_s,
+         CAST(SUM(CASE WHEN gap_s > 0 AND gap_s % 60 = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_mod60
+  FROM g WHERE gap_s IS NOT NULL GROUP BY user_id
+),
+feat AS (
+  SELECT user_id, n_gaps, s1, s2, min_gap_s, max_gap_s, n_mod60,
+         s1 // n_gaps AS mean_gap_s,
+         ((n_gaps * s2 - s1 * s1) * 10000) // (s1 * s1) AS cv2_q4
+  FROM per WHERE n_gaps >= {_BOT_MIN_GAPS}
+)
+SELECT user_id, n_gaps, s1, s2, min_gap_s, max_gap_s, n_mod60, mean_gap_s,
+       cv2_q4,
+       cv2_q4 < 6500 AS is_regular,
+       mean_gap_s < 40000 AS is_high_rate,
+       CAST(cv2_q4 < 6500 AS INT) + CAST(mean_gap_s < 40000 AS INT)
+         AS suspicion
+FROM feat
+"""
+
+# ------------------------------------------------------------------- LTV
+# Cohort lifetime-value curves: users cohorted by the epoch-week of their
+# first event; revenue accumulated per (cohort, weeks-since-first) cell
+# and normalized per cohort user — the standard LTV panel behind payback
+# forecasting. Revenue sums are decimal-exact (dsum) and the cumulative
+# sum is a decimal window aggregate, so only the final per-user division
+# is IEEE. Scale: one per-user aggregate, one co-partitioned user_id
+# join, one (cohort, week) aggregate over a tiny cell table; the cumsum
+# window runs per cohort over ≤ a few hundred offsets.
+
+
+def q_ev_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _WK = 7 * 24 * 3600 * 1_000_000
+    ev = T(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.expr(f"min(unix_micros(ts)) div {_WK}").alias("cohort_week")
+    )
+    sizes = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    cells = (
+        ev.join(first, "user_id")
+        .select(
+            "cohort_week",
+            (F.expr(f"unix_micros(ts) div {_WK}") - F.col("cohort_week"))
+            .alias("week_offset"),
+            "value",
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(
+            F.count_distinct("user_id").alias("active_users"),
+            # keep the sum DECIMAL through the cumulative window: window
+            # sums are segment-tree-ordered in DuckDB vs frame-ordered in
+            # Spark, which diverges on doubles but never on decimals
+            F.sum(dec("value", 2)).alias("rev_d"),
+        )
+    )
+    wc = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        cells.join(sizes, "cohort_week")
+        .select(
+            "cohort_week", "week_offset", "cohort_users", "active_users",
+            F.col("rev_d").cast("double").alias("revenue"),
+            F.sum("rev_d").over(wc).cast("double").alias("cum_revenue"),
+            (
+                F.sum("rev_d").over(wc).cast("double")
+                / F.col("cohort_users")
+            ).alias("ltv_per_user"),
+        )
+    )
+
+
+_LTV_SQL = f"""
+WITH first AS (
+  SELECT user_id,
+         MIN(epoch_us(ts::TIMESTAMP)) // {7 * 24 * 3600 * 1_000_000}
+           AS cohort_week
+  FROM events GROUP BY user_id
+),
+sizes AS (
+  SELECT cohort_week, COUNT(*) AS cohort_users FROM first GROUP BY 1
+),
+cells AS (
+  SELECT f.cohort_week,
+         epoch_us(e.ts::TIMESTAMP) // {7 * 24 * 3600 * 1_000_000}
+           - f.cohort_week AS week_offset,
+         COUNT(DISTINCT e.user_id) AS active_users,
+         SUM(CAST(e.value AS DECIMAL(18,2))) AS rev_d
+  FROM events e JOIN first f USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT c.cohort_week, c.week_offset, s.cohort_users, c.active_users,
+       CAST(c.rev_d AS DOUBLE) AS revenue,
+       CAST(SUM(c.rev_d) OVER (PARTITION BY c.cohort_week
+                               ORDER BY c.week_offset
+                               ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+         AS cum_revenue,
+       CAST(SUM(c.rev_d) OVER (PARTITION BY c.cohort_week
+                               ORDER BY c.week_offset
+                               ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+         / s.cohort_users AS ltv_per_user
+FROM cells c JOIN sizes s USING (cohort_week)
+"""
+
+
 QUERIES = {
     "q_ev_tumbling_hourly": q_ev_tumbling_hourly,
     "q_ev_asof_purchase": q_ev_asof_purchase,
@@ -2693,6 +2873,8 @@ QUERIES = {
     "q_ev_hll_distinct": q_ev_hll_distinct,
     "q_ev_anomaly": q_ev_anomaly,
     "q_ev_top_paths": q_ev_top_paths,
+    "q_ev_bot_detect": q_ev_bot_detect,
+    "q_ev_ltv": q_ev_ltv,
     "q_stream_tumbling_hourly": q_stream_tumbling_hourly,
     "q_stream_sessionize": q_stream_sessionize,
     "q_stream_running_totals": q_stream_running_totals,
@@ -2736,6 +2918,8 @@ ORACLES = {
     "q_ev_hll_distinct": _HLL_SQL,
     "q_ev_anomaly": _ANOMALY_SQL,
     "q_ev_top_paths": _TOP_PATHS_SQL,
+    "q_ev_bot_detect": _BOT_SQL,
+    "q_ev_ltv": _LTV_SQL,
     "q_stream_tumbling_hourly": _STREAM_TUMBLING_SQL,
     "q_stream_sessionize": _SESSION_SQL,
     "q_stream_running_totals": _RUNNING_TOTALS_SQL,

@@ -174,6 +174,71 @@ def test_binary_hamming_bounds_and_recall_signal(spark, sf_dir):
         assert hams == sorted(hams)
 
 
+def test_bot_detect_moment_identities(spark, sf_dir):
+    """The exact-integer identities the oracle cannot see: variance
+    non-negativity (n·s2 >= s1²), the quantized CV² and mean recompute
+    from the shipped moments, and gap-count conservation vs the raw
+    event counts."""
+    from esvc_spark.queries.events import QUERIES as EV_QUERIES
+    from esvc_spark.catalog import table as T
+
+    rows = EV_QUERIES["q_ev_bot_detect"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_gaps"] >= 20
+        assert r["n_gaps"] * r["s2"] >= r["s1"] * r["s1"]
+        assert r["mean_gap_s"] == r["s1"] // r["n_gaps"]
+        num = (r["n_gaps"] * r["s2"] - r["s1"] * r["s1"]) * 10000
+        assert r["cv2_q4"] == num // (r["s1"] * r["s1"])
+        assert r["min_gap_s"] <= r["mean_gap_s"] <= r["max_gap_s"]
+        assert 0 <= r["n_mod60"] <= r["n_gaps"]
+        assert r["suspicion"] == int(r["is_regular"]) + int(r["is_high_rate"])
+    per_user = {
+        u["user_id"]: u["n"]
+        for u in T(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r["n_gaps"] == per_user[r["user_id"]] - 1
+    assert len(rows) == sum(1 for n in per_user.values() if n - 1 >= 20)
+
+
+def test_ltv_revenue_conservation(spark, sf_dir):
+    """Every event lands in exactly one (cohort, offset) cell, so cell
+    revenues must sum to the corpus total (decimal-exact), cumulative
+    sums must telescope, and activity can never exceed cohort size."""
+    from decimal import Decimal
+
+    from esvc_spark.queries.events import QUERIES as EV_QUERIES
+    from esvc_spark.queries._util import dsum
+    from esvc_spark.catalog import table as T
+
+    rows = EV_QUERIES["q_ev_ltv"](spark, sf_dir).collect()
+    assert rows
+    # the doubles are exact-2-decimal values (decimal sums cast at the
+    # edge), so their shortest repr IS the exact decimal string
+    total = sum(Decimal(str(r["revenue"])) for r in rows)
+    want = T(spark, sf_dir, "events").agg(dsum("value", 2)).collect()[0][0]
+    assert total == Decimal(str(want))
+    by_cohort: dict[int, list] = {}
+    for r in rows:
+        assert r["week_offset"] >= 0
+        assert 1 <= r["active_users"] <= r["cohort_users"]
+        by_cohort.setdefault(r["cohort_week"], []).append(r)
+    for _, rs in by_cohort.items():
+        rs.sort(key=lambda r: r["week_offset"])
+        run = Decimal(0)
+        for r in rs:
+            run += Decimal(str(r["revenue"]))
+            assert Decimal(str(r["cum_revenue"])) == run
+            assert (
+                abs(r["ltv_per_user"] - float(run) / r["cohort_users"])
+                < 1e-9
+            )
+
+
 def test_stream_anomaly_equals_batch(spark, sf_dir):
     from esvc_spark.queries.events import QUERIES as EV_QUERIES
 
