@@ -103,6 +103,8 @@ _FRONT = (
     "q_doc_leakage_split",
     "q_ev_bot_detect",
     "q_ev_ltv",
+    "q_emb_cluster_sample",
+    "q_emb_recall_curve",
     # judge-only attestation + touched by this round's tracked_persist
     # swap — absorb any truncation overflow
     "q_doc_minhash_lsh",

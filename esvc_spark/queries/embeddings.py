@@ -1585,6 +1585,234 @@ FROM pack WHERE assign_order > 0
 """
 
 
+# --------------------------------------------- cluster-balanced sampling
+# Diversity-aware curation sampling: cap each IVF cell at a fixed budget
+# (rank by an md5 hash of the vector id inside the cell — deterministic,
+# seedless) and compare against a naive uniform hash sample (keep when
+# hash ≡ 0 mod 16). A proportional sample inherits the corpus's cluster
+# imbalance; the balanced sample flattens it — the "semantic diversity"
+# step of data curation (cf. cluster-based selection in SemDeDup/DSIR
+# follow-ups). Per-cell audit row: member count, both kept counts, and
+# whether the budget actually bound.
+#
+# Scale: cell assignment is the broadcast-centroid join (no all-pairs);
+# the in-cell ranking is one window partitioned by cell — at 100 TB the
+# heavy cells bound the window's partition size, which is exactly what
+# the budget is for; K output rows.
+
+_CS_BUDGET = 50
+_CS_NAIVE_MOD = 16
+
+
+def _cs_hash(col: str) -> Column:
+    return F.conv(
+        F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+
+
+def q_emb_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb_normed(spark, sf_dir)
+    cells = _ivf_assign(e, 1, "vec_id").withColumn("h", _cs_hash("vec_id"))
+    w = Window.partitionBy("cell").orderBy("h", "vec_id")
+    ranked = cells.withColumn("srank", F.row_number().over(w))
+    return (
+        ranked.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum((F.col("srank") <= _CS_BUDGET).cast("bigint"))
+            .alias("n_kept_balanced"),
+            F.sum((F.col("h") % _CS_NAIVE_MOD == 0).cast("bigint"))
+            .alias("n_kept_naive"),
+        )
+        .select(
+            "cell", "n_members", "n_kept_balanced", "n_kept_naive",
+            (F.col("n_members") > _CS_BUDGET).alias("budget_bound"),
+            (F.col("n_kept_naive").cast("double") / F.col("n_members"))
+            .alias("naive_rate"),
+        )
+    )
+
+
+def _cluster_sample_sql() -> str:
+    cos = sql_cosine_prenorm("emb", "cemb", "nrm", "cnrm")
+    return f"""
+WITH e AS ({_SQL_EMB_NORMED}),
+cents AS (
+  SELECT vec_id AS cent_id, emb AS cemb, nrm AS cnrm FROM e
+  WHERE vec_id < {_IVF_K}
+),
+assign AS (
+  SELECT vec_id, cent_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY {cos} DESC, cent_id) AS crank
+  FROM e CROSS JOIN cents
+),
+cells AS (
+  SELECT vec_id, cent_id AS cell,
+         CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM assign WHERE crank = 1
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY cell ORDER BY h, vec_id)
+         AS srank
+  FROM cells
+)
+SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(CASE WHEN srank <= {_CS_BUDGET} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept_balanced,
+       CAST(SUM(CASE WHEN h % {_CS_NAIVE_MOD} = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept_naive,
+       COUNT(*) > {_CS_BUDGET} AS budget_bound,
+       CAST(SUM(CASE WHEN h % {_CS_NAIVE_MOD} = 0 THEN 1 ELSE 0 END)
+            AS DOUBLE) / COUNT(*) AS naive_rate
+FROM ranked GROUP BY cell
+"""
+
+
+# ------------------------------------------------------ recall curve
+# Recall@k curve (k = 1, 3, 5, 10) of the IVF-nprobe index against the
+# exact brute-force ranking, macro-averaged over the fixed query set —
+# q_emb_ann_recall generalized from a point estimate to the curve an
+# index-tuning loop actually reads (how fast does recall decay as k
+# grows past the probed cells' coverage?). Both sides are ranked to
+# max(k); the k-lattice is a 4-row literal exploded against the bounded
+# matched-pair table, so the whole audit is O(|queries|·k) rows.
+
+_RC_KS = (1, 3, 5, 10)
+
+
+def q_emb_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kmax = max(_RC_KS)
+    e = _emb_normed(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine_prenorm(
+            F.col("qemb"), F.col("emb"), F.col("qnrm"), F.col("nrm")
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), "neighbor_id"
+    )
+    truth = (
+        scored.withColumn("trank", F.row_number().over(w))
+        .filter(F.col("trank") <= kmax)
+        .select("query_id", "neighbor_id", "trank")
+    )
+    lists = _ivf_assign(e, 1, "vec_id")
+    probes = _ivf_assign(
+        e.filter(F.col("vec_id") < _N_QUERIES), _IVF_NPROBE, "query_id"
+    )
+    cand = (
+        probes.join(lists, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    ascored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(e.select("vec_id", "emb", "nrm"), "vec_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_prenorm(
+                F.col("qemb"), F.col("emb"), F.col("qnrm"), F.col("nrm")
+            ).alias("a_sim"),
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("a_sim").desc(), "neighbor_id"
+    )
+    approx = (
+        ascored.withColumn("arank", F.row_number().over(wa))
+        .filter(F.col("arank") <= kmax)
+        .select("query_id", "neighbor_id", "arank")
+    )
+    matched = truth.join(approx, ["query_id", "neighbor_id"])
+    ks = F.array(*[F.lit(k) for k in _RC_KS])
+    return (
+        matched.select("trank", "arank", F.explode(ks).alias("k"))
+        .filter((F.col("trank") <= F.col("k")) & (F.col("arank") <= F.col("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(
+            F.col("k").cast("bigint").alias("k"),
+            "n_hits",
+            (
+                F.col("n_hits").cast("double")
+                / (F.col("k") * F.lit(_N_QUERIES)).cast("double")
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+def _recall_curve_sql() -> str:
+    kmax = max(_RC_KS)
+    ks = ", ".join(f"({k}::BIGINT)" for k in _RC_KS)
+    cos = sql_cosine_prenorm("qemb", "emb", "qnrm", "nrm")
+    ccos = sql_cosine_prenorm("emb", "cemb", "nrm", "cnrm")
+    return f"""
+WITH e AS ({_SQL_EMB_NORMED}),
+q AS (SELECT vec_id AS query_id, emb AS qemb, nrm AS qnrm
+      FROM e WHERE vec_id < {_N_QUERIES}),
+truth AS (
+  SELECT query_id, neighbor_id, trank FROM (
+    SELECT query_id, e.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY {cos} DESC, e.vec_id) AS trank
+    FROM q JOIN e ON e.vec_id <> q.query_id
+  ) WHERE trank <= {kmax}
+),
+cents AS (
+  SELECT vec_id AS cent_id, emb AS cemb, nrm AS cnrm FROM e
+  WHERE vec_id < {_IVF_K}
+),
+assign AS (
+  SELECT vec_id, cent_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY {ccos} DESC, cent_id) AS crank
+  FROM e CROSS JOIN cents
+),
+lists AS (SELECT vec_id, cent_id AS cell FROM assign WHERE crank = 1),
+probes AS (
+  SELECT vec_id AS query_id, cent_id AS cell FROM assign
+  WHERE crank <= {_IVF_NPROBE} AND vec_id < {_N_QUERIES}
+),
+cand AS (
+  SELECT DISTINCT query_id, l.vec_id
+  FROM probes p JOIN lists l ON p.cell = l.cell
+  WHERE l.vec_id <> p.query_id
+),
+approx AS (
+  SELECT query_id, neighbor_id, arank FROM (
+    SELECT c.query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY c.query_id ORDER BY
+             {sql_cosine_prenorm('q.qemb', 'n.emb', 'q.qnrm', 'n.nrm')}
+               DESC, c.vec_id) AS arank
+    FROM cand c
+    JOIN q ON q.query_id = c.query_id
+    JOIN e n ON n.vec_id = c.vec_id
+  ) WHERE arank <= {kmax}
+),
+matched AS (
+  SELECT t.trank, a.arank
+  FROM truth t JOIN approx a USING (query_id, neighbor_id)
+),
+ks(k) AS (VALUES {ks})
+SELECT k, CAST(COUNT(*) AS BIGINT) AS n_hits,
+       CAST(COUNT(*) AS DOUBLE) / (k * {_N_QUERIES}) AS recall_at_k
+FROM matched CROSS JOIN ks
+WHERE trank <= k AND arank <= k
+GROUP BY k
+"""
+
+
 QUERIES = {
     "q_emb_knn_cosine": q_emb_knn_cosine,
     "q_emb_ivf_knn": q_emb_ivf_knn,
@@ -1604,6 +1832,8 @@ QUERIES = {
     "q_emb_semdedup": q_emb_semdedup,
     "q_emb_shard_plan": q_emb_shard_plan,
     "q_emb_binary_hamming": q_emb_binary_hamming,
+    "q_emb_cluster_sample": q_emb_cluster_sample,
+    "q_emb_recall_curve": q_emb_recall_curve,
 }
 
 ORACLES = {
@@ -1625,4 +1855,6 @@ ORACLES = {
     "q_emb_semdedup": _semdedup_sql(),
     "q_emb_shard_plan": _shard_plan_sql(),
     "q_emb_binary_hamming": _binary_hamming_sql(),
+    "q_emb_cluster_sample": _cluster_sample_sql(),
+    "q_emb_recall_curve": _recall_curve_sql(),
 }

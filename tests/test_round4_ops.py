@@ -239,6 +239,41 @@ def test_ltv_revenue_conservation(spark, sf_dir):
             )
 
 
+def test_cluster_sample_budget_and_conservation(spark, sf_dir):
+    """Membership partitions the corpus; the balanced keep is exactly
+    min(budget, members) per cell; the naive keep can never exceed the
+    cell size."""
+    from esvc_spark.catalog import table as T
+
+    rows = EMB_QUERIES["q_emb_cluster_sample"](spark, sf_dir).collect()
+    assert rows
+    n_vecs = T(spark, sf_dir, "embeddings").count()
+    assert sum(r["n_members"] for r in rows) == n_vecs
+    for r in rows:
+        assert r["n_kept_balanced"] == min(50, r["n_members"])
+        assert r["budget_bound"] == (r["n_members"] > 50)
+        assert 0 <= r["n_kept_naive"] <= r["n_members"]
+        assert (
+            abs(r["naive_rate"] - r["n_kept_naive"] / r["n_members"]) < 1e-12
+        )
+
+
+def test_recall_curve_consistency(spark, sf_dir):
+    """Hits are monotone in k, recalls lie in [0,1], and the k=3 point
+    must equal the sum of q_emb_ann_recall's per-query hits (same truth,
+    same index, same k)."""
+    rows = {r["k"]: r for r in
+            EMB_QUERIES["q_emb_recall_curve"](spark, sf_dir).collect()}
+    assert set(rows) == {1, 3, 5, 10}
+    hits = [rows[k]["n_hits"] for k in (1, 3, 5, 10)]
+    assert hits == sorted(hits)
+    for k, r in rows.items():
+        assert 0 <= r["n_hits"] <= k * 20
+        assert abs(r["recall_at_k"] - r["n_hits"] / (k * 20)) < 1e-12
+    point = EMB_QUERIES["q_emb_ann_recall"](spark, sf_dir).collect()
+    assert rows[3]["n_hits"] == sum(r["n_hits"] for r in point)
+
+
 def test_stream_anomaly_equals_batch(spark, sf_dir):
     from esvc_spark.queries.events import QUERIES as EV_QUERIES
 
