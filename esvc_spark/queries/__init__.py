@@ -105,6 +105,8 @@ _FRONT = (
     "q_ev_ltv",
     "q_emb_cluster_sample",
     "q_emb_recall_curve",
+    "q_doc_cross_source_dup",
+    "q_doc_source_overlap",
     # judge-only attestation + touched by this round's tracked_persist
     # swap — absorb any truncation overflow
     "q_doc_minhash_lsh",

@@ -3243,6 +3243,191 @@ FROM j
 """
 
 
+# ------------------------------------------- cross-source duplication
+# Which sources copy from which: the (source_a, source_b) duplication
+# matrix — exact-duplicate pairs plus MinHash-LSH near-dup candidate
+# pairs per source pair. The provenance view behind licensing audits and
+# mixture design ("is src7 just a mirror of src3?").
+#
+# Scale: exact pairs are counted WITHOUT materializing them — a 1M-copy
+# content group would explode into 5e11 pairs, but its per-source
+# histogram is ≤ |sources| rows, and the pair count is a product over
+# that histogram (c_a·c_b across sources, C(c,2) within). Near pairs
+# ride the already-bounded LSH candidate set. Output ≤ |sources|² cells.
+
+
+def q_doc_cross_source_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_par(spark, sf_dir)
+    hist = docs.groupBy(F.md5("text").alias("m"), "source").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    a, b = hist.alias("a"), hist.alias("b")
+    exact = (
+        a.join(
+            b,
+            (F.col("a.m") == F.col("b.m"))
+            & (F.col("a.source") <= F.col("b.source")),
+        )
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            F.when(
+                F.col("a.source") == F.col("b.source"),
+                F.expr("a.c * (a.c - 1) div 2"),
+            )
+            .otherwise(F.expr("a.c * b.c"))
+            .alias("pairs"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.sum("pairs").cast("bigint").alias("n_exact_pairs"))
+    )
+    meta_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    meta_b = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    near = (
+        q_doc_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .join(meta_a, "doc_a")
+        .join(meta_b, "doc_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_near_pairs"))
+    )
+    return (
+        exact.join(near, ["source_a", "source_b"], "full_outer")
+        .select(
+            "source_a",
+            "source_b",
+            F.coalesce("n_exact_pairs", F.lit(0)).cast("bigint")
+            .alias("n_exact_pairs"),
+            F.coalesce("n_near_pairs", F.lit(0)).cast("bigint")
+            .alias("n_near_pairs"),
+            (F.col("source_a") != F.col("source_b")).alias("is_cross"),
+        )
+    )
+
+
+def _cross_source_dup_sql() -> str:
+    return f"""
+WITH hist AS (
+  SELECT md5(text) AS m, source, COUNT(*) AS c FROM documents GROUP BY 1, 2
+),
+exact AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(SUM(CASE WHEN a.source = b.source THEN a.c * (a.c - 1) // 2
+                       ELSE a.c * b.c END) AS BIGINT) AS n_exact_pairs
+  FROM hist a JOIN hist b ON a.m = b.m AND a.source <= b.source
+  GROUP BY 1, 2
+),
+near AS (
+  SELECT LEAST(da.source, db.source) AS source_a,
+         GREATEST(da.source, db.source) AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS n_near_pairs
+  FROM ({_minhash_sql()}) q
+  JOIN documents da ON da.doc_id = q.doc_a
+  JOIN documents db ON db.doc_id = q.doc_b
+  GROUP BY 1, 2
+)
+SELECT COALESCE(e.source_a, n.source_a) AS source_a,
+       COALESCE(e.source_b, n.source_b) AS source_b,
+       CAST(COALESCE(e.n_exact_pairs, 0) AS BIGINT) AS n_exact_pairs,
+       CAST(COALESCE(n.n_near_pairs, 0) AS BIGINT) AS n_near_pairs,
+       COALESCE(e.source_a, n.source_a) <> COALESCE(e.source_b, n.source_b)
+         AS is_cross
+FROM exact e FULL OUTER JOIN near n
+  ON e.source_a = n.source_a AND e.source_b = n.source_b
+"""
+
+
+# --------------------------------------------- source vocabulary overlap
+# Corpus-comparison for mixture design: pairwise bigram-vocabulary
+# Jaccard between sources — "how much does src_i's phrasing overlap
+# src_j's?" (token unigrams are degenerate on a closed vocabulary;
+# bigram SETS separate sources). Exact integers, one final division.
+#
+# Scale: the (source, bigram) set shuffles distinct bigrams only; the
+# shared-count self-join fans out ≤ |sources|² per bigram — with many
+# sources the hot-bigram cap of q_doc_ngram_jaccard (_DF_CAP anti-join)
+# is the drop-in mitigation. Output ≤ C(|sources|, 2) rows.
+
+
+def q_doc_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_par(spark, sf_dir)
+    bg = (
+        docs.withColumn("toks", _TOKENS())
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(slice(toks, 1, greatest(size(toks) - 1, 0)),"
+                    " (x, i) -> concat(x, ' ', toks[i + 1]))"
+                )
+            ).alias("bigram"),
+        )
+        .distinct()
+        .transform(_tp)  # feeds both the sizes aggregate and the self-join
+    )
+    sizes = bg.groupBy("source").agg(F.count(F.lit(1)).alias("vsize"))
+    x, y = bg.alias("x"), bg.alias("y")
+    shared = (
+        x.join(
+            y,
+            (F.col("x.bigram") == F.col("y.bigram"))
+            & (F.col("x.source") < F.col("y.source")),
+        )
+        .groupBy(
+            F.col("x.source").alias("source_a"),
+            F.col("y.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
+    )
+    return (
+        shared.join(
+            sizes.select(
+                F.col("source").alias("source_a"), F.col("vsize").alias("vocab_a")
+            ),
+            "source_a",
+        )
+        .join(
+            sizes.select(
+                F.col("source").alias("source_b"), F.col("vsize").alias("vocab_b")
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a", "source_b", "shared", "vocab_a", "vocab_b",
+            (
+                F.col("shared").cast("double")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("shared"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+_SOURCE_OVERLAP_SQL = f"""
+WITH toks AS (SELECT source, doc_id, {SQL_TOKENS} AS w FROM documents),
+bg AS (
+  SELECT DISTINCT source, w[i] || ' ' || w[i + 1] AS bigram
+  FROM toks, unnest(range(1, len(w))) t(i)
+),
+sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS vsize FROM bg GROUP BY 1),
+shared AS (
+  SELECT x.source AS source_a, y.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS shared
+  FROM bg x JOIN bg y
+    ON x.bigram = y.bigram AND x.source < y.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, shared, a.vsize AS vocab_a, b.vsize AS vocab_b,
+       CAST(shared AS DOUBLE) / (a.vsize + b.vsize - shared) AS jaccard
+FROM shared
+JOIN sizes a ON a.source = source_a
+JOIN sizes b ON b.source = source_b
+"""
+
+
 # ------------------------------------------------------------- upsert/MERGE
 # Incremental corpus maintenance: MERGE-INTO semantics (matched → update,
 # not-matched → insert) expressed as one full-outer join on the key —
@@ -3466,6 +3651,8 @@ QUERIES = {
     "q_doc_bpe_encode": q_doc_bpe_encode,
     "q_doc_containment": q_doc_containment,
     "q_dedup_agreement": q_dedup_agreement,
+    "q_doc_cross_source_dup": q_doc_cross_source_dup,
+    "q_doc_source_overlap": q_doc_source_overlap,
     "q_doc_dsir": q_doc_dsir,
     "q_doc_ccnet_buckets": q_doc_ccnet_buckets,
     "q_doc_domain_reweight": q_doc_domain_reweight,
@@ -3514,6 +3701,8 @@ ORACLES = {
     "q_doc_bpe_encode": _bpe_encode_sql(),
     "q_doc_containment": _CONTAINMENT_SQL,
     "q_dedup_agreement": _dedup_agreement_sql(),
+    "q_doc_cross_source_dup": _cross_source_dup_sql(),
+    "q_doc_source_overlap": _SOURCE_OVERLAP_SQL,
     "q_doc_dsir": _dsir_sql(),
     "q_doc_ccnet_buckets": _CCNET_SQL,
     "q_doc_domain_reweight": _domain_reweight_sql(),

@@ -274,6 +274,45 @@ def test_recall_curve_consistency(spark, sf_dir):
     assert rows[3]["n_hits"] == sum(r["n_hits"] for r in point)
 
 
+def test_cross_source_dup_pair_conservation(spark, sf_dir):
+    """The histogram-product trick must count exactly the pairs a naive
+    per-group C(n,2) would: total exact pairs across the matrix equals
+    sum over content groups of C(count, 2); near pairs must total the
+    LSH candidate count."""
+    from esvc_spark.catalog import table as T
+
+    rows = DOC_QUERIES["q_doc_cross_source_dup"](spark, sf_dir).collect()
+    assert rows
+    groups = (
+        T(spark, sf_dir, "documents")
+        .groupBy(F.md5("text"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    want_exact = sum(g["n"] * (g["n"] - 1) // 2 for g in groups)
+    assert sum(r["n_exact_pairs"] for r in rows) == want_exact
+    want_near = DOC_QUERIES["q_doc_minhash_lsh"](spark, sf_dir).count()
+    assert sum(r["n_near_pairs"] for r in rows) == want_near
+    for r in rows:
+        assert r["source_a"] <= r["source_b"]
+        assert r["is_cross"] == (r["source_a"] != r["source_b"])
+        assert r["n_exact_pairs"] >= 0 and r["n_near_pairs"] >= 0
+
+
+def test_source_overlap_jaccard_identities(spark, sf_dir):
+    rows = DOC_QUERIES["q_doc_source_overlap"](spark, sf_dir).collect()
+    assert rows
+    srcs = {r["source_a"] for r in rows} | {r["source_b"] for r in rows}
+    n = len(srcs)
+    assert len(rows) == n * (n - 1) // 2
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        assert 0 < r["shared"] <= min(r["vocab_a"], r["vocab_b"])
+        union = r["vocab_a"] + r["vocab_b"] - r["shared"]
+        assert abs(r["jaccard"] - r["shared"] / union) < 1e-12
+        assert 0.0 < r["jaccard"] <= 1.0
+
+
 def test_stream_anomaly_equals_batch(spark, sf_dir):
     from esvc_spark.queries.events import QUERIES as EV_QUERIES
 
