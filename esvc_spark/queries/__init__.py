@@ -107,6 +107,7 @@ _FRONT = (
     "q_emb_recall_curve",
     "q_doc_cross_source_dup",
     "q_doc_source_overlap",
+    "q_emb_drift",
     # judge-only attestation + touched by this round's tracked_persist
     # swap — absorb any truncation overflow
     "q_doc_minhash_lsh",

@@ -1585,6 +1585,128 @@ FROM pack WHERE assign_order > 0
 """
 
 
+# ------------------------------------------------------ embedding drift
+# Embedding-distribution drift monitor: split the corpus into two
+# batches (vec_id parity — the stand-in for yesterday's vs today's
+# ingest) and test, per label, whether the two half-centroids are
+# farther apart than sampling noise allows. Raw centroid shift is
+# meaningless on its own (for noise-dominated clusters it is ALWAYS
+# "large" relative to the centroid norm), so the statistic is the
+# two-sample ratio: ||μ_a − μ_b||² divided by its expectation under
+# exchangeability, Σ_pos s²_pooled · (1/n_a + 1/n_b) — ≈ 1 when the
+# halves are i.i.d., ≫ 1 under real drift. All means/variances come
+# from order-pinned fold sums and the ratio is a fixed expression tree
+# over them, so both engines agree bit-for-bit.
+#
+# Scale: two (label, pos) aggregates over the exploded vectors (same
+# shuffle as q_emb_label_centroids) + one |labels|·DIM join; output is
+# |labels| rows.
+
+_DRIFT_RATIO_FLAG = 2.0
+
+
+def q_emb_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    el = e.select(
+        "vec_id", "label", F.posexplode("emb").alias("pos0", "val")
+    ).withColumn("pos", F.col("pos0") + 1).withColumn(
+        "vsq", F.col("val") * F.col("val")
+    )
+
+    def half(par: int, tag: str) -> DataFrame:
+        return (
+            el.filter(F.col("vec_id") % 2 == par)
+            .groupBy("label", "pos")
+            .agg(
+                ofold_sum("vec_id", "val").alias(f"s1{tag}"),
+                ofold_sum("vec_id", "vsq").alias(f"s2{tag}"),
+                F.count(F.lit(1)).alias(f"n{tag}"),
+            )
+        )
+
+    j = (
+        half(0, "a").join(half(1, "b"), ["label", "pos"])
+        # variance needs >= 2 per half; a 1-vector half would divide by
+        # zero, where Spark yields NULL but DuckDB yields inf
+        .where((F.col("na") > 1) & (F.col("nb") > 1))
+        # identical expression text in both dialects: mean, unbiased
+        # variance, pooled variance, squared mean gap
+        .withColumn("ca", F.expr("s1a / na"))
+        .withColumn("cb", F.expr("s1b / nb"))
+        .withColumn("va", F.expr("(s2a - s1a * s1a / na) / (na - 1)"))
+        .withColumn("vb", F.expr("(s2b - s1b * s1b / nb) / (nb - 1)"))
+        .withColumn(
+            "vp", F.expr("((na - 1) * va + (nb - 1) * vb) / (na + nb - 2)")
+        )
+        .withColumn("dsq", F.expr("(ca - cb) * (ca - cb)"))
+    )
+    return (
+        j.groupBy("label")
+        .agg(
+            F.max("na").cast("bigint").alias("n_ref"),
+            F.max("nb").cast("bigint").alias("n_new"),
+            ofold_sum("pos", "dsq").alias("ssq"),
+            ofold_sum("pos", "vp").alias("svp"),
+        )
+        .select(
+            "label", "n_ref", "n_new",
+            F.sqrt("ssq").alias("shift"),
+            F.expr("sqrt(svp * (CAST(1 AS DOUBLE) / n_ref + CAST(1 AS DOUBLE) / n_new))")
+            .alias("expected_shift"),
+            F.expr("ssq / (svp * (CAST(1 AS DOUBLE) / n_ref + CAST(1 AS DOUBLE) / n_new))")
+            .alias("drift_ratio"),
+            F.expr(
+                f"ssq / (svp * (CAST(1 AS DOUBLE) / n_ref + CAST(1 AS DOUBLE) / n_new))"
+                f" > {_DRIFT_RATIO_FLAG}"
+            ).alias("drifted"),
+        )
+    )
+
+
+_DRIFT_SQL = f"""
+WITH e AS ({_SQL_EMB}),
+el AS (
+  SELECT vec_id, label, unnest(emb) AS val,
+         generate_subscripts(emb, 1) AS pos
+  FROM e
+),
+a AS (
+  SELECT label, pos, {sql_ofold_sum('vec_id', 'val')} AS s1a,
+         {sql_ofold_sum('vec_id', 'val * val')} AS s2a,
+         COUNT(*) AS na
+  FROM el WHERE vec_id % 2 = 0 GROUP BY label, pos
+),
+b AS (
+  SELECT label, pos, {sql_ofold_sum('vec_id', 'val')} AS s1b,
+         {sql_ofold_sum('vec_id', 'val * val')} AS s2b,
+         COUNT(*) AS nb
+  FROM el WHERE vec_id % 2 = 1 GROUP BY label, pos
+),
+j AS (
+  SELECT label, pos, na, nb,
+         (s1a / na - s1b / nb) * (s1a / na - s1b / nb) AS dsq,
+         (((na - 1) * ((s2a - s1a * s1a / na) / (na - 1)))
+          + ((nb - 1) * ((s2b - s1b * s1b / nb) / (nb - 1))))
+           / (na + nb - 2) AS vp
+  FROM a JOIN b USING (label, pos)
+  WHERE na > 1 AND nb > 1
+),
+per AS (
+  SELECT label,
+         CAST(MAX(na) AS BIGINT) AS n_ref, CAST(MAX(nb) AS BIGINT) AS n_new,
+         {sql_ofold_sum('pos', 'dsq')} AS ssq,
+         {sql_ofold_sum('pos', 'vp')} AS svp
+  FROM j GROUP BY label
+)
+SELECT label, n_ref, n_new, sqrt(ssq) AS shift,
+       sqrt(svp * (CAST(1 AS DOUBLE) / n_ref + CAST(1 AS DOUBLE) / n_new)) AS expected_shift,
+       ssq / (svp * (CAST(1 AS DOUBLE) / n_ref + CAST(1 AS DOUBLE) / n_new)) AS drift_ratio,
+       ssq / (svp * (CAST(1 AS DOUBLE) / n_ref + CAST(1 AS DOUBLE) / n_new)) > {_DRIFT_RATIO_FLAG}
+         AS drifted
+FROM per
+"""
+
+
 # --------------------------------------------- cluster-balanced sampling
 # Diversity-aware curation sampling: cap each IVF cell at a fixed budget
 # (rank by an md5 hash of the vector id inside the cell — deterministic,
@@ -1834,6 +1956,7 @@ QUERIES = {
     "q_emb_binary_hamming": q_emb_binary_hamming,
     "q_emb_cluster_sample": q_emb_cluster_sample,
     "q_emb_recall_curve": q_emb_recall_curve,
+    "q_emb_drift": q_emb_drift,
 }
 
 ORACLES = {
@@ -1857,4 +1980,5 @@ ORACLES = {
     "q_emb_binary_hamming": _binary_hamming_sql(),
     "q_emb_cluster_sample": _cluster_sample_sql(),
     "q_emb_recall_curve": _recall_curve_sql(),
+    "q_emb_drift": _DRIFT_SQL,
 }

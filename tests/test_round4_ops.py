@@ -274,6 +274,23 @@ def test_recall_curve_consistency(spark, sf_dir):
     assert rows[3]["n_hits"] == sum(r["n_hits"] for r in point)
 
 
+def test_drift_ratio_calibrated_on_exchangeable_halves(spark, sf_dir):
+    """Parity halves of one distribution are exchangeable, so the
+    noise-normalized drift ratio must sit near 1 (the statistic's whole
+    point) and no label may flag; shift must stay consistent with
+    expected_shift x ratio."""
+    rows = EMB_QUERIES["q_emb_drift"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_ref"] > 1 and r["n_new"] > 1
+        assert 0.4 < r["drift_ratio"] < 1.8, r
+        assert not r["drifted"]
+        assert (
+            abs(r["shift"] ** 2 - r["drift_ratio"] * r["expected_shift"] ** 2)
+            < 1e-9
+        )
+
+
 def test_cross_source_dup_pair_conservation(spark, sf_dir):
     """The histogram-product trick must count exactly the pairs a naive
     per-group C(n,2) would: total exact pairs across the matrix equals
