@@ -108,6 +108,7 @@ _FRONT = (
     "q_doc_cross_source_dup",
     "q_doc_source_overlap",
     "q_emb_drift",
+    "q_emb_mmr",
     # judge-only attestation + touched by this round's tracked_persist
     # swap — absorb any truncation overflow
     "q_doc_minhash_lsh",

@@ -1935,6 +1935,172 @@ GROUP BY k
 """
 
 
+# ------------------------------------------------------- MMR re-rank
+# Maximal Marginal Relevance (Carbonell & Goldstein 1998) diversified
+# re-ranking: per query, take the top-POOL exact-cosine candidates, then
+# greedily select K of them maximizing λ·rel − (1−λ)·max-sim-to-already-
+# selected (λ = 0.5) — the retrieval step that stops a RAG context
+# window from being five paraphrases of the same chunk. The greedy runs
+# driver-side over the bounded pools; the oracle states the same greedy
+# as K − 1 UNROLLED CTE rounds (anti-join remaining, max-sim against
+# the selected set, window argmax). The round-1 pick uses the same
+# formula with max-sim pinned to 0.0.
+#
+# Scale: candidate pools bound everything — sims is |Q|·POOL² rows, each
+# round touches ≤ |Q|·POOL rows; the only corpus-sized work is the
+# initial candidate scoring (knn shape: broadcast queries, corpus
+# streams once).
+
+_MMR_Q = 10
+_MMR_POOL = 15
+_MMR_K = 5
+
+
+def q_emb_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb_normed(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < _MMR_Q).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("cid"),
+        cosine_prenorm(
+            F.col("qemb"), F.col("emb"), F.col("qnrm"), F.col("nrm")
+        ).alias("rel"),
+        "emb",
+        "nrm",
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), "cid")
+    cand = (
+        scored.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= _MMR_POOL)
+        .select("query_id", "cid", "rel", "emb", "nrm")
+    ).transform(_tp)  # feeds the sims build + every greedy round
+    ci = cand.select(
+        "query_id", F.col("cid").alias("ci"),
+        F.col("emb").alias("iemb"), F.col("nrm").alias("inrm"),
+    )
+    cj = cand.select(
+        "query_id", F.col("cid").alias("cj"),
+        F.col("emb").alias("jemb"), F.col("nrm").alias("jnrm"),
+    )
+    sims = (
+        ci.join(cj, "query_id")
+        .filter(F.col("ci") != F.col("cj"))
+        .select(
+            "query_id", "ci", "cj",
+            cosine_prenorm(
+                F.col("iemb"), F.col("jemb"), F.col("inrm"), F.col("jnrm")
+            ).alias("s"),
+        )
+    ).transform(_tp)
+    # The pools are bounded BY CONSTRUCTION (|Q|·POOL candidate rows,
+    # |Q|·POOL² sims) regardless of corpus size, so the greedy selection
+    # runs driver-side — the q_emb_shard_plan precedent, and how real
+    # rerankers run (on the head node over the retrieved pool). A
+    # DataFrame-round version cost ~1 s of codegen per round for 50 rows.
+    # Python float ops are the same IEEE doubles both engines compute,
+    # so the oracle still hash-matches bit-for-bit.
+    pool: dict[int, list] = {}
+    for r in cand.select("query_id", "cid", "rel").collect():
+        pool.setdefault(r["query_id"], []).append((r["cid"], r["rel"]))
+    sim: dict[tuple[int, int, int], float] = {
+        (r["query_id"], r["ci"], r["cj"]): r["s"] for r in sims.collect()
+    }
+    out = []
+    for qid, cands in pool.items():
+        selected: list[int] = []
+        for rnd in range(1, _MMR_K + 1):
+            best = None
+            for cid, rel in cands:
+                if cid in selected:
+                    continue
+                maxsim = (
+                    max(sim[(qid, cid, s)] for s in selected)
+                    if selected
+                    else 0.0
+                )
+                score = 0.5 * rel - 0.5 * maxsim
+                # ORDER BY score DESC, cid — identical tie-break
+                key = (-score, cid)
+                if best is None or key < best[0]:
+                    best = (key, cid, rel, maxsim, score)
+            _, cid, rel, maxsim, score = best
+            selected.append(cid)
+            out.append((qid, cid, rnd, rel, maxsim, score))
+    return spark.createDataFrame(
+        out,
+        "query_id BIGINT, sel_id BIGINT, sel_round INT, rel DOUBLE, "
+        "maxsim DOUBLE, score DOUBLE",
+    )
+
+
+def _mmr_sql() -> str:
+    cos = sql_cosine_prenorm("qemb", "emb", "qnrm", "nrm")
+    scos = sql_cosine_prenorm("i.emb", "j.emb", "i.nrm", "j.nrm")
+    h = "CAST(0.5 AS DOUBLE)"
+    parts = [
+        f"""WITH e AS ({_SQL_EMB_NORMED}),
+q AS (SELECT vec_id AS query_id, emb AS qemb, nrm AS qnrm
+      FROM e WHERE vec_id < {_MMR_Q}),
+cand AS (
+  SELECT query_id, cid, rel, emb, nrm FROM (
+    SELECT query_id, e.vec_id AS cid, {cos} AS rel, e.emb, e.nrm,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY {cos} DESC, e.vec_id) AS rn
+    FROM q JOIN e ON e.vec_id <> q.query_id
+  ) WHERE rn <= {_MMR_POOL}
+),
+sims AS (
+  SELECT i.query_id, i.cid AS ci, j.cid AS cj, {scos} AS s
+  FROM cand i JOIN cand j
+    ON i.query_id = j.query_id AND i.cid <> j.cid
+),
+selu1 AS (
+  SELECT query_id, cid AS sel_id, CAST(1 AS INT) AS sel_round, rel,
+         CAST(0 AS DOUBLE) AS maxsim,
+         {h} * rel - {h} * CAST(0 AS DOUBLE) AS score
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+      {h} * rel - {h} * CAST(0 AS DOUBLE) DESC, cid) AS prn
+    FROM cand
+  ) WHERE prn = 1
+)"""
+    ]
+    for r in range(2, _MMR_K + 1):
+        parts.append(
+            f""",
+ms{r} AS (
+  SELECT m.query_id, m.ci AS cid, MAX(m.s) AS maxsim
+  FROM sims m JOIN selu{r - 1} s
+    ON s.query_id = m.query_id AND s.sel_id = m.cj
+  GROUP BY 1, 2
+),
+pick{r} AS (
+  SELECT query_id, cid AS sel_id, CAST({r} AS INT) AS sel_round, rel,
+         maxsim, {h} * rel - {h} * maxsim AS score
+  FROM (
+    SELECT c.query_id, c.cid, c.rel, m.maxsim,
+           ROW_NUMBER() OVER (PARTITION BY c.query_id ORDER BY
+             {h} * c.rel - {h} * m.maxsim DESC, c.cid) AS prn
+    FROM cand c
+    JOIN ms{r} m ON m.query_id = c.query_id AND m.cid = c.cid
+    WHERE NOT EXISTS (SELECT 1 FROM selu{r - 1} s
+                      WHERE s.query_id = c.query_id AND s.sel_id = c.cid)
+  ) WHERE prn = 1
+),
+selu{r} AS (SELECT * FROM selu{r - 1} UNION ALL SELECT * FROM pick{r})"""
+        )
+    parts.append(
+        f"""
+SELECT query_id, sel_id, sel_round, rel, maxsim, score
+FROM selu{_MMR_K}"""
+    )
+    return "".join(parts)
+
+
 QUERIES = {
     "q_emb_knn_cosine": q_emb_knn_cosine,
     "q_emb_ivf_knn": q_emb_ivf_knn,
@@ -1957,6 +2123,7 @@ QUERIES = {
     "q_emb_cluster_sample": q_emb_cluster_sample,
     "q_emb_recall_curve": q_emb_recall_curve,
     "q_emb_drift": q_emb_drift,
+    "q_emb_mmr": q_emb_mmr,
 }
 
 ORACLES = {
@@ -1981,4 +2148,5 @@ ORACLES = {
     "q_emb_cluster_sample": _cluster_sample_sql(),
     "q_emb_recall_curve": _recall_curve_sql(),
     "q_emb_drift": _DRIFT_SQL,
+    "q_emb_mmr": _mmr_sql(),
 }

@@ -30,6 +30,11 @@ _IMPERATIVE = {
     "q_doc_dup_clusters": "iterative (per-round join+agg, see operators/cc.py)",
     "q_doc_canonical": "iterative (CC labels + quality argmax, see operators/cc.py)",
     "q_doc_leakage_split": "iterative (CC labels feed the group-aware split, see operators/cc.py)",
+    "q_emb_mmr": (
+        "imperative (bounded driver-side greedy over the |Q|*POOL "
+        "candidate/sim pools, q_emb_shard_plan precedent; corpus touched "
+        "once by the knn-shape candidate scoring)"
+    ),
     "q_esvc_replay": "event-log orchestration (many fingerprint jobs)",
     "q_esvc_merge": "event-log orchestration (many fingerprint jobs)",
     "q_esvc_editor": "event-log orchestration (many fingerprint jobs)",

