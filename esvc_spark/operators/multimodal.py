@@ -326,6 +326,67 @@ def frame_sample(media: DataFrame, every_n: int = 4) -> DataFrame:
 
     return media.mapInPandas(_frames, FRAME_SCHEMA)
 
+FRAME_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("fsize", LongType(), False),
+        StructField("frame_sum", LongType(), False),
+    ]
+)
+
+
+def frame_stats(media: DataFrame) -> DataFrame:
+    """Per-frame integer byte sums over EVERY frame of the video payloads
+    (same slicing as frame_sample: meta.n_frames equal fsize-byte
+    slices; tail bytes beyond n·fsize are dropped in both engines) — the
+    per-frame signature stage that shot-boundary detection consumes.
+    Whole-batch vectorized: one prefix-sum per payload, no per-frame
+    Python loop."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            doc_ids, idxs, sizes, sums = [], [], [], []
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                if meta["kind"] != "video":
+                    continue
+                n = max(int(meta["n_frames"]), 1)
+                size = max(len(payload) // n, 1)
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                cs = np.concatenate(([0], np.cumsum(arr, dtype=np.int64)))
+                starts = np.arange(n, dtype=np.int64) * size
+                ends = np.minimum(starts + size, len(arr))
+                starts = np.minimum(starts, len(arr))
+                doc_ids.append(np.full(n, int(doc_id), dtype=np.int64))
+                idxs.append(np.arange(n, dtype=np.int32))
+                sizes.append(np.full(n, size, dtype=np.int64))
+                sums.append(cs[ends] - cs[starts])
+            if not doc_ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series([], dtype="int64"),
+                        "frame_idx": pd.Series([], dtype="int32"),
+                        "fsize": pd.Series([], dtype="int64"),
+                        "frame_sum": pd.Series([], dtype="int64"),
+                    }
+                )
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(np.concatenate(doc_ids), dtype="int64"),
+                    "frame_idx": pd.Series(np.concatenate(idxs), dtype="int32"),
+                    "fsize": pd.Series(np.concatenate(sizes), dtype="int64"),
+                    "frame_sum": pd.Series(np.concatenate(sums), dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(_stats, FRAME_STATS_SCHEMA)
+
+
 AUDIO_WINDOW_SCHEMA = StructType(
     [
         StructField("doc_id", LongType(), False),

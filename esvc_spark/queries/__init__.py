@@ -109,6 +109,7 @@ _FRONT = (
     "q_doc_source_overlap",
     "q_emb_drift",
     "q_emb_mmr",
+    "q_mm_scene_cuts",
     # judge-only attestation + touched by this round's tracked_persist
     # swap — absorb any truncation overflow
     "q_doc_minhash_lsh",

@@ -389,6 +389,136 @@ GROUP BY {_SQL_KIND}, ahash
 """
 
 
+# ---------------------------------------------------------- scene cuts
+# Shot-boundary detection over the video payloads: per-frame byte-sum
+# signatures (operators.multimodal.frame_stats, every frame), a cut
+# wherever the absolute signature delta exceeds 10× the frame size
+# (|mean byte shift| > 10 — ~p90 of this corpus's transitions, so cuts
+# are a real minority class), then scenes as the islands between cuts —
+# the video-curation stage that picks segment boundaries before frame
+# sampling. All integers: delta, threshold compare, island ids (running
+# cut count), segment lengths.
+#
+# Scale: the mapInPandas signature pass is narrow over payload
+# partitions; the windows run per video over ≤ meta.n_frames rows; the
+# final table is one row per video.
+
+_CUT_X = 10
+
+
+def q_mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.multimodal import frame_stats
+
+    fs = frame_stats(media_table(spark, sf_dir))
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    d = (
+        fs.withColumn("prev_sum", F.lag("frame_sum").over(w))
+        .withColumn(
+            "is_cut",
+            (
+                F.col("prev_sum").isNotNull()
+                & (
+                    F.abs(F.col("frame_sum") - F.col("prev_sum"))
+                    > _CUT_X * F.col("fsize")
+                )
+            ).cast("int"),
+        )
+        .withColumn(
+            "scene_id",
+            F.sum("is_cut").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    scenes = d.groupBy("doc_id", "scene_id").agg(
+        F.count(F.lit(1)).alias("scene_len")
+    )
+    return (
+        d.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum("is_cut").cast("bigint").alias("n_cuts"),
+            F.sum(F.abs(F.col("frame_sum") - F.coalesce("prev_sum", "frame_sum")))
+            .cast("bigint")
+            .alias("sum_abs_delta"),
+        )
+        .join(
+            scenes.groupBy("doc_id").agg(
+                F.max("scene_len").cast("bigint").alias("longest_scene")
+            ),
+            "doc_id",
+        )
+        .select(
+            "doc_id", "n_frames", "n_cuts",
+            (F.col("n_cuts") + 1).cast("bigint").alias("n_scenes"),
+            "longest_scene", "sum_abs_delta",
+        )
+    )
+
+
+_SCENE_SQL = f"""
+WITH media AS (
+  SELECT doc_id, text, CAST(n_chars % 24 + 1 AS INTEGER) AS n_frames
+  FROM documents WHERE {_SQL_KIND} = 'video'
+),
+sized AS (
+  SELECT doc_id, text, n_frames,
+         GREATEST(length(text) // n_frames, 1) AS fsize
+  FROM media
+),
+frames AS (
+  -- empty-slice guard: substr past the payload end is '' and
+  -- string_split('','') yields [''] with unicode('') = -1 (the
+  -- q_mm_features pitfall), so pin zero-length frames to sum 0
+  SELECT doc_id, CAST(i AS INT) AS frame_idx, CAST(fsize AS BIGINT) AS fsize,
+         CASE WHEN length(substr(text, i * fsize + 1, fsize)) = 0
+              THEN CAST(0 AS BIGINT)
+              ELSE CAST(COALESCE(list_sum(list_transform(
+                     string_split(substr(text, i * fsize + 1, fsize), ''),
+                     c -> unicode(c))), 0) AS BIGINT)
+              END AS frame_sum
+  FROM sized, unnest(range(0, n_frames)) t(i)
+),
+d AS (
+  SELECT doc_id, frame_idx, fsize, frame_sum,
+         LAG(frame_sum) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+           AS prev_sum
+  FROM frames
+),
+marked AS (
+  SELECT *,
+         CASE WHEN prev_sum IS NOT NULL
+                   AND abs(frame_sum - prev_sum) > {_CUT_X} * fsize
+              THEN 1 ELSE 0 END AS is_cut
+  FROM d
+),
+ids AS (
+  SELECT *,
+         SUM(is_cut) OVER (PARTITION BY doc_id ORDER BY frame_idx
+                           ROWS UNBOUNDED PRECEDING) AS scene_id
+  FROM marked
+),
+scenes AS (
+  SELECT doc_id, scene_id, COUNT(*) AS scene_len FROM ids GROUP BY 1, 2
+),
+per AS (
+  SELECT doc_id, COUNT(*) AS n_frames,
+         CAST(SUM(is_cut) AS BIGINT) AS n_cuts,
+         CAST(SUM(abs(frame_sum - COALESCE(prev_sum, frame_sum))) AS BIGINT)
+           AS sum_abs_delta
+  FROM ids GROUP BY doc_id
+)
+SELECT p.doc_id, p.n_frames, p.n_cuts,
+       CAST(p.n_cuts + 1 AS BIGINT) AS n_scenes,
+       CAST(s.longest_scene AS BIGINT) AS longest_scene, p.sum_abs_delta
+FROM per p
+JOIN (SELECT doc_id, MAX(scene_len) AS longest_scene FROM scenes GROUP BY 1) s
+  USING (doc_id)
+"""
+
+
 QUERIES = {
     "q_mm_decode_stats": q_mm_decode_stats,
     "q_mm_frame_sample": q_mm_frame_sample,
@@ -397,6 +527,7 @@ QUERIES = {
     "q_mm_audio_windows": q_mm_audio_windows,
     "q_mm_silence": q_mm_silence,
     "q_mm_phash_dedup": q_mm_phash_dedup,
+    "q_mm_scene_cuts": q_mm_scene_cuts,
 }
 
 ORACLES = {
@@ -407,4 +538,5 @@ ORACLES = {
     "q_mm_audio_windows": _AUDIO_SQL,
     "q_mm_silence": _SILENCE_SQL,
     "q_mm_phash_dedup": _PHASH_SQL,
+    "q_mm_scene_cuts": _SCENE_SQL,
 }

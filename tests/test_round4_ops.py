@@ -274,6 +274,41 @@ def test_recall_curve_consistency(spark, sf_dir):
     assert rows[3]["n_hits"] == sum(r["n_hits"] for r in point)
 
 
+def test_scene_cuts_island_identities(spark, sf_dir):
+    """One row per video doc; frame count pinned by the media metadata;
+    scenes = cuts + 1; the longest island is bounded below by the
+    pigeonhole average and above by the frame count."""
+    from esvc_spark.queries.multimodal import QUERIES as MM_QUERIES
+    from esvc_spark.catalog import table as T
+
+    rows = {r["doc_id"]: r for r in
+            MM_QUERIES["q_mm_scene_cuts"](spark, sf_dir).collect()}
+    assert rows
+    vids = {
+        d["doc_id"]: d["n_chars"]
+        for d in T(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 2)
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    assert set(rows) == set(vids)
+    saw_cut = False
+    for doc_id, r in rows.items():
+        assert r["n_frames"] == vids[doc_id] % 24 + 1
+        assert r["n_scenes"] == r["n_cuts"] + 1
+        assert 0 <= r["n_cuts"] < r["n_frames"]
+        assert r["longest_scene"] <= r["n_frames"]
+        assert r["longest_scene"] * r["n_scenes"] >= r["n_frames"]
+        assert r["sum_abs_delta"] >= 0
+        saw_cut = saw_cut or r["n_cuts"] > 0
+    # threshold calibration: cuts must be a real minority class, not
+    # absent and not every transition
+    assert saw_cut
+    total_cuts = sum(r["n_cuts"] for r in rows.values())
+    total_trans = sum(r["n_frames"] - 1 for r in rows.values())
+    assert 0 < total_cuts < total_trans // 2
+
+
 def test_mmr_greedy_invariants(spark, sf_dir):
     """Per query: K distinct picks in round order; round 1 is the pure
     relevance argmax (maxsim 0); every later pick's score must recompute
