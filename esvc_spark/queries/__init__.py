@@ -110,6 +110,7 @@ _FRONT = (
     "q_emb_drift",
     "q_emb_mmr",
     "q_mm_scene_cuts",
+    "q_doc_lsh_tuning",
     # judge-only attestation + touched by this round's tracked_persist
     # swap — absorb any truncation overflow
     "q_doc_minhash_lsh",

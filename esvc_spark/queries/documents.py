@@ -3243,6 +3243,153 @@ FROM j
 """
 
 
+# ------------------------------------------------ LSH operating point
+# LSH parameter audit: the empirical detection curve of the 4x4 banding
+# against exact shingle Jaccard, next to the theoretical S-curve
+# P(candidate | s) = 1 - (1 - s^r)^b at each bucket midpoint — the
+# operating-point check a dedup pipeline runs before trusting its
+# (bands, rows) choice at a new similarity threshold. Ground truth =
+# every pair sharing >= 1 (df-capped) shingle with its exact Jaccard;
+# detection = membership in the RAW band-candidate set (before the
+# est-Jaccard re-rank filter). On this corpus the truth is bimodal
+# (planted near-dups vs background), so the curve shows the two regimes
+# the banding must separate.
+#
+# Scale: same bounded shapes as q_doc_ngram_jaccard (df-capped inverted
+# index) and q_doc_minhash_lsh (band-bucket join); output is <= 10 rows.
+# Theory powers are explicit multiplications (identical IEEE expression
+# text in both dialects — no pow()).
+
+
+def q_doc_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_par(spark, sf_dir)
+    all_sh = _shingles_df(docs).transform(_tp)
+    hot = (
+        all_sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > _DF_CAP)
+        .select("shingle")
+    )
+    sh = all_sh.join(F.broadcast(hot), "shingle", "left_anti").transform(_tp)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    truth = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .join(counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        .withColumn(
+            "jac",
+            F.col("shared").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("shared")),
+        )
+    )
+    bands = _mh_bands(_mh_sig(docs))
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+        .withColumn("detected", F.lit(1))
+    )
+    r, nb_ = _ROWS_PER_BAND, _N_BANDS
+    s_mid = "(CAST(2 * bucket + 1 AS DOUBLE) / 20)"
+    s4 = f"({s_mid} * {s_mid} * {s_mid} * {s_mid})"
+    q1 = f"(CAST(1 AS DOUBLE) - {s4})"
+    theory = f"CAST(1 AS DOUBLE) - {q1} * {q1} * {q1} * {q1}"
+    assert (r, nb_) == (4, 4)  # the unrolled powers above ARE (r, b)
+    return (
+        truth.join(cand, ["doc_a", "doc_b"], "left")
+        .withColumn(
+            "bucket",
+            F.least(F.floor(F.col("jac") * 10), F.lit(9)).cast("int"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.coalesce("detected", F.lit(0))).cast("bigint")
+            .alias("n_detected"),
+        )
+        .select(
+            "bucket", "n_pairs", "n_detected",
+            (F.col("n_detected").cast("double") / F.col("n_pairs"))
+            .alias("detect_rate"),
+            F.expr(theory).alias("theory_rate"),
+        )
+    )
+
+
+def _lsh_tuning_sql() -> str:
+    s_mid = "(CAST(2 * bucket + 1 AS DOUBLE) / 20)"
+    s4 = f"({s_mid} * {s_mid} * {s_mid} * {s_mid})"
+    q1 = f"(CAST(1 AS DOUBLE) - {s4})"
+    theory = f"CAST(1 AS DOUBLE) - {q1} * {q1} * {q1} * {q1}"
+    mins = ", ".join(
+        f"MIN(({a} * h + {b}) % {_P}) AS mh{i}" for i, (a, b) in enumerate(_PERMS)
+    )
+    band_keys = ", ".join(
+        "concat_ws('_', "
+        + ", ".join(f"mh{j}" for j in range(b * _ROWS_PER_BAND, (b + 1) * _ROWS_PER_BAND))
+        + f") AS band{b}"
+        for b in range(_N_BANDS)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, band{b} AS band_key FROM banded"
+        for b in range(_N_BANDS)
+    )
+    return f"""
+WITH all_sh AS ({_SQL_SHINGLES}),
+sh AS (
+  SELECT doc_id, shingle FROM all_sh
+  WHERE shingle IN (SELECT shingle FROM all_sh
+                    GROUP BY shingle HAVING COUNT(*) <= {_DF_CAP})
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+truth AS (
+  SELECT doc_a, doc_b, shared,
+         CAST(shared AS DOUBLE) / (ca.n_sh + cb.n_sh - shared) AS jac
+  FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  )
+  JOIN cnt ca ON ca.doc_id = doc_a
+  JOIN cnt cb ON cb.doc_id = doc_b
+),
+hashed AS (SELECT doc_id, {_sql_h('shingle')} % {_P} AS h FROM all_sh),
+sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+banded AS (SELECT doc_id, {band_keys} FROM sig),
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, 1 AS detected
+  FROM bands x JOIN bands y
+    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+   AND x.doc_id < y.doc_id
+),
+bucketed AS (
+  SELECT CAST(LEAST(FLOOR(t.jac * 10), 9) AS INT) AS bucket,
+         COALESCE(c.detected, 0) AS detected
+  FROM truth t
+  LEFT JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+)
+SELECT bucket, COUNT(*) AS n_pairs,
+       CAST(SUM(detected) AS BIGINT) AS n_detected,
+       CAST(SUM(detected) AS DOUBLE) / COUNT(*) AS detect_rate,
+       {theory} AS theory_rate
+FROM bucketed GROUP BY bucket
+"""
+
+
 # ------------------------------------------- cross-source duplication
 # Which sources copy from which: the (source_a, source_b) duplication
 # matrix — exact-duplicate pairs plus MinHash-LSH near-dup candidate
@@ -3653,6 +3800,7 @@ QUERIES = {
     "q_dedup_agreement": q_dedup_agreement,
     "q_doc_cross_source_dup": q_doc_cross_source_dup,
     "q_doc_source_overlap": q_doc_source_overlap,
+    "q_doc_lsh_tuning": q_doc_lsh_tuning,
     "q_doc_dsir": q_doc_dsir,
     "q_doc_ccnet_buckets": q_doc_ccnet_buckets,
     "q_doc_domain_reweight": q_doc_domain_reweight,
@@ -3703,6 +3851,7 @@ ORACLES = {
     "q_dedup_agreement": _dedup_agreement_sql(),
     "q_doc_cross_source_dup": _cross_source_dup_sql(),
     "q_doc_source_overlap": _SOURCE_OVERLAP_SQL,
+    "q_doc_lsh_tuning": _lsh_tuning_sql(),
     "q_doc_dsir": _dsir_sql(),
     "q_doc_ccnet_buckets": _CCNET_SQL,
     "q_doc_domain_reweight": _domain_reweight_sql(),

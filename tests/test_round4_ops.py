@@ -274,6 +274,29 @@ def test_recall_curve_consistency(spark, sf_dir):
     assert rows[3]["n_hits"] == sum(r["n_hits"] for r in point)
 
 
+def test_lsh_tuning_curve_matches_theory(spark, sf_dir):
+    """Empirical band-detection must agree with the 1-(1-s^4)^4 S-curve
+    where the curve is saturated: high-similarity buckets (>= 0.8)
+    detect everything, the background bucket detects (almost) nothing,
+    and pair totals must equal the ngram ground-truth pair count."""
+    rows = {r["bucket"]: r for r in
+            DOC_QUERIES["q_doc_lsh_tuning"](spark, sf_dir).collect()}
+    assert rows
+    for b, r in rows.items():
+        assert 0 <= b <= 9
+        assert 0 <= r["n_detected"] <= r["n_pairs"]
+        assert abs(r["detect_rate"] - r["n_detected"] / r["n_pairs"]) < 1e-12
+        s = (2 * b + 1) / 20
+        want = 1 - (1 - s**4) ** 4
+        assert abs(r["theory_rate"] - want) < 1e-12
+        if b >= 8:
+            assert r["detect_rate"] == 1.0
+        if b <= 1:
+            assert r["detect_rate"] <= 0.2
+    high = [r for b, r in rows.items() if b >= 5]
+    assert sum(r["n_pairs"] for r in high) >= 1
+
+
 def test_scene_cuts_island_identities(spark, sf_dir):
     """One row per video doc; frame count pinned by the media metadata;
     scenes = cuts + 1; the longest island is bounded below by the
