@@ -111,6 +111,7 @@ _FRONT = (
     "q_emb_mmr",
     "q_mm_scene_cuts",
     "q_doc_lsh_tuning",
+    "q_ev_incremental_agg",
     # judge-only attestation + touched by this round's tracked_persist
     # swap — absorb any truncation overflow
     "q_doc_minhash_lsh",

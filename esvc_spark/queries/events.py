@@ -2662,6 +2662,70 @@ SELECT node, r AS pagerank FROM r{_PR_ITERS}
 """
 
 
+# --------------------------------------------------- incremental rollup
+# Incremental aggregate maintenance: the materialized-rollup pattern
+# where yesterday's aggregate TABLE merges with today's delta instead of
+# rescanning history. The daily (day, event_type) states — count,
+# decimal sum, min, max — are all MERGEABLE (count/sum add, min/max
+# combine), so base ∪ delta → re-aggregate equals the from-scratch
+# answer; the oracle computes FROM SCRATCH over all events, making the
+# hash-match a proof of merge correctness. The cutoff (last 6 epoch-days
+# = the delta) stands in for the daily incremental batch.
+#
+# Scale: this is the map-side-combine algebra made explicit — at 100 TB
+# the base states are |days|·|types| rows read from storage, and only
+# the delta scans raw events. Both sides here aggregate BEFORE the
+# union, so the merge shuffles state rows, never raw history.
+
+_INC_DELTA_DAYS = 6
+
+
+def q_ev_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events").withColumn(
+        "day", F.expr("unix_micros(ts) div 86400000000")
+    )
+    cutoff = ev.agg((F.max("day") - _INC_DELTA_DAYS + 1).alias("c"))
+
+    def states(side: DataFrame, tag: int) -> DataFrame:
+        return side.groupBy("day", "event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value", 2)).alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+            F.lit(tag).alias("is_delta"),
+        )
+
+    base = states(ev.join(F.broadcast(cutoff), ev.day < F.col("c")), 0)
+    delta = states(ev.join(F.broadcast(cutoff), ev.day >= F.col("c")), 1)
+    return (
+        base.unionByName(delta)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.sum("s").cast("double").alias("sum_value"),
+            F.min("mn").alias("min_value"),
+            F.max("mx").alias("max_value"),
+            F.sum(F.col("is_delta") * F.col("n")).cast("bigint")
+            .alias("n_delta"),
+        )
+    )
+
+
+_INC_AGG_SQL = f"""
+WITH ev AS (
+  SELECT epoch_us(ts::TIMESTAMP) // 86400000000 AS day, event_type, value
+  FROM events
+),
+c AS (SELECT MAX(day) - {_INC_DELTA_DAYS} + 1 AS c FROM ev)
+SELECT day, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {sql_dsum('value', 2)} AS sum_value,
+       MIN(value) AS min_value, MAX(value) AS max_value,
+       CAST(SUM(CASE WHEN day >= (SELECT c FROM c) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_delta
+FROM ev GROUP BY day, event_type
+"""
+
 # ------------------------------------------------------------- bot detect
 # Automation / bot-traffic detection from inter-arrival timing: real user
 # gaps are exponential-ish (CV² ≈ 1), schedulers are metronomic (CV² → 0)
@@ -2875,6 +2939,7 @@ QUERIES = {
     "q_ev_top_paths": q_ev_top_paths,
     "q_ev_bot_detect": q_ev_bot_detect,
     "q_ev_ltv": q_ev_ltv,
+    "q_ev_incremental_agg": q_ev_incremental_agg,
     "q_stream_tumbling_hourly": q_stream_tumbling_hourly,
     "q_stream_sessionize": q_stream_sessionize,
     "q_stream_running_totals": q_stream_running_totals,
@@ -2920,6 +2985,7 @@ ORACLES = {
     "q_ev_top_paths": _TOP_PATHS_SQL,
     "q_ev_bot_detect": _BOT_SQL,
     "q_ev_ltv": _LTV_SQL,
+    "q_ev_incremental_agg": _INC_AGG_SQL,
     "q_stream_tumbling_hourly": _STREAM_TUMBLING_SQL,
     "q_stream_sessionize": _SESSION_SQL,
     "q_stream_running_totals": _RUNNING_TOTALS_SQL,

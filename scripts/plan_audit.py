@@ -88,6 +88,7 @@ _NLJ_OK = {
     "q_ev_forecast": "single-row hour-bounds + hmax cross joins (resample shape)",
     "q_emb_semdedup": "8-centroid broadcast assignment cross join (kmeans shape)",
     "q_emb_cluster_sample": "8-centroid broadcast assignment cross join (IVF shape)",
+    "q_ev_incremental_agg": "single-row cutoff-day cross joins (base/delta split)",
     "q_emb_recall_curve": "20-row query broadcast + 8-centroid assignment (knn + IVF shapes)",
 }
 

@@ -274,6 +274,41 @@ def test_recall_curve_consistency(spark, sf_dir):
     assert rows[3]["n_hits"] == sum(r["n_hits"] for r in point)
 
 
+def test_incremental_agg_merge_equals_scratch(spark, sf_dir):
+    """The mergeable-state theorem the query embodies: base ∪ delta
+    re-aggregated equals aggregating all events from scratch, cell for
+    cell, and the delta rows are exactly the last 6 days."""
+    from esvc_spark.queries.events import QUERIES as EV_QUERIES
+    from esvc_spark.queries._util import dsum
+    from esvc_spark.catalog import table as T
+
+    rows = {(r["day"], r["event_type"]): r for r in
+            EV_QUERIES["q_ev_incremental_agg"](spark, sf_dir).collect()}
+    assert rows
+    scratch = {
+        (r["day"], r["event_type"]): r
+        for r in T(spark, sf_dir, "events")
+        .withColumn("day", F.expr("unix_micros(ts) div 86400000000"))
+        .groupBy("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value", 2).alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    }
+    assert set(rows) == set(scratch)
+    max_day = max(d for d, _ in rows)
+    for key, r in rows.items():
+        w = scratch[key]
+        assert r["n_events"] == w["n"]
+        assert r["sum_value"] == w["s"]
+        assert r["min_value"] == w["mn"] and r["max_value"] == w["mx"]
+        want_delta = r["n_events"] if key[0] >= max_day - 5 else 0
+        assert r["n_delta"] == want_delta
+
+
 def test_lsh_tuning_curve_matches_theory(spark, sf_dir):
     """Empirical band-detection must agree with the 1-(1-s^4)^4 S-curve
     where the curve is saturated: high-similarity buckets (>= 0.8)
