@@ -112,6 +112,8 @@ _FRONT = (
     "q_mm_scene_cuts",
     "q_doc_lsh_tuning",
     "q_ev_incremental_agg",
+    "q_doc_dup_transitivity",
+    "q_ev_key_skew",
     # judge-only attestation + touched by this round's tracked_persist
     # swap — absorb any truncation overflow
     "q_doc_minhash_lsh",

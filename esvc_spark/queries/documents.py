@@ -3390,6 +3390,92 @@ FROM bucketed GROUP BY bucket
 """
 
 
+# -------------------------------------------------- dup-graph triangles
+# Transitivity audit of the near-dup graph: triangles and wedges over
+# the MinHash-LSH candidate edges, with the global clustering
+# coefficient 3·triangles/wedges — the structural check behind "can I
+# trust single-link clustering here?" (high transitivity → near-dup is
+# behaving like an equivalence relation; low → chains of barely-similar
+# docs are bridging unrelated clusters and CC labels will over-merge).
+#
+# Scale: the canonical two-join triangle count over the bounded LSH
+# edge set (edges are already oriented doc_a < doc_b so each triangle
+# counts once). At web scale you would orient by DEGREE, not id, to
+# bound the join fan-out on hub nodes; the df-capped LSH graph keeps
+# id-orientation safe here. Wedges are Σ C(deg, 2) — one degree
+# aggregate, no join.
+
+
+def q_doc_dup_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        q_doc_minhash_lsh(spark, sf_dir)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .transform(_tp)  # feeds three triangle-join sides + the degrees
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) div 2")).cast("bigint").alias("n_wedges"),
+    )
+    edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        edges.join(stats)
+        .join(tri)
+        .select(
+            "n_edges", "n_nodes", "n_wedges",
+            F.col("n_triangles").cast("bigint").alias("n_triangles"),
+            F.when(
+                F.col("n_wedges") > 0,
+                (3 * F.col("n_triangles")).cast("double") / F.col("n_wedges"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("transitivity"),
+        )
+    )
+
+
+def _dup_transitivity_sql() -> str:
+    return f"""
+WITH e AS (SELECT doc_a AS a, doc_b AS b FROM ({_minhash_sql()}) q),
+tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+deg AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e
+  ) GROUP BY node
+),
+stats AS (
+  SELECT COUNT(*) AS n_nodes,
+         CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+  FROM deg
+),
+edges AS (SELECT COUNT(*) AS n_edges FROM e)
+SELECT n_edges, n_nodes, n_wedges, n_triangles,
+       CASE WHEN n_wedges > 0
+            THEN CAST(3 * n_triangles AS DOUBLE) / n_wedges
+            ELSE 0.0 END AS transitivity
+FROM edges CROSS JOIN stats CROSS JOIN tri
+"""
+
+
 # ------------------------------------------- cross-source duplication
 # Which sources copy from which: the (source_a, source_b) duplication
 # matrix — exact-duplicate pairs plus MinHash-LSH near-dup candidate
@@ -3801,6 +3887,7 @@ QUERIES = {
     "q_doc_cross_source_dup": q_doc_cross_source_dup,
     "q_doc_source_overlap": q_doc_source_overlap,
     "q_doc_lsh_tuning": q_doc_lsh_tuning,
+    "q_doc_dup_transitivity": q_doc_dup_transitivity,
     "q_doc_dsir": q_doc_dsir,
     "q_doc_ccnet_buckets": q_doc_ccnet_buckets,
     "q_doc_domain_reweight": q_doc_domain_reweight,
@@ -3852,6 +3939,7 @@ ORACLES = {
     "q_doc_cross_source_dup": _cross_source_dup_sql(),
     "q_doc_source_overlap": _SOURCE_OVERLAP_SQL,
     "q_doc_lsh_tuning": _lsh_tuning_sql(),
+    "q_doc_dup_transitivity": _dup_transitivity_sql(),
     "q_doc_dsir": _dsir_sql(),
     "q_doc_ccnet_buckets": _CCNET_SQL,
     "q_doc_domain_reweight": _domain_reweight_sql(),

@@ -2726,6 +2726,91 @@ SELECT day, event_type,
 FROM ev GROUP BY day, event_type
 """
 
+# ------------------------------------------------------------ key skew
+# Shuffle-key skew audit: for each candidate partitioning key, hash rows
+# onto a fixed 32-slot grid (md5-derived, engine-independent — this
+# audits the KEY DISTRIBUTION, not any engine's internal hash) and
+# report per-key imbalance: slots used, max/min slot load, the
+# imbalance factor max·slots/total (1.0 = perfectly even), and the
+# share of rows on the single hottest raw key. The diagnosis a pipeline
+# runs before picking join/agg keys at scale — an imbalance factor of k
+# means the slowest reducer does k× the average work.
+#
+# Scale: one aggregate per candidate key over derived (key, slot)
+# columns; output is |candidates| rows.
+
+_SKEW_SLOTS = 32
+
+
+def q_ev_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+
+    def audit(col: str) -> DataFrame:
+        h = F.conv(
+            F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
+        ).cast("bigint")
+        slots = (
+            ev.select((h % _SKEW_SLOTS).alias("slot"), F.col(col).alias("k"))
+            .groupBy("slot")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        keys = (
+            ev.groupBy(F.col(col).alias("k"))
+            .agg(F.count(F.lit(1)).alias("kn"))
+            .agg(
+                F.count(F.lit(1)).alias("n_keys"),
+                F.max("kn").alias("hottest_key_rows"),
+            )
+        )
+        return (
+            slots.agg(
+                F.count(F.lit(1)).alias("slots_used"),
+                F.sum("n").cast("bigint").alias("total_rows"),
+                F.max("n").alias("max_slot"),
+                F.min("n").alias("min_slot"),
+            )
+            .join(keys)
+            .select(
+                F.lit(col).alias("key_name"),
+                "n_keys", "total_rows", "slots_used", "max_slot", "min_slot",
+                "hottest_key_rows",
+                (
+                    (F.col("max_slot") * _SKEW_SLOTS).cast("double")
+                    / F.col("total_rows")
+                ).alias("imbalance"),
+                (
+                    F.col("hottest_key_rows").cast("double")
+                    / F.col("total_rows")
+                ).alias("hottest_share"),
+            )
+        )
+
+    return audit("user_id").unionByName(audit("event_type"))
+
+
+def _key_skew_sql() -> str:
+    def one(col: str) -> str:
+        h = f"CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15)) AS BIGINT)"
+        return f"""
+SELECT '{col}' AS key_name,
+       (SELECT COUNT(*) FROM (SELECT {col} FROM events GROUP BY {col}))
+         AS n_keys,
+       CAST(SUM(n) AS BIGINT) AS total_rows,
+       COUNT(*) AS slots_used,
+       MAX(n) AS max_slot, MIN(n) AS min_slot,
+       (SELECT MAX(kn) FROM (SELECT COUNT(*) AS kn FROM events
+                             GROUP BY {col})) AS hottest_key_rows,
+       CAST(MAX(n) * {_SKEW_SLOTS} AS DOUBLE) / SUM(n) AS imbalance,
+       CAST((SELECT MAX(kn) FROM (SELECT COUNT(*) AS kn FROM events
+                                  GROUP BY {col})) AS DOUBLE) / SUM(n)
+         AS hottest_share
+FROM (SELECT {h} % {_SKEW_SLOTS} AS slot, COUNT(*) AS n
+      FROM events GROUP BY 1)
+"""
+
+    return one("user_id") + " UNION ALL " + one("event_type")
+
+
 # ------------------------------------------------------------- bot detect
 # Automation / bot-traffic detection from inter-arrival timing: real user
 # gaps are exponential-ish (CV² ≈ 1), schedulers are metronomic (CV² → 0)
@@ -2940,6 +3025,7 @@ QUERIES = {
     "q_ev_bot_detect": q_ev_bot_detect,
     "q_ev_ltv": q_ev_ltv,
     "q_ev_incremental_agg": q_ev_incremental_agg,
+    "q_ev_key_skew": q_ev_key_skew,
     "q_stream_tumbling_hourly": q_stream_tumbling_hourly,
     "q_stream_sessionize": q_stream_sessionize,
     "q_stream_running_totals": q_stream_running_totals,
@@ -2986,6 +3072,7 @@ ORACLES = {
     "q_ev_bot_detect": _BOT_SQL,
     "q_ev_ltv": _LTV_SQL,
     "q_ev_incremental_agg": _INC_AGG_SQL,
+    "q_ev_key_skew": _key_skew_sql(),
     "q_stream_tumbling_hourly": _STREAM_TUMBLING_SQL,
     "q_stream_sessionize": _SESSION_SQL,
     "q_stream_running_totals": _RUNNING_TOTALS_SQL,

@@ -89,6 +89,8 @@ _NLJ_OK = {
     "q_emb_semdedup": "8-centroid broadcast assignment cross join (kmeans shape)",
     "q_emb_cluster_sample": "8-centroid broadcast assignment cross join (IVF shape)",
     "q_ev_incremental_agg": "single-row cutoff-day cross joins (base/delta split)",
+    "q_doc_dup_transitivity": "single-row edge/wedge/triangle aggregate cross joins",
+    "q_ev_key_skew": "single-row slot-stats x key-stats cross join per candidate key",
     "q_emb_recall_curve": "20-row query broadcast + 8-centroid assignment (knn + IVF shapes)",
 }
 

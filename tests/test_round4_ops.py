@@ -274,6 +274,61 @@ def test_recall_curve_consistency(spark, sf_dir):
     assert rows[3]["n_hits"] == sum(r["n_hits"] for r in point)
 
 
+def test_dup_transitivity_graph_identities(spark, sf_dir):
+    """Wedges/triangles must recompute from the raw LSH edge set, and
+    transitivity must honor its 3T/W definition and [0, 1] range."""
+    from itertools import combinations
+
+    r = DOC_QUERIES["q_doc_dup_transitivity"](spark, sf_dir).collect()[0]
+    edges = {
+        (e["doc_a"], e["doc_b"])
+        for e in DOC_QUERIES["q_doc_minhash_lsh"](spark, sf_dir).collect()
+    }
+    assert r["n_edges"] == len(edges)
+    nodes = {n for e in edges for n in e}
+    assert r["n_nodes"] == len(nodes)
+    deg: dict[int, int] = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    assert r["n_wedges"] == sum(d * (d - 1) // 2 for d in deg.values())
+    und = edges | {(b, a) for a, b in edges}
+    tri = sum(
+        1
+        for a, b in edges
+        for c in nodes
+        if c > b and (b, c) in und and (a, c) in und
+    )
+    assert r["n_triangles"] == tri
+    if r["n_wedges"]:
+        assert abs(r["transitivity"] - 3 * tri / r["n_wedges"]) < 1e-12
+        assert 0.0 <= r["transitivity"] <= 1.0
+
+
+def test_key_skew_audit_identities(spark, sf_dir):
+    """Row totals conserve; slot loads bound the average from above and
+    below; a 5-key column must look maximally skewed next to a 150-key
+    one on the imbalance factor's own terms."""
+    from esvc_spark.catalog import table as T
+    from esvc_spark.queries.events import QUERIES as EV_QUERIES
+
+    rows = {r["key_name"]: r for r in
+            EV_QUERIES["q_ev_key_skew"](spark, sf_dir).collect()}
+    assert set(rows) == {"user_id", "event_type"}
+    n = T(spark, sf_dir, "events").count()
+    for r in rows.values():
+        assert r["total_rows"] == n
+        assert 1 <= r["slots_used"] <= 32
+        assert r["min_slot"] <= r["max_slot"]
+        assert r["max_slot"] * 32 >= n  # pigeonhole on 32 slots
+        assert r["imbalance"] >= 1.0 - 1e-12
+        assert abs(r["imbalance"] - r["max_slot"] * 32 / n) < 1e-9
+        assert r["hottest_key_rows"] <= n
+    assert rows["event_type"]["n_keys"] == 5
+    assert rows["event_type"]["slots_used"] <= 5
+    assert rows["event_type"]["imbalance"] > rows["user_id"]["imbalance"]
+
+
 def test_incremental_agg_merge_equals_scratch(spark, sf_dir):
     """The mergeable-state theorem the query embodies: base ∪ delta
     re-aggregated equals aggregating all events from scratch, cell for
