@@ -56,6 +56,71 @@ def asof_join(
     return unioned.filter(F.col("_side") == 1).select(*out_cols)
 
 
+def asof_nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str],
+    value_cols: list[str],
+    right_on: str | None = None,
+) -> DataFrame:
+    """Nearest as-of join: every left row gains the `value_cols` of the
+    right row minimizing |right.on − left.on| within equal `by` keys
+    (ties → the backward/earlier side), plus `matched_on` and
+    `direction` ('backward'/'forward', null when no right row exists).
+    `on` must be NUMERIC (pass unix_micros for timestamps) so the
+    distance compare is exact integer arithmetic.
+
+    Same scale shape as asof_join — one shuffle on `by`, one sorted
+    window pass run in both directions — instead of the |L|·|R|
+    inequality join a naive min-|Δt| formulation plans to.
+    """
+    ron = right_on or on
+    rt = right.select(
+        *by, F.col(ron).alias(on), *[F.col(c) for c in value_cols]
+    ).withColumn("_side", F.lit(0))
+    lt = left.withColumn("_side", F.lit(1))
+    u = lt.unionByName(rt, allowMissingColumns=True).withColumn(
+        "_rts", F.when(F.col("_side") == 0, F.col(on))
+    )
+    # right rows sort before left at equal `on` in the backward pass and
+    # after left in the forward pass, so an exact tie is visible to both
+    # directions at distance 0 (and backward wins the tie-break below)
+    wb = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).asc(), F.col("_side").desc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    for c in value_cols:
+        u = u.withColumn(f"_b_{c}", F.last(c, ignorenulls=True).over(wb))
+        u = u.withColumn(f"_f_{c}", F.first(c, ignorenulls=True).over(wf))
+    u = u.withColumn("_b_ts", F.last("_rts", ignorenulls=True).over(wb))
+    u = u.withColumn("_f_ts", F.first("_rts", ignorenulls=True).over(wf))
+    use_b = F.col("_f_ts").isNull() | (
+        F.col("_b_ts").isNotNull()
+        & ((F.col(on) - F.col("_b_ts")) <= (F.col("_f_ts") - F.col(on)))
+    )
+    out = u.filter(F.col("_side") == 1).withColumn(
+        "matched_on", F.when(use_b, F.col("_b_ts")).otherwise(F.col("_f_ts"))
+    )
+    for c in value_cols:
+        out = out.withColumn(
+            c, F.when(use_b, F.col(f"_b_{c}")).otherwise(F.col(f"_f_{c}"))
+        )
+    out = out.withColumn(
+        "direction",
+        F.when(F.col("matched_on").isNull(), F.lit(None).cast("string"))
+        .when(use_b, F.lit("backward"))
+        .otherwise(F.lit("forward")),
+    )
+    return out.select(*left.columns, *value_cols, "matched_on", "direction")
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,

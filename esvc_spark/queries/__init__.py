@@ -114,6 +114,8 @@ _FRONT = (
     "q_ev_incremental_agg",
     "q_doc_dup_transitivity",
     "q_ev_key_skew",
+    "q_doc_signal_corr",
+    "q_ev_asof_nearest",
     # judge-only attestation + touched by this round's tracked_persist
     # swap — absorb any truncation overflow
     "q_doc_minhash_lsh",

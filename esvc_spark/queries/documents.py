@@ -3390,6 +3390,115 @@ FROM bucketed GROUP BY bucket
 """
 
 
+# -------------------------------------------------- signal correlation
+# Quality-signal agreement audit: Spearman rank correlation between the
+# heuristic quality score (stopword/punct/length) and the corpus-trained
+# bigram-LM fluency score, over the LM-scored slice — the check a
+# curation pipeline runs before swapping one cheap filter for another
+# ("do these two signals even order documents the same way?"). Ranks
+# are ROW_NUMBERs over a pinned (score, doc_id) order, so ties resolve
+# identically in both engines and everything after the two scores is
+# integer: ρ = 1 − 6·Σd²/(n·(n²−1)) with one final double division.
+# Both scores are fixed single-IEEE-op expression trees over exact
+# integers/folds, hence bit-identical cross-engine.
+#
+# Scale: the LM model tables are the q_doc_lm_score shapes (vocabulary-
+# bounded); the ranked slice is _LM_SCORE_N rows; output is one row.
+
+
+def q_doc_signal_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _docs_par(spark, sf_dir)
+    sw = ",".join(f"'{w}'" for w in _STOPWORDS)
+    qual = (
+        docs.withColumn("toks", _TOKENS())
+        .withColumn("n_tokens", F.size("toks").cast("bigint"))
+        .withColumn(
+            "n_stop",
+            F.size(F.expr(f"filter(toks, t -> t IN ({sw}))")).cast("bigint"),
+        )
+        .withColumn(
+            "n_punct",
+            (
+                F.length("text")
+                - F.length(F.regexp_replace("text", r"[.,!?;:]", ""))
+            ).cast("bigint"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .withColumn(
+            "qscore",
+            (F.col("n_stop").cast("double") / F.col("n_tokens")) * 2.0
+            + (1.0 - F.col("n_punct").cast("double") / F.col("n_chars"))
+            + F.when(
+                (F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 1000), 1.0
+            ).otherwise(0.0),
+        )
+        .select("doc_id", "qscore")
+    )
+    lm = q_doc_lm_score(spark, sf_dir).select("doc_id", "lm_score")
+    j = lm.join(qual, "doc_id")
+    wa = Window.orderBy("qscore", "doc_id")
+    wb = Window.orderBy("lm_score", "doc_id")
+    ranked = j.select(
+        "doc_id",
+        F.row_number().over(wa).cast("bigint").alias("ra"),
+        F.row_number().over(wb).cast("bigint").alias("rb"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("ra") - F.col("rb")) * (F.col("ra") - F.col("rb")))
+        .cast("bigint")
+        .alias("sum_d2"),
+    ).select(
+        "n_docs",
+        "sum_d2",
+        (
+            F.lit(1.0)
+            - F.expr(
+                "CAST(6 * sum_d2 AS DOUBLE)"
+                " / (n_docs * (n_docs * n_docs - 1))"
+            )
+        ).alias("spearman"),
+    )
+
+
+def _signal_corr_sql() -> str:
+    sw = ",".join(f"'{w}'" for w in _STOPWORDS)
+    return f"""
+WITH qual AS (
+  SELECT doc_id,
+         (CAST(n_stop AS DOUBLE) / n_tokens) * 2.0
+           + (1.0 - CAST(n_punct AS DOUBLE) / n_chars)
+           + CASE WHEN n_tokens >= 20 AND n_tokens <= 1000
+                  THEN 1.0 ELSE 0.0 END AS qscore
+  FROM (
+    SELECT doc_id, n_chars,
+           CAST(len({SQL_TOKENS}) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter({SQL_TOKENS}, t -> t IN ({sw})))
+                AS BIGINT) AS n_stop,
+           CAST(length(text)
+                - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                AS BIGINT) AS n_punct
+    FROM documents
+  ) WHERE n_tokens > 0
+),
+lm AS (SELECT doc_id, lm_score FROM ({_LM_SCORE_SQL}) q),
+j AS (SELECT l.doc_id, qscore, lm_score FROM lm l JOIN qual USING (doc_id)),
+ranked AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY qscore, doc_id) AS BIGINT) AS ra,
+         CAST(ROW_NUMBER() OVER (ORDER BY lm_score, doc_id) AS BIGINT) AS rb
+  FROM j
+)
+SELECT COUNT(*) AS n_docs,
+       CAST(SUM((ra - rb) * (ra - rb)) AS BIGINT) AS sum_d2,
+       1.0 - CAST(6 * SUM((ra - rb) * (ra - rb)) AS DOUBLE)
+             / (COUNT(*) * (COUNT(*) * COUNT(*) - 1)) AS spearman
+FROM ranked
+"""
+
+
 # -------------------------------------------------- dup-graph triangles
 # Transitivity audit of the near-dup graph: triangles and wedges over
 # the MinHash-LSH candidate edges, with the global clustering
@@ -3888,6 +3997,7 @@ QUERIES = {
     "q_doc_source_overlap": q_doc_source_overlap,
     "q_doc_lsh_tuning": q_doc_lsh_tuning,
     "q_doc_dup_transitivity": q_doc_dup_transitivity,
+    "q_doc_signal_corr": q_doc_signal_corr,
     "q_doc_dsir": q_doc_dsir,
     "q_doc_ccnet_buckets": q_doc_ccnet_buckets,
     "q_doc_domain_reweight": q_doc_domain_reweight,
@@ -3940,6 +4050,7 @@ ORACLES = {
     "q_doc_source_overlap": _SOURCE_OVERLAP_SQL,
     "q_doc_lsh_tuning": _lsh_tuning_sql(),
     "q_doc_dup_transitivity": _dup_transitivity_sql(),
+    "q_doc_signal_corr": _signal_corr_sql(),
     "q_doc_dsir": _dsir_sql(),
     "q_doc_ccnet_buckets": _CCNET_SQL,
     "q_doc_domain_reweight": _domain_reweight_sql(),

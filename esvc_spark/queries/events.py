@@ -217,6 +217,96 @@ FROM clicks ASOF LEFT JOIN purch
   ON clicks.user_id = purch.user_id AND clicks.ts >= purch.pts
 """
 
+# ------------------------------------------------------------ nearest asof
+# Nearest-direction as-of: each click matched to the CLOSEST purchase of
+# the same user in either time direction (ties → backward), the variant
+# sensor-fusion and attribution pipelines need when "most recent" is the
+# wrong prior. operators.temporal.asof_nearest_join runs the asof union
+# trick in both window directions — one shuffle, no inequality join; the
+# oracle states the identical two-pass window algorithm (DuckDB's ASOF
+# is backward-only, so the composition IS the reference semantics).
+
+
+def q_ev_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import asof_nearest_join
+
+    ev = T(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("t_us")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.unix_micros("ts").alias("t_us"), "value")
+        .groupBy("user_id", "t_us")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = asof_nearest_join(
+        clicks,
+        purchases,
+        on="t_us",
+        by=["user_id"],
+        value_cols=["purchase_value"],
+    )
+    return out.select(
+        "event_id", "user_id", "t_us", "purchase_value",
+        F.col("matched_on").alias("purchase_t_us"),
+        F.abs(F.col("t_us") - F.col("matched_on")).alias("gap_us"),
+        "direction",
+    )
+
+
+_ASOF_NEAREST_SQL = """
+WITH clicks AS (
+  SELECT event_id, user_id, epoch_us(ts::TIMESTAMP) AS t_us
+  FROM events WHERE event_type = 'click'
+),
+purch AS (
+  SELECT user_id, epoch_us(ts::TIMESTAMP) AS t_us,
+         MAX(value) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+u AS (
+  SELECT user_id, t_us, event_id,
+         CAST(NULL AS DOUBLE) AS pv, CAST(NULL AS BIGINT) AS rts, 1 AS side
+  FROM clicks
+  UNION ALL
+  SELECT user_id, t_us, CAST(NULL AS BIGINT), purchase_value, t_us, 0
+  FROM purch
+),
+w AS (
+  SELECT *,
+         LAST_VALUE(pv IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY t_us, side
+           ROWS UNBOUNDED PRECEDING) AS b_v,
+         LAST_VALUE(rts IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY t_us, side
+           ROWS UNBOUNDED PRECEDING) AS b_ts,
+         FIRST_VALUE(pv IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY t_us, side DESC
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS f_v,
+         FIRST_VALUE(rts IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY t_us, side DESC
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS f_ts
+  FROM u
+)
+SELECT event_id, user_id, t_us,
+       CASE WHEN f_ts IS NULL
+                 OR (b_ts IS NOT NULL AND (t_us - b_ts) <= (f_ts - t_us))
+            THEN b_v ELSE f_v END AS purchase_value,
+       CASE WHEN f_ts IS NULL
+                 OR (b_ts IS NOT NULL AND (t_us - b_ts) <= (f_ts - t_us))
+            THEN b_ts ELSE f_ts END AS purchase_t_us,
+       abs(t_us - CASE WHEN f_ts IS NULL
+                            OR (b_ts IS NOT NULL
+                                AND (t_us - b_ts) <= (f_ts - t_us))
+                       THEN b_ts ELSE f_ts END) AS gap_us,
+       CASE WHEN b_ts IS NULL AND f_ts IS NULL THEN NULL
+            WHEN f_ts IS NULL
+                 OR (b_ts IS NOT NULL AND (t_us - b_ts) <= (f_ts - t_us))
+            THEN 'backward' ELSE 'forward' END AS direction
+FROM w WHERE side = 1
+"""
+
 # ---------------------------------------------------------------- range join
 # Click→purchase pairs of the same user within (1s, 5min]: bucketized
 # equality join (operators.temporal.range_join) instead of the
@@ -3026,6 +3116,7 @@ QUERIES = {
     "q_ev_ltv": q_ev_ltv,
     "q_ev_incremental_agg": q_ev_incremental_agg,
     "q_ev_key_skew": q_ev_key_skew,
+    "q_ev_asof_nearest": q_ev_asof_nearest,
     "q_stream_tumbling_hourly": q_stream_tumbling_hourly,
     "q_stream_sessionize": q_stream_sessionize,
     "q_stream_running_totals": q_stream_running_totals,
@@ -3073,6 +3164,7 @@ ORACLES = {
     "q_ev_ltv": _LTV_SQL,
     "q_ev_incremental_agg": _INC_AGG_SQL,
     "q_ev_key_skew": _key_skew_sql(),
+    "q_ev_asof_nearest": _ASOF_NEAREST_SQL,
     "q_stream_tumbling_hourly": _STREAM_TUMBLING_SQL,
     "q_stream_sessionize": _SESSION_SQL,
     "q_stream_running_totals": _RUNNING_TOTALS_SQL,

@@ -274,6 +274,50 @@ def test_recall_curve_consistency(spark, sf_dir):
     assert rows[3]["n_hits"] == sum(r["n_hits"] for r in point)
 
 
+def test_signal_corr_is_valid_spearman(spark, sf_dir):
+    r = DOC_QUERIES["q_doc_signal_corr"](spark, sf_dir).collect()[0]
+    n, d2 = r["n_docs"], r["sum_d2"]
+    assert n == 100  # the LM-scored slice
+    assert 0 <= d2 <= n * (n * n - 1) // 3  # max at perfectly reversed ranks
+    assert abs(r["spearman"] - (1 - 6 * d2 / (n * (n * n - 1)))) < 1e-12
+    assert -1.0 <= r["spearman"] <= 1.0
+
+
+def test_asof_nearest_matches_bruteforce(spark, sf_dir):
+    """Differential oracle the SQL can't give us independently: for every
+    click, recompute the nearest purchase by brute force over that
+    user's purchase list and demand the same match, gap, and direction
+    (backward wins exact ties)."""
+    from esvc_spark.queries.events import QUERIES as EV_QUERIES
+    from esvc_spark.catalog import table as T
+
+    out = EV_QUERIES["q_ev_asof_nearest"](spark, sf_dir).collect()
+    assert out
+    ev = T(spark, sf_dir, "events")
+    purch: dict[int, list[int]] = {}
+    for r in (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.unix_micros("ts").alias("t"))
+        .collect()
+    ):
+        purch.setdefault(r["user_id"], []).append(r["t"])
+    n_matched = 0
+    for r in out:
+        plist = purch.get(r["user_id"], [])
+        if not plist:
+            assert r["purchase_t_us"] is None and r["direction"] is None
+            continue
+        n_matched += 1
+        best = min(plist, key=lambda p: (abs(p - r["t_us"]), p > r["t_us"]))
+        assert r["purchase_t_us"] == best
+        assert r["gap_us"] == abs(best - r["t_us"])
+        want_dir = "backward" if best <= r["t_us"] else "forward"
+        assert r["direction"] == want_dir
+    assert n_matched > 0
+    assert any(r["direction"] == "forward" for r in out)
+    assert any(r["direction"] == "backward" for r in out)
+
+
 def test_dup_transitivity_graph_identities(spark, sf_dir):
     """Wedges/triangles must recompute from the raw LSH edge set, and
     transitivity must honor its 3T/W definition and [0, 1] range."""
