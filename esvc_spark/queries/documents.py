@@ -3390,6 +3390,100 @@ FROM bucketed GROUP BY bucket
 """
 
 
+# ------------------------------------------------ dedup method eval
+# Precision/recall scorecard of every cheap near-dup detector against
+# the exact shingle-Jaccard ground truth (jaccard >= 0.5): MinHash-LSH,
+# SimHash banded Hamming, and winnowing fingerprints each predict a
+# pair set; this query scores them — the evaluation a pipeline runs
+# before picking which detector guards a 100 TB dedup pass. One row per
+# method: predicted/truth/true-positive counts, precision, recall, F1
+# (exact counts, three final divisions).
+#
+# Scale: each input is an already-bounded pair set (banded/df-capped);
+# the scorecard joins pair lists, never documents. Like
+# q_dedup_agreement, it recomputes its input pipelines rather than
+# memoizing across queries (see the PERF note there) — the slowest
+# composite on the surface (~7 s at sf0.1), which is the cost of four
+# cold pipeline runs, not of the scorecard.
+
+_EVAL_METHODS = ("minhash_lsh", "simhash", "winnow")
+
+
+def q_dedup_method_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    truth = (
+        q_doc_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .withColumn("in_truth", F.lit(1))
+        .transform(_tp)  # joined by all three methods + counted once
+    )
+    preds = [
+        q_doc_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .withColumn("method", F.lit("minhash_lsh")),
+        q_doc_simhash_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .withColumn("method", F.lit("simhash")),
+        q_doc_winnow_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .withColumn("method", F.lit("winnow")),
+    ]
+    pred = preds[0]
+    for p in preds[1:]:
+        pred = pred.unionByName(p)
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    scored = (
+        pred.join(truth, ["doc_a", "doc_b"], "left")
+        .groupBy("method")
+        .agg(
+            F.count(F.lit(1)).alias("n_pred"),
+            F.sum(F.coalesce("in_truth", F.lit(0))).cast("bigint").alias("tp"),
+        )
+        .join(n_truth)
+    )
+    prec = F.col("tp").cast("double") / F.col("n_pred")
+    rec = F.col("tp").cast("double") / F.col("n_truth")
+    return scored.select(
+        "method", "n_pred", "n_truth", "tp",
+        prec.alias("precision"),
+        rec.alias("recall"),
+        F.when(F.col("tp") > 0, 2 * prec * rec / (prec + rec))
+        .otherwise(F.lit(0.0))
+        .alias("f1"),
+    )
+
+
+def _dedup_method_eval_sql() -> str:
+    return f"""
+WITH truth AS (
+  SELECT doc_a, doc_b, 1 AS in_truth FROM ({_NGRAM_JACCARD_SQL}) q
+),
+pred AS (
+  SELECT doc_a, doc_b, 'minhash_lsh' AS method FROM ({_minhash_sql()}) q
+  UNION ALL
+  SELECT doc_a, doc_b, 'simhash' AS method FROM ({_simhash_pairs_sql()}) q
+  UNION ALL
+  SELECT doc_a, doc_b, 'winnow' AS method FROM ({_WINNOW_SQL}) q
+),
+nt AS (SELECT COUNT(*) AS n_truth FROM truth),
+scored AS (
+  SELECT method, COUNT(*) AS n_pred,
+         CAST(SUM(COALESCE(in_truth, 0)) AS BIGINT) AS tp
+  FROM pred LEFT JOIN truth USING (doc_a, doc_b)
+  GROUP BY method
+)
+SELECT method, n_pred, n_truth, tp,
+       CAST(tp AS DOUBLE) / n_pred AS precision,
+       CAST(tp AS DOUBLE) / n_truth AS recall,
+       CASE WHEN tp > 0
+            THEN 2 * (CAST(tp AS DOUBLE) / n_pred)
+                   * (CAST(tp AS DOUBLE) / n_truth)
+                 / ((CAST(tp AS DOUBLE) / n_pred)
+                    + (CAST(tp AS DOUBLE) / n_truth))
+            ELSE 0.0 END AS f1
+FROM scored CROSS JOIN nt
+"""
+
+
 # -------------------------------------------------- signal correlation
 # Quality-signal agreement audit: Spearman rank correlation between the
 # heuristic quality score (stopword/punct/length) and the corpus-trained
@@ -3998,6 +4092,7 @@ QUERIES = {
     "q_doc_lsh_tuning": q_doc_lsh_tuning,
     "q_doc_dup_transitivity": q_doc_dup_transitivity,
     "q_doc_signal_corr": q_doc_signal_corr,
+    "q_dedup_method_eval": q_dedup_method_eval,
     "q_doc_dsir": q_doc_dsir,
     "q_doc_ccnet_buckets": q_doc_ccnet_buckets,
     "q_doc_domain_reweight": q_doc_domain_reweight,
@@ -4051,6 +4146,7 @@ ORACLES = {
     "q_doc_lsh_tuning": _lsh_tuning_sql(),
     "q_doc_dup_transitivity": _dup_transitivity_sql(),
     "q_doc_signal_corr": _signal_corr_sql(),
+    "q_dedup_method_eval": _dedup_method_eval_sql(),
     "q_doc_dsir": _dsir_sql(),
     "q_doc_ccnet_buckets": _CCNET_SQL,
     "q_doc_domain_reweight": _domain_reweight_sql(),

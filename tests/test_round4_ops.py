@@ -274,6 +274,26 @@ def test_recall_curve_consistency(spark, sf_dir):
     assert rows[3]["n_hits"] == sum(r["n_hits"] for r in point)
 
 
+def test_dedup_method_eval_scorecard(spark, sf_dir):
+    """Counts must recompute from the underlying pair sets; the
+    precision ordering the corpus is built to show (banded SimHash is
+    recall-cheap/precision-noisy next to MinHash) must hold."""
+    rows = {r["method"]: r for r in
+            DOC_QUERIES["q_dedup_method_eval"](spark, sf_dir).collect()}
+    assert set(rows) == {"minhash_lsh", "simhash", "winnow"}
+    n_truth = DOC_QUERIES["q_doc_ngram_jaccard"](spark, sf_dir).count()
+    for r in rows.values():
+        assert r["n_truth"] == n_truth
+        assert 0 <= r["tp"] <= min(r["n_pred"], n_truth)
+        assert abs(r["precision"] - r["tp"] / r["n_pred"]) < 1e-12
+        assert abs(r["recall"] - r["tp"] / n_truth) < 1e-12
+        if r["tp"]:
+            p, c = r["precision"], r["recall"]
+            assert abs(r["f1"] - 2 * p * c / (p + c)) < 1e-12
+    assert rows["minhash_lsh"]["precision"] > rows["simhash"]["precision"]
+    assert rows["minhash_lsh"]["recall"] >= 0.9
+
+
 def test_signal_corr_is_valid_spearman(spark, sf_dir):
     r = DOC_QUERIES["q_doc_signal_corr"](spark, sf_dir).collect()[0]
     n, d2 = r["n_docs"], r["sum_d2"]
