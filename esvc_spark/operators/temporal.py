@@ -80,8 +80,16 @@ def asof_nearest_join(
         *by, F.col(ron).alias(on), *[F.col(c) for c in value_cols]
     ).withColumn("_side", F.lit(0))
     lt = left.withColumn("_side", F.lit(1))
+    # carry (ts, values) as ONE struct so the window's ignorenulls skip
+    # can never mix the nearest row's timestamp with a different row's
+    # value (a right row with a NULL value column would otherwise make
+    # last/first skip that column independently per field)
     u = lt.unionByName(rt, allowMissingColumns=True).withColumn(
-        "_rts", F.when(F.col("_side") == 0, F.col(on))
+        "_rrow",
+        F.when(
+            F.col("_side") == 0,
+            F.struct(F.col(on).alias("_ts"), *[F.col(c) for c in value_cols]),
+        ),
     )
     # right rows sort before left at equal `on` in the backward pass and
     # after left in the forward pass, so an exact tie is visible to both
@@ -96,21 +104,19 @@ def asof_nearest_join(
         .orderBy(F.col(on).asc(), F.col("_side").desc())
         .rowsBetween(0, Window.unboundedFollowing)
     )
-    for c in value_cols:
-        u = u.withColumn(f"_b_{c}", F.last(c, ignorenulls=True).over(wb))
-        u = u.withColumn(f"_f_{c}", F.first(c, ignorenulls=True).over(wf))
-    u = u.withColumn("_b_ts", F.last("_rts", ignorenulls=True).over(wb))
-    u = u.withColumn("_f_ts", F.first("_rts", ignorenulls=True).over(wf))
-    use_b = F.col("_f_ts").isNull() | (
-        F.col("_b_ts").isNotNull()
-        & ((F.col(on) - F.col("_b_ts")) <= (F.col("_f_ts") - F.col(on)))
+    u = u.withColumn("_b", F.last("_rrow", ignorenulls=True).over(wb))
+    u = u.withColumn("_f", F.first("_rrow", ignorenulls=True).over(wf))
+    use_b = F.col("_f._ts").isNull() | (
+        F.col("_b._ts").isNotNull()
+        & ((F.col(on) - F.col("_b._ts")) <= (F.col("_f._ts") - F.col(on)))
     )
     out = u.filter(F.col("_side") == 1).withColumn(
-        "matched_on", F.when(use_b, F.col("_b_ts")).otherwise(F.col("_f_ts"))
+        "matched_on",
+        F.when(use_b, F.col("_b._ts")).otherwise(F.col("_f._ts")),
     )
     for c in value_cols:
         out = out.withColumn(
-            c, F.when(use_b, F.col(f"_b_{c}")).otherwise(F.col(f"_f_{c}"))
+            c, F.when(use_b, F.col(f"_b.{c}")).otherwise(F.col(f"_f.{c}"))
         )
     out = out.withColumn(
         "direction",

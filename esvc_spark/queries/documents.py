@@ -294,13 +294,15 @@ _SQL_SHINGLES = f"""
 _DF_CAP = 100
 
 
-def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs_par(spark, sf_dir)
-    # The hot-shingle list (df > cap) is tiny by construction — boilerplate
-    # keys only — so it broadcasts, and the cap costs one map-side-combined
-    # aggregate plus a broadcast anti-join: no extra shuffle of the full
-    # shingle table. Persist all_sh (feeds the df aggregate + anti-join),
-    # persist sh (feeds counts + both self-join sides).
+def _capped_shingles(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(all_sh, sh): the shingle table and its df-capped version. The
+    hot-shingle list (df > cap) is tiny by construction — boilerplate
+    keys only — so it broadcasts, and the cap costs one map-side-combined
+    aggregate plus a broadcast anti-join: no extra shuffle of the full
+    shingle table. Persists all_sh (feeds the df aggregate + anti-join)
+    and sh (every caller fans it into multiple branches). Shared by
+    ngram_jaccard / containment / lsh_tuning so the cap semantics cannot
+    drift between the dedup queries and the audits of them."""
     all_sh = _shingles_df(docs).transform(_tp)
     hot = (
         all_sh.groupBy("shingle")
@@ -309,6 +311,12 @@ def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("shingle")
     )
     sh = all_sh.join(F.broadcast(hot), "shingle", "left_anti").transform(_tp)
+    return all_sh, sh
+
+
+def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_par(spark, sf_dir)
+    _, sh = _capped_shingles(docs)
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -432,7 +440,10 @@ def q_doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sql() -> str:
+def _mh_sql_fragments() -> tuple[str, str, str]:
+    """(mins, band_keys, band_rows) SQL fragments of the MinHash banding
+    — single source for _minhash_sql and the _lsh_tuning_sql audit so
+    the audited index can never drift from the dedup index."""
     mins = ", ".join(
         f"MIN(({a} * h + {b}) % {_P}) AS mh{i}" for i, (a, b) in enumerate(_PERMS)
     )
@@ -446,6 +457,11 @@ def _minhash_sql() -> str:
         f"SELECT doc_id, {b} AS band_idx, band{b} AS band_key FROM banded"
         for b in range(_N_BANDS)
     )
+    return mins, band_keys, band_rows
+
+
+def _minhash_sql() -> str:
+    mins, band_keys, band_rows = _mh_sql_fragments()
     match_expr = " + ".join(
         f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(_N_PERM)
     )
@@ -2924,14 +2940,7 @@ _CONTAIN_T = 0.5
 
 def q_doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_par(spark, sf_dir)
-    all_sh = _shingles_df(docs).transform(_tp)
-    hot = (
-        all_sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > _DF_CAP)
-        .select("shingle")
-    )
-    sh = all_sh.join(F.broadcast(hot), "shingle", "left_anti").transform(_tp)
+    _, sh = _capped_shingles(docs)
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (
@@ -3263,14 +3272,7 @@ FROM j
 
 def q_doc_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_par(spark, sf_dir)
-    all_sh = _shingles_df(docs).transform(_tp)
-    hot = (
-        all_sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > _DF_CAP)
-        .select("shingle")
-    )
-    sh = all_sh.join(F.broadcast(hot), "shingle", "left_anti").transform(_tp)
+    _, sh = _capped_shingles(docs)
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     truth = (
@@ -3334,19 +3336,7 @@ def _lsh_tuning_sql() -> str:
     s4 = f"({s_mid} * {s_mid} * {s_mid} * {s_mid})"
     q1 = f"(CAST(1 AS DOUBLE) - {s4})"
     theory = f"CAST(1 AS DOUBLE) - {q1} * {q1} * {q1} * {q1}"
-    mins = ", ".join(
-        f"MIN(({a} * h + {b}) % {_P}) AS mh{i}" for i, (a, b) in enumerate(_PERMS)
-    )
-    band_keys = ", ".join(
-        "concat_ws('_', "
-        + ", ".join(f"mh{j}" for j in range(b * _ROWS_PER_BAND, (b + 1) * _ROWS_PER_BAND))
-        + f") AS band{b}"
-        for b in range(_N_BANDS)
-    )
-    band_rows = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band_idx, band{b} AS band_key FROM banded"
-        for b in range(_N_BANDS)
-    )
+    mins, band_keys, band_rows = _mh_sql_fragments()
     return f"""
 WITH all_sh AS ({_SQL_SHINGLES}),
 sh AS (

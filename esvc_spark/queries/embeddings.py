@@ -1858,19 +1858,22 @@ def q_emb_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     matched = truth.join(approx, ["query_id", "neighbor_id"])
     ks = F.array(*[F.lit(k) for k in _RC_KS])
-    return (
+    counts = (
         matched.select("trank", "arank", F.explode(ks).alias("k"))
         .filter((F.col("trank") <= F.col("k")) & (F.col("arank") <= F.col("k")))
         .groupBy("k")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-        .select(
-            F.col("k").cast("bigint").alias("k"),
-            "n_hits",
-            (
-                F.col("n_hits").cast("double")
-                / (F.col("k") * F.lit(_N_QUERIES)).cast("double")
-            ).alias("recall_at_k"),
-        )
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    # left-join the k-lattice so a zero-hit k still emits its row
+    # (n_hits = 0) instead of silently vanishing from the curve
+    lattice = spark.range(1).select(F.explode(ks).alias("k"))
+    return lattice.join(counts, "k", "left").select(
+        F.col("k").cast("bigint").alias("k"),
+        F.coalesce("hits", F.lit(0)).cast("bigint").alias("n_hits"),
+        (
+            F.coalesce("hits", F.lit(0)).cast("double")
+            / (F.col("k") * F.lit(_N_QUERIES)).cast("double")
+        ).alias("recall_at_k"),
     )
 
 
@@ -1926,12 +1929,16 @@ matched AS (
   SELECT t.trank, a.arank
   FROM truth t JOIN approx a USING (query_id, neighbor_id)
 ),
-ks(k) AS (VALUES {ks})
-SELECT k, CAST(COUNT(*) AS BIGINT) AS n_hits,
-       CAST(COUNT(*) AS DOUBLE) / (k * {_N_QUERIES}) AS recall_at_k
-FROM matched CROSS JOIN ks
-WHERE trank <= k AND arank <= k
-GROUP BY k
+ks(k) AS (VALUES {ks}),
+counts AS (
+  SELECT k, COUNT(*) AS hits
+  FROM matched CROSS JOIN ks
+  WHERE trank <= k AND arank <= k
+  GROUP BY k
+)
+SELECT k, CAST(COALESCE(hits, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(hits, 0) AS DOUBLE) / (k * {_N_QUERIES}) AS recall_at_k
+FROM ks LEFT JOIN counts USING (k)
 """
 
 

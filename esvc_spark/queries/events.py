@@ -266,27 +266,31 @@ purch AS (
   FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
 ),
 u AS (
+  -- (ts, value) travel as ONE struct (null for left rows) so IGNORE
+  -- NULLS can never mix the nearest row's ts with another row's value —
+  -- mirrors the _rrow struct in operators.temporal.asof_nearest_join
   SELECT user_id, t_us, event_id,
-         CAST(NULL AS DOUBLE) AS pv, CAST(NULL AS BIGINT) AS rts, 1 AS side
+         CAST(NULL AS STRUCT(rts BIGINT, pv DOUBLE)) AS rrow, 1 AS side
   FROM clicks
   UNION ALL
-  SELECT user_id, t_us, CAST(NULL AS BIGINT), purchase_value, t_us, 0
+  SELECT user_id, t_us, CAST(NULL AS BIGINT),
+         struct_pack(rts := t_us, pv := purchase_value), 0
   FROM purch
 ),
 w AS (
   SELECT *,
-         LAST_VALUE(pv IGNORE NULLS) OVER (
+         (LAST_VALUE(rrow IGNORE NULLS) OVER (
            PARTITION BY user_id ORDER BY t_us, side
-           ROWS UNBOUNDED PRECEDING) AS b_v,
-         LAST_VALUE(rts IGNORE NULLS) OVER (
+           ROWS UNBOUNDED PRECEDING)).pv AS b_v,
+         (LAST_VALUE(rrow IGNORE NULLS) OVER (
            PARTITION BY user_id ORDER BY t_us, side
-           ROWS UNBOUNDED PRECEDING) AS b_ts,
-         FIRST_VALUE(pv IGNORE NULLS) OVER (
+           ROWS UNBOUNDED PRECEDING)).rts AS b_ts,
+         (FIRST_VALUE(rrow IGNORE NULLS) OVER (
            PARTITION BY user_id ORDER BY t_us, side DESC
-           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS f_v,
-         FIRST_VALUE(rts IGNORE NULLS) OVER (
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)).pv AS f_v,
+         (FIRST_VALUE(rrow IGNORE NULLS) OVER (
            PARTITION BY user_id ORDER BY t_us, side DESC
-           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS f_ts
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)).rts AS f_ts
   FROM u
 )
 SELECT event_id, user_id, t_us,
@@ -2840,7 +2844,7 @@ def q_ev_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
         ).cast("bigint")
         slots = (
-            ev.select((h % _SKEW_SLOTS).alias("slot"), F.col(col).alias("k"))
+            ev.select((h % _SKEW_SLOTS).alias("slot"))
             .groupBy("slot")
             .agg(F.count(F.lit(1)).alias("n"))
         )

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ._util import tracked_persist as _tp
 from ..operators.multimodal import (
     _KINDS,
     audio_windows,
@@ -431,7 +432,8 @@ def q_mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 w.rowsBetween(Window.unboundedPreceding, 0)
             ),
         )
-    )
+    ).transform(_tp)  # feeds the per-scene AND per-doc aggregates: without
+    # the persist the mapInPandas decode pass + both windows run twice
     scenes = d.groupBy("doc_id", "scene_id").agg(
         F.count(F.lit(1)).alias("scene_len")
     )
