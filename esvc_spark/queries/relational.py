@@ -1326,8 +1326,62 @@ FROM customer JOIN probes
 """
 
 
+# ----------------------------------------------------- RANGE-frame window
+# Trailing 30-day spend per customer: a RANGE frame over the integer
+# order-day (peers at the same day are all included — the semantics a
+# ROWS frame gets wrong when a customer places several same-day orders).
+# The sum stays DECIMAL through the frame, so DuckDB's segment-tree
+# window evaluation and Spark's agree exactly.
+#
+# Scale: one shuffle on o_custkey + a per-customer sorted pass — the
+# same cost envelope as any ordered window; the 30-day frame bound is a
+# pointer walk, not a join.
+
+
+def q_window_trailing_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # o_orderdate arrives TIMESTAMP_NTZ (like events.ts before
+    # normalization); datediff on its DATE part is timezone-free in both
+    # engines, unlike unix_micros (which rejects NTZ outright)
+    orders = T(spark, sf_dir, "orders").withColumn(
+        "day",
+        F.expr(
+            "datediff(cast(o_orderdate as date), date '1970-01-01')"
+        ).cast("bigint"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day").rangeBetween(-29, 0)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "day",
+        F.sum(dec("o_totalprice", 2)).over(w).cast("double")
+        .alias("trailing_30d_spend"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("trailing_30d_orders"),
+    )
+
+
+_QWINDOW_TRAIL_SQL = """
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(o_orderdate::DATE - DATE '1970-01-01' AS BIGINT) AS day,
+         o_totalprice
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, day,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY day
+                  RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS trailing_30d_spend,
+       CAST(COUNT(*)
+            OVER (PARTITION BY o_custkey ORDER BY day
+                  RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS trailing_30d_orders
+FROM o
+"""
+
+
 QUERIES = {
     "q_fuzzy_match": q_fuzzy_match,
+    "q_window_trailing_spend": q_window_trailing_spend,
     "q01_pricing_summary": q01_pricing_summary,
     "q02_min_cost_supplier": q02_min_cost_supplier,
     "q_grouping_sets": q_grouping_sets,
@@ -1364,6 +1418,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_window_trailing_spend": _QWINDOW_TRAIL_SQL,
     "q_fuzzy_match": _FUZZY_SQL,
     "q01_pricing_summary": _Q01_SQL,
     "q02_min_cost_supplier": _Q02_SQL,

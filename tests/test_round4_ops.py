@@ -274,6 +274,44 @@ def test_recall_curve_consistency(spark, sf_dir):
     assert rows[3]["n_hits"] == sum(r["n_hits"] for r in point)
 
 
+def test_trailing_spend_range_frame_semantics(spark, sf_dir):
+    """RANGE-frame correctness brute-forced per customer: the trailing
+    sum/count must equal the cell-level recompute over [day-29, day],
+    including same-day peers (which a ROWS frame would miss)."""
+    from decimal import Decimal
+
+    from esvc_spark.queries.relational import QUERIES as REL_QUERIES
+    from esvc_spark.catalog import table as T
+
+    rows = REL_QUERIES["q_window_trailing_spend"](spark, sf_dir).collect()
+    assert rows
+    orders: dict[int, list] = {}
+    for o in (
+        T(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.expr("datediff(cast(o_orderdate as date), date '1970-01-01')")
+            .cast("bigint")
+            .alias("day"),
+            "o_totalprice",
+        )
+        .collect()
+    ):
+        orders.setdefault(o["o_custkey"], []).append((o["day"], o["o_totalprice"]))
+    checked = 0
+    for r in rows[:500]:
+        win = [
+            (d, p)
+            for d, p in orders[r["o_custkey"]]
+            if r["day"] - 29 <= d <= r["day"]
+        ]
+        want = sum(Decimal(str(round(p, 2))) for _, p in win)
+        assert Decimal(str(r["trailing_30d_spend"])) == want
+        assert r["trailing_30d_orders"] == len(win)
+        checked += 1
+    assert checked
+
+
 def test_dedup_method_eval_scorecard(spark, sf_dir):
     """Counts must recompute from the underlying pair sets; the
     precision ordering the corpus is built to show (banded SimHash is
