@@ -66,6 +66,53 @@ def test_asof_matches_pandas_merge_asof(sparkmod, lrows, rrows):
         assert (pd.isna(x) and pd.isna(y)) or x == y
 
 
+_nrows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 50), st.booleans()),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(lrows=_lrows, rrows=_nrows)
+def test_asof_nearest_matches_bruteforce(sparkmod, lrows, rrows):
+    """Nearest-direction brute force, INCLUDING null value columns: the
+    matched timestamp and the (possibly null) value must come from the
+    SAME right row — the failure mode the _rrow struct exists to stop."""
+    from esvc_spark.operators.temporal import asof_nearest_join
+
+    spark = sparkmod
+    left = spark.createDataFrame(
+        [(i, k, s) for i, (k, s) in enumerate(lrows)],
+        "id INT, k INT, t BIGINT",
+    )
+    rmap = {}
+    for k, s, has_v in rrows:
+        rmap[(k, s)] = float(s) if has_v else None
+    right = spark.createDataFrame(
+        [(k, s, v) for (k, s), v in sorted(rmap.items())],
+        "k INT, t BIGINT, v DOUBLE",
+    )
+    got = {
+        r["id"]: r
+        for r in asof_nearest_join(
+            left, right, on="t", by=["k"], value_cols=["v"]
+        ).collect()
+    }
+    for i, (k, s) in enumerate(lrows):
+        cands = [(rs, v) for (rk, rs), v in rmap.items() if rk == k]
+        r = got[i]
+        if not cands:
+            assert r["matched_on"] is None and r["direction"] is None
+            continue
+        best_t, best_v = min(
+            cands, key=lambda c: (abs(c[0] - s), c[0] > s)
+        )
+        assert r["matched_on"] == best_t
+        assert (r["v"] is None and best_v is None) or r["v"] == best_v
+        assert r["direction"] == ("backward" if best_t <= s else "forward")
+
+
 @settings(max_examples=15, deadline=None)
 @given(lrows=_lrows, rrows=_rrows, lo=st.integers(0, 5), width=st.integers(1, 20))
 def test_range_join_matches_nested_loop(sparkmod, lrows, rrows, lo, width):
