@@ -1585,6 +1585,99 @@ FROM pack WHERE assign_order > 0
 """
 
 
+# ------------------------------------------------- k-center seeding
+# Farthest-first traversal (Gonzalez 1985): greedily pick the vector
+# farthest from the chosen set, K times — the 2-approximation for
+# k-center coverage, and the deterministic kmeans++-style seeding /
+# coreset-selection pass a curation pipeline uses to pick "maximally
+# spread" exemplars. Seed = vec_id 0 (the pinned-init convention of the
+# IVF/k-means family). Everything stays in SQUARED distance (monotone,
+# no sqrt ulp path); picked_sqd is the coverage radius² the pick
+# removed, coverage_sqd the final radius² over the corpus.
+#
+# Scale: per round ONE broadcast join against ≤K chosen vectors + a
+# min/argmax aggregate (struct-max, map-side combined) and a single-row
+# collect — K corpus passes total, the textbook distributed
+# farthest-first shape; nothing driver-side grows beyond K rows.
+
+_KC_K = 8
+
+
+def q_emb_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir).select("vec_id", "emb").transform(_tp)
+
+    def dist_to(center_id: int) -> DataFrame:
+        cemb = e.filter(F.col("vec_id") == center_id).select(
+            F.col("emb").alias("cemb")
+        )
+        return e.join(F.broadcast(cemb)).select(
+            "vec_id", _km_sqdist(F.col("emb"), F.col("cemb")).alias("sqd")
+        )
+
+    # incremental running min: each round touches the corpus against ONE
+    # new center (least() is exact, so this equals the oracle's MIN over
+    # all centers); localCheckpoint truncates the per-round lineage
+    mind = dist_to(0).withColumnRenamed("sqd", "mind").localCheckpoint()
+    out = [(0, 1, 0.0)]
+    for rnd in range(2, _KC_K + 1):
+        p = mind.agg(
+            F.max(
+                F.struct(F.col("mind"), (-F.col("vec_id")).alias("nid"))
+            ).alias("p")
+        ).collect()[0]["p"]
+        picked = int(-p["nid"])
+        out.append((picked, rnd, float(p["mind"])))
+        mind = (
+            mind.join(dist_to(picked), "vec_id")
+            .select("vec_id", F.least("mind", "sqd").alias("mind"))
+            .localCheckpoint()
+        )
+    cov = mind.agg(F.max("mind").alias("cov")).collect()[0]["cov"]
+    return spark.createDataFrame(
+        [(cid, rnd, d, float(cov)) for cid, rnd, d in out],
+        "center_id BIGINT, sel_round INT, picked_sqd DOUBLE, "
+        "coverage_sqd DOUBLE",
+    )
+
+
+def _kcenter_sql() -> str:
+    d = _SQL_KM_SQDIST.format(dim=_DIM, a="x.emb", b="c.emb")
+    parts = [
+        f"""WITH e AS ({_SQL_EMB}),
+c1(center_id, sel_round, picked_sqd) AS (
+  SELECT CAST(0 AS BIGINT), CAST(1 AS INT), CAST(0.0 AS DOUBLE)
+)"""
+    ]
+    for r in range(2, _KC_K + 1):
+        parts.append(
+            f""",
+m{r - 1} AS (
+  SELECT x.vec_id, MIN({d}) AS mind
+  FROM e x JOIN e c
+    ON c.vec_id IN (SELECT center_id FROM c{r - 1})
+  GROUP BY x.vec_id
+),
+p{r}(center_id, sel_round, picked_sqd) AS (
+  SELECT vec_id, CAST({r} AS INT), mind
+  FROM m{r - 1} ORDER BY mind DESC, vec_id LIMIT 1
+),
+c{r} AS (SELECT * FROM c{r - 1} UNION ALL SELECT * FROM p{r})"""
+        )
+    parts.append(
+        f""",
+mfin AS (
+  SELECT x.vec_id, MIN({d}) AS mind
+  FROM e x JOIN e c
+    ON c.vec_id IN (SELECT center_id FROM c{_KC_K})
+  GROUP BY x.vec_id
+)
+SELECT center_id, sel_round, picked_sqd,
+       (SELECT MAX(mind) FROM mfin) AS coverage_sqd
+FROM c{_KC_K}"""
+    )
+    return "".join(parts)
+
+
 # ------------------------------------------------------ embedding drift
 # Embedding-distribution drift monitor: split the corpus into two
 # batches (vec_id parity — the stand-in for yesterday's vs today's
@@ -2131,6 +2224,7 @@ QUERIES = {
     "q_emb_recall_curve": q_emb_recall_curve,
     "q_emb_drift": q_emb_drift,
     "q_emb_mmr": q_emb_mmr,
+    "q_emb_kcenter": q_emb_kcenter,
 }
 
 ORACLES = {
@@ -2156,4 +2250,5 @@ ORACLES = {
     "q_emb_recall_curve": _recall_curve_sql(),
     "q_emb_drift": _DRIFT_SQL,
     "q_emb_mmr": _mmr_sql(),
+    "q_emb_kcenter": _kcenter_sql(),
 }

@@ -30,6 +30,11 @@ _IMPERATIVE = {
     "q_doc_dup_clusters": "iterative (per-round join+agg, see operators/cc.py)",
     "q_doc_canonical": "iterative (CC labels + quality argmax, see operators/cc.py)",
     "q_doc_leakage_split": "iterative (CC labels feed the group-aware split, see operators/cc.py)",
+    "q_emb_kcenter": (
+        "iterative (K-1 farthest-first rounds: broadcast one new center, "
+        "running-min localCheckpoint per round, single-row argmax "
+        "collect; returned frame is the K-row plan)"
+    ),
     "q_emb_mmr": (
         "imperative (bounded driver-side greedy over the |Q|*POOL "
         "candidate/sim pools, q_emb_shard_plan precedent; corpus touched "

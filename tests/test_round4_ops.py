@@ -274,6 +274,27 @@ def test_recall_curve_consistency(spark, sf_dir):
     assert rows[3]["n_hits"] == sum(r["n_hits"] for r in point)
 
 
+def test_kcenter_farthest_first_invariants(spark, sf_dir):
+    """Greedy radii are non-increasing; centers are distinct; the final
+    coverage radius can never exceed the last pick's radius; every pick
+    after the seed is strictly positive on a corpus of distinct
+    vectors."""
+    rows = sorted(
+        EMB_QUERIES["q_emb_kcenter"](spark, sf_dir).collect(),
+        key=lambda r: r["sel_round"],
+    )
+    assert [r["sel_round"] for r in rows] == list(range(1, 9))
+    assert rows[0]["center_id"] == 0 and rows[0]["picked_sqd"] == 0.0
+    ids = [r["center_id"] for r in rows]
+    assert len(set(ids)) == 8
+    picks = [r["picked_sqd"] for r in rows[1:]]
+    assert all(p > 0 for p in picks)
+    assert picks == sorted(picks, reverse=True)
+    cov = rows[0]["coverage_sqd"]
+    assert all(r["coverage_sqd"] == cov for r in rows)
+    assert 0 < cov <= picks[-1]
+
+
 def test_trailing_spend_range_frame_semantics(spark, sf_dir):
     """RANGE-frame correctness brute-forced per customer: the trailing
     sum/count must equal the cell-level recompute over [day-29, day],
