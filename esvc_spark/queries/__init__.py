@@ -119,6 +119,7 @@ _FRONT = (
     "q_dedup_method_eval",
     "q_window_trailing_spend",
     "q_emb_kcenter",
+    "q_doc_jackknife",
     # judge-only attestation + touched by this round's tracked_persist
     # swap — absorb any truncation overflow
     "q_doc_minhash_lsh",

@@ -3380,6 +3380,155 @@ FROM bucketed GROUP BY bucket
 """
 
 
+# ------------------------------------------------ jackknife error bars
+# Delete-one-group jackknife over sources: leave-one-source-out means of
+# the corpus quality score, and the jackknife standard error
+# SE = sqrt((g−1)/g · Σ(m_s − m̄)²) — the error bar a curation report
+# should put next to "corpus quality improved by 0.3%" before anyone
+# acts on it (sources are the natural correlated-sampling unit, so
+# doc-level CLT SEs are too small). Per-doc scores are quantized to a
+# 2^20 integer grid (domain_reweight's trick), so every corpus/source
+# sum is exact BIGINT and each leave-out mean is one IEEE division; the
+# two cross-source reductions are order-pinned folds over |sources|
+# values.
+#
+# Scale: one narrow scoring pass + a |sources|-row aggregate; the fold
+# reductions are constant-size. Output = |sources| rows.
+
+_JK_Q = 1 << 20
+
+
+def q_doc_jackknife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._util import ofold_sum
+
+    docs = _docs_par(spark, sf_dir)
+    sw = ",".join(f"'{w}'" for w in _STOPWORDS)
+    scored = (
+        docs.withColumn("toks", _TOKENS())
+        .withColumn("n_tokens", F.size("toks").cast("bigint"))
+        .withColumn(
+            "n_stop",
+            F.size(F.expr(f"filter(toks, t -> t IN ({sw}))")).cast("bigint"),
+        )
+        .withColumn(
+            "n_punct",
+            (
+                F.length("text")
+                - F.length(F.regexp_replace("text", r"[.,!?;:]", ""))
+            ).cast("bigint"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .withColumn(
+            "q20",
+            F.floor(
+                (
+                    (F.col("n_stop").cast("double") / F.col("n_tokens")) * 2.0
+                    + (1.0 - F.col("n_punct").cast("double") / F.col("n_chars"))
+                    + F.when(
+                        (F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 1000),
+                        1.0,
+                    ).otherwise(0.0)
+                )
+                * _JK_Q
+            ).cast("bigint"),
+        )
+    )
+    per = scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("q20").cast("bigint").alias("s20"),
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).alias("g"),
+        F.sum("n_docs").cast("bigint").alias("n_tot"),
+        F.sum("s20").cast("bigint").alias("s_tot"),
+    )
+    loo = per.join(tot).withColumn(
+        "loo_mean",
+        F.expr(f"CAST(s_tot - s20 AS DOUBLE) / ((n_tot - n_docs) * {_JK_Q})"),
+    )
+    mbar = loo.agg(
+        (ofold_sum("source", "loo_mean") / F.max("g")).alias("mbar")
+    )
+    dev = loo.join(mbar).withColumn(
+        "dsq", F.expr("(loo_mean - mbar) * (loo_mean - mbar)")
+    )
+    se = dev.agg(
+        F.sqrt(
+            F.expr("CAST(max(g) - 1 AS DOUBLE) / max(g)")
+            * ofold_sum("source", "dsq")
+        ).alias("jack_se")
+    )
+    return (
+        loo.join(se)
+        .select(
+            "source", "n_docs", "loo_mean",
+            F.expr(f"CAST(s_tot AS DOUBLE) / (n_tot * {_JK_Q})")
+            .alias("corpus_mean"),
+            "jack_se",
+        )
+    )
+
+
+def _jackknife_sql() -> str:
+    from ._util import sql_ofold_sum
+
+    sw = ",".join(f"'{w}'" for w in _STOPWORDS)
+    return f"""
+WITH scored AS (
+  SELECT source,
+         CAST(FLOOR((
+           (CAST(n_stop AS DOUBLE) / n_tokens) * 2.0
+           + (1.0 - CAST(n_punct AS DOUBLE) / n_chars)
+           + CASE WHEN n_tokens >= 20 AND n_tokens <= 1000
+                  THEN 1.0 ELSE 0.0 END) * {_JK_Q}) AS BIGINT) AS q20
+  FROM (
+    SELECT source, n_chars,
+           CAST(len({SQL_TOKENS}) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter({SQL_TOKENS}, t -> t IN ({sw})))
+                AS BIGINT) AS n_stop,
+           CAST(length(text)
+                - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                AS BIGINT) AS n_punct
+    FROM documents
+  ) WHERE n_tokens > 0
+),
+per AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(q20) AS BIGINT) AS s20
+  FROM scored GROUP BY source
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS g,
+         CAST(SUM(n_docs) AS BIGINT) AS n_tot,
+         CAST(SUM(s20) AS BIGINT) AS s_tot
+  FROM per
+),
+loo AS (
+  SELECT source, n_docs, s20, g, n_tot, s_tot,
+         CAST(s_tot - s20 AS DOUBLE) / ((n_tot - n_docs) * {_JK_Q})
+           AS loo_mean
+  FROM per CROSS JOIN tot
+),
+mbar AS (
+  SELECT {sql_ofold_sum('source', 'loo_mean')} / MAX(g) AS mbar FROM loo
+),
+dev AS (
+  SELECT source, loo_mean, g,
+         (loo_mean - mbar) * (loo_mean - mbar) AS dsq
+  FROM loo CROSS JOIN mbar
+),
+se AS (
+  SELECT sqrt(CAST(MAX(g) - 1 AS DOUBLE) / MAX(g)
+              * {sql_ofold_sum('source', 'dsq')}) AS jack_se
+  FROM dev
+)
+SELECT source, n_docs, loo_mean,
+       CAST(s_tot AS DOUBLE) / (n_tot * {_JK_Q}) AS corpus_mean,
+       jack_se
+FROM loo CROSS JOIN se
+"""
+
+
 # ------------------------------------------------ dedup method eval
 # Precision/recall scorecard of every cheap near-dup detector against
 # the exact shingle-Jaccard ground truth (jaccard >= 0.5): MinHash-LSH,
@@ -4083,6 +4232,7 @@ QUERIES = {
     "q_doc_dup_transitivity": q_doc_dup_transitivity,
     "q_doc_signal_corr": q_doc_signal_corr,
     "q_dedup_method_eval": q_dedup_method_eval,
+    "q_doc_jackknife": q_doc_jackknife,
     "q_doc_dsir": q_doc_dsir,
     "q_doc_ccnet_buckets": q_doc_ccnet_buckets,
     "q_doc_domain_reweight": q_doc_domain_reweight,
@@ -4137,6 +4287,7 @@ ORACLES = {
     "q_doc_dup_transitivity": _dup_transitivity_sql(),
     "q_doc_signal_corr": _signal_corr_sql(),
     "q_dedup_method_eval": _dedup_method_eval_sql(),
+    "q_doc_jackknife": _jackknife_sql(),
     "q_doc_dsir": _dsir_sql(),
     "q_doc_ccnet_buckets": _CCNET_SQL,
     "q_doc_domain_reweight": _domain_reweight_sql(),

@@ -97,6 +97,7 @@ _NLJ_OK = {
     "q_doc_dup_transitivity": "single-row edge/wedge/triangle aggregate cross joins",
     "q_doc_signal_corr": "single-row vocabulary-size cross join (lm_score shape)",
     "q_dedup_method_eval": "single-row truth-count cross join",
+    "q_doc_jackknife": "single-row totals/mbar/se cross joins over the |sources|-row table",
     "q_ev_key_skew": "single-row slot-stats x key-stats cross join per candidate key",
     "q_emb_recall_curve": "20-row query broadcast + 8-centroid assignment (knn + IVF shapes)",
 }

@@ -274,6 +274,26 @@ def test_recall_curve_consistency(spark, sf_dir):
     assert rows[3]["n_hits"] == sum(r["n_hits"] for r in point)
 
 
+def test_jackknife_identities(spark, sf_dir):
+    """Leave-out means must bracket the corpus mean, the SE must
+    recompute from the leave-out spread, and a constant-ish metric must
+    give a small SE relative to the mean."""
+    import math
+
+    rows = DOC_QUERIES["q_doc_jackknife"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    cm = rows[0]["corpus_mean"]
+    se = rows[0]["jack_se"]
+    assert all(r["corpus_mean"] == cm and r["jack_se"] == se for r in rows)
+    los = sorted(r["loo_mean"] for r in rows)
+    assert los[0] <= cm <= los[-1]
+    g = len(rows)
+    mbar = math.fsum(r["loo_mean"] for r in rows) / g
+    ssd = math.fsum((r["loo_mean"] - mbar) ** 2 for r in rows)
+    assert abs(se - math.sqrt((g - 1) / g * ssd)) < 1e-9
+    assert 0 < se < 0.1 * cm
+
+
 def test_kcenter_farthest_first_invariants(spark, sf_dir):
     """Greedy radii are non-increasing; centers are distinct; the final
     coverage radius can never exceed the last pick's radius; every pick
