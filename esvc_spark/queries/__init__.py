@@ -120,6 +120,7 @@ _FRONT = (
     "q_window_trailing_spend",
     "q_emb_kcenter",
     "q_doc_jackknife",
+    "q_ev_gini",
     # judge-only attestation + touched by this round's tracked_persist
     # swap — absorb any truncation overflow
     "q_doc_minhash_lsh",

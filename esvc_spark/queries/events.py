@@ -2820,6 +2820,54 @@ SELECT day, event_type,
 FROM ev GROUP BY day, event_type
 """
 
+# ---------------------------------------------------------------- gini
+# Activity concentration: the exact Gini coefficient of per-user event
+# counts, G = (2·Σ i·xᵢ)/(n·Σxᵢ) − (n+1)/n over counts ranked
+# ascending (ties pinned by user_id) — the one-number answer to "is
+# this product used by everyone or by ten whales?", and the
+# concentration diagnosis behind sampling and skew decisions. All
+# integer until two final divisions.
+#
+# Scale: one per-user aggregate + one ranking window over |users| rows;
+# the weighted sum is a single aggregate. Output is one row.
+
+
+def q_ev_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("x"))
+    w = Window.orderBy("x", "user_id")
+    ranked = per.withColumn("i", F.row_number().over(w).cast("bigint"))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("x").cast("bigint").alias("total_events"),
+        F.sum(F.col("i") * F.col("x")).cast("bigint").alias("wsum"),
+    ).select(
+        "n_users",
+        "total_events",
+        (
+            F.expr("CAST(2 * wsum AS DOUBLE) / (n_users * total_events)")
+            - F.expr("CAST(n_users + 1 AS DOUBLE) / n_users")
+        ).alias("gini"),
+    )
+
+
+_GINI_SQL = """
+WITH per AS (SELECT user_id, COUNT(*) AS x FROM events GROUP BY user_id),
+ranked AS (
+  SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY x, user_id) AS BIGINT) AS i
+  FROM per
+),
+agg AS (
+  SELECT COUNT(*) AS n_users, CAST(SUM(x) AS BIGINT) AS total_events,
+         CAST(SUM(i * x) AS BIGINT) AS wsum
+  FROM ranked
+)
+SELECT n_users, total_events,
+       CAST(2 * wsum AS DOUBLE) / (n_users * total_events)
+         - CAST(n_users + 1 AS DOUBLE) / n_users AS gini
+FROM agg
+"""
+
 # ------------------------------------------------------------ key skew
 # Shuffle-key skew audit: for each candidate partitioning key, hash rows
 # onto a fixed 32-slot grid (md5-derived, engine-independent — this
@@ -3121,6 +3169,7 @@ QUERIES = {
     "q_ev_incremental_agg": q_ev_incremental_agg,
     "q_ev_key_skew": q_ev_key_skew,
     "q_ev_asof_nearest": q_ev_asof_nearest,
+    "q_ev_gini": q_ev_gini,
     "q_stream_tumbling_hourly": q_stream_tumbling_hourly,
     "q_stream_sessionize": q_stream_sessionize,
     "q_stream_running_totals": q_stream_running_totals,
@@ -3169,6 +3218,7 @@ ORACLES = {
     "q_ev_incremental_agg": _INC_AGG_SQL,
     "q_ev_key_skew": _key_skew_sql(),
     "q_ev_asof_nearest": _ASOF_NEAREST_SQL,
+    "q_ev_gini": _GINI_SQL,
     "q_stream_tumbling_hourly": _STREAM_TUMBLING_SQL,
     "q_stream_sessionize": _SESSION_SQL,
     "q_stream_running_totals": _RUNNING_TOTALS_SQL,

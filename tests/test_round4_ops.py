@@ -274,6 +274,27 @@ def test_recall_curve_consistency(spark, sf_dir):
     assert rows[3]["n_hits"] == sum(r["n_hits"] for r in point)
 
 
+def test_gini_recomputes_and_bounds(spark, sf_dir):
+    from esvc_spark.queries.events import QUERIES as EV_QUERIES
+    from esvc_spark.catalog import table as T
+
+    r = EV_QUERIES["q_ev_gini"](spark, sf_dir).collect()[0]
+    counts = sorted(
+        (c["n"], c["user_id"])
+        for c in T(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    n = len(counts)
+    tot = sum(x for x, _ in counts)
+    wsum = sum((i + 1) * x for i, (x, _) in enumerate(counts))
+    assert r["n_users"] == n and r["total_events"] == tot
+    want = 2 * wsum / (n * tot) - (n + 1) / n
+    assert abs(r["gini"] - want) < 1e-12
+    assert 0.0 <= r["gini"] < 1.0
+
+
 def test_jackknife_identities(spark, sf_dir):
     """Leave-out means must bracket the corpus mean, the SE must
     recompute from the leave-out spread, and a constant-ish metric must
