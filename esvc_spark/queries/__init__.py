@@ -121,6 +121,9 @@ _FRONT = (
     "q_emb_kcenter",
     "q_doc_jackknife",
     "q_ev_gini",
+    # refactored onto the shared _qscored pipeline (same values, fresh
+    # attestation wanted)
+    "q_doc_quality",
     # judge-only attestation + touched by this round's tracked_persist
     # swap — absorb any truncation overflow
     "q_doc_minhash_lsh",

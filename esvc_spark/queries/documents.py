@@ -108,10 +108,15 @@ GROUP BY lang
 _STOPWORDS = ["the", "a", "of", "and", "to", "in", "is"]
 
 
-def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs_par(spark, sf_dir)
+def _qscored(docs: DataFrame) -> DataFrame:
+    """Per-doc heuristic quality score — THE corpus quality metric, and
+    the single source for q_doc_quality and its audits (q_doc_signal_corr
+    rank agreement, q_doc_jackknife error bars) so the metric can never
+    drift from the numbers reported about it. Zero-token docs dropped.
+    Columns: doc_id, source, n_chars, n_tokens, n_stop, n_punct, qscore
+    (identical expression tree to _QSCORED_SQL)."""
     sw = ",".join(f"'{w}'" for w in _STOPWORDS)
-    d = (
+    return (
         docs.withColumn("toks", _TOKENS())
         .withColumn("n_tokens", F.size("toks").cast("bigint"))
         .withColumn(
@@ -126,43 +131,56 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint"),
         )
         .filter(F.col("n_tokens") > 0)
-        .withColumn("stop_ratio", F.col("n_stop").cast("double") / F.col("n_tokens"))
-        .withColumn("punct_ratio", F.col("n_punct").cast("double") / F.col("n_chars"))
         .withColumn(
-            "quality_score",
-            F.col("stop_ratio") * 2.0
-            + (1.0 - F.col("punct_ratio"))
-            + F.when((F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 1000), 1.0).otherwise(0.0),
+            "qscore",
+            (F.col("n_stop").cast("double") / F.col("n_tokens")) * 2.0
+            + (1.0 - F.col("n_punct").cast("double") / F.col("n_chars"))
+            + F.when(
+                (F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 1000), 1.0
+            ).otherwise(0.0),
+        )
+        .select(
+            "doc_id", "source", "n_chars", "n_tokens", "n_stop", "n_punct",
+            "qscore",
         )
     )
+
+
+def _qscored_sql() -> str:
+    sw = ",".join(f"'{w}'" for w in _STOPWORDS)
+    return f"""
+SELECT doc_id, source, n_chars, n_tokens, n_stop, n_punct,
+       CAST(n_stop AS DOUBLE) / n_tokens * 2.0
+         + (1.0 - CAST(n_punct AS DOUBLE) / n_chars)
+         + CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END
+         AS qscore
+FROM (
+  SELECT doc_id, source, n_chars,
+         CAST(len({SQL_TOKENS}) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter({SQL_TOKENS}, t -> t IN ({sw})))
+              AS BIGINT) AS n_stop,
+         CAST(length(text)
+              - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+              AS BIGINT) AS n_punct
+  FROM documents
+) WHERE n_tokens > 0
+"""
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _qscored(_docs_par(spark, sf_dir))
     return d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.col("quality_score").cast("decimal(18,6)")).cast("double").alias("sum_quality"),
+        F.sum(F.col("qscore").cast("decimal(18,6)")).cast("double").alias("sum_quality"),
         F.sum("n_stop").alias("total_stopwords"),
         F.sum("n_punct").alias("total_punct"),
     )
 
 
 _QUALITY_SQL = f"""
-WITH d AS (
-  SELECT source, n_chars,
-         CAST(len({SQL_TOKENS}) AS BIGINT) AS n_tokens,
-         CAST(len(list_filter({SQL_TOKENS},
-              t -> t IN ({",".join(f"'{w}'" for w in _STOPWORDS)}))) AS BIGINT) AS n_stop,
-         CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct
-  FROM documents
-),
-scored AS (
-  SELECT source, n_stop, n_punct,
-         CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
-         CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
-         CAST(n_stop AS DOUBLE) / n_tokens * 2.0
-           + (1.0 - CAST(n_punct AS DOUBLE) / n_chars)
-           + CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END AS quality_score
-  FROM d WHERE n_tokens > 0
-)
+WITH scored AS ({_qscored_sql()})
 SELECT source, COUNT(*) AS n_docs,
-       {sql_dsum('quality_score', 6)} AS sum_quality,
+       {sql_dsum('qscore', 6)} AS sum_quality,
        CAST(SUM(n_stop) AS BIGINT) AS total_stopwords,
        CAST(SUM(n_punct) AS BIGINT) AS total_punct
 FROM scored GROUP BY source
@@ -294,8 +312,8 @@ _SQL_SHINGLES = f"""
 _DF_CAP = 100
 
 
-def _capped_shingles(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(all_sh, sh): the shingle table and its df-capped version. The
+def _capped_shingles(docs: DataFrame) -> DataFrame:
+    """The df-capped shingle table. The
     hot-shingle list (df > cap) is tiny by construction — boilerplate
     keys only — so it broadcasts, and the cap costs one map-side-combined
     aggregate plus a broadcast anti-join: no extra shuffle of the full
@@ -310,13 +328,12 @@ def _capped_shingles(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
         .filter(F.col("df") > _DF_CAP)
         .select("shingle")
     )
-    sh = all_sh.join(F.broadcast(hot), "shingle", "left_anti").transform(_tp)
-    return all_sh, sh
+    return all_sh.join(F.broadcast(hot), "shingle", "left_anti").transform(_tp)
 
 
 def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_par(spark, sf_dir)
-    _, sh = _capped_shingles(docs)
+    sh = _capped_shingles(docs)
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -2940,7 +2957,7 @@ _CONTAIN_T = 0.5
 
 def q_doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_par(spark, sf_dir)
-    _, sh = _capped_shingles(docs)
+    sh = _capped_shingles(docs)
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (
@@ -3272,7 +3289,7 @@ FROM j
 
 def q_doc_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_par(spark, sf_dir)
-    _, sh = _capped_shingles(docs)
+    sh = _capped_shingles(docs)
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     truth = (
@@ -3401,37 +3418,8 @@ _JK_Q = 1 << 20
 def q_doc_jackknife(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ._util import ofold_sum
 
-    docs = _docs_par(spark, sf_dir)
-    sw = ",".join(f"'{w}'" for w in _STOPWORDS)
-    scored = (
-        docs.withColumn("toks", _TOKENS())
-        .withColumn("n_tokens", F.size("toks").cast("bigint"))
-        .withColumn(
-            "n_stop",
-            F.size(F.expr(f"filter(toks, t -> t IN ({sw}))")).cast("bigint"),
-        )
-        .withColumn(
-            "n_punct",
-            (
-                F.length("text")
-                - F.length(F.regexp_replace("text", r"[.,!?;:]", ""))
-            ).cast("bigint"),
-        )
-        .filter(F.col("n_tokens") > 0)
-        .withColumn(
-            "q20",
-            F.floor(
-                (
-                    (F.col("n_stop").cast("double") / F.col("n_tokens")) * 2.0
-                    + (1.0 - F.col("n_punct").cast("double") / F.col("n_chars"))
-                    + F.when(
-                        (F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 1000),
-                        1.0,
-                    ).otherwise(0.0)
-                )
-                * _JK_Q
-            ).cast("bigint"),
-        )
+    scored = _qscored(_docs_par(spark, sf_dir)).withColumn(
+        "q20", F.floor(F.col("qscore") * _JK_Q).cast("bigint")
     )
     per = scored.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -3472,25 +3460,10 @@ def q_doc_jackknife(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _jackknife_sql() -> str:
     from ._util import sql_ofold_sum
 
-    sw = ",".join(f"'{w}'" for w in _STOPWORDS)
     return f"""
 WITH scored AS (
-  SELECT source,
-         CAST(FLOOR((
-           (CAST(n_stop AS DOUBLE) / n_tokens) * 2.0
-           + (1.0 - CAST(n_punct AS DOUBLE) / n_chars)
-           + CASE WHEN n_tokens >= 20 AND n_tokens <= 1000
-                  THEN 1.0 ELSE 0.0 END) * {_JK_Q}) AS BIGINT) AS q20
-  FROM (
-    SELECT source, n_chars,
-           CAST(len({SQL_TOKENS}) AS BIGINT) AS n_tokens,
-           CAST(len(list_filter({SQL_TOKENS}, t -> t IN ({sw})))
-                AS BIGINT) AS n_stop,
-           CAST(length(text)
-                - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
-                AS BIGINT) AS n_punct
-    FROM documents
-  ) WHERE n_tokens > 0
+  SELECT source, CAST(FLOOR(qscore * {_JK_Q}) AS BIGINT) AS q20
+  FROM ({_qscored_sql()}) s
 ),
 per AS (
   SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -3642,33 +3615,7 @@ FROM scored CROSS JOIN nt
 def q_doc_signal_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = _docs_par(spark, sf_dir)
-    sw = ",".join(f"'{w}'" for w in _STOPWORDS)
-    qual = (
-        docs.withColumn("toks", _TOKENS())
-        .withColumn("n_tokens", F.size("toks").cast("bigint"))
-        .withColumn(
-            "n_stop",
-            F.size(F.expr(f"filter(toks, t -> t IN ({sw}))")).cast("bigint"),
-        )
-        .withColumn(
-            "n_punct",
-            (
-                F.length("text")
-                - F.length(F.regexp_replace("text", r"[.,!?;:]", ""))
-            ).cast("bigint"),
-        )
-        .filter(F.col("n_tokens") > 0)
-        .withColumn(
-            "qscore",
-            (F.col("n_stop").cast("double") / F.col("n_tokens")) * 2.0
-            + (1.0 - F.col("n_punct").cast("double") / F.col("n_chars"))
-            + F.when(
-                (F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 1000), 1.0
-            ).otherwise(0.0),
-        )
-        .select("doc_id", "qscore")
-    )
+    qual = _qscored(_docs_par(spark, sf_dir)).select("doc_id", "qscore")
     lm = q_doc_lm_score(spark, sf_dir).select("doc_id", "lm_score")
     j = lm.join(qual, "doc_id")
     wa = Window.orderBy("qscore", "doc_id")
@@ -3697,25 +3644,8 @@ def q_doc_signal_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _signal_corr_sql() -> str:
-    sw = ",".join(f"'{w}'" for w in _STOPWORDS)
     return f"""
-WITH qual AS (
-  SELECT doc_id,
-         (CAST(n_stop AS DOUBLE) / n_tokens) * 2.0
-           + (1.0 - CAST(n_punct AS DOUBLE) / n_chars)
-           + CASE WHEN n_tokens >= 20 AND n_tokens <= 1000
-                  THEN 1.0 ELSE 0.0 END AS qscore
-  FROM (
-    SELECT doc_id, n_chars,
-           CAST(len({SQL_TOKENS}) AS BIGINT) AS n_tokens,
-           CAST(len(list_filter({SQL_TOKENS}, t -> t IN ({sw})))
-                AS BIGINT) AS n_stop,
-           CAST(length(text)
-                - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
-                AS BIGINT) AS n_punct
-    FROM documents
-  ) WHERE n_tokens > 0
-),
+WITH qual AS (SELECT doc_id, qscore FROM ({_qscored_sql()}) s),
 lm AS (SELECT doc_id, lm_score FROM ({_LM_SCORE_SQL}) q),
 j AS (SELECT l.doc_id, qscore, lm_score FROM lm l JOIN qual USING (doc_id)),
 ranked AS (

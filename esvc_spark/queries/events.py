@@ -2829,7 +2829,10 @@ FROM ev GROUP BY day, event_type
 # integer until two final divisions.
 #
 # Scale: one per-user aggregate + one ranking window over |users| rows;
-# the weighted sum is a single aggregate. Output is one row.
+# the weighted sum is a single aggregate. Output is one row. BIGINT
+# bound: wsum ≤ n_users·total_events, safe while that product stays
+# under 2^63 (~1e9 users × 1e9 events); beyond that switch wsum and the
+# denominator to DECIMAL(38,0) — the q_ev_bot_detect escalation rule.
 
 
 def q_ev_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
