@@ -121,6 +121,7 @@ _FRONT = (
     "q_emb_kcenter",
     "q_doc_jackknife",
     "q_ev_gini",
+    "q_ev_predictability",
     # refactored onto the shared _qscored pipeline (same values, fresh
     # attestation wanted)
     "q_doc_quality",

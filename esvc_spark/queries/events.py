@@ -2820,6 +2820,92 @@ SELECT day, event_type,
 FROM ev GROUP BY day, event_type
 """
 
+# ------------------------------------------------------- predictability
+# Per-user behavioral predictability: the empirical entropy RATE of the
+# event-type sequence — H(next | current) under the user's own
+# transition counts, via the same exact fixed-point identity as
+# q_doc_entropy: Σ_s [n_s·qlog2(n_s) − Σ_t c_st·qlog2(c_st)], all
+# BIGINT, one final division to bits/transition. Low entropy = scripted
+# or single-loop behavior (the complement of q_ev_bot_detect's timing
+# signal); high = diverse organic usage. Users need ≥ 2 transitions.
+#
+# Scale: one lag window + two aggregates (per-(user,prev,next) counts,
+# then per-user sums) — the q_doc_entropy shape keyed by user.
+
+
+def q_ev_predictability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .documents import _qlog2_expr
+
+    ev = T(spark, sf_dir, "events")
+    seq = ev.select(
+        "user_id",
+        F.expr(
+            "lag(event_type) over (partition by user_id order by ts, event_id)"
+        ).alias("prev"),
+        F.col("event_type").alias("cur"),
+    ).where(F.col("prev").isNotNull())
+    c = seq.groupBy("user_id", "prev", "cur").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_state = c.groupBy("user_id", "prev").agg(
+        F.sum("c").cast("bigint").alias("ns"),
+        F.sum(F.col("c") * F.expr(_qlog2_expr("c", "spark")))
+        .cast("bigint")
+        .alias("s1"),
+    )
+    return (
+        per_state.withColumn(
+            "hq",
+            F.col("ns") * F.expr(_qlog2_expr("ns", "spark")) - F.col("s1"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("ns").cast("bigint").alias("n_transitions"),
+            F.sum("hq").cast("bigint").alias("ent_q"),
+        )
+        .where(F.col("n_transitions") >= 2)
+        .select(
+            "user_id", "n_transitions", "ent_q",
+            (F.col("ent_q").cast("double") / (F.col("n_transitions") * 16))
+            .alias("bits_per_transition"),
+        )
+    )
+
+
+def _predictability_sql() -> str:
+    from .documents import _qlog2_expr
+
+    qc = _qlog2_expr("c", "duckdb")
+    qn = _qlog2_expr("ns", "duckdb")
+    return f"""
+WITH seq AS (
+  SELECT user_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev,
+         event_type AS cur
+  FROM events QUALIFY prev IS NOT NULL
+),
+c AS (
+  SELECT user_id, prev, cur, COUNT(*) AS c
+  FROM seq GROUP BY 1, 2, 3
+),
+per_state AS (
+  SELECT user_id, prev, CAST(SUM(c) AS BIGINT) AS ns,
+         CAST(SUM(c * {qc}) AS BIGINT) AS s1
+  FROM c GROUP BY 1, 2
+),
+per_user AS (
+  SELECT user_id,
+         CAST(SUM(ns) AS BIGINT) AS n_transitions,
+         CAST(SUM(ns * {qn} - s1) AS BIGINT) AS ent_q
+  FROM per_state GROUP BY user_id
+)
+SELECT user_id, n_transitions, ent_q,
+       CAST(ent_q AS DOUBLE) / (n_transitions * 16) AS bits_per_transition
+FROM per_user WHERE n_transitions >= 2
+"""
+
+
 # ---------------------------------------------------------------- gini
 # Activity concentration: the exact Gini coefficient of per-user event
 # counts, G = (2·Σ i·xᵢ)/(n·Σxᵢ) − (n+1)/n over counts ranked
@@ -3173,6 +3259,7 @@ QUERIES = {
     "q_ev_key_skew": q_ev_key_skew,
     "q_ev_asof_nearest": q_ev_asof_nearest,
     "q_ev_gini": q_ev_gini,
+    "q_ev_predictability": q_ev_predictability,
     "q_stream_tumbling_hourly": q_stream_tumbling_hourly,
     "q_stream_sessionize": q_stream_sessionize,
     "q_stream_running_totals": q_stream_running_totals,
@@ -3222,6 +3309,7 @@ ORACLES = {
     "q_ev_key_skew": _key_skew_sql(),
     "q_ev_asof_nearest": _ASOF_NEAREST_SQL,
     "q_ev_gini": _GINI_SQL,
+    "q_ev_predictability": _predictability_sql(),
     "q_stream_tumbling_hourly": _STREAM_TUMBLING_SQL,
     "q_stream_sessionize": _SESSION_SQL,
     "q_stream_running_totals": _RUNNING_TOTALS_SQL,

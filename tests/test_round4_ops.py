@@ -274,6 +274,36 @@ def test_recall_curve_consistency(spark, sf_dir):
     assert rows[3]["n_hits"] == sum(r["n_hits"] for r in point)
 
 
+def test_predictability_entropy_bounds(spark, sf_dir):
+    """0 <= H <= log2(|event types|) per user (plus the documented
+    fixed-point slack); users with a single observed transition type pin
+    at exactly 0; transition counts conserve vs the raw sequences."""
+    import math
+
+    from esvc_spark.queries.events import QUERIES as EV_QUERIES
+    from esvc_spark.catalog import table as T
+
+    rows = EV_QUERIES["q_ev_predictability"](spark, sf_dir).collect()
+    assert rows
+    n_types = (
+        T(spark, sf_dir, "events").select("event_type").distinct().count()
+    )
+    total_trans = sum(r["n_transitions"] for r in rows)
+    n_events = T(spark, sf_dir, "events").count()
+    n_users = (
+        T(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert total_trans == n_events - n_users
+    for r in rows:
+        assert r["ent_q"] >= 0
+        upper = (
+            16 * r["n_transitions"] * math.log2(n_types)
+            + 32 * r["n_transitions"]
+        )
+        assert r["ent_q"] <= upper
+        assert r["bits_per_transition"] >= 0.0
+
+
 def test_gini_recomputes_and_bounds(spark, sf_dir):
     from esvc_spark.queries.events import QUERIES as EV_QUERIES
     from esvc_spark.catalog import table as T
