@@ -122,6 +122,7 @@ _FRONT = (
     "q_doc_jackknife",
     "q_ev_gini",
     "q_ev_predictability",
+    "q_emb_cluster_agreement",
     # refactored onto the shared _qscored pipeline (same values, fresh
     # attestation wanted)
     "q_doc_quality",

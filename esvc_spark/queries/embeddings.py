@@ -1585,6 +1585,149 @@ FROM pack WHERE assign_order > 0
 """
 
 
+# --------------------------------------------- clustering agreement
+# Adjusted Rand Index between the two independent clusterings the engine
+# maintains — IVF cosine cells vs 2-round Lloyd k-means — the consensus
+# diagnostic behind "are my coarse quantizer and my k-means seeing the
+# same structure?" (ARI ≈ 0 → chance agreement; the corrected-for-chance
+# version of pair-counting accuracy). Everything is exact contingency
+# arithmetic: n_ij pair counts, marginal C(·,2) sums — BIGINT until the
+# single pinned double expression for the ARI ratio; the 8×8 contingency
+# table is the only state.
+#
+# Scale: two assignment passes (broadcast centroids, no all-pairs), one
+# |cells_a|·|cells_b|-row contingency aggregate; single output row.
+
+
+def q_emb_cluster_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    en = _emb_normed(spark, sf_dir)
+    a = _ivf_assign(en, 1, "vec_id").select(
+        "vec_id", F.col("cell").alias("ca")
+    )
+    e = _emb(spark, sf_dir).select("vec_id", "emb")
+    cents = e.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("emb").alias("cemb")
+    )
+    assigned = _km_assign(e, cents)
+    assigned = _km_assign(e, _km_update(assigned))
+    b = assigned.select("vec_id", F.col("cid").alias("cb"))
+    cont = (
+        a.join(b, "vec_id")
+        .groupBy("ca", "cb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    s = cont.agg(
+        F.sum("n").cast("bigint").alias("n_vecs"),
+        F.sum(F.expr("n * (n - 1) div 2")).cast("bigint").alias("idx"),
+    )
+    ma = (
+        cont.groupBy("ca")
+        .agg(F.sum("n").alias("na"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cells_a"),
+            F.sum(F.expr("na * (na - 1) div 2")).cast("bigint").alias("expa"),
+        )
+    )
+    mb = (
+        cont.groupBy("cb")
+        .agg(F.sum("n").alias("nb"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cells_b"),
+            F.sum(F.expr("nb * (nb - 1) div 2")).cast("bigint").alias("expb"),
+        )
+    )
+    ari = (
+        "CASE WHEN CAST(expa + expb AS DOUBLE) / 2"
+        " - CAST(expa AS DOUBLE) * expb / (n_vecs * (n_vecs - 1) div 2) = 0"
+        " THEN CAST(1 AS DOUBLE)"
+        " ELSE (CAST(idx AS DOUBLE)"
+        "       - CAST(expa AS DOUBLE) * expb"
+        "         / (n_vecs * (n_vecs - 1) div 2))"
+        "      / (CAST(expa + expb AS DOUBLE) / 2"
+        "         - CAST(expa AS DOUBLE) * expb"
+        "           / (n_vecs * (n_vecs - 1) div 2)) END"
+    )
+    return (
+        s.join(ma)
+        .join(mb)
+        .select(
+            "n_vecs", "n_cells_a", "n_cells_b", "idx", "expa", "expb",
+            F.expr(ari).alias("ari"),
+        )
+    )
+
+
+def _cluster_agreement_sql() -> str:
+    cos = sql_cosine_prenorm("emb", "cemb", "nrm", "cnrm")
+    d = _SQL_KM_SQDIST.format(dim=_DIM, a="emb", b="cemb")
+    assign = f"""
+  SELECT vec_id, emb, cid, {d} AS sqd,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY {d}, cid) AS arank
+  FROM ek CROSS JOIN {{cents}}"""
+    update = """
+  SELECT cid, list(cval ORDER BY pos) AS cemb FROM (
+    SELECT cid, pos, {msum} / COUNT(*) AS cval
+    FROM (SELECT vec_id, cid, CAST(i AS INT) AS pos, emb[i] AS val
+          FROM {assigned}, unnest(range(1, {dim} + 1)) t(i))
+    GROUP BY cid, pos
+  ) GROUP BY cid"""
+    ari = (
+        "CASE WHEN CAST(expa + expb AS DOUBLE) / 2"
+        " - CAST(expa AS DOUBLE) * expb / (n_vecs * (n_vecs - 1) // 2) = 0"
+        " THEN CAST(1 AS DOUBLE)"
+        " ELSE (CAST(idx AS DOUBLE)"
+        "       - CAST(expa AS DOUBLE) * expb"
+        "         / (n_vecs * (n_vecs - 1) // 2))"
+        "      / (CAST(expa + expb AS DOUBLE) / 2"
+        "         - CAST(expa AS DOUBLE) * expb"
+        "           / (n_vecs * (n_vecs - 1) // 2)) END"
+    )
+    return f"""
+WITH en AS ({_SQL_EMB_NORMED}),
+icents AS (
+  SELECT vec_id AS cent_id, emb AS cemb, nrm AS cnrm FROM en
+  WHERE vec_id < {_IVF_K}
+),
+iassign AS (
+  SELECT vec_id, cent_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY {cos} DESC, cent_id) AS crank
+  FROM en CROSS JOIN icents
+),
+a AS (SELECT vec_id, cent_id AS ca FROM iassign WHERE crank = 1),
+ek AS (SELECT vec_id, emb FROM ({_SQL_EMB})),
+c0 AS (SELECT CAST(vec_id AS INT) AS cid, emb AS cemb FROM ek
+       WHERE vec_id < {_KM_K}),
+a0 AS (SELECT vec_id, emb, cid, sqd FROM ({assign.format(cents="c0")})
+       WHERE arank = 1),
+c1 AS ({update.format(msum=sql_ofold_sum('vec_id', 'val'), assigned="a0", dim=_DIM)}),
+a1 AS (SELECT vec_id, emb, cid, sqd FROM ({assign.format(cents="c1")})
+       WHERE arank = 1),
+b AS (SELECT vec_id, cid AS cb FROM a1),
+cont AS (
+  SELECT ca, cb, CAST(COUNT(*) AS BIGINT) AS n
+  FROM a JOIN b USING (vec_id) GROUP BY 1, 2
+),
+s AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_vecs,
+         CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS idx
+  FROM cont
+),
+ma AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_cells_a,
+         CAST(SUM(na * (na - 1) // 2) AS BIGINT) AS expa
+  FROM (SELECT ca, SUM(n) AS na FROM cont GROUP BY ca)
+),
+mb AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_cells_b,
+         CAST(SUM(nb * (nb - 1) // 2) AS BIGINT) AS expb
+  FROM (SELECT cb, SUM(n) AS nb FROM cont GROUP BY cb)
+)
+SELECT n_vecs, n_cells_a, n_cells_b, idx, expa, expb, {ari} AS ari
+FROM s CROSS JOIN ma CROSS JOIN mb
+"""
+
+
 # ------------------------------------------------- k-center seeding
 # Farthest-first traversal (Gonzalez 1985): greedily pick the vector
 # farthest from the chosen set, K times — the 2-approximation for
@@ -2225,6 +2368,7 @@ QUERIES = {
     "q_emb_drift": q_emb_drift,
     "q_emb_mmr": q_emb_mmr,
     "q_emb_kcenter": q_emb_kcenter,
+    "q_emb_cluster_agreement": q_emb_cluster_agreement,
 }
 
 ORACLES = {
@@ -2251,4 +2395,5 @@ ORACLES = {
     "q_emb_drift": _DRIFT_SQL,
     "q_emb_mmr": _mmr_sql(),
     "q_emb_kcenter": _kcenter_sql(),
+    "q_emb_cluster_agreement": _cluster_agreement_sql(),
 }

@@ -30,6 +30,10 @@ _IMPERATIVE = {
     "q_doc_dup_clusters": "iterative (per-round join+agg, see operators/cc.py)",
     "q_doc_canonical": "iterative (CC labels + quality argmax, see operators/cc.py)",
     "q_doc_leakage_split": "iterative (CC labels feed the group-aware split, see operators/cc.py)",
+    "q_emb_cluster_agreement": (
+        "8-centroid broadcast assignment cross joins (IVF + kmeans "
+        "shapes) + single-row contingency-sum cross joins"
+    ),
     "q_emb_kcenter": (
         "iterative (K-1 farthest-first rounds: broadcast one new center, "
         "running-min localCheckpoint per round, single-row argmax "

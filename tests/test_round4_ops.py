@@ -345,6 +345,24 @@ def test_jackknife_identities(spark, sf_dir):
     assert 0 < se < 0.1 * cm
 
 
+def test_cluster_agreement_is_valid_ari(spark, sf_dir):
+    """Pair-count identities (idx bounded by both marginal C(.,2) sums;
+    conservation to C(n,2)) and ARI recompute from the shipped exact
+    integers; cosine-IVF vs Euclidean k-means on the same corpus must
+    agree far above chance."""
+    r = EMB_QUERIES["q_emb_cluster_agreement"](spark, sf_dir).collect()[0]
+    n = r["n_vecs"]
+    cn2 = n * (n - 1) // 2
+    assert 0 <= r["idx"] <= min(r["expa"], r["expb"]) <= cn2
+    exp = r["expa"] * r["expb"] / cn2
+    denom = (r["expa"] + r["expb"]) / 2 - exp
+    assert denom > 0
+    assert abs(r["ari"] - (r["idx"] - exp) / denom) < 1e-12
+    assert -1.0 <= r["ari"] <= 1.0
+    assert r["ari"] > 0.2  # same corpus, same K: far above chance
+    assert r["n_cells_a"] <= 8 and r["n_cells_b"] <= 8
+
+
 def test_kcenter_farthest_first_invariants(spark, sf_dir):
     """Greedy radii are non-increasing; centers are distinct; the final
     coverage radius can never exceed the last pick's radius; every pick
