@@ -29,6 +29,11 @@ _FRONT = (
     # idempotent streaming event-log ingest, both under full oracles
     "q_esvc_editor_large",
     "q_stream_ingest_log",
+    # newest round-4 additions (second session): exact dup-run extents,
+    # Neyman-optimal stratified sampling, Zipf slope audit
+    "q_doc_dup_runs",
+    "q_doc_neyman_sample",
+    "q_doc_zipf",
     # round-4 additions: DSIR importance scoring, SemDeDup pruning, CCNet
     # fluency terciles, perceptual media dedup
     "q_doc_dsir",

@@ -4118,6 +4118,400 @@ SELECT * FROM scores ORDER BY dsir_score DESC, doc_id LIMIT {_DSIR_TAKE}
 """
 
 
+# ------------------------------------------------------------------- Zipf
+# Zipf-law slope audit per language: fit log2(freq) ~ a + s·log2(rank) by
+# least squares over the full rank-frequency table. Natural language sits
+# near s ≈ −1; |s| far from 1 flags template/boilerplate corpora (too
+# steep = few tokens dominate) or synthetic/gibberish text (too flat) —
+# a corpus-level health check next to the per-doc entropy filter.
+#
+# Cross-engine exactness: both axes go through _qlog2_expr (16× fixed-
+# point integer log2 — identical in both engines); rank is a pinned
+# ROW_NUMBER (freq DESC, token); the normal-equation terms
+#   num = n·Σxy − Σx·Σy,  den = n·Σx² − (Σx)²
+# are BIGINT all the way (per-term xy ≤ (16·63)² ≈ 1e6, so n·Σxy is safe
+# through ~10^12 vocabulary terms; widen to DECIMAL(38,0) beyond), and
+# the slope is ONE final double division. Scale shape: one token-count
+# shuffle (map-side combined) + one per-lang rank window over the
+# vocabulary-sized table — raw text is scanned once.
+
+
+def q_doc_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _docs_par(spark, sf_dir)
+    freq = (
+        docs.select("lang", F.explode(_TOKENS()).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("c").desc(), F.col("tok"))
+    xy = (
+        freq.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .withColumn("x", F.expr(_qlog2_expr("rank", "spark")).cast("bigint"))
+        .withColumn("y", F.expr(_qlog2_expr("c", "spark")).cast("bigint"))
+    )
+    per = xy.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("c").cast("bigint").alias("total_tokens"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    res = per.select(
+        "lang",
+        "n_terms",
+        "total_tokens",
+        (F.col("n_terms") * F.col("sxy") - F.col("sx") * F.col("sy")).alias(
+            "num"
+        ),
+        (F.col("n_terms") * F.col("sxx") - F.col("sx") * F.col("sx")).alias(
+            "den"
+        ),
+    )
+    return res.select(
+        "lang",
+        "n_terms",
+        "total_tokens",
+        "num",
+        "den",
+        F.when(
+            F.col("den") != 0,
+            F.col("num").cast("double") / F.col("den").cast("double"),
+        ).alias("zipf_slope"),
+    )
+
+
+def _zipf_sql() -> str:
+    qr = _qlog2_expr("rank", "duckdb")
+    qc = _qlog2_expr("c", "duckdb")
+    return f"""
+WITH freq AS (
+  SELECT lang, tok, COUNT(*) AS c
+  FROM (SELECT lang, unnest({SQL_TOKENS}) AS tok FROM documents)
+  GROUP BY lang, tok
+),
+ranked AS (
+  SELECT lang, c,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                                 ORDER BY c DESC, tok) AS BIGINT) AS rank
+  FROM freq
+),
+xy AS (
+  SELECT lang, c, CAST({qr} AS BIGINT) AS x, CAST({qc} AS BIGINT) AS y
+  FROM ranked
+),
+per AS (
+  SELECT lang, COUNT(*) AS n_terms, CAST(SUM(c) AS BIGINT) AS total_tokens,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM xy GROUP BY lang
+)
+SELECT lang, n_terms, total_tokens,
+       n_terms * sxy - sx * sy AS num,
+       n_terms * sxx - sx * sx AS den,
+       CASE WHEN n_terms * sxx - sx * sx <> 0
+            THEN CAST(n_terms * sxy - sx * sy AS DOUBLE)
+                 / CAST(n_terms * sxx - sx * sx AS DOUBLE)
+       END AS zipf_slope
+FROM per
+"""
+
+
+# ---------------------------------------------------------------- Neyman
+# Optimal stratified eval-set allocation (Neyman 1934): given a fixed
+# labeling budget of _NEYMAN_N docs, allocate per-language sample sizes
+# n_h ∝ N_h·σ_h (stratum size × stddev of doc length) — minimum-variance
+# stratified sampling, the statistically-grounded upgrade of the uniform
+# per-language quota in q_doc_sample_mixture. Then draw each stratum's
+# quota deterministically by hash rank.
+#
+# Exact integer pipeline: the Neyman weight N_h·σ_h equals
+# isqrt(N_h·Σx² − (Σx)²) — so ONE integer sqrt per stratum; isqrt uses
+# floor(sqrt(double)) corrected by ±1 via exact integer square compares,
+# making the two engines' last-ulp sqrt noise irrelevant. Fractional
+# allocations round by the largest-remainder method (alloc = n·w DIV W,
+# leftover seats by remainder rank, ties by lang) — integers end-to-end,
+# no floats anywhere. The final quota is capped at the stratum size
+# (single-pass truncation; surplus is NOT re-distributed — documented).
+# BIGINT bounds: N_h·Σx² safe while N_h·Σ(n_chars²) < 2^63 (~10^9 docs
+# of 10^5 chars); widen to DECIMAL(38,0) beyond.
+#
+# Scale shape: one narrow per-stratum moment aggregate (map-side
+# combined), the allocation arithmetic on the |langs|-row table, and one
+# per-stratum rank window for the draw — raw docs are scanned twice
+# (moments, draw), shuffled once by the window.
+
+_NEYMAN_N = 100
+
+
+def _isqrt_expr(v: str, dialect: str) -> str:
+    """Exact floor(sqrt(v)) for BIGINT v ≥ 0 in both dialects: seed from
+    the double sqrt, then correct ±1 with integer square comparisons so a
+    1-ulp libm difference cannot split the engines."""
+    s0 = f"CAST(floor(sqrt(CAST({v} AS DOUBLE))) AS BIGINT)"
+    return (
+        f"({s0} + (CASE WHEN ({s0} + 1) * ({s0} + 1) <= ({v}) THEN 1 ELSE 0 END)"
+        f" - (CASE WHEN {s0} * {s0} > ({v}) THEN 1 ELSE 0 END))"
+    )
+
+
+def q_doc_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _docs_par(spark, sf_dir)
+    stats = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("bigint").alias("sxx"),
+    )
+    stats = stats.withColumn(
+        "v", F.col("n_docs") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).withColumn("w", F.expr(_isqrt_expr("v", "spark")).cast("bigint"))
+    wtot = Window.partitionBy()
+    alloc = (
+        stats.withColumn("w_total", F.sum("w").over(wtot))
+        .withColumn(
+            "alloc0",
+            F.expr(f"CAST(({_NEYMAN_N} * w) DIV w_total AS BIGINT)"),
+        )
+        .withColumn("rem", F.expr(f"({_NEYMAN_N} * w) % w_total"))
+        .withColumn("leftover", F.lit(_NEYMAN_N) - F.sum("alloc0").over(wtot))
+        .withColumn(
+            "rr",
+            F.row_number().over(
+                Window.partitionBy(F.lit(1)).orderBy(
+                    F.col("rem").desc(), F.col("lang")
+                )
+            ),
+        )
+        .withColumn(
+            "alloc",
+            F.col("alloc0")
+            + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0),
+        )
+        .withColumn("quota", F.least(F.col("alloc"), F.col("n_docs")))
+    )
+    ranked = docs.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("lang").orderBy(
+                _h(F.col("doc_id").cast("string")), F.col("doc_id")
+            )
+        ),
+    )
+    sampled = (
+        ranked.join(
+            F.broadcast(alloc.select("lang", "quota")), "lang", "inner"
+        )
+        .filter(F.col("rk") <= F.col("quota"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_taken"),
+            F.expr("bit_xor(doc_id)").cast("bigint").alias("sample_xor"),
+            F.sum("n_chars").cast("bigint").alias("sample_chars"),
+        )
+    )
+    return (
+        alloc.select("lang", "n_docs", "w", "alloc", "quota")
+        .join(sampled, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            F.col("w").alias("neyman_w"),
+            "alloc",
+            "quota",
+            F.coalesce("n_taken", F.lit(0)).cast("bigint").alias("n_taken"),
+            F.coalesce("sample_xor", F.lit(0)).cast("bigint").alias("sample_xor"),
+            F.coalesce("sample_chars", F.lit(0)).cast("bigint").alias(
+                "sample_chars"
+            ),
+        )
+    )
+
+
+def _neyman_sql() -> str:
+    isq = _isqrt_expr("v", "duckdb")
+    return f"""
+WITH stats AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS sx,
+         CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+  FROM documents GROUP BY lang
+),
+wv AS (
+  SELECT lang, n_docs, n_docs * sxx - sx * sx AS v FROM stats
+),
+ww AS (
+  SELECT lang, n_docs, CAST({isq} AS BIGINT) AS w FROM wv
+),
+alloc AS (
+  SELECT lang, n_docs, w,
+         CAST(({_NEYMAN_N} * w) // SUM(w) OVER () AS BIGINT) AS alloc0,
+         ({_NEYMAN_N} * w) % SUM(w) OVER () AS rem
+  FROM ww
+),
+lr AS (
+  SELECT lang, n_docs, w, alloc0, rem,
+         {_NEYMAN_N} - SUM(alloc0) OVER () AS leftover,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rr
+  FROM alloc
+),
+fin AS (
+  SELECT lang, n_docs, w,
+         alloc0 + (CASE WHEN rr <= leftover THEN 1 ELSE 0 END) AS alloc,
+         LEAST(alloc0 + (CASE WHEN rr <= leftover THEN 1 ELSE 0 END),
+               n_docs) AS quota
+  FROM lr
+),
+ranked AS (
+  SELECT lang, doc_id, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY {_sql_h('CAST(doc_id AS VARCHAR)')}, doc_id) AS rk
+  FROM documents
+),
+sampled AS (
+  SELECT r.lang, CAST(COUNT(*) AS BIGINT) AS n_taken,
+         CAST(bit_xor(r.doc_id) AS BIGINT) AS sample_xor,
+         CAST(SUM(r.n_chars) AS BIGINT) AS sample_chars
+  FROM ranked r JOIN fin f ON r.lang = f.lang
+  WHERE r.rk <= f.quota
+  GROUP BY r.lang
+)
+SELECT f.lang, f.n_docs, f.w AS neyman_w,
+       CAST(f.alloc AS BIGINT) AS alloc, CAST(f.quota AS BIGINT) AS quota,
+       COALESCE(s.n_taken, 0) AS n_taken,
+       COALESCE(s.sample_xor, 0) AS sample_xor,
+       COALESCE(s.sample_chars, 0) AS sample_chars
+FROM fin f LEFT JOIN sampled s ON f.lang = s.lang
+"""
+
+
+# --------------------------------------------------------------- dup runs
+# Exact duplicated-substring extent (the ExactSubstr signal of Lee et al.
+# 2022, arXiv:2107.06499, at shingle granularity): for every document
+# pair sharing ≥ _RUN_MIN_SH consecutive 5-token shingles, the length of
+# the LONGEST verbatim shared token run. Set-based near-dup (Jaccard,
+# MinHash) can't distinguish a scattered 30% overlap from a single
+# copied paragraph; this query can — a run of r shingles certifies a
+# verbatim copy of r+4 consecutive tokens.
+#
+# Shape: positional shingles (one explode, no distinct), df-capped on
+# DISTINCT-doc frequency exactly like the other inverted-index dedup
+# queries (the hot list broadcasts); the equality self-join on shingle
+# hash is the same bounded join as q_doc_ngram_jaccard; then runs are
+# gaps-and-islands per anti-diagonal (pos_a − pos_b): within one
+# diagonal, consecutive matched positions = consecutive shared shingles,
+# so island length = run length — two windows over the matched-position
+# table, no per-pair re-scan of text. All integers end-to-end.
+
+_RUN_MIN_SH = 3  # report pairs sharing a run of ≥3 shingles (≥7 tokens)
+
+
+def _pos_shingles_sql() -> str:
+    return f"""
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         {_sql_h(f"array_to_string(w[i:i+{_SHINGLE - 1}], ' ')")} AS h
+  FROM (SELECT doc_id, {SQL_TOKENS} AS w FROM documents),
+       unnest(range(1, len(w) - {_SHINGLE - 2})) t(i)
+"""
+
+
+def q_doc_dup_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _docs_par(spark, sf_dir)
+    sh = F.expr(
+        f"CASE WHEN size(w) >= {_SHINGLE} THEN "
+        f"transform(sequence(0, size(w) - {_SHINGLE}), "
+        f"i -> concat_ws(' ', slice(w, i + 1, {_SHINGLE}))) "
+        "ELSE array() END"
+    )
+    pos_sh = (
+        docs.select("doc_id", _TOKENS().alias("w"))
+        .select("doc_id", F.posexplode(sh).alias("pos", "shingle"))
+        .select("doc_id", F.col("pos").cast("bigint").alias("pos"),
+                _h(F.col("shingle")).alias("h"))
+        .transform(_tp)
+    )
+    hot = (
+        pos_sh.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") > _DF_CAP)
+        .select("h")
+    )
+    capped = pos_sh.join(F.broadcast(hot), "h", "left_anti")
+    a = capped.alias("a")
+    b = capped.alias("b")
+    matched = a.join(
+        b,
+        (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.pos").alias("pos_a"),
+        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    runs = (
+        matched.withColumn("grp", F.col("pos_a") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(F.count(F.lit(1)).alias("run_sh"))
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b")
+        .agg(
+            F.max("run_sh").cast("bigint").alias("max_run_shingles"),
+            F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+            F.sum("run_sh").cast("bigint").alias("n_matched"),
+        )
+        .filter(F.col("max_run_shingles") >= _RUN_MIN_SH)
+        .withColumn(
+            "longest_run_tokens",
+            (F.col("max_run_shingles") + F.lit(_SHINGLE - 1)).cast("bigint"),
+        )
+    )
+
+
+def _dup_runs_sql() -> str:
+    return f"""
+WITH pos_sh AS ({_pos_shingles_sql()}),
+capped AS (
+  SELECT doc_id, pos, h FROM pos_sh
+  WHERE h IN (SELECT h FROM pos_sh
+              GROUP BY h HAVING COUNT(DISTINCT doc_id) <= {_DF_CAP})
+),
+matched AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a,
+         a.pos - b.pos AS diag
+  FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id
+),
+runs AS (
+  SELECT doc_a, doc_b, diag,
+         pos_a - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag
+                                    ORDER BY pos_a) AS grp
+  FROM matched
+),
+islands AS (
+  SELECT doc_a, doc_b, diag, grp, COUNT(*) AS run_sh
+  FROM runs GROUP BY doc_a, doc_b, diag, grp
+),
+pairs AS (
+  SELECT doc_a, doc_b,
+         CAST(MAX(run_sh) AS BIGINT) AS max_run_shingles,
+         CAST(COUNT(*) AS BIGINT) AS n_runs,
+         CAST(SUM(run_sh) AS BIGINT) AS n_matched
+  FROM islands GROUP BY doc_a, doc_b
+)
+SELECT doc_a, doc_b, max_run_shingles, n_runs, n_matched,
+       max_run_shingles + {_SHINGLE - 1} AS longest_run_tokens
+FROM pairs WHERE max_run_shingles >= {_RUN_MIN_SH}
+"""
+
+
 QUERIES = {
     "q_doc_exact_dedup": q_doc_exact_dedup,
     "q_doc_bpe_tokens": q_doc_bpe_tokens,
@@ -4171,6 +4565,9 @@ QUERIES = {
     "q_doc_winnow_pairs": q_doc_winnow_pairs,
     "q_doc_bm25": q_doc_bm25,
     "q_doc_leakage_split": q_doc_leakage_split,
+    "q_doc_zipf": q_doc_zipf,
+    "q_doc_neyman_sample": q_doc_neyman_sample,
+    "q_doc_dup_runs": q_doc_dup_runs,
 }
 
 ORACLES = {
@@ -4226,4 +4623,7 @@ ORACLES = {
     "q_doc_winnow_pairs": _WINNOW_SQL,
     "q_doc_bm25": _bm25_sql(),
     "q_doc_leakage_split": _leakage_split_sql(),
+    "q_doc_zipf": _zipf_sql(),
+    "q_doc_neyman_sample": _neyman_sql(),
+    "q_doc_dup_runs": _dup_runs_sql(),
 }
