@@ -29,6 +29,13 @@ _FRONT = (
     # idempotent streaming event-log ingest, both under full oracles
     "q_esvc_editor_large",
     "q_stream_ingest_log",
+    # newest round-4 additions (third session): SCD2 intervals, PSI drift,
+    # Markov removal-effect attribution, zone-map skipping audit, skyline
+    "q_ev_scd2",
+    "q_ev_psi_drift",
+    "q_ev_markov_attribution",
+    "q_zonemap_skipping",
+    "q_skyline_customers",
     # newest round-4 additions (second session): exact dup-run extents,
     # Neyman-optimal stratified sampling, Zipf slope audit
     "q_doc_dup_runs",

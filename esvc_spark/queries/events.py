@@ -3222,6 +3222,438 @@ FROM cells c JOIN sizes s USING (cohort_week)
 """
 
 
+# ---------------------------------------------------------------- SCD2
+# Slowly-Changing-Dimension Type-2 history build: compress each user's
+# event-type sequence into versioned validity intervals
+# [valid_from_us, valid_to_us) — the dimension-maintenance op every
+# warehouse runs to turn a change stream into a point-in-time joinable
+# history (Kimball SCD2). Change points via lag(); version numbers via a
+# running sum of change flags; valid_to via lead() (NULL = current
+# version). Output is the interval table for a deterministic 1-in-7 user
+# slice (full table at sf0.1 would dominate the compare, not the logic).
+#
+# Scale shape: two windows over the same (user_id, time) partitioning —
+# one shuffle total, no joins; the run-compression output is strictly
+# smaller than the input. All integer micros arithmetic.
+
+_SCD2_MOD = 7
+
+
+def q_ev_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events").filter(F.col("user_id") % _SCD2_MOD == 0)
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    seq = ev.select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("t_us")
+    ).withColumn(
+        "chg",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        ).otherwise(0),
+    )
+    runs = (
+        seq.withColumn(
+            "version",
+            F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("bigint"),
+        )
+        .groupBy("user_id", "version")
+        .agg(
+            # all rows in a run share one type; MIN == that type (and
+            # matches the oracle's aggregate exactly)
+            F.min("event_type").alias("state"),
+            F.min("t_us").alias("valid_from_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    return runs.select(
+        "user_id",
+        "version",
+        "state",
+        "valid_from_us",
+        F.lead("valid_from_us").over(wv).alias("valid_to_us"),
+        "n_events",
+        (F.lead("valid_from_us").over(wv) - F.col("valid_from_us"))
+        .alias("dwell_us"),
+    )
+
+
+_SCD2_SQL = f"""
+WITH seq AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts::TIMESTAMP) AS t_us,
+         CASE WHEN LAG(event_type) OVER w IS NULL
+                   OR LAG(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events WHERE user_id % {_SCD2_MOD} = 0
+  WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
+),
+runs AS (
+  SELECT user_id,
+         CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version,
+         event_type, t_us
+  FROM seq
+),
+grp AS (
+  SELECT user_id, version, MIN(event_type) AS state,
+         MIN(t_us) AS valid_from_us, COUNT(*) AS n_events
+  FROM runs GROUP BY user_id, version
+)
+SELECT user_id, version, state, valid_from_us,
+       LEAD(valid_from_us) OVER wv AS valid_to_us, n_events,
+       LEAD(valid_from_us) OVER wv - valid_from_us AS dwell_us
+FROM grp
+WINDOW wv AS (PARTITION BY user_id ORDER BY version)
+"""
+
+
+# ----------------------------------------------------------------- PSI
+# Population-Stability-Index drift monitor: split the event timeline at
+# its midpoint into a reference and a current window, bin three features
+# (event type, hour-of-day, a fixed 50-unit value grid), and report per
+# feature PSI = Σ (pᵢ−qᵢ)·log2(pᵢ/qᵢ) — the standard "did the input
+# distribution move?" gate before retraining or backfilling. The log is
+# the exact fixed-point _qlog2_expr (documents.py) over INTEGER args —
+# log2(p/q) = qlog2((a+1)(B+K)) − qlog2((b+1)(A+K)) with add-one
+# smoothing — and the per-bin contribution is kept integral:
+#   num_bin = (a·B − b·A) · w_bin        (BIGINT, order-free sum)
+#   psi     = Σ num / (16 · A · B)       (one double division at the end)
+# so both engines agree bit-for-bit. (PSI in base 2; the conventional
+# base-e figure is psi·ln2 — a presentation constant.)
+#
+# Scale shape: one narrow pass derives (feature, bin, side); one
+# map-side-combined aggregate to ≤ 40 (feature, bin) cells; totals ride
+# a partition-by-feature window over those cells. BIGINT bound:
+# |a·B − b·A|·w ≤ n²·720 — safe through ~3e9 events per window; beyond
+# that, lift num to DECIMAL(38,0) (the q_ev_bot_detect escalation rule).
+
+_PSI_VSTEP = 50
+
+
+def q_ev_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .documents import _qlog2_expr
+
+    ev = T(spark, sf_dir, "events").select(
+        F.unix_micros("ts").alias("t_us"), "event_type", "value"
+    )
+    span = ev.agg(
+        F.expr("(min(t_us) + max(t_us)) div 2").alias("mid")
+    )
+    feats = (
+        ev.join(F.broadcast(span))  # single-row broadcast NLJ
+        .select(
+            F.when(F.col("t_us") <= F.col("mid"), F.lit(1)).otherwise(0)
+            .alias("is_ref"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("event_type").alias("feature"),
+                        F.col("event_type").alias("bin"),
+                    ),
+                    F.struct(
+                        F.lit("hour_of_day").alias("feature"),
+                        F.expr("cast((t_us div 3600000000) % 24 as string)")
+                        .alias("bin"),
+                    ),
+                    F.struct(
+                        F.lit("value_bin").alias("feature"),
+                        F.floor(F.col("value") / _PSI_VSTEP)
+                        .cast("string").alias("bin"),
+                    ),
+                )
+            ).alias("fb"),
+        )
+        .select("is_ref", "fb.feature", "fb.bin")
+    )
+    cells = feats.groupBy("feature", "bin").agg(
+        F.sum("is_ref").cast("bigint").alias("a"),
+        F.sum(1 - F.col("is_ref")).cast("bigint").alias("b"),
+    )
+    wf = Window.partitionBy("feature")
+    tot = cells.select(
+        "feature",
+        "bin",
+        "a",
+        "b",
+        F.sum("a").over(wf).cast("bigint").alias("ta"),
+        F.sum("b").over(wf).cast("bigint").alias("tb"),
+        F.count(F.lit(1)).over(wf).cast("bigint").alias("k"),
+    )
+    num = f"""
+      ((a * tb - b * ta) *
+       ({_qlog2_expr('(a + 1) * (tb + k)', 'spark')}
+        - {_qlog2_expr('(b + 1) * (ta + k)', 'spark')}))
+    """
+    return (
+        tot.withColumn("num", F.expr(num).cast("bigint"))
+        .groupBy("feature")
+        .agg(
+            F.max("k").alias("n_bins"),
+            F.max("ta").alias("ref_rows"),
+            F.max("tb").alias("cur_rows"),
+            F.sum("num").cast("bigint").alias("psi_q"),
+        )
+        .select(
+            "feature",
+            "n_bins",
+            "ref_rows",
+            "cur_rows",
+            "psi_q",
+            (
+                F.col("psi_q").cast("double")
+                / (F.lit(16) * F.col("ref_rows") * F.col("cur_rows"))
+                .cast("double")
+            ).alias("psi"),
+        )
+    )
+
+
+def _psi_sql() -> str:
+    from .documents import _qlog2_expr
+
+    num = (
+        "((a * tb - b * ta) * "
+        f"({_qlog2_expr('(a + 1) * (tb + k)', 'duckdb')}"
+        f" - {_qlog2_expr('(b + 1) * (ta + k)', 'duckdb')}))"
+    )
+    return f"""
+WITH ev AS (
+  SELECT epoch_us(ts::TIMESTAMP) AS t_us, event_type, value FROM events
+),
+span AS (SELECT (MIN(t_us) + MAX(t_us)) // 2 AS mid FROM ev),
+feats AS (
+  SELECT CASE WHEN t_us <= mid THEN 1 ELSE 0 END AS is_ref,
+         'event_type' AS feature, event_type AS bin FROM ev, span
+  UNION ALL
+  SELECT CASE WHEN t_us <= mid THEN 1 ELSE 0 END,
+         'hour_of_day', CAST((t_us // 3600000000) % 24 AS VARCHAR)
+  FROM ev, span
+  UNION ALL
+  SELECT CASE WHEN t_us <= mid THEN 1 ELSE 0 END,
+         'value_bin', CAST(CAST(FLOOR(value / {_PSI_VSTEP}) AS BIGINT)
+                           AS VARCHAR)
+  FROM ev, span
+),
+cells AS (
+  SELECT feature, bin, CAST(SUM(is_ref) AS BIGINT) AS a,
+         CAST(SUM(1 - is_ref) AS BIGINT) AS b
+  FROM feats GROUP BY 1, 2
+),
+tot AS (
+  SELECT feature, bin, a, b,
+         CAST(SUM(a) OVER wf AS BIGINT) AS ta,
+         CAST(SUM(b) OVER wf AS BIGINT) AS tb,
+         CAST(COUNT(*) OVER wf AS BIGINT) AS k
+  FROM cells
+  WINDOW wf AS (PARTITION BY feature)
+)
+SELECT feature, MAX(k) AS n_bins, MAX(ta) AS ref_rows, MAX(tb) AS cur_rows,
+       CAST(SUM({num}) AS BIGINT) AS psi_q,
+       CAST(SUM({num}) AS DOUBLE)
+         / CAST(16 * MAX(ta) * MAX(tb) AS DOUBLE) AS psi
+FROM tot GROUP BY feature
+"""
+
+
+# ------------------------------------------------- Markov attribution
+# Removal-effect channel attribution (Anderl et al. 2016, the standard
+# data-driven alternative to last-touch): model each user journey as a
+# first-order Markov chain over touchpoints (view/click/signup/error)
+# with absorbing states conv (= purchase) and null (journey ends
+# unconverted; journeys split AFTER each purchase), then score channel x
+# by how much the start→conv absorption probability drops when x is
+# removed (edges into x redirect to null). Absorption is evaluated as a
+# fixed _MK_STEPS-step power iteration in EXACT fixed point: transition
+# weights w(s,t) = (c_st · 2^20) DIV r_s, state vector updated as
+# p'(t) = (Σ_s p(s)·w(s,t)) DIV 2^20 — integer sums are order-free, so
+# Spark, the driver loop, and DuckDB agree bit-for-bit; the only double
+# is the final removal_effect division.
+#
+# Scale shape: the corpus-sized work is two same-key window passes over
+# (user, time) deriving journey edges, reduced to a ≤ 6×6 transition
+# matrix. The 12-step × 5-scenario iteration runs on that bounded matrix
+# driver-side (the q_emb_mmr bounded-pool rule: O(channels²·steps),
+# independent of data scale); the oracle unrolls the same integer
+# iteration as 12 CTE steps. Products stay ≤ 2^43 — BIGINT-safe always.
+
+_MK_SCALE = 1 << 20
+_MK_STEPS = 12
+_MK_CHANNELS = ("click", "error", "signup", "view")
+
+
+def q_ev_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    seq = ev.select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("t_us")
+    ).withColumn(
+        "jump",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) == "purchase"),
+            1,
+        ).otherwise(0),
+    )
+    sj = seq.select(
+        "user_id",
+        "t_us",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", F.lit("conv"))
+        .otherwise(F.col("event_type"))
+        .alias("state"),
+        F.sum("jump").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("j"),
+    )
+    wj = Window.partitionBy("user_id", "j").orderBy("t_us", "event_id")
+    lagged = sj.select(
+        "state",
+        F.coalesce(F.lag("state").over(wj), F.lit("start")).alias("from_state"),
+        F.lead("state").over(wj).alias("nxt"),
+    )
+    edges = lagged.select(
+        "from_state", F.col("state").alias("to_state")
+    ).unionAll(
+        lagged.filter(F.col("nxt").isNull() & (F.col("state") != "conv"))
+        .select(F.col("state").alias("from_state"), F.lit("null").alias("to_state"))
+    )
+    counts = (
+        edges.groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .collect()  # bounded: ≤ (1 + |channels|) × (|channels| + 2) cells
+    )
+    assert len(counts) <= 64, "transition matrix unexpectedly large"
+
+    r: dict[str, int] = {}
+    for row in counts:
+        r[row.from_state] = r.get(row.from_state, 0) + row.c
+    base = {
+        (row.from_state, row.to_state): (row.c * _MK_SCALE) // r[row.from_state]
+        for row in counts
+    }
+
+    def absorb(removed: str | None) -> int:
+        wm: dict[tuple[str, str], int] = {}
+        for (f, t), v in base.items():
+            if f == removed:
+                continue  # the removed state is never entered
+            t2 = "null" if t == removed else t
+            wm[(f, t2)] = wm.get((f, t2), 0) + v
+        wm[("conv", "conv")] = _MK_SCALE
+        wm[("null", "null")] = _MK_SCALE
+        p = {"start": _MK_SCALE}
+        for _ in range(_MK_STEPS):
+            nxt: dict[str, int] = {}
+            for (f, t), v in wm.items():
+                if f in p:
+                    nxt[t] = nxt.get(t, 0) + p[f] * v
+            p = {t: v // _MK_SCALE for t, v in nxt.items()}
+        return p.get("conv", 0)
+
+    p_full = absorb(None)
+    rows = []
+    for ch in _MK_CHANNELS:
+        p_rm = absorb(ch)
+        rows.append(
+            (
+                ch,
+                p_full,
+                p_rm,
+                p_full - p_rm,
+                float(p_full - p_rm) / float(p_full) if p_full else 0.0,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "channel string, p_conv_full_q bigint, p_conv_removed_q bigint,"
+        " removal_q bigint, removal_effect double",
+    )
+
+
+def _markov_sql() -> str:
+    steps = []
+    for k in range(1, _MK_STEPS + 1):
+        steps.append(
+            f"s{k} AS (\n"
+            f"  SELECT w.sc, w.to_state AS state,\n"
+            f"         CAST(SUM(p.p * w.w) // {_MK_SCALE} AS BIGINT) AS p\n"
+            f"  FROM s{k - 1} p JOIN wmat w\n"
+            f"    ON w.sc = p.sc AND w.from_state = p.state\n"
+            f"  GROUP BY 1, 2\n"
+            f")"
+        )
+    chans = ", ".join(f"('{c}')" for c in _MK_CHANNELS)
+    return f"""
+WITH seq AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts::TIMESTAMP) AS t_us,
+         CASE WHEN LAG(event_type) OVER w IS NULL
+                   OR LAG(event_type) OVER w = 'purchase'
+              THEN 1 ELSE 0 END AS jump
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
+),
+sj AS (
+  SELECT user_id, t_us, event_id,
+         CASE WHEN event_type = 'purchase' THEN 'conv'
+              ELSE event_type END AS state,
+         SUM(jump) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+                         ROWS UNBOUNDED PRECEDING) AS j
+  FROM seq
+),
+lagged AS (
+  SELECT state, COALESCE(LAG(state) OVER wj, 'start') AS from_state,
+         LEAD(state) OVER wj AS nxt
+  FROM sj WINDOW wj AS (PARTITION BY user_id, j ORDER BY t_us, event_id)
+),
+edges AS (
+  SELECT from_state, state AS to_state FROM lagged
+  UNION ALL
+  SELECT state, 'null' FROM lagged WHERE nxt IS NULL AND state <> 'conv'
+),
+counts AS (
+  SELECT from_state, to_state, CAST(COUNT(*) AS BIGINT) AS c
+  FROM edges GROUP BY 1, 2
+),
+outd AS (
+  SELECT from_state, CAST(SUM(c) AS BIGINT) AS r FROM counts GROUP BY 1
+),
+basew AS (
+  SELECT c.from_state, c.to_state, (c.c * {_MK_SCALE}) // o.r AS w
+  FROM counts c JOIN outd o USING (from_state)
+),
+scen AS (
+  SELECT sc FROM (VALUES ('full'), {chans}) s(sc)
+),
+wmat AS (
+  SELECT sc, from_state,
+         CASE WHEN to_state = sc THEN 'null' ELSE to_state END AS to_state,
+         CAST(SUM(w) AS BIGINT) AS w
+  FROM scen, basew
+  WHERE from_state <> sc
+  GROUP BY 1, 2, 3
+  UNION ALL
+  SELECT sc, a.s, a.s, CAST({_MK_SCALE} AS BIGINT)
+  FROM scen, (VALUES ('conv'), ('null')) a(s)
+),
+s0 AS (
+  SELECT sc, 'start' AS state, CAST({_MK_SCALE} AS BIGINT) AS p FROM scen
+),
+{",".join(steps)}
+SELECT c.sc AS channel,
+       f.p AS p_conv_full_q,
+       COALESCE(r.p, 0) AS p_conv_removed_q,
+       f.p - COALESCE(r.p, 0) AS removal_q,
+       CASE WHEN f.p = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(f.p - COALESCE(r.p, 0) AS DOUBLE) / CAST(f.p AS DOUBLE)
+       END AS removal_effect
+FROM (SELECT sc FROM scen WHERE sc <> 'full') c
+JOIN (SELECT p FROM s{_MK_STEPS} WHERE sc = 'full' AND state = 'conv') f ON 1 = 1
+LEFT JOIN (SELECT sc, p FROM s{_MK_STEPS} WHERE state = 'conv') r
+  ON r.sc = c.sc
+"""
+
+
 QUERIES = {
     "q_ev_tumbling_hourly": q_ev_tumbling_hourly,
     "q_ev_asof_purchase": q_ev_asof_purchase,
@@ -3260,6 +3692,9 @@ QUERIES = {
     "q_ev_asof_nearest": q_ev_asof_nearest,
     "q_ev_gini": q_ev_gini,
     "q_ev_predictability": q_ev_predictability,
+    "q_ev_scd2": q_ev_scd2,
+    "q_ev_psi_drift": q_ev_psi_drift,
+    "q_ev_markov_attribution": q_ev_markov_attribution,
     "q_stream_tumbling_hourly": q_stream_tumbling_hourly,
     "q_stream_sessionize": q_stream_sessionize,
     "q_stream_running_totals": q_stream_running_totals,
@@ -3310,6 +3745,9 @@ ORACLES = {
     "q_ev_asof_nearest": _ASOF_NEAREST_SQL,
     "q_ev_gini": _GINI_SQL,
     "q_ev_predictability": _predictability_sql(),
+    "q_ev_scd2": _SCD2_SQL,
+    "q_ev_psi_drift": _psi_sql(),
+    "q_ev_markov_attribution": _markov_sql(),
     "q_stream_tumbling_hourly": _STREAM_TUMBLING_SQL,
     "q_stream_sessionize": _SESSION_SQL,
     "q_stream_running_totals": _RUNNING_TOTALS_SQL,

@@ -1379,9 +1379,241 @@ FROM o
 """
 
 
+# ------------------------------------------------------------- zone maps
+# Data-layout effectiveness audit: how many row-group scans would a
+# date-predicate workload touch under three physical orderings of
+# lineitem — arrival order (l_orderkey, l_linenumber), shipdate-clustered,
+# and a worst-case hash scatter? Rows are tiled into _ZM_CHUNKS equal
+# chunks per layout (ntile over a fully-pinned total order — the row-group
+# model), each chunk keeps a (min, max) shipdate zone map, and the
+# workload is one 30-day range predicate per window of the date span. A
+# chunk is scanned iff its zone overlaps the predicate; skip_ratio is the
+# fraction of (chunk, predicate) cells pruned. This is the measurement
+# behind every clustering/Z-order decision at 100 TB: it quantifies what
+# parquet row-group pruning would actually deliver per layout.
+#
+# Scale shape: the tiling is one window per layout over a 3×-unioned
+# narrow projection (one shuffle); zone maps aggregate 60k rows → 720;
+# the overlap join is an annotated NLJ of 720 zones × ~85 broadcast
+# predicates. All date math is integer days. The per-layout ntile is a
+# per-layout-partition sort — fine for an audit (run it on a sample, as
+# here); at production 100 TB the zone maps come free from the parquet
+# footers (row-group min/max stats), no re-sort — this query is the
+# decision tool that says whether rewriting the layout is worth it.
+
+_ZM_CHUNKS = 240
+_ZM_PRED_DAYS = 30
+
+
+def q_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").select(
+        F.expr(
+            "datediff(cast(l_shipdate as date), date '1970-01-01')"
+        ).cast("bigint").alias("day"),
+        # arrival-order surrogate: unique, monotone in insertion order
+        F.expr("l_orderkey * 8 + l_linenumber").alias("akey"),
+        F.expr(
+            "cast(conv(substring(md5(cast(l_orderkey * 8 + l_linenumber"
+            " as string)), 1, 15), 16, 10) as bigint)"
+        ).alias("hkey"),
+    )
+    rows = (
+        li.select(F.lit("arrival").alias("layout"),
+                  F.col("akey").alias("k1"), F.col("akey").alias("k2"), "day")
+        .unionAll(
+            li.select(F.lit("shipdate").alias("layout"),
+                      F.col("day").alias("k1"), F.col("akey").alias("k2"),
+                      "day")
+        )
+        .unionAll(
+            li.select(F.lit("hash").alias("layout"),
+                      F.col("hkey").alias("k1"), F.col("akey").alias("k2"),
+                      "day")
+        )
+    )
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data, so
+    # (k1, k2) has ties; day as the last sort key makes tied rows fully
+    # interchangeable — chunk aggregates are then order-independent
+    wt = Window.partitionBy("layout").orderBy("k1", "k2", "day")
+    zones = (
+        rows.withColumn("chunk", F.ntile(_ZM_CHUNKS).over(wt))
+        .groupBy("layout", "chunk")
+        .agg(F.min("day").alias("zmin"), F.max("day").alias("zmax"))
+    )
+    span = T(spark, sf_dir, "lineitem").agg(
+        F.expr(
+            "min(datediff(cast(l_shipdate as date), date '1970-01-01'))"
+        ).cast("bigint").alias("dmin"),
+        F.expr(
+            "max(datediff(cast(l_shipdate as date), date '1970-01-01'))"
+        ).cast("bigint").alias("dmax"),
+    )
+    preds = span.select(
+        F.explode(
+            F.expr(f"sequence(0, (dmax - dmin) div {_ZM_PRED_DAYS})")
+        ).alias("p"),
+        "dmin",
+    ).select(
+        (F.col("dmin") + F.col("p") * _ZM_PRED_DAYS).alias("pmin"),
+        (F.col("dmin") + F.col("p") * _ZM_PRED_DAYS + _ZM_PRED_DAYS - 1)
+        .alias("pmax"),
+    )
+    scanned = (
+        zones.join(
+            F.broadcast(preds),  # ~85-row broadcast side: annotated NLJ
+            (F.col("zmin") <= F.col("pmax")) & (F.col("zmax") >= F.col("pmin")),
+        )
+        .groupBy("layout")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("chunks_scanned"))
+    )
+    sizes = zones.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks")
+    )
+    npred = preds.agg(F.count(F.lit(1)).cast("bigint").alias("n_preds"))
+    return (
+        sizes.join(scanned, "layout")
+        .join(F.broadcast(npred))  # single-row broadcast NLJ
+        .select(
+            "layout",
+            "n_chunks",
+            "n_preds",
+            "chunks_scanned",
+            (
+                F.lit(1.0).cast("double")
+                - F.col("chunks_scanned").cast("double")
+                / (F.col("n_chunks") * F.col("n_preds")).cast("double")
+            ).alias("skip_ratio"),
+        )
+    )
+
+
+_QZONEMAP_SQL = f"""
+WITH li AS (
+  SELECT CAST(l_shipdate::DATE - DATE '1970-01-01' AS BIGINT) AS day,
+         l_orderkey * 8 + l_linenumber AS akey,
+         CAST(('0x' || substr(md5(CAST(l_orderkey * 8 + l_linenumber
+                                       AS VARCHAR)), 1, 15)) AS BIGINT)
+           AS hkey
+  FROM lineitem
+),
+rows_ AS (
+  SELECT 'arrival' AS layout, akey AS k1, akey AS k2, day FROM li
+  UNION ALL
+  SELECT 'shipdate', day, akey, day FROM li
+  UNION ALL
+  SELECT 'hash', hkey, akey, day FROM li
+),
+zones AS (
+  SELECT layout, chunk, MIN(day) AS zmin, MAX(day) AS zmax
+  FROM (SELECT layout, day,
+               NTILE({_ZM_CHUNKS}) OVER (PARTITION BY layout
+                                         ORDER BY k1, k2, day) AS chunk
+        FROM rows_)
+  GROUP BY 1, 2
+),
+span AS (
+  SELECT CAST(MIN(l_shipdate::DATE - DATE '1970-01-01') AS BIGINT) AS dmin,
+         CAST(MAX(l_shipdate::DATE - DATE '1970-01-01') AS BIGINT) AS dmax
+  FROM lineitem
+),
+preds AS (
+  SELECT dmin + p * {_ZM_PRED_DAYS} AS pmin,
+         dmin + p * {_ZM_PRED_DAYS} + {_ZM_PRED_DAYS - 1} AS pmax
+  FROM span, unnest(range(0, (dmax - dmin) // {_ZM_PRED_DAYS} + 1)) t(p)
+),
+scanned AS (
+  SELECT layout, CAST(COUNT(*) AS BIGINT) AS chunks_scanned
+  FROM zones z JOIN preds p ON z.zmin <= p.pmax AND z.zmax >= p.pmin
+  GROUP BY 1
+),
+sizes AS (
+  SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_chunks FROM zones GROUP BY 1
+),
+np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_preds FROM preds)
+SELECT layout, n_chunks, n_preds, chunks_scanned,
+       CAST(1 AS DOUBLE) - CAST(chunks_scanned AS DOUBLE)
+         / CAST(n_chunks * n_preds AS DOUBLE) AS skip_ratio
+FROM sizes JOIN scanned USING (layout), np
+"""
+
+
+# --------------------------------------------------------------- skyline
+# Pareto skyline: the customers not dominated on (total spend, order
+# count) — p dominates q iff p is ≥ on both axes and > on at least one.
+# The multi-objective "best customers" / "best configs" operator that a
+# nested-loop formulation makes O(n²); here it is algebraic:
+#   1. aggregate per customer (exact DECIMAL spend — the money grid);
+#   2. per distinct spend keep only the max count (dominated within tie);
+#   3. sort distinct spends descending: a point survives iff its count
+#      beats the running max over all strictly-higher spends (those are
+#      ≥-and-> on spend, so any count ≥ ours would dominate);
+#   4. join survivors back to customers (exact duplicates — same spend
+#      and count — don't dominate each other and all ship).
+#
+# Scale shape: one per-customer aggregate, one per-spend aggregate, then
+# ONE global window over |distinct spends| rows — the only serial part,
+# already reduced by step 2; at 100 TB add a per-partition local skyline
+# before the global pass (a strict superset filter, same semantics).
+
+
+def q_skyline_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(dec("o_totalprice", 2)).alias("spend_d"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        )
+    )
+    grp = per.groupBy("spend_d").agg(F.max("n_orders").alias("ymax"))
+    w = (
+        Window.orderBy(F.desc("spend_d"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sky = (
+        grp.withColumn("runmax", F.max("ymax").over(w))
+        .filter(F.col("runmax").isNull() | (F.col("ymax") > F.col("runmax")))
+        # sky derives from per: re-alias the join keys so the self-join
+        # does not hit Spark's conflicting-attributes resolution
+        .select(F.col("spend_d").alias("s_spend"), F.col("ymax").alias("s_y"))
+    )
+    return per.join(
+        F.broadcast(sky),
+        (F.col("spend_d") == F.col("s_spend"))
+        & (F.col("n_orders") == F.col("s_y")),
+    ).select(
+        "o_custkey",
+        F.col("spend_d").cast("double").alias("total_spend"),
+        "n_orders",
+    )
+
+
+_QSKYLINE_SQL = """
+WITH per AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend_d,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+),
+grp AS (SELECT spend_d, MAX(n_orders) AS ymax FROM per GROUP BY 1),
+sky AS (
+  SELECT spend_d, ymax
+  FROM (SELECT spend_d, ymax,
+               MAX(ymax) OVER (ORDER BY spend_d DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS runmax
+        FROM grp)
+  WHERE runmax IS NULL OR ymax > runmax
+)
+SELECT p.o_custkey, CAST(p.spend_d AS DOUBLE) AS total_spend, p.n_orders
+FROM per p JOIN sky s ON p.spend_d = s.spend_d AND p.n_orders = s.ymax
+"""
+
+
 QUERIES = {
     "q_fuzzy_match": q_fuzzy_match,
     "q_window_trailing_spend": q_window_trailing_spend,
+    "q_zonemap_skipping": q_zonemap_skipping,
+    "q_skyline_customers": q_skyline_customers,
     "q01_pricing_summary": q01_pricing_summary,
     "q02_min_cost_supplier": q02_min_cost_supplier,
     "q_grouping_sets": q_grouping_sets,
@@ -1453,4 +1685,6 @@ ORACLES = {
     "q_fullouter_daily": _QFULLOUTER_SQL,
     "q_window_deciles": _QDECILES_SQL,
     "q_profile_lineitem": _QPROFILE_SQL,
+    "q_zonemap_skipping": _QZONEMAP_SQL,
+    "q_skyline_customers": _QSKYLINE_SQL,
 }

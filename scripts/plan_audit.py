@@ -27,6 +27,11 @@ _IMPERATIVE = {
         "streaming hourly counts (micro-batch plans) + batch z-score "
         "join against broadcast baseline stats"
     ),
+    "q_ev_markov_attribution": (
+        "window-derived edge counts reduced to a ≤6×6 matrix, then a "
+        "bounded driver-side integer power iteration; returned frame is "
+        "the 4-row literal result"
+    ),
     "q_doc_dup_clusters": "iterative (per-round join+agg, see operators/cc.py)",
     "q_doc_canonical": "iterative (CC labels + quality argmax, see operators/cc.py)",
     "q_doc_leakage_split": "iterative (CC labels feed the group-aware split, see operators/cc.py)",
@@ -104,6 +109,11 @@ _NLJ_OK = {
     "q_doc_jackknife": "single-row totals/mbar/se cross joins over the |sources|-row table",
     "q_ev_key_skew": "single-row slot-stats x key-stats cross join per candidate key",
     "q_emb_recall_curve": "20-row query broadcast + 8-centroid assignment (knn + IVF shapes)",
+    "q_ev_psi_drift": "single-row timeline-midpoint cross join",
+    "q_zonemap_skipping": (
+        "~85-row broadcast predicate side vs 720 zone rows (overlap "
+        "join) + single-row n_preds cross join"
+    ),
 }
 
 
