@@ -3875,17 +3875,24 @@ def q_doc_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(_tp)  # feeds both the sizes aggregate and the self-join
     )
     sizes = bg.groupBy("source").agg(F.count(F.lit(1)).alias("vsize"))
-    x, y = bg.alias("x"), bg.alias("y")
+    # inverted-index pair generation: group each bigram's source set
+    # (bounded by |sources|) and explode ordered combinations — emits
+    # each co-occurring pair once (the self-join emitted both probe
+    # directions' worth of work) and needs no join shuffle
     shared = (
-        x.join(
-            y,
-            (F.col("x.bigram") == F.col("y.bigram"))
-            & (F.col("x.source") < F.col("y.source")),
+        bg.groupBy("bigram")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+        .filter(F.size("ss") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ss, (a, i) ->"
+                    " transform(slice(ss, i + 2, size(ss)),"
+                    " b -> struct(a AS source_a, b AS source_b))))"
+                )
+            ).alias("p")
         )
-        .groupBy(
-            F.col("x.source").alias("source_a"),
-            F.col("y.source").alias("source_b"),
-        )
+        .groupBy("p.source_a", "p.source_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
     )
     return (
