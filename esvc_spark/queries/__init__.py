@@ -36,6 +36,9 @@ _FRONT = (
     "q_ev_markov_attribution",
     "q_zonemap_skipping",
     "q_skyline_customers",
+    "q_ev_survival",
+    "q_doc_rake",
+    "q_emb_pca_power",
     # newest round-4 additions (second session): exact dup-run extents,
     # Neyman-optimal stratified sampling, Zipf slope audit
     "q_doc_dup_runs",

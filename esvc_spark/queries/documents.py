@@ -4519,8 +4519,147 @@ FROM pairs WHERE max_run_shingles >= {_RUN_MIN_SH}
 """
 
 
+# -------------------------------------------------------------- RAKE
+# Rapid Automatic Keyword Extraction (Rose et al. 2010): candidate
+# phrases are maximal stopword-free token runs (capped at _RAKE_MAX_LEN
+# words, the classic heuristic), each word w gets freq(w) = occurrences
+# and deg(w) = Σ length of phrases containing it, and a phrase scores
+# Σ_w deg(w)/freq(w). Per-word ratios are exact fixed point
+# (deg·2^20 DIV freq) so the integer phrase scores are engine-identical;
+# output is the deterministic top-_RAKE_TOP phrases by
+# (score, occurrences, phrase).
+#
+# Scale shape: phrase segmentation is a per-document window (one
+# shuffle keyed by doc); word stats are a vocabulary-sized aggregate
+# broadcast back onto the phrase-word rows; the top-k is a global sort
+# of the bounded distinct-phrase table. No joins over corpus-sized
+# sides except the broadcast vocabulary.
+
+_RAKE_STOP = (
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for",
+    "from", "in", "is", "it", "not", "of", "on", "or", "that", "the",
+    "this", "to", "was", "with",
+)
+_RAKE_MAX_LEN = 4
+_RAKE_TOP = 50
+
+
+def q_doc_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _docs_par(spark, sf_dir)
+    stop_arr = ", ".join(f"'{s}'" for s in _RAKE_STOP)
+    toks = docs.select(
+        "doc_id", F.posexplode(_TOKENS()).alias("pos", "tok")
+    ).withColumn("is_stop", F.expr(f"tok IN ({stop_arr})").cast("int"))
+    wp = Window.partitionBy("doc_id").orderBy("pos")
+    words = (
+        toks.withColumn(
+            "phrase_id",
+            F.sum("is_stop").over(wp.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .filter(F.col("is_stop") == 0)
+        .withColumn(
+            "plen",
+            F.count(F.lit(1)).over(Window.partitionBy("doc_id", "phrase_id")),
+        )
+        .filter(F.col("plen") <= _RAKE_MAX_LEN)
+        .transform(_tp)  # feeds the vocabulary aggregate and the re-join
+    )
+    wscore = words.groupBy("tok").agg(
+        F.expr("(sum(plen) * 1048576) div count(1)").alias("wscore_q")
+    )
+    phrases = (
+        words.join(F.broadcast(wscore), "tok")
+        .groupBy("doc_id", "phrase_id")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "struct(pos, tok))), t -> t.tok), ' ')"
+            ).alias("phrase"),
+            F.max("plen").alias("n_words"),
+            F.sum("wscore_q").cast("bigint").alias("score_q"),
+        )
+    )
+    top = phrases.groupBy("phrase").agg(
+        F.max("n_words").cast("bigint").alias("n_words"),
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        F.max("score_q").alias("score_q"),
+    )
+    wr = Window.orderBy(
+        F.desc("score_q"), F.desc("n_occurrences"), F.col("phrase")
+    )
+    return (
+        top.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= _RAKE_TOP)
+        .select(
+            "phrase",
+            "n_words",
+            "n_occurrences",
+            "score_q",
+            (F.col("score_q").cast("double") / F.lit(1048576.0))
+            .alias("rake_score"),
+        )
+    )
+
+
+_RAKE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, w[i] AS tok, i AS pos,
+         CASE WHEN w[i] IN ({", ".join(f"'{s}'" for s in _RAKE_STOP)})
+              THEN 1 ELSE 0 END AS is_stop
+  FROM (SELECT doc_id, {SQL_TOKENS} AS w FROM documents),
+       unnest(range(1, len(w) + 1)) t(i)
+),
+words AS (
+  SELECT * FROM (
+    SELECT doc_id, tok, pos, is_stop,
+           SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS phrase_id
+    FROM toks
+  ) s
+  WHERE is_stop = 0
+),
+capped AS (
+  SELECT * FROM (
+    SELECT doc_id, tok, pos, phrase_id,
+           COUNT(*) OVER (PARTITION BY doc_id, phrase_id) AS plen
+    FROM words
+  ) s
+  WHERE plen <= {_RAKE_MAX_LEN}
+),
+wscore AS (
+  SELECT tok, (CAST(SUM(plen) AS BIGINT) * 1048576) // COUNT(*) AS wscore_q
+  FROM capped GROUP BY tok
+),
+phrases AS (
+  SELECT c.doc_id, c.phrase_id,
+         string_agg(c.tok, ' ' ORDER BY c.pos) AS phrase,
+         CAST(MAX(c.plen) AS BIGINT) AS n_words,
+         CAST(SUM(w.wscore_q) AS BIGINT) AS score_q
+  FROM capped c JOIN wscore w USING (tok)
+  GROUP BY c.doc_id, c.phrase_id
+),
+top AS (
+  SELECT phrase, MAX(n_words) AS n_words,
+         CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         MAX(score_q) AS score_q
+  FROM phrases GROUP BY phrase
+)
+SELECT phrase, n_words, n_occurrences, score_q,
+       CAST(score_q AS DOUBLE) / 1048576.0 AS rake_score
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY score_q DESC, n_occurrences DESC,
+                               phrase) AS rnk
+  FROM top
+) r
+WHERE rnk <= {_RAKE_TOP}
+"""
+
+
 QUERIES = {
     "q_doc_exact_dedup": q_doc_exact_dedup,
+    "q_doc_rake": q_doc_rake,
     "q_doc_bpe_tokens": q_doc_bpe_tokens,
     "q_doc_token_stats": q_doc_token_stats,
     "q_doc_quality": q_doc_quality,
@@ -4579,6 +4718,7 @@ QUERIES = {
 
 ORACLES = {
     "q_doc_exact_dedup": _EXACT_DEDUP_SQL,
+    "q_doc_rake": _RAKE_SQL,
     "q_doc_bpe_tokens": _bpe_sql(),
     "q_doc_token_stats": _TOKEN_STATS_SQL,
     "q_doc_quality": _QUALITY_SQL,

@@ -2344,7 +2344,157 @@ FROM selu{_MMR_K}"""
     return "".join(parts)
 
 
+# ------------------------------------------------------------ PCA power
+# Top principal direction of the embedding corpus by power iteration in
+# EXACT integer arithmetic, so both engines (and the driver loop) agree
+# bit-for-bit — the dimensionality-reduction / drift-direction primitive
+# that normally can't be oracle-checked because eigensolvers are
+# floating-point. Values are quantized to the 2^-14 grid (x·2^14 is a
+# power-of-two scale: exact), the scatter matrix N = n·S − m·mᵀ
+# (covariance × n²) is accumulated in BIGINT, rescaled to ~2^20 by an
+# integer divisor, and iterated _PCA_STEPS times with a max-|component|
+# renormalization per step. All signed divisions go through
+# sign·(abs DIV d) — Spark div and DuckDB // both truncate toward zero,
+# but keeping operands nonnegative makes that property load-bearing
+# nowhere. The sign of the result is pinned by making the
+# largest-|loading| dimension positive (tie → lowest dim).
+#
+# Scale shape: ONE corpus pass (vec → 64² narrow cells, map-side
+# combined into 4096 groups); the 16-step iteration runs driver-side on
+# the collected 64×64 integer matrix (bounded-pool rule — O(d²·steps),
+# data-scale independent); the oracle unrolls the same steps as CTEs.
+# BIGINT bound: n·S ≤ n²·d·2^28 — safe through ~5M vectors; beyond
+# that accumulate S in DECIMAL(38,0) (same topology).
+
+_PCA_Q = 1 << 14
+_PCA_S = 1 << 20
+# the synthetic embeddings are near-isotropic (top-two eigenvalue ratio
+# ~1.01 at sf0.01), so the power method needs many rounds: 128 steps
+# give |cos| > 0.995 vs the true eigenvector; per-step fixed-point error
+# accumulates only linearly (~128·2⁻²⁰). Driver cost is 128·d² integer
+# ops — noise at any data scale.
+_PCA_STEPS = 128
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncating integer division (Python // floors; both engines
+    truncate toward zero)."""
+    q = abs(a) // b
+    return -q if a < 0 else q
+
+
+def q_emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings")
+    qrows = emb.select(
+        F.expr(
+            f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+            f" * {_PCA_Q}) AS BIGINT))"
+        ).alias("q")
+    )
+    cells = qrows.select(
+        F.posexplode("q").alias("i", "qi"), F.col("q")
+    ).select("i", "qi", F.posexplode("q").alias("j", "qj"))
+    srows = (
+        cells.groupBy("i", "j")
+        .agg(F.sum(F.expr("qi * qj")).cast("bigint").alias("s"))
+        .collect()  # bounded: d² = 4096 cells
+    )
+    mrows = {
+        r["i"]: r["m"]
+        for r in qrows.select(F.posexplode("q").alias("i", "qi"))
+        .groupBy("i")
+        .agg(F.sum("qi").cast("bigint").alias("m"))
+        .collect()
+    }
+    n = qrows.count()
+    dims = sorted(mrows)
+    nmat = {
+        (r["i"], r["j"]): n * r["s"] - mrows[r["i"]] * mrows[r["j"]]
+        for r in srows
+    }
+    mxn = max(abs(v) for v in nmat.values())
+    d0 = max(mxn // _PCA_S, 1)
+    w = {ij: _tdiv(v, d0) for ij, v in nmat.items()}
+    v = {i: _PCA_S for i in dims}
+    for _ in range(_PCA_STEPS):
+        u = {
+            i: sum(w[(i, j)] * v[j] for j in dims) for i in dims
+        }
+        dk = max(max(abs(x) for x in u.values()) // _PCA_S, 1)
+        v = {i: _tdiv(u[i], dk) for i in dims}
+    pivot = max(dims, key=lambda i: (abs(v[i]), -i))
+    sgn = -1 if v[pivot] < 0 else 1
+    rows = [
+        (i, sgn * v[i], float(sgn * v[i]) / float(_PCA_S), n) for i in dims
+    ]
+    return spark.createDataFrame(
+        rows, "dim int, loading_q bigint, loading double, n_vecs bigint"
+    )
+
+
+def _pca_sql() -> str:
+    steps = []
+    for k in range(1, _PCA_STEPS + 1):
+        # u{k} MUST be materialized: it is referenced by both d{k} and
+        # v{k}, and DuckDB inlines plain CTEs — without materialization
+        # the plan doubles per step (2^16 parquet scans, fd exhaustion)
+        steps.append(
+            f"""
+u{k} AS MATERIALIZED (
+  SELECT w.i AS dim, CAST(SUM(v.v * w.w) AS BIGINT) AS u
+  FROM v{k - 1} v JOIN wm w ON w.j = v.dim GROUP BY 1
+),
+d{k} AS (SELECT GREATEST(MAX(ABS(u)) // {_PCA_S}, 1) AS d FROM u{k}),
+v{k} AS (
+  SELECT dim, CASE WHEN u < 0 THEN -1 ELSE 1 END * (ABS(u) // d) AS v
+  FROM u{k}, d{k}
+)"""
+        )
+    return f"""
+WITH q0 AS MATERIALIZED (
+  SELECT list_transform(embedding::DOUBLE[],
+                        x -> CAST(FLOOR(x * {_PCA_Q}) AS BIGINT)) AS q
+  FROM embeddings
+),
+sm AS (
+  SELECT a.i - 1 AS i, b.j - 1 AS j, CAST(SUM(q[a.i] * q[b.j]) AS BIGINT) AS s
+  FROM q0, unnest(range(1, {_DIM} + 1)) a(i),
+       unnest(range(1, {_DIM} + 1)) b(j)
+  GROUP BY 1, 2
+),
+mm AS (
+  SELECT a.i - 1 AS i, CAST(SUM(q[a.i]) AS BIGINT) AS m
+  FROM q0, unnest(range(1, {_DIM} + 1)) a(i) GROUP BY 1
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM q0),
+nm AS MATERIALIZED (
+  SELECT s.i, s.j, nn.n * s.s - ma.m * mb.m AS nmat
+  FROM sm s JOIN mm ma ON ma.i = s.i JOIN mm mb ON mb.i = s.j, nn
+),
+wd AS (SELECT GREATEST(MAX(ABS(nmat)) // {_PCA_S}, 1) AS d FROM nm),
+wm AS MATERIALIZED (
+  SELECT i, j,
+         CASE WHEN nmat < 0 THEN -1 ELSE 1 END * (ABS(nmat) // d) AS w
+  FROM nm, wd
+),
+v0 AS (
+  SELECT a.i - 1 AS dim, CAST({_PCA_S} AS BIGINT) AS v
+  FROM unnest(range(1, {_DIM} + 1)) a(i)
+),{",".join(steps)},
+piv AS (
+  SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS sgn
+  FROM v{_PCA_STEPS} ORDER BY ABS(v) DESC, dim LIMIT 1
+)
+SELECT CAST(dim AS INTEGER) AS dim,
+       CAST(v * sgn AS BIGINT) AS loading_q,
+       CAST(v * sgn AS DOUBLE) / {float(_PCA_S)} AS loading,
+       nn.n AS n_vecs
+FROM v{_PCA_STEPS}, piv, nn
+"""
+
+
 QUERIES = {
+    "q_emb_pca_power": q_emb_pca_power,
     "q_emb_knn_cosine": q_emb_knn_cosine,
     "q_emb_ivf_knn": q_emb_ivf_knn,
     "q_rag_retrieval": q_rag_retrieval,
@@ -2372,6 +2522,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_emb_pca_power": _pca_sql(),
     "q_emb_knn_cosine": _KNN_SQL,
     "q_emb_ivf_knn": _IVF_SQL,
     "q_rag_retrieval": _RAG_SQL,

@@ -3457,6 +3457,136 @@ FROM tot GROUP BY feature
 """
 
 
+# ------------------------------------------------------------ survival
+# Kaplan–Meier time-to-conversion with right censoring: per user the
+# duration (hours) from first event to first purchase — users who never
+# convert are censored at their last event — then the product-limit
+# estimator S(t) = Π_{u ≤ t} (n_u − d_u)/n_u over event times, where
+# n_u = at-risk count (duration ≥ u) and d_u = conversions at u. The
+# "how long until users convert, accounting for the ones still waiting"
+# curve behind retention and TTFP dashboards. The cumulative product is
+# evaluated in exact fixed point (scale 2^40): acc ← (acc·(n−d)) DIV n,
+# folded in pinned time order — sequential integer folds are
+# bit-identical in both engines (the ofold rule for products).
+#
+# Scale shape: one per-user aggregate; the curve lives on an
+# hour-bucketed grid bounded by the observation horizon (≤ ~720 rows),
+# so the reverse-cumulative risk window, the prefix self-join (t' ≤ t,
+# annotated NLJ over the tiny grid), and the per-row fold all touch
+# bounded data. BIGINT bound: acc·(n−d) ≤ 2^40·n_users — safe through
+# ~8M at-risk users; beyond that lift the fold to DECIMAL(38,0).
+
+_KM_SCALE = 1 << 40
+_HOUR_US = 3_600_000_000
+
+
+def q_ev_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    per = (
+        ev.select(
+            "user_id",
+            F.unix_micros("ts").alias("t_us"),
+            (F.col("event_type") == "purchase").cast("int").alias("is_conv"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("t_us").alias("t0"),
+            F.max("t_us").alias("t_last"),
+            F.min(F.when(F.col("is_conv") == 1, F.col("t_us"))).alias("tc"),
+        )
+        .select(
+            F.when(F.col("tc").isNotNull(), 1).otherwise(0).alias("event"),
+            F.expr(
+                f"(coalesce(tc, t_last) - t0) div {_HOUR_US}"
+            ).alias("dur_h"),
+        )
+    )
+    hours = per.groupBy("dur_h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_all"),
+        F.sum("event").cast("bigint").alias("d"),
+    )
+    wrev = (
+        Window.orderBy(F.desc("dur_h"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    risk = hours.select(
+        "dur_h",
+        "d",
+        F.sum("n_all").over(wrev).cast("bigint").alias("nr"),
+    ).filter(F.col("d") > 0)
+    # prefix self-join over the bounded grid; re-alias the probe side so
+    # the self-join does not hit conflicting-attributes resolution
+    probe = risk.select(
+        F.col("dur_h").alias("tp"),
+        F.col("nr").alias("p_nr"),
+        F.col("d").alias("p_d"),
+    )
+    return (
+        risk.join(F.broadcast(probe), F.col("tp") <= F.col("dur_h"))
+        .groupBy("dur_h", "nr", "d")
+        .agg(
+            F.expr(
+                "aggregate(transform(array_sort(collect_list("
+                "  struct(tp, p_nr, p_d))), t -> struct(t.p_nr, t.p_d)),"
+                f" CAST({_KM_SCALE} AS BIGINT),"
+                " (acc, x) -> (acc * (x.p_nr - x.p_d)) div x.p_nr)"
+            ).alias("surv_q")
+        )
+        .select(
+            F.col("dur_h").alias("t_hours"),
+            F.col("nr").alias("n_risk"),
+            F.col("d").alias("d_events"),
+            "surv_q",
+            (F.col("surv_q").cast("double") / F.lit(float(_KM_SCALE)))
+            .alias("survival"),
+        )
+    )
+
+
+_SURVIVAL_SQL = f"""
+WITH per AS (
+  SELECT CASE WHEN MIN(CASE WHEN event_type = 'purchase'
+                            THEN epoch_us(ts::TIMESTAMP) END) IS NOT NULL
+              THEN 1 ELSE 0 END AS event,
+         (COALESCE(MIN(CASE WHEN event_type = 'purchase'
+                            THEN epoch_us(ts::TIMESTAMP) END),
+                   MAX(epoch_us(ts::TIMESTAMP)))
+          - MIN(epoch_us(ts::TIMESTAMP))) // {_HOUR_US} AS dur_h
+  FROM events GROUP BY user_id
+),
+hours AS (
+  SELECT dur_h, CAST(COUNT(*) AS BIGINT) AS n_all,
+         CAST(SUM(event) AS BIGINT) AS d
+  FROM per GROUP BY dur_h
+),
+risk AS (
+  SELECT dur_h, d,
+         CAST(SUM(n_all) OVER (ORDER BY dur_h DESC
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS nr
+  FROM hours
+),
+km AS (
+  -- list_reduce has no separate seed type: smuggle the accumulator in
+  -- a struct of the element's shape and read .nr at the end
+  SELECT a.dur_h AS t_hours, a.nr AS n_risk, a.d AS d_events,
+         (list_reduce(
+            list_prepend(
+              struct_pack(nr := CAST({_KM_SCALE} AS BIGINT),
+                          d := CAST(0 AS BIGINT)),
+              list(struct_pack(nr := b.nr, d := b.d) ORDER BY b.dur_h)),
+            (acc, x) -> struct_pack(
+              nr := (acc.nr * (x.nr - x.d)) // x.nr,
+              d := CAST(0 AS BIGINT)))).nr AS surv_q
+  FROM (SELECT * FROM risk WHERE d > 0) a
+  JOIN (SELECT * FROM risk WHERE d > 0) b ON b.dur_h <= a.dur_h
+  GROUP BY a.dur_h, a.nr, a.d
+)
+SELECT t_hours, n_risk, d_events, surv_q,
+       CAST(surv_q AS DOUBLE) / {float(_KM_SCALE)} AS survival
+FROM km
+"""
+
+
 # ------------------------------------------------- Markov attribution
 # Removal-effect channel attribution (Anderl et al. 2016, the standard
 # data-driven alternative to last-touch): model each user journey as a
@@ -3695,6 +3825,7 @@ QUERIES = {
     "q_ev_scd2": q_ev_scd2,
     "q_ev_psi_drift": q_ev_psi_drift,
     "q_ev_markov_attribution": q_ev_markov_attribution,
+    "q_ev_survival": q_ev_survival,
     "q_stream_tumbling_hourly": q_stream_tumbling_hourly,
     "q_stream_sessionize": q_stream_sessionize,
     "q_stream_running_totals": q_stream_running_totals,
@@ -3748,6 +3879,7 @@ ORACLES = {
     "q_ev_scd2": _SCD2_SQL,
     "q_ev_psi_drift": _psi_sql(),
     "q_ev_markov_attribution": _markov_sql(),
+    "q_ev_survival": _SURVIVAL_SQL,
     "q_stream_tumbling_hourly": _STREAM_TUMBLING_SQL,
     "q_stream_sessionize": _SESSION_SQL,
     "q_stream_running_totals": _RUNNING_TOTALS_SQL,

@@ -27,6 +27,11 @@ _IMPERATIVE = {
         "streaming hourly counts (micro-batch plans) + batch z-score "
         "join against broadcast baseline stats"
     ),
+    "q_emb_pca_power": (
+        "one corpus pass to a 64×64 integer scatter matrix, then a "
+        "bounded driver-side power iteration; returned frame is the "
+        "64-row literal loading vector"
+    ),
     "q_ev_markov_attribution": (
         "window-derived edge counts reduced to a ≤6×6 matrix, then a "
         "bounded driver-side integer power iteration; returned frame is "
@@ -110,6 +115,10 @@ _NLJ_OK = {
     "q_ev_key_skew": "single-row slot-stats x key-stats cross join per candidate key",
     "q_emb_recall_curve": "20-row query broadcast + 8-centroid assignment (knn + IVF shapes)",
     "q_ev_psi_drift": "single-row timeline-midpoint cross join",
+    "q_ev_survival": (
+        "prefix self-join (t' ≤ t) over the ≤720-row hour grid, "
+        "broadcast probe side"
+    ),
     "q_zonemap_skipping": (
         "~85-row broadcast predicate side vs 720 zone rows (overlap "
         "join) + single-row n_preds cross join"

@@ -56,6 +56,19 @@ def _qlog2(x: int) -> int:
     return 16 * e + (16 * x) // (1 << e) - 16
 
 
+def _texts(spark, sf_dir):
+    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    return {
+        d: (txt, lang, nc)
+        for d, txt, lang, nc in zip(
+            t.column("doc_id").to_pylist(),
+            t.column("text").to_pylist(),
+            t.column("lang").to_pylist(),
+            t.column("n_chars").to_pylist(),
+        )
+    }
+
+
 def test_scd2_intervals_exact(spark, sf_dir):
     ev = [e for e in _events(sf_dir) if e["user_id"] % _SCD2_MOD == 0]
     by_user: dict[int, list] = {}
@@ -295,3 +308,117 @@ def test_skyline_dominance_brute_force(spark, sf_dir):
         for r in REL_QUERIES["q_skyline_customers"](spark, sf_dir).collect()
     }
     assert out == expected
+
+
+def test_survival_km_exact(spark, sf_dir):
+    from esvc_spark.queries.events import _HOUR_US, _KM_SCALE
+
+    ev = _events(sf_dir)
+    per_user: dict[int, list] = {}
+    for e in ev:
+        per_user.setdefault(e["user_id"], []).append(e)
+    durs = []  # (dur_h, event)
+    for rows in per_user.values():
+        t0 = min(e["t_us"] for e in rows)
+        purch = [e["t_us"] for e in rows if e["event_type"] == "purchase"]
+        if purch:
+            durs.append(((min(purch) - t0) // _HOUR_US, 1))
+        else:
+            durs.append(((max(e["t_us"] for e in rows) - t0) // _HOUR_US, 0))
+    times = sorted({d for d, ev_ in durs if ev_ == 1})
+    expected, acc = {}, _KM_SCALE
+    for t in times:
+        nr = sum(1 for d, _ in durs if d >= t)
+        dt = sum(1 for d, ev_ in durs if ev_ == 1 and d == t)
+        acc = (acc * (nr - dt)) // nr
+        expected[t] = (nr, dt, acc, acc / _KM_SCALE)
+    out = {
+        r["t_hours"]: (
+            r["n_risk"], r["d_events"], r["surv_q"], r["survival"]
+        )
+        for r in EV_QUERIES["q_ev_survival"](spark, sf_dir).collect()
+    }
+    assert out == expected
+    # product-limit estimator is non-increasing in t
+    sq = [out[t][2] for t in sorted(out)]
+    assert all(a >= b for a, b in zip(sq, sq[1:]))
+
+
+def test_rake_scores_exact(spark, sf_dir):
+    from esvc_spark.queries.documents import (
+        _RAKE_MAX_LEN,
+        _RAKE_STOP,
+        _RAKE_TOP,
+        QUERIES as DQ,
+    )
+
+    docs = _texts(spark, sf_dir)
+    occur = []  # list of phrases (as word tuples)
+    for _, (text, _, _) in docs.items():
+        run = []
+        for tok in text.split():
+            if tok in _RAKE_STOP:
+                if run:
+                    occur.append(tuple(run))
+                run = []
+            else:
+                run.append(tok)
+        if run:
+            occur.append(tuple(run))
+    occur = [p for p in occur if len(p) <= _RAKE_MAX_LEN]
+    freq, deg = Counter(), Counter()
+    for p in occur:
+        for w in p:
+            freq[w] += 1
+            deg[w] += len(p)
+    wscore = {w: (deg[w] * 1048576) // freq[w] for w in freq}
+    stats: dict[tuple, list] = {}
+    for p in occur:
+        st = stats.setdefault(p, [0, 0])
+        st[0] += 1
+        st[1] = sum(wscore[w] for w in p)
+    ranked = sorted(
+        ((s, n, " ".join(p)) for p, (n, s) in stats.items()),
+        key=lambda t: (-t[0], -t[1], t[2]),
+    )[:_RAKE_TOP]
+    expected = {
+        ph: (n, s, s / 1048576.0) for s, n, ph in ranked
+    }
+    out = {
+        r["phrase"]: (r["n_occurrences"], r["score_q"], r["rake_score"])
+        for r in DQ["q_doc_rake"](spark, sf_dir).collect()
+    }
+    assert out == expected
+    for r in DQ["q_doc_rake"](spark, sf_dir).collect():
+        assert 1 <= r["n_words"] <= _RAKE_MAX_LEN
+        assert r["phrase"].count(" ") == r["n_words"] - 1
+
+
+def test_pca_power_matches_numpy_eigenvector(spark, sf_dir):
+    import numpy as np
+
+    from esvc_spark.queries.embeddings import QUERIES as EQ
+
+    out = EQ["q_emb_pca_power"](spark, sf_dir).collect()
+    v = np.array(
+        [r["loading_q"] for r in sorted(out, key=lambda r: r["dim"])],
+        dtype=float,
+    )
+    emb = np.array(
+        [
+            r["embedding"]
+            for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    cov = np.cov(emb, rowvar=False, bias=True)
+    evals, evecs = np.linalg.eigh(cov)
+    top = evecs[:, -1]
+    cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
+    # the fixed-point iterate must align with the true top eigenvector
+    assert cos > 0.99, cos
+    # sign pin: the largest-|loading| dim is positive
+    piv = max(range(len(v)), key=lambda i: (abs(v[i]), -i))
+    assert v[piv] > 0
