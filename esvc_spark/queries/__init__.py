@@ -39,6 +39,10 @@ _FRONT = (
     "q_ev_survival",
     "q_doc_rake",
     "q_emb_pca_power",
+    "q_dq_checks",
+    "q_bloom_join_filter",
+    "q_doc_rrf_fusion",
+    "q_ivm_join",
     # newest round-4 additions (second session): exact dup-run extents,
     # Neyman-optimal stratified sampling, Zipf slope audit
     "q_doc_dup_runs",

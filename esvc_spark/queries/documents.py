@@ -4657,9 +4657,180 @@ WHERE rnk <= {_RAKE_TOP}
 """
 
 
+# ---------------------------------------------------------- RRF fusion
+# Hybrid retrieval by Reciprocal Rank Fusion (Cormack et al. 2009): for
+# each query document, a LEXICAL ranking (distinct-token Jaccard in
+# fixed point, ties → doc_id) and a SEMANTIC ranking (embedding cosine,
+# vec_id = doc_id, the q_emb_knn_cosine convention) are fused as
+#   rrf_q = Σ_r 2^20 DIV (60 + rank_r)   over the rankings where the
+# doc appears in the top _RRF_POOL — the standard "BM25 + dense" hybrid
+# every production retrieval stack runs, scored in exact integers.
+#
+# Scale shape: the query side (_RRF_NQ docs) broadcasts into both
+# rankings (knn shape, annotated); the lexical intersection is an
+# equality join on token against the broadcast query tokens; the fusion
+# is a full-outer join of two bounded top-_RRF_POOL lists per query.
+
+_RRF_NQ = 10
+_RRF_POOL = 20
+_RRF_TOP = 10
+_RRF_C = 60
+
+
+def q_doc_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.vectors import cosine_prenorm
+    from .embeddings import _emb_normed
+
+    docs = _docs_par(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(_TOKENS()).alias("tok")
+    ).distinct().transform(_tp)
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    qtoks = toks.filter(F.col("doc_id") < _RRF_NQ).select(
+        F.col("doc_id").alias("query_id"), "tok"
+    )
+    qsizes = sizes.filter(F.col("doc_id") < _RRF_NQ).select(
+        F.col("doc_id").alias("query_id"), F.col("sz").alias("qsz")
+    )
+    inter = (
+        toks.join(F.broadcast(qtoks), "tok")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    )
+    wl = Window.partitionBy("query_id").orderBy(
+        F.desc("jacc_q"), F.col("doc_id")
+    )
+    lex = (
+        inter.join(sizes, "doc_id")
+        .join(F.broadcast(qsizes), "query_id")
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr("(inter * 1048576) div (qsz + sz - inter)")
+            .alias("jacc_q"),
+        )
+        .withColumn("lex_rank", F.row_number().over(wl).cast("bigint"))
+        .filter(F.col("lex_rank") <= _RRF_POOL)
+        .select("query_id", "doc_id", "lex_rank")
+    )
+    e = _emb_normed(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < _RRF_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.col("doc_id")
+    )
+    sem = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            cosine_prenorm(
+                F.col("qemb"), F.col("emb"), F.col("qnrm"), F.col("nrm")
+            ).alias("cos_sim"),
+        )
+        .withColumn("sem_rank", F.row_number().over(ws).cast("bigint"))
+        .filter(F.col("sem_rank") <= _RRF_POOL)
+        .select("query_id", "doc_id", "sem_rank")
+    )
+    fused = lex.join(sem, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        "lex_rank",
+        "sem_rank",
+        (
+            F.coalesce(
+                F.expr(f"1048576 div ({_RRF_C} + lex_rank)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"1048576 div ({_RRF_C} + sem_rank)"), F.lit(0)
+            )
+        ).cast("bigint").alias("rrf_q"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_q"), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf).cast("bigint"))
+        .filter(F.col("fused_rank") <= _RRF_TOP)
+        .select(
+            "query_id", "doc_id", "lex_rank", "sem_rank", "rrf_q",
+            "fused_rank",
+            (F.col("rrf_q").cast("double") / F.lit(1048576.0))
+            .alias("rrf_score"),
+        )
+    )
+
+
+def _rrf_sql() -> str:
+    from .embeddings import _SQL_EMB_NORMED
+    from ..functions.vectors import sql_cosine_prenorm
+
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT DISTINCT doc_id, t.tok
+  FROM (SELECT doc_id, {SQL_TOKENS} AS w FROM documents), unnest(w) t(tok)
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
+          FROM toks GROUP BY 1),
+inter AS (
+  SELECT q.doc_id AS query_id, d.doc_id, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM toks d JOIN toks q ON q.tok = d.tok AND q.doc_id < {_RRF_NQ}
+              AND d.doc_id <> q.doc_id
+  GROUP BY 1, 2
+),
+lex AS (
+  SELECT query_id, doc_id, lex_rank FROM (
+    SELECT i.query_id, i.doc_id,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY i.query_id
+             ORDER BY (i.inter * 1048576) // (qs.sz + s.sz - i.inter) DESC,
+                      i.doc_id) AS BIGINT) AS lex_rank
+    FROM inter i
+    JOIN sizes s ON s.doc_id = i.doc_id
+    JOIN sizes qs ON qs.doc_id = i.query_id
+  ) WHERE lex_rank <= {_RRF_POOL}
+),
+e AS MATERIALIZED ({_SQL_EMB_NORMED}),
+sem AS (
+  SELECT query_id, doc_id, sem_rank FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {sql_cosine_prenorm('q.emb', 'e.emb', 'q.nrm', 'e.nrm')}
+                        DESC, e.vec_id) AS BIGINT) AS sem_rank
+    FROM e JOIN e q ON q.vec_id < {_RRF_NQ} AND e.vec_id <> q.vec_id
+  ) WHERE sem_rank <= {_RRF_POOL}
+),
+fused AS (
+  SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+         COALESCE(l.doc_id, s.doc_id) AS doc_id,
+         l.lex_rank, s.sem_rank,
+         CAST(COALESCE(1048576 // ({_RRF_C} + l.lex_rank), 0)
+              + COALESCE(1048576 // ({_RRF_C} + s.sem_rank), 0) AS BIGINT)
+           AS rrf_q
+  FROM lex l FULL OUTER JOIN sem s
+    ON s.query_id = l.query_id AND s.doc_id = l.doc_id
+)
+SELECT query_id, doc_id, lex_rank, sem_rank, rrf_q, fused_rank,
+       CAST(rrf_q AS DOUBLE) / 1048576.0 AS rrf_score
+FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY rrf_q DESC, doc_id) AS BIGINT) AS fused_rank
+  FROM fused
+) WHERE fused_rank <= {_RRF_TOP}
+"""
+
+
 QUERIES = {
     "q_doc_exact_dedup": q_doc_exact_dedup,
     "q_doc_rake": q_doc_rake,
+    "q_doc_rrf_fusion": q_doc_rrf_fusion,
     "q_doc_bpe_tokens": q_doc_bpe_tokens,
     "q_doc_token_stats": q_doc_token_stats,
     "q_doc_quality": q_doc_quality,
@@ -4719,6 +4890,7 @@ QUERIES = {
 ORACLES = {
     "q_doc_exact_dedup": _EXACT_DEDUP_SQL,
     "q_doc_rake": _RAKE_SQL,
+    "q_doc_rrf_fusion": _rrf_sql(),
     "q_doc_bpe_tokens": _bpe_sql(),
     "q_doc_token_stats": _TOKEN_STATS_SQL,
     "q_doc_quality": _QUALITY_SQL,

@@ -1609,11 +1609,413 @@ FROM per p JOIN sky s ON p.spend_d = s.spend_d AND p.n_orders = s.ymax
 """
 
 
+# ---------------------------------------------------------- data quality
+# Declarative data-quality audit (the Deequ/expectations pattern): each
+# row is one constraint over one table — range conformance, completeness,
+# key uniqueness, referential integrity, value positivity — with the row
+# count, violation count, violation fraction, and a 0/1 pass flag. The
+# gate a production pipeline runs before publishing a batch; at 100 TB
+# each check is a single scan-bound aggregate (the referential check is
+# one anti-join with the dimension side broadcast), and all checks per
+# table can share one scan.
+
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import table as _T
+
+    li = _T(spark, sf_dir, "lineitem")
+    orders = _T(spark, sf_dir, "orders")
+    cust = _T(spark, sf_dir, "customer")
+    ev = _T(spark, sf_dir, "events")
+
+    def check(df, tbl, name, bad_col):
+        return df.agg(
+            F.lit(tbl).alias("tbl"),
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(bad_col.cast("int")).cast("bigint").alias("n_bad"),
+        )
+
+    rows = (
+        check(
+            li, "lineitem", "quantity_in_1_50",
+            (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+        )
+        .unionAll(
+            check(li, "lineitem", "shipdate_complete",
+                  F.col("l_shipdate").isNull())
+        )
+        .unionAll(
+            orders.agg(
+                F.lit("orders").alias("tbl"),
+                F.lit("orderkey_unique").alias("check_name"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                (F.count(F.lit(1)) - F.count_distinct(F.col("o_orderkey")))
+                .cast("bigint")
+                .alias("n_bad"),
+            )
+        )
+        .unionAll(
+            orders.join(
+                F.broadcast(cust.select(F.col("c_custkey").alias("o_custkey"))),
+                "o_custkey",
+                "left_anti",
+            ).agg(
+                F.lit("orders").alias("tbl"),
+                F.lit("custkey_ref_integrity").alias("check_name"),
+                F.lit(0).cast("bigint").alias("n_rows"),  # patched below
+                F.count(F.lit(1)).cast("bigint").alias("n_bad"),
+            )
+        )
+        .unionAll(
+            check(
+                cust, "customer", "acctbal_in_bounds",
+                (F.col("c_acctbal") < -1000) | (F.col("c_acctbal") > 10000),
+            )
+        )
+        .unionAll(
+            check(ev, "events", "value_positive", F.col("value") <= 0)
+        )
+    )
+    # the anti-join row's n_rows is the full orders count, not the
+    # orphan count: patch it in from a broadcast single-row aggregate
+    totals = orders.agg(F.count(F.lit(1)).cast("bigint").alias("o_total"))
+    return (
+        rows.join(F.broadcast(totals))  # single-row broadcast NLJ
+        .select(
+            "tbl",
+            "check_name",
+            F.when(
+                F.col("check_name") == "custkey_ref_integrity",
+                F.col("o_total"),
+            ).otherwise(F.col("n_rows")).alias("n_rows"),
+            "n_bad",
+        )
+        .select(
+            "tbl",
+            "check_name",
+            "n_rows",
+            "n_bad",
+            (F.col("n_bad").cast("double") / F.col("n_rows").cast("double"))
+            .alias("bad_fraction"),
+            F.when(F.col("n_bad") == 0, 1).otherwise(0).alias("passed"),
+        )
+    )
+
+
+_QDQ_SQL = """
+WITH rows_ AS (
+  SELECT 'lineitem' AS tbl, 'quantity_in_1_50' AS check_name,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem', 'shipdate_complete', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'orders', 'orderkey_unique', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'orders', 'custkey_ref_integrity',
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+         CAST(COUNT(*) AS BIGINT)
+  FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+  UNION ALL
+  SELECT 'customer', 'acctbal_in_bounds', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN c_acctbal < -1000 OR c_acctbal > 10000
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM customer
+  UNION ALL
+  SELECT 'events', 'value_positive', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN value <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM events
+)
+SELECT tbl, check_name, n_rows, n_bad,
+       CAST(n_bad AS DOUBLE) / CAST(n_rows AS DOUBLE) AS bad_fraction,
+       CASE WHEN n_bad = 0 THEN 1 ELSE 0 END AS passed
+FROM rows_
+"""
+
+
+# ------------------------------------------------------- runtime filter
+# Bloom-pruned join (the "runtime filter" every warehouse engine injects
+# at scale): the selective dimension side (BUILDING customers with
+# acctbal > 7000) is compressed into a deterministic k=3 / m=2048 Bloom
+# filter (63-bit-packed words via bit_or), the fact side (orders) is
+# pre-filtered by membership BEFORE the join, and the audit reports what
+# the filter delivered: rows pruned ahead of the shuffle, false-positive
+# pass-through, and zero false drops (Bloom never loses a true match).
+# This is the decision metric for enabling runtime filters on a 100 TB
+# fact scan — the filter build is a constant-size bit_or aggregate, the
+# words ship broadcast, and the probe is a narrow scan-side expression.
+
+_RF_K = 3
+_RF_M = 2048  # bits
+_RF_WORDS = -(-_RF_M // 63)  # 63 usable bits per signed-64 word
+
+
+def _rf_bit(i: int, col: str, dialect: str = "spark") -> str:
+    if dialect == "spark":
+        return (
+            f"CAST(conv(substr(md5(concat('rf{i}:', CAST({col} AS STRING))), "
+            f"1, 15), 16, 10) AS BIGINT) % {_RF_M}"
+        )
+    return (
+        f"CAST(('0x' || substr(md5('rf{i}:' || CAST({col} AS VARCHAR)), "
+        f"1, 15)) AS BIGINT) % {_RF_M}"
+    )
+
+
+def q_bloom_join_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    dim = cust.filter(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 7000)
+    ).select("c_custkey")
+    bits = dim.select(
+        "c_custkey",
+        *[F.expr(_rf_bit(i, "c_custkey")).alias(f"b{i}") for i in range(_RF_K)],
+    )
+    for w in range(_RF_WORDS):
+        ors = " | ".join(
+            f"CASE WHEN CAST(b{i} div 63 AS INT) = {w} "
+            f"THEN shiftleft(CAST(1 AS BIGINT), CAST(b{i} % 63 AS INT)) "
+            f"ELSE CAST(0 AS BIGINT) END"
+            for i in range(_RF_K)
+        )
+        bits = bits.withColumn(f"w{w}", F.expr(ors))
+    filt = bits.agg(
+        *[F.expr(f"bit_or(w{w})").alias(f"w{w}") for w in range(_RF_WORDS)]
+    )
+    ndim = dim.agg(F.count(F.lit(1)).cast("bigint").alias("n_dim_keys"))
+    probe = orders.select("o_custkey").join(F.broadcast(filt)).select(
+        "o_custkey",
+        *[F.col(f"w{w}") for w in range(_RF_WORDS)],
+        *[F.expr(_rf_bit(i, "o_custkey")).alias(f"b{i}") for i in range(_RF_K)],
+    )
+    maybe = None
+    for i in range(_RF_K):
+        w_expr = " ".join(
+            f"WHEN CAST(b{i} div 63 AS INT) = {w} THEN w{w}"
+            for w in range(_RF_WORDS)
+        )
+        t = F.expr(
+            f"(shiftright(CASE {w_expr} END, CAST(b{i} % 63 AS INT)) & 1) = 1"
+        )
+        maybe = t if maybe is None else (maybe & t)
+    # probe's lineage includes dim (via filt): re-alias the dim key so
+    # the join does not hit conflicting-attributes resolution
+    truth = dim.select(
+        F.col("c_custkey").alias("d_key"), F.lit(1).alias("is_match")
+    )
+    verdicts = probe.withColumn("maybe", maybe).join(
+        F.broadcast(truth), F.col("o_custkey") == F.col("d_key"), "left"
+    )
+    agg = verdicts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fact_rows"),
+        F.sum(F.when(F.col("maybe"), 1).otherwise(0)).cast("bigint")
+        .alias("n_bloom_pass"),
+        F.sum(F.coalesce("is_match", F.lit(0))).cast("bigint")
+        .alias("n_true_match"),
+        F.sum(
+            F.when(~F.col("maybe") & F.col("is_match").isNotNull(), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("n_false_drops"),
+    )
+    return agg.join(F.broadcast(ndim)).select(
+        "n_dim_keys",
+        "n_fact_rows",
+        "n_bloom_pass",
+        "n_true_match",
+        (F.col("n_bloom_pass") - F.col("n_true_match")).alias("n_false_pass"),
+        "n_false_drops",
+        (
+            F.lit(1).cast("double")
+            - F.col("n_bloom_pass").cast("double")
+            / F.col("n_fact_rows").cast("double")
+        ).alias("pruned_fraction"),
+        (
+            (F.col("n_bloom_pass") - F.col("n_true_match")).cast("double")
+            / (F.col("n_fact_rows") - F.col("n_true_match")).cast("double")
+        ).alias("fp_passthrough"),
+    )
+
+
+def _bloom_join_sql() -> str:
+    bit_cols_c = ", ".join(
+        f"{_rf_bit(i, 'c_custkey', 'duckdb')} AS b{i}" for i in range(_RF_K)
+    )
+    bit_cols_o = ", ".join(
+        f"{_rf_bit(i, 'o_custkey', 'duckdb')} AS b{i}" for i in range(_RF_K)
+    )
+    word_exprs = ", ".join(
+        "bit_or(" + " | ".join(
+            f"CASE WHEN CAST(b{i} // 63 AS INT) = {w} "
+            f"THEN (CAST(1 AS BIGINT) << CAST(b{i} % 63 AS INT)) "
+            f"ELSE CAST(0 AS BIGINT) END"
+            for i in range(_RF_K)
+        ) + f") AS w{w}"
+        for w in range(_RF_WORDS)
+    )
+    tests = " AND ".join(
+        "((CASE "
+        + " ".join(
+            f"WHEN CAST(b{i} // 63 AS INT) = {w} THEN w{w}"
+            for w in range(_RF_WORDS)
+        )
+        + f" END >> CAST(b{i} % 63 AS INT)) & 1) = 1"
+        for i in range(_RF_K)
+    )
+    return f"""
+WITH dim AS (
+  SELECT c_custkey FROM customer
+  WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 7000
+),
+dbits AS (SELECT c_custkey, {bit_cols_c} FROM dim),
+filt AS MATERIALIZED (SELECT {word_exprs} FROM dbits),
+pbits AS (SELECT o_custkey, {bit_cols_o} FROM orders),
+verdicts AS MATERIALIZED (
+  SELECT p.o_custkey, ({tests}) AS maybe,
+         (d.c_custkey IS NOT NULL) AS is_match
+  FROM pbits p CROSS JOIN filt
+  LEFT JOIN dim d ON d.c_custkey = p.o_custkey
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_fact_rows,
+         CAST(SUM(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bloom_pass,
+         CAST(SUM(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_true_match,
+         CAST(SUM(CASE WHEN NOT maybe AND is_match THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_false_drops
+  FROM verdicts
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM dim) AS n_dim_keys,
+       n_fact_rows, n_bloom_pass, n_true_match,
+       n_bloom_pass - n_true_match AS n_false_pass, n_false_drops,
+       CAST(1 AS DOUBLE) - CAST(n_bloom_pass AS DOUBLE)
+         / CAST(n_fact_rows AS DOUBLE) AS pruned_fraction,
+       CAST(n_bloom_pass - n_true_match AS DOUBLE)
+         / CAST(n_fact_rows - n_true_match AS DOUBLE) AS fp_passthrough
+FROM agg
+"""
+
+
+# --------------------------------------------------------- join-view IVM
+# Incremental maintenance of a JOIN view (ΔV = ΔF ⋈ D for an append-only
+# fact and static dimension): the materialized per-segment revenue view
+# over customer ⋈ orders is maintained by aggregating ONLY the delta
+# batch through the join and merging state — Δ-sized work per refresh —
+# then audited against the full recompute in the same result (the
+# consistency column is the IVM correctness invariant, not an oracle
+# trick: mergeable states means maintained ≡ recomputed exactly, which
+# only holds because the measures are DECIMAL/BIGINT — a double SUM
+# would drift between the two orders of summation). At 100 TB the delta
+# path is the only affordable one; this query is its proof shape.
+
+_IVM_MOD = 4
+
+
+def q_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+
+    def view(of):
+        return (
+            of.join(
+                F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+            )
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.sum(dec("o_totalprice", 2)).alias("spend_d"),
+            )
+        )
+
+    base_v = view(orders.filter(F.col("o_orderkey") % _IVM_MOD != 0))
+    delta_v = view(orders.filter(F.col("o_orderkey") % _IVM_MOD == 0)).select(
+        F.col("c_mktsegment"),
+        F.col("n_orders").alias("d_orders"),
+        F.col("spend_d").alias("d_spend"),
+    )
+    maintained = (
+        base_v.join(delta_v, "c_mktsegment", "full_outer")
+        .select(
+            "c_mktsegment",
+            (
+                F.coalesce("n_orders", F.lit(0))
+                + F.coalesce("d_orders", F.lit(0))
+            ).cast("bigint").alias("n_orders_maint"),
+            (
+                F.coalesce(F.col("spend_d"), F.lit(0).cast("decimal(18,2)"))
+                + F.coalesce(F.col("d_spend"), F.lit(0).cast("decimal(18,2)"))
+            ).alias("spend_maint_d"),
+        )
+    )
+    full_v = view(orders).select(
+        F.col("c_mktsegment"),
+        F.col("n_orders").alias("n_orders_full"),
+        F.col("spend_d").alias("spend_full_d"),
+    )
+    return maintained.join(full_v, "c_mktsegment").select(
+        "c_mktsegment",
+        "n_orders_maint",
+        F.col("spend_maint_d").cast("double").alias("spend_maint"),
+        "n_orders_full",
+        F.col("spend_full_d").cast("double").alias("spend_full"),
+        F.when(
+            (F.col("n_orders_maint") == F.col("n_orders_full"))
+            & (F.col("spend_maint_d") == F.col("spend_full_d")),
+            1,
+        ).otherwise(0).alias("consistent"),
+    )
+
+
+_QIVM_SQL = f"""
+WITH v AS (
+  SELECT c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend_d,
+         CASE WHEN o_orderkey % {_IVM_MOD} = 0 THEN 'delta'
+              ELSE 'base' END AS part
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY c_mktsegment, part
+),
+maintained AS (
+  SELECT c_mktsegment,
+         CAST(SUM(n_orders) AS BIGINT) AS n_orders_maint,
+         SUM(spend_d) AS spend_maint_d
+  FROM v GROUP BY c_mktsegment
+),
+full_v AS (
+  SELECT c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS n_orders_full,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend_full_d
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY c_mktsegment
+)
+SELECT m.c_mktsegment, m.n_orders_maint,
+       CAST(m.spend_maint_d AS DOUBLE) AS spend_maint,
+       f.n_orders_full,
+       CAST(f.spend_full_d AS DOUBLE) AS spend_full,
+       CASE WHEN m.n_orders_maint = f.n_orders_full
+                 AND m.spend_maint_d = f.spend_full_d
+            THEN 1 ELSE 0 END AS consistent
+FROM maintained m JOIN full_v f USING (c_mktsegment)
+"""
+
+
 QUERIES = {
     "q_fuzzy_match": q_fuzzy_match,
     "q_window_trailing_spend": q_window_trailing_spend,
     "q_zonemap_skipping": q_zonemap_skipping,
     "q_skyline_customers": q_skyline_customers,
+    "q_dq_checks": q_dq_checks,
+    "q_bloom_join_filter": q_bloom_join_filter,
+    "q_ivm_join": q_ivm_join,
     "q01_pricing_summary": q01_pricing_summary,
     "q02_min_cost_supplier": q02_min_cost_supplier,
     "q_grouping_sets": q_grouping_sets,
@@ -1687,4 +2089,7 @@ ORACLES = {
     "q_profile_lineitem": _QPROFILE_SQL,
     "q_zonemap_skipping": _QZONEMAP_SQL,
     "q_skyline_customers": _QSKYLINE_SQL,
+    "q_dq_checks": _QDQ_SQL,
+    "q_bloom_join_filter": _bloom_join_sql(),
+    "q_ivm_join": _QIVM_SQL,
 }

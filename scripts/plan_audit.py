@@ -119,6 +119,14 @@ _NLJ_OK = {
         "prefix self-join (t' ≤ t) over the ≤720-row hour grid, "
         "broadcast probe side"
     ),
+    "q_dq_checks": "single-row orders-total cross join (n_rows patch)",
+    "q_bloom_join_filter": (
+        "single-row broadcast filter words + single-row dim-count "
+        "cross joins (runtime-filter shape)"
+    ),
+    "q_doc_rrf_fusion": (
+        "10-row query side broadcast on the semantic ranking (knn shape)"
+    ),
     "q_zonemap_skipping": (
         "~85-row broadcast predicate side vs 720 zone rows (overlap "
         "join) + single-row n_preds cross join"
