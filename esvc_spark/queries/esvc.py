@@ -268,14 +268,25 @@ def q_esvc_editor_large(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark aggregate over the persisted lines state). Shuffle partitions
     # are scoped down — editor states are line-table-sized, and a plain
     # 200-partition driver session would pay pure task-scheduling latency
-    # on each of the ~15 per-event replays.
-    with _scoped_shuffle_partitions(spark, 8):
-        eng = SparkExEngine(spark)
-        init = SparkDat.create(lines, SparkExEngine.COLS)
-        final = _shelve_minimize_replay(eng, init, script)
-        out = final.df.select(
-            "line_no", F.md5("text").alias("text_md5")
-        ).localCheckpoint()
+    # on each of the ~15 per-event replays. AQE is scoped OFF for the
+    # same reason: the ~21 state materializations are tiny bounded jobs
+    # whose runtime re-planning adds a scheduling round-trip each and can
+    # never improve an 8-partition plan (measured ~15% of the query).
+    aqe_old = spark.conf.get("spark.sql.adaptive.enabled", None)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        with _scoped_shuffle_partitions(spark, 8):
+            eng = SparkExEngine(spark)
+            init = SparkDat.create(lines, SparkExEngine.COLS)
+            final = _shelve_minimize_replay(eng, init, script)
+            out = final.df.select(
+                "line_no", F.md5("text").alias("text_md5")
+            ).localCheckpoint()
+    finally:
+        if aqe_old is None:
+            spark.conf.unset("spark.sql.adaptive.enabled")
+        else:
+            spark.conf.set("spark.sql.adaptive.enabled", aqe_old)
     return out
 
 
