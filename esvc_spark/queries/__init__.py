@@ -43,6 +43,14 @@ _FRONT = (
     "q_bloom_join_filter",
     "q_doc_rrf_fusion",
     "q_ivm_join",
+    # newest round-4 additions (fourth session): robust MAD outliers,
+    # DAU/WAU stickiness, exact hourly autocorrelation
+    "q_ev_mad_outliers",
+    "q_ev_stickiness",
+    "q_ev_acf",
+    "q_doc_quality_auc",
+    "q_doc_heaps",
+    "q_doc_weighted_sample",
     # newest round-4 additions (second session): exact dup-run extents,
     # Neyman-optimal stratified sampling, Zipf slope audit
     "q_doc_dup_runs",

@@ -4827,10 +4827,274 @@ FROM (
 """
 
 
+# ----------------------------------------------------------- quality AUC
+# Language-bias audit of the heuristic quality score: exact ROC AUC of
+# qscore as a classifier for "document is English" via the Mann-Whitney
+# rank-sum identity AUC = (R1 − n1(n1+1)/2) / (n1·n0). An AUC far from
+# 0.5 means the curation filter systematically re-weights languages — the
+# fairness check a multilingual training-data pipeline must run before
+# thresholding on quality. Exactness: ranks come from cumulative counts
+# over the DISTINCT-score table (average rank over ties, doubled to stay
+# integer), so everything is BIGINT until one final division. Scale
+# shape: one groupBy(qscore) over the corpus, then a window over the
+# bounded distinct-score table — no global sort of raw docs.
+
+
+def q_doc_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _docs_par(spark, sf_dir)
+    d = _qscored(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    grp = d.groupBy("qscore").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("pos"),
+    )
+    w = Window.orderBy("qscore").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = grp.withColumn(
+        "cum_before", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+    ).withColumn("avg2", 2 * F.col("cum_before") + F.col("cnt") + 1)
+    agg = ranked.agg(
+        F.sum(F.col("pos") * F.col("avg2")).cast("bigint").alias("r1_2"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum(F.col("cnt") - F.col("pos")).cast("bigint").alias("n_neg"),
+    )
+    u2 = F.col("r1_2") - F.col("n_pos") * (F.col("n_pos") + 1)
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        u2.alias("u2"),
+        (
+            u2.cast("double")
+            / (2 * F.col("n_pos") * F.col("n_neg")).cast("double")
+        ).alias("auc"),
+        (
+            u2.cast("double")
+            / (F.col("n_pos") * F.col("n_neg")).cast("double")
+            - F.lit(1).cast("double")
+        ).alias("gini"),
+    )
+
+
+def _quality_auc_sql() -> str:
+    return f"""
+WITH d AS (
+  SELECT q.doc_id, q.qscore, doc.lang
+  FROM ({_qscored_sql()}) q JOIN documents doc USING (doc_id)
+),
+grp AS (
+  SELECT qscore, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos
+  FROM d GROUP BY 1
+),
+ranked AS (
+  SELECT *,
+         COALESCE(CAST(SUM(cnt) OVER (ORDER BY qscore
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+           0) AS cum_before
+  FROM grp
+),
+agg AS (
+  SELECT CAST(SUM(pos * (2 * cum_before + cnt + 1)) AS BIGINT) AS r1_2,
+         CAST(SUM(pos) AS BIGINT) AS n_pos,
+         CAST(SUM(cnt - pos) AS BIGINT) AS n_neg
+  FROM ranked
+)
+SELECT n_pos, n_neg,
+       r1_2 - n_pos * (n_pos + 1) AS u2,
+       CAST(r1_2 - n_pos * (n_pos + 1) AS DOUBLE)
+         / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc,
+       CAST(r1_2 - n_pos * (n_pos + 1) AS DOUBLE)
+         / CAST(n_pos * n_neg AS DOUBLE) - CAST(1 AS DOUBLE) AS gini
+FROM agg
+"""
+
+
+# ------------------------------------------------------------- Heaps' law
+# Vocabulary-growth audit (Heaps' law V(n) ≈ K·n^β): distinct-token
+# vocabulary measured at 8 prefix checkpoints of the doc_id-ordered
+# corpus, with the growth exponent β fit by integer least squares on the
+# fixed-point log2 grid (_qlog2_expr — exact in both engines). β tells a
+# pipeline how token-vocab (and so BPE/embedding table) cost scales with
+# corpus growth. Scale shape: vocabulary is touched once (min first-doc
+# per token); checkpoint membership is an 8-row broadcast inequality
+# join against the TOKEN table (not the corpus); the fit runs on 8 rows.
+
+_HEAPS_K = 8
+
+
+def q_doc_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_par(spark, sf_dir)
+    tok_first = (
+        docs.select("doc_id", F.explode(_TOKENS()).alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("fr"))
+    )
+    nd = docs.agg(F.count(F.lit(1)).cast("bigint").alias("nd"))
+    ks = spark.range(1, _HEAPS_K + 1).select(F.col("id").alias("k"))
+    lattice = ks.join(F.broadcast(nd)).select(
+        "k", F.expr(f"(nd * k) div {_HEAPS_K}").alias("n_docs")
+    )
+    pts = (
+        tok_first.join(
+            F.broadcast(lattice), F.col("fr") < F.col("n_docs")
+        )
+        .groupBy("k", "n_docs")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("vocab"))
+        .select(
+            "k",
+            "n_docs",
+            "vocab",
+            F.expr(_qlog2_expr("n_docs", "spark")).cast("bigint").alias("x_q"),
+            F.expr(_qlog2_expr("vocab", "spark")).cast("bigint").alias("y_q"),
+        )
+    )
+    fit = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("x_q").cast("bigint").alias("sx"),
+        F.sum("y_q").cast("bigint").alias("sy"),
+        F.sum(F.col("x_q") * F.col("y_q")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x_q") * F.col("x_q")).cast("bigint").alias("sxx"),
+    ).select(
+        (
+            (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            .cast("double")
+            / (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            .cast("double")
+        ).alias("heaps_beta")
+    )
+    return pts.join(F.broadcast(fit)).select(
+        "k", "n_docs", "vocab", "x_q", "y_q", "heaps_beta"
+    ).orderBy("k")
+
+
+def _heaps_sql() -> str:
+    qn = _qlog2_expr("n_docs", "duckdb")
+    qv = _qlog2_expr("vocab", "duckdb")
+    return f"""
+WITH tok_first AS (
+  SELECT t.tok, MIN(doc_id) AS fr
+  FROM (SELECT doc_id, {SQL_TOKENS} AS w FROM documents), unnest(w) t(tok)
+  GROUP BY 1
+),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+lattice AS (
+  SELECT t.i AS k, (nd * t.i) // {_HEAPS_K} AS n_docs
+  FROM nd, unnest(range(1, {_HEAPS_K} + 1)) t(i)
+),
+pts AS (
+  SELECT k, n_docs, CAST(COUNT(*) AS BIGINT) AS vocab
+  FROM tok_first JOIN lattice ON fr < n_docs
+  GROUP BY 1, 2
+),
+ptsq AS (
+  SELECT k, n_docs, vocab,
+         CAST({qn} AS BIGINT) AS x_q, CAST({qv} AS BIGINT) AS y_q
+  FROM pts
+),
+fit AS (
+  SELECT CAST(
+           (COUNT(*) * SUM(x_q * y_q) - SUM(x_q) * SUM(y_q)) AS DOUBLE
+         ) / CAST(
+           (COUNT(*) * SUM(x_q * x_q) - SUM(x_q) * SUM(x_q)) AS DOUBLE
+         ) AS heaps_beta
+  FROM ptsq
+)
+SELECT k, n_docs, vocab, x_q, y_q, heaps_beta
+FROM ptsq, fit
+ORDER BY k
+"""
+
+
+# ------------------------------------------------- weighted sampling (A-ES)
+# Weighted sampling WITHOUT replacement by the Efraimidis-Spirakis
+# exponential race (A-ES, IPL 2006): each doc draws a deterministic
+# pseudo-uniform u ∈ (0,1] from its id hash and keeps key u^(1/w)
+# (w = n_chars); the global top-K keys ARE a weight-proportional
+# without-replacement sample. Maximizing u^(1/w) ⟺ minimizing
+# (−log2 u)/w, computed exactly as the INTEGER fixed-point
+# qlog2(M) − qlog2(u_int) divided once by the integer weight (single
+# IEEE division, engine-identical). Scale shape: narrow scan + a
+# distributed top-K (TakeOrderedAndProject — no global sort, no shuffle
+# of the corpus); the canonical one-pass distributed weighted sampler.
+
+_WS_M = 1 << 20
+_WS_K = 100
+
+
+def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _docs_par(spark, sf_dir).filter(F.col("n_chars") > 0)
+    scored = docs.select(
+        "doc_id",
+        "n_chars",
+        (
+            _h(F.concat(F.lit("ws:"), F.col("doc_id").cast("string")))
+            % F.lit(_WS_M)
+            + 1
+        ).alias("u_int"),
+    ).select(
+        "doc_id",
+        "n_chars",
+        "u_int",
+        F.expr(
+            f"CAST(({_qlog2_expr(str(_WS_M), 'spark')}"
+            f" - {_qlog2_expr('u_int', 'spark')}) AS BIGINT)"
+        ).alias("nlog_q"),
+    ).select(
+        "doc_id",
+        "n_chars",
+        "u_int",
+        "nlog_q",
+        (F.col("nlog_q").cast("double") / F.col("n_chars").cast("double"))
+        .alias("race_key"),
+    )
+    top = scored.orderBy("race_key", "doc_id").limit(_WS_K)
+    w = Window.orderBy("race_key", "doc_id")
+    return top.withColumn(
+        "sample_rank", F.row_number().over(w).cast("bigint")
+    ).select(
+        "sample_rank", "doc_id", "n_chars", "u_int", "nlog_q", "race_key"
+    )
+
+
+def _weighted_sample_sql() -> str:
+    qm = _qlog2_expr(str(_WS_M), "duckdb")
+    qu = _qlog2_expr("u_int", "duckdb")
+    return f"""
+WITH scored AS (
+  SELECT doc_id, n_chars,
+         {_sql_h("'ws:' || CAST(doc_id AS VARCHAR)")} % {_WS_M} + 1 AS u_int
+  FROM documents WHERE n_chars > 0
+),
+keyed AS (
+  SELECT doc_id, n_chars, u_int,
+         CAST(({qm} - {qu}) AS BIGINT) AS nlog_q
+  FROM scored
+),
+raced AS (
+  SELECT *, CAST(nlog_q AS DOUBLE) / CAST(n_chars AS DOUBLE) AS race_key
+  FROM keyed
+),
+top AS (
+  SELECT * FROM raced ORDER BY race_key, doc_id LIMIT {_WS_K}
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY race_key, doc_id) AS BIGINT)
+         AS sample_rank,
+       doc_id, n_chars, u_int, nlog_q, race_key
+FROM top
+"""
+
+
 QUERIES = {
     "q_doc_exact_dedup": q_doc_exact_dedup,
     "q_doc_rake": q_doc_rake,
     "q_doc_rrf_fusion": q_doc_rrf_fusion,
+    "q_doc_quality_auc": q_doc_quality_auc,
+    "q_doc_heaps": q_doc_heaps,
+    "q_doc_weighted_sample": q_doc_weighted_sample,
     "q_doc_bpe_tokens": q_doc_bpe_tokens,
     "q_doc_token_stats": q_doc_token_stats,
     "q_doc_quality": q_doc_quality,
@@ -4891,6 +5155,9 @@ ORACLES = {
     "q_doc_exact_dedup": _EXACT_DEDUP_SQL,
     "q_doc_rake": _RAKE_SQL,
     "q_doc_rrf_fusion": _rrf_sql(),
+    "q_doc_quality_auc": _quality_auc_sql(),
+    "q_doc_heaps": _heaps_sql(),
+    "q_doc_weighted_sample": _weighted_sample_sql(),
     "q_doc_bpe_tokens": _bpe_sql(),
     "q_doc_token_stats": _TOKEN_STATS_SQL,
     "q_doc_quality": _QUALITY_SQL,

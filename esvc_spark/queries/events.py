@@ -3784,6 +3784,283 @@ LEFT JOIN (SELECT sc, p FROM s{_MK_STEPS} WHERE state = 'conv') r
 """
 
 
+# ------------------------------------------------------------ MAD outliers
+# Robust per-type outlier detection by median / median-absolute-deviation
+# (the standard robust z-score, immune to the outliers it hunts — unlike
+# mean/stddev which the anomalies themselves poison). Medians are LOWER
+# medians picked positionally (row_number at (n+1) div 2 with ties pinned
+# by event_id), so both engines select the SAME physical value and no
+# float interpolation ever happens; |v − med| and the 3·MAD comparison are
+# pure IEEE ops on identical inputs. Scale shape: two row_number windows
+# partitioned by event_type (the natural key), one broadcast join of the
+# ≤|types| median table back — no global sort, no collect.
+
+_MAD_K = 3  # flag |v - med| > K * MAD
+
+
+def q_ev_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    n = ev.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w1 = Window.partitionBy("event_type").orderBy("value", "event_id")
+    med = (
+        ev.withColumn("rn", F.row_number().over(w1))
+        .join(F.broadcast(n), "event_type")
+        .filter(F.expr("rn = (n + 1) div 2"))
+        .select("event_type", F.col("value").alias("med"))
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "d", F.abs(F.col("value") - F.col("med"))
+    )
+    w2 = Window.partitionBy("event_type").orderBy("d", "event_id")
+    mad = (
+        dev.withColumn("rn", F.row_number().over(w2))
+        .join(F.broadcast(n), "event_type")
+        .filter(F.expr("rn = (n + 1) div 2"))
+        .select("event_type", F.col("d").alias("mad"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.sum(
+                F.when(F.col("d") > _MAD_K * F.col("mad"), 1).otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+        )
+        .select(
+            "event_type", "n_events", "med", "mad", "n_outliers",
+            (F.col("n_outliers").cast("double") / F.col("n_events"))
+            .alias("outlier_rate"),
+        )
+    )
+
+
+_MAD_SQL = f"""
+WITH ev AS (SELECT event_id, event_type, value FROM events),
+n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM ev GROUP BY 1),
+r1 AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn
+  FROM ev
+),
+med AS (
+  SELECT r1.event_type, r1.value AS med
+  FROM r1 JOIN n USING (event_type) WHERE rn = (n + 1) // 2
+),
+dev AS (
+  SELECT ev.event_type, abs(ev.value - med.med) AS d, ev.event_id, med.med
+  FROM ev JOIN med USING (event_type)
+),
+r2 AS (
+  SELECT event_type, d,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY d, event_id) AS rn
+  FROM dev
+),
+mad AS (
+  SELECT r2.event_type, r2.d AS mad
+  FROM r2 JOIN n USING (event_type) WHERE rn = (n + 1) // 2
+)
+SELECT dev.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(dev.med) AS med,
+       MIN(mad.mad) AS mad,
+       CAST(SUM(CASE WHEN dev.d > {_MAD_K} * mad.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       CAST(SUM(CASE WHEN dev.d > {_MAD_K} * mad.mad THEN 1 ELSE 0 END)
+            AS DOUBLE) / COUNT(*) AS outlier_rate
+FROM dev JOIN mad USING (event_type)
+GROUP BY 1
+"""
+
+
+# ------------------------------------------------------------- stickiness
+# DAU / WAU(7) engagement stickiness per calendar day — the product
+# metric every event pipeline reports. The trailing-7-day distinct-user
+# count is computed WITHOUT per-day distinct scans: each distinct
+# (user, day) pair supports the 7 days [d, d+6], so one bounded ×7
+# explode of the user-day table followed by a pair-dedup groupBy yields
+# every window count in a single pass. Day grid is gap-filled (a day with
+# no events still has a WAU from its trailing week). Scale shape: the
+# user-day table is ≪ events; everything after is bounded by |users|·days.
+
+
+def q_ev_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    ud = (
+        ev.select(
+            F.expr("unix_micros(ts) div 86400000000").alias("d"), "user_id"
+        )
+        .distinct()
+        .transform(_tp)
+    )
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+    bounds = ud.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    wau = (
+        ud.select(
+            F.explode(F.expr("sequence(d, d + 6)")).alias("sd"), "user_id"
+        )
+        .distinct()
+        .groupBy("sd")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wau7"))
+    )
+    grid = bounds.select(F.explode(F.expr("sequence(d0, d1)")).alias("sd"))
+    return (
+        grid.join(wau, "sd", "left")
+        .join(dau.withColumnRenamed("d", "sd"), "sd", "left")
+        .select(
+            F.timestamp_micros(F.expr("sd * 86400000000")).alias("day"),
+            F.coalesce("dau", F.lit(0)).cast("bigint").alias("dau"),
+            F.coalesce("wau7", F.lit(0)).cast("bigint").alias("wau7"),
+            # wau7 = 0 (a fully idle trailing week) must yield 0.0, not
+            # engine-divergent 0/0 (Spark NaN vs DuckDB NULL)
+            F.when(
+                F.coalesce("wau7", F.lit(0)) == 0, F.lit(0.0)
+            ).otherwise(
+                F.coalesce("dau", F.lit(0)).cast("double")
+                / F.col("wau7").cast("double")
+            ).alias("stickiness"),
+        )
+    )
+
+
+_STICKINESS_SQL = """
+WITH ud AS (
+  SELECT DISTINCT epoch_us(ts::TIMESTAMP) // 86400000000 AS d, user_id
+  FROM events
+),
+dau AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+bounds AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM ud),
+sup AS (
+  SELECT DISTINCT d + t.i AS sd, user_id
+  FROM ud, unnest(range(0, 7)) t(i)
+),
+wau AS (SELECT sd, CAST(COUNT(*) AS BIGINT) AS wau7 FROM sup GROUP BY 1),
+grid AS (SELECT t.i AS sd FROM bounds, unnest(range(d0, d1 + 1)) t(i))
+SELECT make_timestamp(sd * 86400000000) AS day,
+       COALESCE(dau.dau, 0) AS dau,
+       COALESCE(wau.wau7, 0) AS wau7,
+       CASE WHEN COALESCE(wau.wau7, 0) = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(COALESCE(dau.dau, 0) AS DOUBLE)
+                   / CAST(wau.wau7 AS DOUBLE)
+       END AS stickiness
+FROM grid LEFT JOIN wau USING (sd) LEFT JOIN dau ON dau.d = grid.sd
+"""
+
+
+# ----------------------------------------------------------------- ACF
+# Exact autocorrelation of the gap-filled hourly event-count series at
+# lags 1 and 24 — the seasonality detector behind the choice of the
+# q_ev_forecast seasonal-naive lag. Exactness: with integer counts c_t,
+# total S and n hours, n²·(c_t − c̄)(c_{t+k} − c̄) = (n·c_t − S)(n·c_{t+k} − S)
+# is INTEGER; numerator and denominator are summed as DECIMAL(38,0)
+# (mergeable, order-invariant, and the headroom for cluster-scale counts
+# where BIGINT products would overflow) and divided once at the edge.
+# Scale shape: one hourly aggregate, a self-join on h+k over the bounded
+# hour grid, constant-size lag lattice.
+
+_ACF_LAGS = (1, 24)
+
+
+def q_ev_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    hours = ev.select(F.expr("unix_micros(ts) div 3600000000").alias("h"))
+    counts = hours.groupBy("h").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    bounds = hours.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = bounds.select(F.explode(F.expr("sequence(h0, h1)")).alias("h"))
+    filled = (
+        grid.join(counts, "h", "left")
+        .select("h", F.coalesce("c", F.lit(0)).cast("bigint").alias("c"))
+        .transform(_tp)
+    )
+    tot = filled.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+    )
+    den = (
+        filled.join(F.broadcast(tot))
+        .agg(
+            F.sum(F.expr("CAST((n * c - s) AS DECIMAL(38,0)) * (n * c - s)"))
+            .alias("den_d"),
+            F.min("n").alias("n"),
+        )
+    )
+    lags = spark.range(0, 1).select(
+        F.explode(F.array(*[F.lit(k) for k in _ACF_LAGS])).alias("lag")
+    )
+    pairs = (
+        filled.join(F.broadcast(lags))
+        .select("lag", (F.col("h") + F.col("lag")).alias("h2"), F.col("c").alias("x"))
+        .join(
+            filled.select(F.col("h").alias("h2"), F.col("c").alias("y")), "h2"
+        )
+        .join(F.broadcast(tot))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(F.expr("CAST((n * x - s) AS DECIMAL(38,0)) * (n * y - s)"))
+            .alias("num_d"),
+        )
+    )
+    return (
+        pairs.join(F.broadcast(den))
+        .select(
+            "lag",
+            F.col("n").alias("n_hours"),
+            "n_pairs",
+            (F.col("num_d").cast("double") / F.col("den_d").cast("double"))
+            .alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+def _acf_sql() -> str:
+    lag_vals = ", ".join(f"({k})" for k in _ACF_LAGS)
+    # wide-decimal -> double must route through VARCHAR in DuckDB (the
+    # direct cast is not correctly rounded; see _util docstring)
+    num_dbl = "CAST(CAST(num_d AS VARCHAR) AS DOUBLE)"
+    den_dbl = "CAST(CAST(den_d AS VARCHAR) AS DOUBLE)"
+    return f"""
+WITH hours AS (
+  SELECT epoch_us(ts::TIMESTAMP) // 3600000000 AS h FROM events
+),
+counts AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS c FROM hours GROUP BY 1),
+bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hours),
+filled AS (
+  SELECT t.i AS h, COALESCE(c, CAST(0 AS BIGINT)) AS c
+  FROM bounds, unnest(range(h0, h1 + 1)) t(i)
+  LEFT JOIN counts ON counts.h = t.i
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s
+  FROM filled
+),
+den AS (
+  -- BIGINT products (overflow-checked), summed into HUGEINT: exact, and
+  -- the engine twin of Spark's DECIMAL(38,0) accumulation
+  SELECT SUM((n * c - s) * (n * c - s)) AS den_d,
+         MIN(n) AS n
+  FROM filled, tot
+),
+lags AS (SELECT lag FROM (VALUES {lag_vals}) l(lag)),
+pairs AS (
+  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         SUM((n * a.c - s) * (n * b.c - s)) AS num_d
+  FROM lags, filled a, filled b, tot
+  WHERE b.h = a.h + lag
+  GROUP BY lag
+)
+SELECT lag, den.n AS n_hours, n_pairs,
+       {num_dbl} / {den_dbl} AS acf
+FROM pairs, den
+ORDER BY lag
+"""
+
+
 QUERIES = {
     "q_ev_tumbling_hourly": q_ev_tumbling_hourly,
     "q_ev_asof_purchase": q_ev_asof_purchase,
@@ -3826,6 +4103,9 @@ QUERIES = {
     "q_ev_psi_drift": q_ev_psi_drift,
     "q_ev_markov_attribution": q_ev_markov_attribution,
     "q_ev_survival": q_ev_survival,
+    "q_ev_mad_outliers": q_ev_mad_outliers,
+    "q_ev_stickiness": q_ev_stickiness,
+    "q_ev_acf": q_ev_acf,
     "q_stream_tumbling_hourly": q_stream_tumbling_hourly,
     "q_stream_sessionize": q_stream_sessionize,
     "q_stream_running_totals": q_stream_running_totals,
@@ -3890,4 +4170,7 @@ ORACLES = {
     "q_stream_topk": _STREAM_TOPK_SQL,
     "q_stream_anomaly": _ANOMALY_SQL,
     "q_stream_ingest_log": _STREAM_INGEST_SQL,
+    "q_ev_mad_outliers": _MAD_SQL,
+    "q_ev_stickiness": _STICKINESS_SQL,
+    "q_ev_acf": _acf_sql(),
 }

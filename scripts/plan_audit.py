@@ -120,6 +120,14 @@ _NLJ_OK = {
         "broadcast probe side"
     ),
     "q_dq_checks": "single-row orders-total cross join (n_rows patch)",
+    "q_ev_acf": (
+        "single-row (n, s) totals + 2-row lag-lattice cross joins over "
+        "the bounded hour grid"
+    ),
+    "q_doc_heaps": (
+        "single-row doc-count + 8-row checkpoint-lattice broadcast "
+        "inequality join against the TOKEN table; single-row fit cross join"
+    ),
     "q_bloom_join_filter": (
         "single-row broadcast filter words + single-row dim-count "
         "cross joins (runtime-filter shape)"

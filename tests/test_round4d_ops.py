@@ -1,0 +1,471 @@
+"""Brute-force oracles for the fourth-session round-4 additions (data
+quality, Bloom runtime filter, join IVM, RRF fusion, MAD outliers,
+stickiness, ACF, quality AUC, Heaps' law, weighted sampling). The driver
+contract hash-checks these against DuckDB; here each answer is recomputed
+in plain Python at sf0.001, so an error both SQL dialects share
+identically would still be caught."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections import defaultdict
+from decimal import ROUND_HALF_UP, Decimal
+
+import pyarrow.parquet as pq
+
+from esvc_spark.queries.documents import (
+    _HEAPS_K,
+    _RRF_C,
+    _RRF_NQ,
+    _RRF_POOL,
+    _RRF_TOP,
+    _STOPWORDS,
+    _WS_K,
+    _WS_M,
+    QUERIES as DOC_QUERIES,
+)
+from esvc_spark.queries.events import (
+    _ACF_LAGS,
+    _MAD_K,
+    QUERIES as EV_QUERIES,
+)
+from esvc_spark.queries.relational import (
+    _IVM_MOD,
+    _RF_K,
+    _RF_M,
+    QUERIES as REL_QUERIES,
+)
+
+
+def _qlog2(x: int) -> int:
+    e = x.bit_length() - 1
+    return 16 * e + (16 * x) // (1 << e) - 16
+
+
+def _h15(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _docs(sf_dir):
+    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    return [
+        dict(doc_id=i, text=x, lang=lg, source=src, n_chars=nc)
+        for i, x, lg, src, nc in zip(
+            t.column("doc_id").to_pylist(),
+            t.column("text").to_pylist(),
+            t.column("lang").to_pylist(),
+            t.column("source").to_pylist(),
+            t.column("n_chars").to_pylist(),
+        )
+    ]
+
+
+def _events(sf_dir):
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    import pyarrow as pa
+
+    raw = t.column("ts").cast(pa.int64()).to_pylist()
+    div = 1000 if str(t.column("ts").type).startswith("timestamp[ns") else 1
+    return [
+        dict(event_id=e, user_id=u, event_type=ty, value=v, t_us=ts // div)
+        for e, u, ty, v, ts in zip(
+            t.column("event_id").to_pylist(),
+            t.column("user_id").to_pylist(),
+            t.column("event_type").to_pylist(),
+            t.column("value").to_pylist(),
+            raw,
+        )
+    ]
+
+
+# ------------------------------------------------------------ dq checks
+
+
+def test_dq_checks_brute_force(spark, sf_dir):
+    li = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_quantity", "l_shipdate"]
+    )
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+    )
+    ev = pq.read_table(f"{sf_dir}/events.parquet", columns=["value"])
+    lq = li.column("l_quantity").to_pylist()
+    lsd = li.column("l_shipdate").to_pylist()
+    ok = orders.column("o_orderkey").to_pylist()
+    oc = orders.column("o_custkey").to_pylist()
+    ckeys = set(cust.column("c_custkey").to_pylist())
+    cab = cust.column("c_acctbal").to_pylist()
+    evv = ev.column("value").to_pylist()
+    expected = {
+        ("lineitem", "quantity_in_1_50"): (
+            len(lq), sum(1 for q in lq if q < 1 or q > 50)
+        ),
+        ("lineitem", "shipdate_complete"): (
+            len(lsd), sum(1 for s in lsd if s is None)
+        ),
+        ("orders", "orderkey_unique"): (len(ok), len(ok) - len(set(ok))),
+        ("orders", "custkey_ref_integrity"): (
+            len(oc), sum(1 for c in oc if c not in ckeys)
+        ),
+        ("customer", "acctbal_in_bounds"): (
+            len(cab), sum(1 for b in cab if b < -1000 or b > 10000)
+        ),
+        ("events", "value_positive"): (
+            len(evv), sum(1 for v in evv if v <= 0)
+        ),
+    }
+    out = {
+        (r["tbl"], r["check_name"]): (r["n_rows"], r["n_bad"])
+        for r in REL_QUERIES["q_dq_checks"](spark, sf_dir).collect()
+    }
+    assert out == expected
+    for r in REL_QUERIES["q_dq_checks"](spark, sf_dir).collect():
+        assert r["bad_fraction"] == r["n_bad"] / r["n_rows"]
+        assert r["passed"] == (1 if r["n_bad"] == 0 else 0)
+
+
+# ------------------------------------------------------- Bloom runtime filter
+
+
+def test_bloom_join_filter_brute_force(spark, sf_dir):
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment", "c_acctbal"],
+    )
+    orders = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    dim = {
+        k
+        for k, seg, bal in zip(
+            cust.column("c_custkey").to_pylist(),
+            cust.column("c_mktsegment").to_pylist(),
+            cust.column("c_acctbal").to_pylist(),
+        )
+        if seg == "BUILDING" and bal > 7000
+    }
+
+    def bits(key: int):
+        return [_h15(f"rf{i}:{key}") % _RF_M for i in range(_RF_K)]
+
+    words = defaultdict(int)
+    for k in dim:
+        for b in bits(k):
+            words[b // 63] |= 1 << (b % 63)
+
+    def member(key: int) -> bool:
+        return all((words[b // 63] >> (b % 63)) & 1 for b in bits(key))
+
+    facts = orders.column("o_custkey").to_pylist()
+    n_pass = sum(1 for k in facts if member(k))
+    n_true = sum(1 for k in facts if k in dim)
+    row = REL_QUERIES["q_bloom_join_filter"](spark, sf_dir).collect()[0]
+    assert row["n_dim_keys"] == len(dim)
+    assert row["n_fact_rows"] == len(facts)
+    assert row["n_bloom_pass"] == n_pass
+    assert row["n_true_match"] == n_true
+    assert row["n_false_pass"] == n_pass - n_true
+    # Bloom filters never drop a true match — the load-bearing invariant
+    assert row["n_false_drops"] == 0
+    assert row["pruned_fraction"] == 1.0 - n_pass / len(facts)
+
+
+# ----------------------------------------------------------------- join IVM
+
+
+def test_ivm_join_brute_force(spark, sf_dir):
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    seg = dict(
+        zip(
+            cust.column("c_custkey").to_pylist(),
+            cust.column("c_mktsegment").to_pylist(),
+        )
+    )
+    full = defaultdict(lambda: [0, Decimal(0)])
+    for okey, ckey, tp in zip(
+        orders.column("o_orderkey").to_pylist(),
+        orders.column("o_custkey").to_pylist(),
+        orders.column("o_totalprice").to_pylist(),
+    ):
+        if ckey not in seg:
+            continue
+        e = full[seg[ckey]]
+        e[0] += 1
+        e[1] += Decimal(tp).quantize(Decimal("0.01"), ROUND_HALF_UP)
+    rows = REL_QUERIES["q_ivm_join"](spark, sf_dir).collect()
+    assert {r["c_mktsegment"] for r in rows} == set(full)
+    for r in rows:
+        n, sp = full[r["c_mktsegment"]]
+        # delta-maintained state must equal the full recompute exactly
+        assert r["consistent"] == 1
+        assert r["n_orders_maint"] == r["n_orders_full"] == n
+        assert r["spend_maint"] == r["spend_full"] == float(sp)
+    assert _IVM_MOD > 1  # the delta split is non-trivial
+
+
+# ----------------------------------------------------------------- RRF fusion
+
+
+def _dot(a, b):
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def test_rrf_fusion_brute_force(spark, sf_dir):
+    docs = _docs(sf_dir)
+    toks = {d["doc_id"]: set(re.findall(r"\S+", d["text"])) for d in docs}
+    emb_t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    embs = {
+        v: [float(x) for x in e]
+        for v, e in zip(
+            emb_t.column("vec_id").to_pylist(),
+            emb_t.column("embedding").to_pylist(),
+        )
+    }
+    import math
+
+    nrm = {v: math.sqrt(_dot(e, e)) for v, e in embs.items()}
+    lex_rank, sem_rank = {}, {}
+    for q in range(_RRF_NQ):
+        scored = []
+        for d, ts in toks.items():
+            if d == q:
+                continue
+            inter = len(ts & toks[q])
+            if inter == 0:
+                continue
+            jq = (inter * 1048576) // (len(toks[q]) + len(ts) - inter)
+            scored.append((-jq, d))
+        for rnk, (_, d) in enumerate(sorted(scored)[:_RRF_POOL], 1):
+            lex_rank[(q, d)] = rnk
+        if q in embs:
+            sc = sorted(
+                (-(_dot(embs[q], e) / (nrm[q] * nrm[v])), v)
+                for v, e in embs.items()
+                if v != q
+            )
+            for rnk, (_, v) in enumerate(sc[:_RRF_POOL], 1):
+                sem_rank[(q, v)] = rnk
+    expected = {}
+    for q in range(_RRF_NQ):
+        fused = []
+        for key in {k for k in lex_rank if k[0] == q} | {
+            k for k in sem_rank if k[0] == q
+        }:
+            rrf = 0
+            if key in lex_rank:
+                rrf += 1048576 // (_RRF_C + lex_rank[key])
+            if key in sem_rank:
+                rrf += 1048576 // (_RRF_C + sem_rank[key])
+            fused.append((-rrf, key[1]))
+        for rnk, (nrrf, d) in enumerate(sorted(fused)[:_RRF_TOP], 1):
+            expected[(q, d)] = (
+                lex_rank.get((q, d)),
+                sem_rank.get((q, d)),
+                -nrrf,
+                rnk,
+                -nrrf / 1048576.0,
+            )
+    out = {
+        (r["query_id"], r["doc_id"]): (
+            r["lex_rank"],
+            r["sem_rank"],
+            r["rrf_q"],
+            r["fused_rank"],
+            r["rrf_score"],
+        )
+        for r in DOC_QUERIES["q_doc_rrf_fusion"](spark, sf_dir).collect()
+    }
+    assert out == expected
+
+
+# -------------------------------------------------------------- MAD outliers
+
+
+def test_mad_outliers_brute_force(spark, sf_dir):
+    ev = _events(sf_dir)
+    by_type = defaultdict(list)
+    for e in ev:
+        by_type[e["event_type"]].append((e["value"], e["event_id"]))
+    expected = {}
+    for ty, vals in by_type.items():
+        n = len(vals)
+        med = sorted(vals)[(n + 1) // 2 - 1][0]
+        devs = sorted((abs(v - med), eid) for v, eid in vals)
+        mad = devs[(n + 1) // 2 - 1][0]
+        n_out = sum(1 for d, _ in devs if d > _MAD_K * mad)
+        expected[ty] = (n, med, mad, n_out, n_out / n)
+    out = {
+        r["event_type"]: (
+            r["n_events"], r["med"], r["mad"], r["n_outliers"],
+            r["outlier_rate"],
+        )
+        for r in EV_QUERIES["q_ev_mad_outliers"](spark, sf_dir).collect()
+    }
+    assert out == expected
+
+
+# --------------------------------------------------------------- stickiness
+
+
+def test_stickiness_brute_force(spark, sf_dir):
+    ev = _events(sf_dir)
+    day_us = 86_400_000_000
+    ud = {(e["t_us"] // day_us, e["user_id"]) for e in ev}
+    d0 = min(d for d, _ in ud)
+    d1 = max(d for d, _ in ud)
+    expected = {}
+    for d in range(d0, d1 + 1):
+        dau = sum(1 for dd, _ in ud if dd == d)
+        wau = len({u for dd, u in ud if d - 6 <= dd <= d})
+        expected[d] = (dau, wau, (dau / wau) if wau else 0.0)
+    rows = EV_QUERIES["q_ev_stickiness"](spark, sf_dir).collect()
+    out = {
+        r["day"].timestamp() // 86400: (r["dau"], r["wau7"], r["stickiness"])
+        for r in rows
+    }
+    assert out == {float(d): v for d, v in expected.items()}
+    # every observed day's WAU >= its DAU (containment of windows)
+    assert all(r["wau7"] >= r["dau"] for r in rows)
+
+
+# ---------------------------------------------------------------------- ACF
+
+
+def test_acf_brute_force(spark, sf_dir):
+    ev = _events(sf_dir)
+    hr = 3_600_000_000
+    hs = [e["t_us"] // hr for e in ev]
+    h0, h1 = min(hs), max(hs)
+    from collections import Counter
+
+    cnt = Counter(hs)
+    c = [cnt.get(h, 0) for h in range(h0, h1 + 1)]
+    n, s = len(c), sum(c)
+    den = sum((n * x - s) * (n * x - s) for x in c)
+    expected = {}
+    for k in _ACF_LAGS:
+        num = sum(
+            (n * c[t] - s) * (n * c[t + k] - s) for t in range(n - k)
+        )
+        expected[k] = (n, n - k, num / den)
+    out = {
+        r["lag"]: (r["n_hours"], r["n_pairs"], r["acf"])
+        for r in EV_QUERIES["q_ev_acf"](spark, sf_dir).collect()
+    }
+    assert out == expected
+    # lag-24 seasonality in the synthetic stream should be real and positive
+    assert out[24][2] == expected[24][2]
+
+
+# ------------------------------------------------------------- quality AUC
+
+
+def _qscore(d):
+    toks = re.findall(r"\S+", d["text"])
+    if not toks:
+        return None
+    n_stop = sum(1 for t in toks if t in _STOPWORDS)
+    n_punct = len(d["text"]) - len(re.sub(r"[.,!?;:]", "", d["text"]))
+    return (
+        (n_stop / len(toks)) * 2.0
+        + (1.0 - n_punct / d["n_chars"])
+        + (1.0 if 20 <= len(toks) <= 1000 else 0.0)
+    )
+
+
+def test_quality_auc_brute_force(spark, sf_dir):
+    docs = _docs(sf_dir)
+    scored = [
+        (s, 1 if d["lang"] == "en" else 0)
+        for d in docs
+        if (s := _qscore(d)) is not None
+    ]
+    pos = [s for s, l in scored if l == 1]
+    neg = [s for s, l in scored if l == 0]
+    wins = sum(1 for p in pos for q in neg if p > q)
+    ties = sum(1 for p in pos for q in neg if p == q)
+    u2 = 2 * wins + ties
+    row = DOC_QUERIES["q_doc_quality_auc"](spark, sf_dir).collect()[0]
+    assert (row["n_pos"], row["n_neg"]) == (len(pos), len(neg))
+    assert row["u2"] == u2
+    assert row["auc"] == u2 / (2 * len(pos) * len(neg))
+    assert row["gini"] == u2 / (len(pos) * len(neg)) - 1.0
+
+
+# --------------------------------------------------------------- Heaps' law
+
+
+def test_heaps_brute_force(spark, sf_dir):
+    docs = _docs(sf_dir)
+    first = {}
+    for d in docs:
+        for t in re.findall(r"\S+", d["text"]):
+            if t not in first or d["doc_id"] < first[t]:
+                first[t] = d["doc_id"]
+    nd = len(docs)
+    pts = []
+    for k in range(1, _HEAPS_K + 1):
+        n_docs = (nd * k) // _HEAPS_K
+        vocab = sum(1 for fr in first.values() if fr < n_docs)
+        pts.append((k, n_docs, vocab, _qlog2(n_docs), _qlog2(vocab)))
+    m = len(pts)
+    sx = sum(p[3] for p in pts)
+    sy = sum(p[4] for p in pts)
+    sxy = sum(p[3] * p[4] for p in pts)
+    sxx = sum(p[3] * p[3] for p in pts)
+    beta = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+    rows = DOC_QUERIES["q_doc_heaps"](spark, sf_dir).collect()
+    out = [
+        (r["k"], r["n_docs"], r["vocab"], r["x_q"], r["y_q"]) for r in rows
+    ]
+    assert out == pts
+    assert all(r["heaps_beta"] == beta for r in rows)
+    # sub-linear vocabulary growth: beta < 1 always; the synthetic corpus
+    # draws from a CLOSED vocabulary, so it saturates immediately (beta=0)
+    assert 0.0 <= beta < 1.0
+    vs = [p[2] for p in pts]
+    assert all(a <= b for a, b in zip(vs, vs[1:]))
+
+
+# ------------------------------------------------------- weighted sampling
+
+
+def test_weighted_sample_brute_force(spark, sf_dir):
+    docs = _docs(sf_dir)
+    raced = []
+    for d in docs:
+        if d["n_chars"] <= 0:
+            continue
+        u = _h15(f"ws:{d['doc_id']}") % _WS_M + 1
+        nlog_q = _qlog2(_WS_M) - _qlog2(u)
+        raced.append(
+            (nlog_q / d["n_chars"], d["doc_id"], d["n_chars"], u, nlog_q)
+        )
+    top = sorted(raced)[:_WS_K]
+    expected = {
+        rnk: (doc, nc, u, nq, key)
+        for rnk, (key, doc, nc, u, nq) in enumerate(top, 1)
+    }
+    out = {
+        r["sample_rank"]: (
+            r["doc_id"], r["n_chars"], r["u_int"], r["nlog_q"], r["race_key"]
+        )
+        for r in DOC_QUERIES["q_doc_weighted_sample"](spark, sf_dir).collect()
+    }
+    assert out == expected
+    # heavier docs win the race more often than uniform: the sampled mean
+    # weight must exceed the corpus mean weight
+    corpus_mean = sum(r[2] for r in raced) / len(raced)
+    sample_mean = sum(v[1] for v in expected.values()) / len(expected)
+    assert sample_mean > corpus_mean
