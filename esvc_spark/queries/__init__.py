@@ -51,6 +51,10 @@ _FRONT = (
     "q_doc_quality_auc",
     "q_doc_heaps",
     "q_doc_weighted_sample",
+    "q_benford_audit",
+    "q_zorder_layout",
+    "q_doc_calibration",
+    "q_ev_bootstrap_ci",
     # newest round-4 additions (second session): exact dup-run extents,
     # Neyman-optimal stratified sampling, Zipf slope audit
     "q_doc_dup_runs",

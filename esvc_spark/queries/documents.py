@@ -5007,6 +5007,69 @@ ORDER BY k
 """
 
 
+# --------------------------------------------------------- calibration curve
+# Reliability diagram for the quality score as an is-English predictor —
+# the per-bin companion to q_doc_quality_auc's single-number rank
+# statistic: fixed-width score bins (width 0.5 over the score's [0, 4]
+# range), observed English rate per bin. AUC says the score RANKS
+# languages apart; this says WHERE on the score axis the separation
+# lives — the evidence for picking an actual quality threshold. Bin
+# assignment is floor(2·qscore) on the engine-identical score double, so
+# binning is exact. Scale shape: one narrow map + an ≤9-bin aggregate.
+
+_CAL_BINS = 8
+
+
+def q_doc_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_par(spark, sf_dir)
+    d = _qscored(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    binned = d.select(
+        F.expr(
+            f"least(greatest(CAST(floor(qscore * 2) AS BIGINT), 0),"
+            f" {_CAL_BINS - 1})"
+        ).alias("bin"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_en"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("is_en").cast("bigint").alias("n_en"),
+        )
+        .select(
+            "bin",
+            (F.col("bin").cast("double") / F.lit(2.0)).alias("score_lo"),
+            ((F.col("bin") + 1).cast("double") / F.lit(2.0)).alias("score_hi"),
+            "n_docs",
+            "n_en",
+            (F.col("n_en").cast("double") / F.col("n_docs").cast("double"))
+            .alias("en_rate"),
+        )
+    )
+
+
+def _calibration_sql() -> str:
+    return f"""
+WITH d AS (
+  SELECT q.qscore, doc.lang
+  FROM ({_qscored_sql()}) q JOIN documents doc USING (doc_id)
+),
+binned AS (
+  SELECT LEAST(GREATEST(CAST(floor(qscore * 2) AS BIGINT), 0),
+               {_CAL_BINS - 1}) AS bin,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en
+  FROM d
+)
+SELECT bin,
+       CAST(bin AS DOUBLE) / CAST(2.0 AS DOUBLE) AS score_lo,
+       CAST(bin + 1 AS DOUBLE) / CAST(2.0 AS DOUBLE) AS score_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(is_en) AS BIGINT) AS n_en,
+       CAST(SUM(is_en) AS DOUBLE) / COUNT(*) AS en_rate
+FROM binned GROUP BY 1
+"""
+
+
 # ------------------------------------------------- weighted sampling (A-ES)
 # Weighted sampling WITHOUT replacement by the Efraimidis-Spirakis
 # exponential race (A-ES, IPL 2006): each doc draws a deterministic
@@ -5095,6 +5158,7 @@ QUERIES = {
     "q_doc_quality_auc": q_doc_quality_auc,
     "q_doc_heaps": q_doc_heaps,
     "q_doc_weighted_sample": q_doc_weighted_sample,
+    "q_doc_calibration": q_doc_calibration,
     "q_doc_bpe_tokens": q_doc_bpe_tokens,
     "q_doc_token_stats": q_doc_token_stats,
     "q_doc_quality": q_doc_quality,
@@ -5158,6 +5222,7 @@ ORACLES = {
     "q_doc_quality_auc": _quality_auc_sql(),
     "q_doc_heaps": _heaps_sql(),
     "q_doc_weighted_sample": _weighted_sample_sql(),
+    "q_doc_calibration": _calibration_sql(),
     "q_doc_bpe_tokens": _bpe_sql(),
     "q_doc_token_stats": _TOKEN_STATS_SQL,
     "q_doc_quality": _QUALITY_SQL,

@@ -4061,6 +4061,131 @@ ORDER BY lag
 """
 
 
+# ------------------------------------------------------------ bootstrap CI
+# Deterministic Poisson bootstrap on the purchase-conversion rate: each
+# of B=32 replicates reweights every event by a pseudo-Poisson(1) count
+# drawn from an id-hash uniform against INTEGER CDF thresholds (the
+# transcendental e^-1 CDF steps are baked in as integer constants on the
+# 2^20 grid — no engine evaluates exp), the per-replicate rate is one
+# integer division, and the CI is read off order statistics of the 32
+# replicate rates. This is the production error-bar pattern for metrics
+# over data too large to resample for real: one pass, map-side ×B
+# weighting, B-row state. Rule of thumb at 100 TB: the ×B explode is
+# map-side only — partial aggregation collapses it to B rows per
+# partition before the shuffle.
+
+_BS_B = 32
+_BS_M = 1 << 20
+# Poisson(1) CDF steps floor-scaled to the 2^20 grid: P(X<=k) for k=0..3
+_BS_T = (385749, 771499, 964373, 1028665)
+
+
+def q_ev_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("conv"),
+    )
+    point = ev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("conv").cast("bigint").alias("n_conv"),
+    )
+    reps = spark.range(0, _BS_B).select(F.col("id").alias("b"))
+    w_expr = (
+        f"CASE WHEN u < {_BS_T[0]} THEN 0 "
+        f"WHEN u < {_BS_T[1]} THEN 1 "
+        f"WHEN u < {_BS_T[2]} THEN 2 "
+        f"WHEN u < {_BS_T[3]} THEN 3 ELSE 4 END"
+    )
+    rates = (
+        ev.join(F.broadcast(reps))  # 32-row lattice: map-side weighting
+        .select(
+            "b",
+            "conv",
+            (
+                F.expr(
+                    "CAST(conv(substr(md5(concat('bs', CAST(b AS STRING),"
+                    " ':', CAST(event_id AS STRING))), 1, 15), 16, 10)"
+                    " AS BIGINT)"
+                )
+                % _BS_M
+            ).alias("u"),
+        )
+        .select("b", "conv", F.expr(w_expr).alias("w"))
+        .groupBy("b")
+        .agg(
+            F.sum("w").cast("bigint").alias("den"),
+            F.sum(F.col("w") * F.col("conv")).cast("bigint").alias("num"),
+        )
+        .select(
+            "b",
+            (F.col("num").cast("double") / F.col("den").cast("double"))
+            .alias("rate"),
+        )
+    )
+    w = Window.orderBy("rate", "b")
+    ranked = rates.withColumn("rn", F.row_number().over(w))
+    lo = ranked.filter(F.col("rn") == 2).select(F.col("rate").alias("ci_lo"))
+    hi = ranked.filter(F.col("rn") == _BS_B - 1).select(
+        F.col("rate").alias("ci_hi")
+    )
+    return (
+        point.join(F.broadcast(lo))
+        .join(F.broadcast(hi))
+        .select(
+            "n_events",
+            "n_conv",
+            (F.col("n_conv").cast("double") / F.col("n_events").cast("double"))
+            .alias("point_rate"),
+            F.lit(_BS_B).cast("bigint").alias("n_replicates"),
+            "ci_lo",
+            "ci_hi",
+        )
+    )
+
+
+def _bootstrap_sql() -> str:
+    w_expr = (
+        f"CASE WHEN u < {_BS_T[0]} THEN 0 "
+        f"WHEN u < {_BS_T[1]} THEN 1 "
+        f"WHEN u < {_BS_T[2]} THEN 2 "
+        f"WHEN u < {_BS_T[3]} THEN 3 ELSE 4 END"
+    )
+    return f"""
+WITH ev AS (
+  SELECT event_id,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+  FROM events
+),
+point AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(conv) AS BIGINT) AS n_conv
+  FROM ev
+),
+reps AS (SELECT t.i AS b FROM unnest(range(0, {_BS_B})) t(i)),
+drawn AS (
+  SELECT b, conv,
+         CAST(('0x' || substr(md5('bs' || CAST(b AS VARCHAR) || ':'
+                || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % {_BS_M} AS u
+  FROM ev, reps
+),
+weighted AS (SELECT b, conv, {w_expr} AS w FROM drawn),
+rates AS (
+  SELECT b, CAST(SUM(w * conv) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS rate
+  FROM weighted GROUP BY b
+),
+ranked AS (
+  SELECT rate, ROW_NUMBER() OVER (ORDER BY rate, b) AS rn FROM rates
+)
+SELECT n_events, n_conv,
+       CAST(n_conv AS DOUBLE) / CAST(n_events AS DOUBLE) AS point_rate,
+       CAST({_BS_B} AS BIGINT) AS n_replicates,
+       (SELECT rate FROM ranked WHERE rn = 2) AS ci_lo,
+       (SELECT rate FROM ranked WHERE rn = {_BS_B} - 1) AS ci_hi
+FROM point
+"""
+
+
 QUERIES = {
     "q_ev_tumbling_hourly": q_ev_tumbling_hourly,
     "q_ev_asof_purchase": q_ev_asof_purchase,
@@ -4106,6 +4231,7 @@ QUERIES = {
     "q_ev_mad_outliers": q_ev_mad_outliers,
     "q_ev_stickiness": q_ev_stickiness,
     "q_ev_acf": q_ev_acf,
+    "q_ev_bootstrap_ci": q_ev_bootstrap_ci,
     "q_stream_tumbling_hourly": q_stream_tumbling_hourly,
     "q_stream_sessionize": q_stream_sessionize,
     "q_stream_running_totals": q_stream_running_totals,
@@ -4173,4 +4299,5 @@ ORACLES = {
     "q_ev_mad_outliers": _MAD_SQL,
     "q_ev_stickiness": _STICKINESS_SQL,
     "q_ev_acf": _acf_sql(),
+    "q_ev_bootstrap_ci": _bootstrap_sql(),
 }

@@ -2008,6 +2008,316 @@ FROM maintained m JOIN full_v f USING (c_mktsegment)
 """
 
 
+# ------------------------------------------------------------- Benford audit
+# First-significant-digit audit of o_totalprice against Benford's law —
+# the forensic data-quality check for fabricated or truncated numeric
+# columns. The expected shares log10(1 + 1/d) are transcendental, so they
+# are injected as IDENTICAL Python double literals into both dialects
+# (no engine ever evaluates a log); digits come from the exact integer
+# floor, so the classification is pure string arithmetic. The chi-square
+# total over the 9 digit rows is an order-pinned sequential fold (digit
+# order), keeping the double sum bit-identical. Scale shape: one scan to
+# a 9-row histogram; everything after is constant-size.
+
+import math as _math
+
+_BENFORD_P = {d: _math.log10(1 + 1 / d) for d in range(1, 10)}
+
+
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._util import ofold_sum
+
+    orders = T(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digits = orders.select(
+        F.substring(
+            F.expr("CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING)"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    hist = digits.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs")
+    )
+    tot = hist.agg(F.sum("n_obs").cast("bigint").alias("n"))
+    exp_share = F.when(
+        F.col("digit") == 1, F.lit(_BENFORD_P[1])
+    )
+    for d in range(2, 10):
+        exp_share = exp_share.when(F.col("digit") == d, F.lit(_BENFORD_P[d]))
+    terms = (
+        hist.join(F.broadcast(tot))  # single-row cross join
+        .select(
+            "digit",
+            "n_obs",
+            exp_share.alias("exp_share"),
+            (F.col("n_obs").cast("double") / F.col("n").cast("double"))
+            .alias("obs_share"),
+            (
+                (
+                    F.col("n_obs").cast("double")
+                    - F.col("n").cast("double") * exp_share
+                )
+                * (
+                    F.col("n_obs").cast("double")
+                    - F.col("n").cast("double") * exp_share
+                )
+                / (F.col("n").cast("double") * exp_share)
+            ).alias("chi2_term"),
+        )
+    )
+    total = terms.agg(ofold_sum("digit", "chi2_term").alias("chi2_total"))
+    return terms.join(F.broadcast(total)).select(
+        "digit", "n_obs", "exp_share", "obs_share", "chi2_term", "chi2_total"
+    )
+
+
+def _benford_sql() -> str:
+    from ._util import sql_ofold_sum
+
+    cases = " ".join(
+        f"WHEN digit = {d} THEN {_BENFORD_P[d]!r}" for d in range(1, 10)
+    )
+    return f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                     1, 1) AS INT) AS digit
+  FROM orders WHERE o_totalprice > 0
+),
+hist AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM digits GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM hist),
+terms AS (
+  SELECT digit, n_obs,
+         (CASE {cases} END) AS exp_share,
+         CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE) AS obs_share,
+         (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * (CASE {cases} END))
+           * (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * (CASE {cases} END))
+           / (CAST(n AS DOUBLE) * (CASE {cases} END)) AS chi2_term
+  FROM hist, tot
+),
+total AS (
+  SELECT {sql_ofold_sum('digit', 'chi2_term')} AS chi2_total FROM terms
+)
+SELECT digit, n_obs, exp_share, obs_share, chi2_term, chi2_total
+FROM terms, total
+"""
+
+
+# ----------------------------------------------------------- Z-order layout
+# Multi-dimensional data-layout audit: the q_zonemap_skipping methodology
+# extended to TWO predicate dimensions (order day x customer key). Rows
+# are tiled into {_ZO_CHUNKS} row groups under three physical orderings —
+# arrival, day-clustered, and Z-ORDERED (bits of the two equi-width
+# 64-bucket dims interleaved, the Delta/Iceberg OPTIMIZE ZORDER BY curve)
+# — then per-chunk (min,max) zone maps on BOTH dims are evaluated against
+# a 2-D box workload and a 1-D day workload. The output quantifies the
+# Z-order trade: near-day-clustered skipping on 1-D scans PLUS custkey
+# skipping that a single-dim sort cannot give. All bucket/interleave math
+# is integer and engine-identical. Scale shape: three window-tiled passes
+# (the audit's cost, not the layout's), bounded zone/predicate lattices.
+
+_ZO_CHUNKS = 240
+_ZO_BITS = 6  # 64 buckets per dimension
+_ZO_PRED_DAYS = 90
+_ZO_CUST_SLICES = 8
+
+
+def _zo_interleave(db: str, cb: str, dialect: str) -> str:
+    """Bit-interleave two {_ZO_BITS}-bit bucket expressions (day bits at
+    odd positions, custkey bits at even) — one template, two dialects."""
+    terms = []
+    for i in range(_ZO_BITS):
+        if dialect == "spark":
+            terms.append(
+                f"shiftleft(shiftright({db}, {i}) & 1, {2 * i + 1})"
+            )
+            terms.append(f"shiftleft(shiftright({cb}, {i}) & 1, {2 * i})")
+        else:
+            terms.append(f"((({db} >> {i}) & 1) << {2 * i + 1})")
+            terms.append(f"((({cb} >> {i}) & 1) << {2 * i})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nb = 1 << _ZO_BITS
+    orders = T(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("akey"),
+        F.col("o_custkey").alias("ckey"),
+        F.expr(
+            "datediff(cast(o_orderdate as date), date '1970-01-01')"
+        ).cast("bigint").alias("day"),
+    )
+    span = orders.agg(
+        F.min("day").alias("dmin"), F.max("day").alias("dmax"),
+        F.min("ckey").alias("cmin"), F.max("ckey").alias("cmax"),
+    )
+    keyed = orders.join(F.broadcast(span)).select(
+        "akey", "ckey", "day",
+        F.expr(f"((day - dmin) * {nb}) div (dmax - dmin + 1)").alias("db"),
+        F.expr(f"((ckey - cmin) * {nb}) div (cmax - cmin + 1)").alias("cb"),
+    ).withColumn("z", F.expr(_zo_interleave("db", "cb", "spark")))
+    rows = (
+        keyed.select(F.lit("arrival").alias("layout"),
+                     F.col("akey").alias("k1"), "akey", "day", "ckey")
+        .unionAll(
+            keyed.select(F.lit("day").alias("layout"),
+                         F.col("day").alias("k1"), "akey", "day", "ckey")
+        )
+        .unionAll(
+            keyed.select(F.lit("zorder").alias("layout"),
+                         F.col("z").alias("k1"), "akey", "day", "ckey")
+        )
+    )
+    wt = Window.partitionBy("layout").orderBy("k1", "akey")
+    zones = (
+        rows.withColumn("chunk", F.ntile(_ZO_CHUNKS).over(wt))
+        .groupBy("layout", "chunk")
+        .agg(
+            F.min("day").alias("dlo"), F.max("day").alias("dhi"),
+            F.min("ckey").alias("clo"), F.max("ckey").alias("chi"),
+        )
+    )
+    pd_ = span.select(
+        F.explode(
+            F.expr(f"sequence(0, (dmax - dmin) div {_ZO_PRED_DAYS})")
+        ).alias("p"),
+        "dmin",
+    ).select(
+        (F.col("dmin") + F.col("p") * _ZO_PRED_DAYS).alias("pdlo"),
+        (F.col("dmin") + F.col("p") * _ZO_PRED_DAYS + _ZO_PRED_DAYS - 1)
+        .alias("pdhi"),
+    )
+    pc = span.select(
+        F.explode(F.expr(f"sequence(0, {_ZO_CUST_SLICES - 1})")).alias("q"),
+        "cmin", "cmax",
+    ).select(
+        (
+            F.col("cmin")
+            + F.expr(f"(q * (cmax - cmin + 1)) div {_ZO_CUST_SLICES}")
+        ).alias("pclo"),
+        (
+            F.col("cmin")
+            + F.expr(f"((q + 1) * (cmax - cmin + 1)) div {_ZO_CUST_SLICES}")
+            - 1
+        ).alias("pchi"),
+    )
+    span_c = span.select(F.col("cmin").alias("pclo"), F.col("cmax").alias("pchi"))
+    preds = (
+        pd_.join(F.broadcast(pc)).withColumn("wclass", F.lit("box"))
+        .unionByName(
+            pd_.join(F.broadcast(span_c)).withColumn("wclass", F.lit("day_1d"))
+        )
+    )
+    scanned = (
+        zones.join(
+            F.broadcast(preds),  # bounded predicate-lattice NLJ, annotated
+            (F.col("dlo") <= F.col("pdhi")) & (F.col("dhi") >= F.col("pdlo"))
+            & (F.col("clo") <= F.col("pchi")) & (F.col("chi") >= F.col("pclo")),
+        )
+        .groupBy("layout", "wclass")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("chunks_scanned"))
+    )
+    npred = preds.groupBy("wclass").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_preds")
+    )
+    sizes = zones.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks")
+    )
+    return (
+        scanned.join(F.broadcast(npred), "wclass")
+        .join(F.broadcast(sizes), "layout")
+        .select(
+            "layout", "wclass", "n_chunks", "n_preds", "chunks_scanned",
+            (
+                F.lit(1.0).cast("double")
+                - F.col("chunks_scanned").cast("double")
+                / (F.col("n_chunks") * F.col("n_preds")).cast("double")
+            ).alias("skip_ratio"),
+        )
+    )
+
+
+def _zorder_sql() -> str:
+    nb = 1 << _ZO_BITS
+    return f"""
+WITH orders_k AS (
+  SELECT o_orderkey AS akey, o_custkey AS ckey,
+         datediff('day', DATE '1970-01-01',
+                  CAST(o_orderdate AS DATE)) AS day
+  FROM orders
+),
+span AS (
+  SELECT MIN(day) AS dmin, MAX(day) AS dmax,
+         MIN(ckey) AS cmin, MAX(ckey) AS cmax
+  FROM orders_k
+),
+keyed AS (
+  SELECT akey, ckey, day,
+         ((day - dmin) * {nb}) // (dmax - dmin + 1) AS db,
+         ((ckey - cmin) * {nb}) // (cmax - cmin + 1) AS cb
+  FROM orders_k, span
+),
+zk AS (
+  SELECT akey, ckey, day,
+         {_zo_interleave('db', 'cb', 'duckdb')} AS z
+  FROM keyed
+),
+rows_ AS (
+  SELECT 'arrival' AS layout, akey AS k1, akey, day, ckey FROM zk
+  UNION ALL
+  SELECT 'day', day, akey, day, ckey FROM zk
+  UNION ALL
+  SELECT 'zorder', z, akey, day, ckey FROM zk
+),
+zones AS (
+  SELECT layout, chunk, MIN(day) AS dlo, MAX(day) AS dhi,
+         MIN(ckey) AS clo, MAX(ckey) AS chi_
+  FROM (
+    SELECT layout, day, ckey,
+           ntile({_ZO_CHUNKS}) OVER (PARTITION BY layout
+                                     ORDER BY k1, akey) AS chunk
+    FROM rows_
+  ) GROUP BY 1, 2
+),
+pd_ AS (
+  SELECT dmin + t.i * {_ZO_PRED_DAYS} AS pdlo,
+         dmin + t.i * {_ZO_PRED_DAYS} + {_ZO_PRED_DAYS} - 1 AS pdhi
+  FROM span, unnest(range(0, (dmax - dmin) // {_ZO_PRED_DAYS} + 1)) t(i)
+),
+pc AS (
+  SELECT cmin + (t.q * (cmax - cmin + 1)) // {_ZO_CUST_SLICES} AS pclo,
+         cmin + ((t.q + 1) * (cmax - cmin + 1)) // {_ZO_CUST_SLICES} - 1
+           AS pchi
+  FROM span, unnest(range(0, {_ZO_CUST_SLICES})) t(q)
+),
+preds AS (
+  SELECT pdlo, pdhi, pclo, pchi, 'box' AS wclass FROM pd_, pc
+  UNION ALL
+  SELECT pdlo, pdhi, cmin, cmax, 'day_1d' FROM pd_, span
+),
+scanned AS (
+  SELECT layout, wclass, CAST(COUNT(*) AS BIGINT) AS chunks_scanned
+  FROM zones z JOIN preds p
+    ON z.dlo <= p.pdhi AND z.dhi >= p.pdlo
+   AND z.clo <= p.pchi AND z.chi_ >= p.pclo
+  GROUP BY 1, 2
+),
+npred AS (
+  SELECT wclass, CAST(COUNT(*) AS BIGINT) AS n_preds FROM preds GROUP BY 1
+),
+sizes AS (
+  SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_chunks FROM zones GROUP BY 1
+)
+SELECT s.layout, s.wclass, sizes.n_chunks, npred.n_preds, s.chunks_scanned,
+       CAST(1.0 AS DOUBLE) - CAST(s.chunks_scanned AS DOUBLE)
+         / CAST(sizes.n_chunks * npred.n_preds AS DOUBLE) AS skip_ratio
+FROM scanned s JOIN npred USING (wclass) JOIN sizes USING (layout)
+"""
+
+
 QUERIES = {
     "q_fuzzy_match": q_fuzzy_match,
     "q_window_trailing_spend": q_window_trailing_spend,
@@ -2016,6 +2326,8 @@ QUERIES = {
     "q_dq_checks": q_dq_checks,
     "q_bloom_join_filter": q_bloom_join_filter,
     "q_ivm_join": q_ivm_join,
+    "q_benford_audit": q_benford_audit,
+    "q_zorder_layout": q_zorder_layout,
     "q01_pricing_summary": q01_pricing_summary,
     "q02_min_cost_supplier": q02_min_cost_supplier,
     "q_grouping_sets": q_grouping_sets,
@@ -2092,4 +2404,6 @@ ORACLES = {
     "q_dq_checks": _QDQ_SQL,
     "q_bloom_join_filter": _bloom_join_sql(),
     "q_ivm_join": _QIVM_SQL,
+    "q_benford_audit": _benford_sql(),
+    "q_zorder_layout": _zorder_sql(),
 }

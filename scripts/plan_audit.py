@@ -120,6 +120,18 @@ _NLJ_OK = {
         "broadcast probe side"
     ),
     "q_dq_checks": "single-row orders-total cross join (n_rows patch)",
+    "q_benford_audit": (
+        "single-row total + single-row chi2-fold cross joins over the "
+        "9-digit histogram"
+    ),
+    "q_zorder_layout": (
+        "single-row span + bounded predicate-lattice broadcast overlap "
+        "join vs the 720 zone rows (zonemap shape) + tiny audit joins"
+    ),
+    "q_ev_bootstrap_ci": (
+        "32-row replicate lattice map-side cross join + single-row "
+        "ci_lo/ci_hi order-statistic cross joins"
+    ),
     "q_ev_acf": (
         "single-row (n, s) totals + 2-row lag-lattice cross joins over "
         "the bounded hour grid"

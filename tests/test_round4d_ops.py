@@ -469,3 +469,200 @@ def test_weighted_sample_brute_force(spark, sf_dir):
     corpus_mean = sum(r[2] for r in raced) / len(raced)
     sample_mean = sum(v[1] for v in expected.values()) / len(expected)
     assert sample_mean > corpus_mean
+
+
+# ------------------------------------------------------------ Benford audit
+
+
+def test_benford_brute_force(spark, sf_dir):
+    import math
+
+    t = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+    prices = [p for p in t.column("o_totalprice").to_pylist() if p > 0]
+    digits = [int(str(int(math.floor(p)))[0]) for p in prices]
+    from collections import Counter
+
+    hist = Counter(digits)
+    n = len(digits)
+    expected = {}
+    for d in sorted(hist):
+        p = math.log10(1 + 1 / d)
+        obs = hist[d]
+        expected[d] = (obs, p, obs / n, (obs - n * p) ** 2 / (n * p))
+    chi2 = 0.0
+    for d in sorted(expected):
+        chi2 += expected[d][3]
+    rows = REL_QUERIES["q_benford_audit"](spark, sf_dir).collect()
+    out = {
+        r["digit"]: (r["n_obs"], r["exp_share"], r["obs_share"],
+                     r["chi2_term"])
+        for r in rows
+    }
+    assert out == expected
+    assert all(r["chi2_total"] == chi2 for r in rows)
+
+
+# ----------------------------------------------------------- Z-order layout
+
+
+def test_zorder_brute_force(spark, sf_dir):
+    from esvc_spark.queries.relational import (
+        _ZO_BITS, _ZO_CHUNKS, _ZO_CUST_SLICES, _ZO_PRED_DAYS,
+    )
+
+    t = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    import datetime
+
+    epoch = datetime.date(1970, 1, 1)
+    rows_in = [
+        (ak, ck, (od.date() - epoch).days)
+        for ak, ck, od in zip(
+            t.column("o_orderkey").to_pylist(),
+            t.column("o_custkey").to_pylist(),
+            t.column("o_orderdate").to_pylist(),
+        )
+    ]
+    nb = 1 << _ZO_BITS
+    dmin = min(r[2] for r in rows_in)
+    dmax = max(r[2] for r in rows_in)
+    cmin = min(r[1] for r in rows_in)
+    cmax = max(r[1] for r in rows_in)
+
+    def zval(day, ck):
+        db = ((day - dmin) * nb) // (dmax - dmin + 1)
+        cb = ((ck - cmin) * nb) // (cmax - cmin + 1)
+        z = 0
+        for i in range(_ZO_BITS):
+            z += ((db >> i) & 1) << (2 * i + 1)
+            z += ((cb >> i) & 1) << (2 * i)
+        return z
+
+    layouts = {
+        "arrival": sorted(rows_in, key=lambda r: (r[0], r[0])),
+        "day": sorted(rows_in, key=lambda r: (r[2], r[0])),
+        "zorder": sorted(rows_in, key=lambda r: (zval(r[2], r[1]), r[0])),
+    }
+    n = len(rows_in)
+
+    def ntile_chunks(ordered):
+        # SQL NTILE: first (n % k) tiles get ceil(n/k) rows
+        k = _ZO_CHUNKS
+        base, extra = divmod(n, k)
+        chunks, idx = [], 0
+        for c in range(k):
+            sz = base + (1 if c < extra else 0)
+            if sz:
+                chunks.append(ordered[idx:idx + sz])
+            idx += sz
+        return chunks
+
+    zones = {}
+    for name, ordered in layouts.items():
+        zones[name] = [
+            (
+                min(r[2] for r in ch), max(r[2] for r in ch),
+                min(r[1] for r in ch), max(r[1] for r in ch),
+            )
+            for ch in ntile_chunks(ordered)
+        ]
+    pd_ = [
+        (dmin + p * _ZO_PRED_DAYS, dmin + p * _ZO_PRED_DAYS + _ZO_PRED_DAYS - 1)
+        for p in range((dmax - dmin) // _ZO_PRED_DAYS + 1)
+    ]
+    pc = [
+        (
+            cmin + (q * (cmax - cmin + 1)) // _ZO_CUST_SLICES,
+            cmin + ((q + 1) * (cmax - cmin + 1)) // _ZO_CUST_SLICES - 1,
+        )
+        for q in range(_ZO_CUST_SLICES)
+    ]
+    preds = {
+        "box": [(a, b, c, d) for a, b in pd_ for c, d in pc],
+        "day_1d": [(a, b, cmin, cmax) for a, b in pd_],
+    }
+    expected = {}
+    for name, zs in zones.items():
+        for wc, ps in preds.items():
+            scanned = sum(
+                1
+                for (dlo, dhi, clo, chi) in zs
+                for (pdlo, pdhi, pclo, pchi) in ps
+                if dlo <= pdhi and dhi >= pdlo and clo <= pchi and chi >= pclo
+            )
+            expected[(name, wc)] = (
+                len(zs), len(ps), scanned,
+                1.0 - scanned / (len(zs) * len(ps)),
+            )
+    out = {
+        (r["layout"], r["wclass"]): (
+            r["n_chunks"], r["n_preds"], r["chunks_scanned"], r["skip_ratio"]
+        )
+        for r in REL_QUERIES["q_zorder_layout"](spark, sf_dir).collect()
+    }
+    assert out == expected
+    # the layout story must hold: z-order beats arrival on box queries
+    assert out[("zorder", "box")][3] > out[("arrival", "box")][3]
+
+
+# ------------------------------------------------------------- calibration
+
+
+def test_calibration_brute_force(spark, sf_dir):
+    docs = _docs(sf_dir)
+    from esvc_spark.queries.documents import _CAL_BINS
+
+    agg = defaultdict(lambda: [0, 0])
+    for d in docs:
+        s = _qscore(d)
+        if s is None:
+            continue
+        b = min(max(int(s * 2 // 1), 0), _CAL_BINS - 1)
+        agg[b][0] += 1
+        agg[b][1] += 1 if d["lang"] == "en" else 0
+    expected = {
+        b: (b / 2.0, (b + 1) / 2.0, n, ne, ne / n)
+        for b, (n, ne) in agg.items()
+    }
+    out = {
+        r["bin"]: (
+            r["score_lo"], r["score_hi"], r["n_docs"], r["n_en"], r["en_rate"]
+        )
+        for r in DOC_QUERIES["q_doc_calibration"](spark, sf_dir).collect()
+    }
+    assert out == expected
+
+
+# ------------------------------------------------------------- bootstrap CI
+
+
+def test_bootstrap_ci_brute_force(spark, sf_dir):
+    from esvc_spark.queries.events import _BS_B, _BS_M, _BS_T
+
+    ev = _events(sf_dir)
+    convs = [(e["event_id"], 1 if e["event_type"] == "purchase" else 0)
+             for e in ev]
+    rates = []
+    for b in range(_BS_B):
+        num = den = 0
+        for eid, cv in convs:
+            u = _h15(f"bs{b}:{eid}") % _BS_M
+            w = next(
+                (k for k, t in enumerate(_BS_T) if u < t), len(_BS_T)
+            )
+            den += w
+            num += w * cv
+        rates.append((num / den, b))
+    rates.sort()
+    row = EV_QUERIES["q_ev_bootstrap_ci"](spark, sf_dir).collect()[0]
+    n_conv = sum(cv for _, cv in convs)
+    assert row["n_events"] == len(convs)
+    assert row["n_conv"] == n_conv
+    assert row["point_rate"] == n_conv / len(convs)
+    assert row["n_replicates"] == _BS_B
+    assert row["ci_lo"] == rates[1][0]
+    assert row["ci_hi"] == rates[_BS_B - 2][0]
+    # the interval must bracket the point estimate for a sane resample
+    assert row["ci_lo"] <= row["point_rate"] <= row["ci_hi"]
