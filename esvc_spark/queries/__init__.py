@@ -55,6 +55,8 @@ _FRONT = (
     "q_zorder_layout",
     "q_doc_calibration",
     "q_ev_bootstrap_ci",
+    "q_ev_ab_test",
+    "q_doc_langid_eval",
     # newest round-4 additions (second session): exact dup-run extents,
     # Neyman-optimal stratified sampling, Zipf slope audit
     "q_doc_dup_runs",

@@ -5007,6 +5007,103 @@ ORDER BY k
 """
 
 
+# ----------------------------------------------------------- lang-id eval
+# Classifier-evaluation audit of the marker-token language identifier
+# (q_doc_lang_id) against the labeled lang column: per-language
+# precision / recall / F1 plus the overall accuracy — the quality gate
+# before trusting the heuristic to route untagged corpora. All counts
+# are exact integers; the metrics are single divisions (0-guarded, so a
+# language never predicted yields 0.0 precision, not an engine-divergent
+# 0/0). Scale shape: the lang-id scan plus two |langs|-row aggregates.
+
+
+def q_doc_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    preds = q_doc_lang_id(spark, sf_dir).select("lang", "pred_lang")
+    per_true = preds.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("pred_lang") == F.col("lang"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_correct"),
+    )
+    per_pred = preds.groupBy(F.col("pred_lang").alias("lang")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_predicted")
+    )
+    tot = preds.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum(F.when(F.col("pred_lang") == F.col("lang"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_right"),
+    )
+    rec = F.col("n_correct").cast("double") / F.col("n_docs").cast("double")
+    prec = F.when(F.col("n_predicted") > 0,
+                  F.col("n_correct").cast("double")
+                  / F.col("n_predicted").cast("double")).otherwise(F.lit(0.0))
+    return (
+        per_true.join(F.broadcast(per_pred), "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            "n_correct",
+            F.coalesce("n_predicted", F.lit(0)).cast("bigint")
+            .alias("n_predicted"),
+        )
+        .join(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            "n_correct",
+            "n_predicted",
+            rec.alias("recall"),
+            prec.alias("precision"),
+            F.when(
+                (rec + prec) > 0, 2 * prec * rec / (prec + rec)
+            ).otherwise(F.lit(0.0)).alias("f1"),
+            (F.col("n_right").cast("double") / F.col("n_total").cast("double"))
+            .alias("overall_accuracy"),
+        )
+    )
+
+
+def _langid_eval_sql() -> str:
+    return f"""
+WITH preds AS (
+  SELECT lang, pred_lang FROM ({_langid_sql()}) q
+),
+per_true AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_correct
+  FROM preds GROUP BY 1
+),
+per_pred AS (
+  SELECT pred_lang AS lang, CAST(COUNT(*) AS BIGINT) AS n_predicted
+  FROM preds GROUP BY 1
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+         CAST(SUM(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_right
+  FROM preds
+),
+m AS (
+  SELECT t.lang, t.n_docs, t.n_correct,
+         COALESCE(p.n_predicted, 0) AS n_predicted,
+         CAST(t.n_correct AS DOUBLE) / CAST(t.n_docs AS DOUBLE) AS recall,
+         CASE WHEN COALESCE(p.n_predicted, 0) > 0
+              THEN CAST(t.n_correct AS DOUBLE)
+                     / CAST(p.n_predicted AS DOUBLE)
+              ELSE CAST(0 AS DOUBLE) END AS precision
+  FROM per_true t LEFT JOIN per_pred p USING (lang)
+)
+SELECT lang, n_docs, n_correct, n_predicted, recall, precision,
+       CASE WHEN (recall + precision) > 0
+            THEN 2 * precision * recall / (precision + recall)
+            ELSE CAST(0 AS DOUBLE) END AS f1,
+       CAST(n_right AS DOUBLE) / CAST(n_total AS DOUBLE) AS overall_accuracy
+FROM m, tot
+"""
+
+
 # --------------------------------------------------------- calibration curve
 # Reliability diagram for the quality score as an is-English predictor —
 # the per-bin companion to q_doc_quality_auc's single-number rank
@@ -5159,6 +5256,7 @@ QUERIES = {
     "q_doc_heaps": q_doc_heaps,
     "q_doc_weighted_sample": q_doc_weighted_sample,
     "q_doc_calibration": q_doc_calibration,
+    "q_doc_langid_eval": q_doc_langid_eval,
     "q_doc_bpe_tokens": q_doc_bpe_tokens,
     "q_doc_token_stats": q_doc_token_stats,
     "q_doc_quality": q_doc_quality,
@@ -5223,6 +5321,7 @@ ORACLES = {
     "q_doc_heaps": _heaps_sql(),
     "q_doc_weighted_sample": _weighted_sample_sql(),
     "q_doc_calibration": _calibration_sql(),
+    "q_doc_langid_eval": _langid_eval_sql(),
     "q_doc_bpe_tokens": _bpe_sql(),
     "q_doc_token_stats": _TOKEN_STATS_SQL,
     "q_doc_quality": _QUALITY_SQL,

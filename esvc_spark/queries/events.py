@@ -4061,6 +4061,118 @@ ORDER BY lag
 """
 
 
+# ------------------------------------------------------------- A/B z-test
+# Experiment-analysis primitive: users hash-split 50/50 into variants
+# (the same deterministic md5 assignment q_doc_split uses for train/test),
+# per-user conversion = "power purchaser" (>= _AB_CONV_MIN purchase
+# events — every synthetic user buys at least once, so "ever purchased"
+# would saturate at 100% and make the pooled variance zero), and the
+# two-proportion pooled z-statistic computed in closed form. Integer counts end-to-end; the
+# z-score is a handful of IEEE ops (sqrt is correctly rounded in both
+# engines) on exact integer inputs, so it hash-matches. The significance
+# flag compares |z| against 1.959964 (the two-sided 5% critical value,
+# injected as the same literal both sides). Scale shape: one user-grain
+# aggregate, then a 2-row reduction.
+
+_AB_ZCRIT = 1.959964
+_AB_CONV_MIN = 14  # median user has 13 purchases at every sf
+
+
+def q_ev_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    users = (
+        ev.groupBy("user_id")
+        .agg(
+            F.when(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                )
+                >= _AB_CONV_MIN,
+                1,
+            ).otherwise(0).alias("conv")
+        )
+        .select(
+            F.expr(
+                "CAST(conv(substr(md5(concat('ab:', CAST(user_id AS STRING))),"
+                " 1, 15), 16, 10) AS BIGINT) % 2"
+            ).alias("variant"),
+            "conv",
+        )
+    )
+    arms = users.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("conv").cast("bigint").alias("k"),
+    )
+    a = arms.filter(F.col("variant") == 0).select(
+        F.col("n").alias("n_a"), F.col("k").alias("conv_a")
+    )
+    b = arms.filter(F.col("variant") == 1).select(
+        F.col("n").alias("n_b"), F.col("k").alias("conv_b")
+    )
+    ra = F.col("conv_a").cast("double") / F.col("n_a").cast("double")
+    rb = F.col("conv_b").cast("double") / F.col("n_b").cast("double")
+    pp = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    # degenerate-arm guard: pooled variance 0 (all or none convert)
+    # must yield z = 0, not an ANSI divide-by-zero
+    var = pp * (F.lit(1).cast("double") - pp) * (
+        F.lit(1).cast("double") / F.col("n_a").cast("double")
+        + F.lit(1).cast("double") / F.col("n_b").cast("double")
+    )
+    z = F.when(var > 0, (ra - rb) / F.sqrt(var)).otherwise(F.lit(0.0))
+    return a.join(F.broadcast(b)).select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        ra.alias("rate_a"),
+        rb.alias("rate_b"),
+        (ra - rb).alias("abs_lift"),
+        z.alias("z_score"),
+        F.when(F.abs(z) > _AB_ZCRIT, 1).otherwise(0).alias("significant"),
+    )
+
+
+_AB_SQL = f"""
+WITH users AS (
+  SELECT CAST(('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 2 AS variant,
+         CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   >= {_AB_CONV_MIN} THEN 1 ELSE 0 END AS conv
+  FROM events GROUP BY user_id
+),
+arms AS (
+  SELECT variant, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(conv) AS BIGINT) AS k
+  FROM users GROUP BY 1
+),
+ab AS (
+  SELECT a.n AS n_a, a.k AS conv_a, b.n AS n_b, b.k AS conv_b
+  FROM (SELECT n, k FROM arms WHERE variant = 0) a,
+       (SELECT n, k FROM arms WHERE variant = 1) b
+),
+withvar AS (
+  SELECT *,
+         CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+         CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+         (CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+           * (CAST(1 AS DOUBLE)
+              - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+           * (CAST(1 AS DOUBLE) / CAST(n_a AS DOUBLE)
+              + CAST(1 AS DOUBLE) / CAST(n_b AS DOUBLE)) AS var_
+  FROM ab
+)
+SELECT n_a, conv_a, n_b, conv_b, rate_a, rate_b,
+       rate_a - rate_b AS abs_lift,
+       CASE WHEN var_ > 0 THEN (rate_a - rate_b) / sqrt(var_)
+            ELSE CAST(0 AS DOUBLE) END AS z_score,
+       CASE WHEN abs(CASE WHEN var_ > 0 THEN (rate_a - rate_b) / sqrt(var_)
+                          ELSE CAST(0 AS DOUBLE) END)
+                > {_AB_ZCRIT} THEN 1 ELSE 0 END AS significant
+FROM withvar
+"""
+
+
 # ------------------------------------------------------------ bootstrap CI
 # Deterministic Poisson bootstrap on the purchase-conversion rate: each
 # of B=32 replicates reweights every event by a pseudo-Poisson(1) count
@@ -4232,6 +4344,7 @@ QUERIES = {
     "q_ev_stickiness": q_ev_stickiness,
     "q_ev_acf": q_ev_acf,
     "q_ev_bootstrap_ci": q_ev_bootstrap_ci,
+    "q_ev_ab_test": q_ev_ab_test,
     "q_stream_tumbling_hourly": q_stream_tumbling_hourly,
     "q_stream_sessionize": q_stream_sessionize,
     "q_stream_running_totals": q_stream_running_totals,
@@ -4300,4 +4413,5 @@ ORACLES = {
     "q_ev_stickiness": _STICKINESS_SQL,
     "q_ev_acf": _acf_sql(),
     "q_ev_bootstrap_ci": _bootstrap_sql(),
+    "q_ev_ab_test": _AB_SQL,
 }

@@ -120,6 +120,8 @@ _NLJ_OK = {
         "broadcast probe side"
     ),
     "q_dq_checks": "single-row orders-total cross join (n_rows patch)",
+    "q_ev_ab_test": "single-row arm-A x arm-B cross join (2-row reduction)",
+    "q_doc_langid_eval": "single-row accuracy-totals cross join",
     "q_benford_audit": (
         "single-row total + single-row chi2-fold cross joins over the "
         "9-digit histogram"

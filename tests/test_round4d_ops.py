@@ -666,3 +666,74 @@ def test_bootstrap_ci_brute_force(spark, sf_dir):
     assert row["ci_hi"] == rates[_BS_B - 2][0]
     # the interval must bracket the point estimate for a sane resample
     assert row["ci_lo"] <= row["point_rate"] <= row["ci_hi"]
+
+
+# ----------------------------------------------------------------- A/B test
+
+
+def test_ab_test_brute_force(spark, sf_dir):
+    import math
+
+    from esvc_spark.queries.events import _AB_CONV_MIN, _AB_ZCRIT
+
+    ev = _events(sf_dir)
+    per_user = defaultdict(int)
+    for e in ev:
+        per_user[e["user_id"]] += 1 if e["event_type"] == "purchase" else 0
+    arms = {0: [0, 0], 1: [0, 0]}
+    for u, np_ in per_user.items():
+        v = _h15(f"ab:{u}") % 2
+        arms[v][0] += 1
+        arms[v][1] += 1 if np_ >= _AB_CONV_MIN else 0
+    (n_a, c_a), (n_b, c_b) = arms[0], arms[1]
+    ra, rb = c_a / n_a, c_b / n_b
+    pp = (c_a + c_b) / (n_a + n_b)
+    var = pp * (1.0 - pp) * (1.0 / n_a + 1.0 / n_b)
+    z = (ra - rb) / math.sqrt(var) if var > 0 else 0.0
+    row = EV_QUERIES["q_ev_ab_test"](spark, sf_dir).collect()[0]
+    assert (row["n_a"], row["conv_a"], row["n_b"], row["conv_b"]) == (
+        n_a, c_a, n_b, c_b,
+    )
+    assert row["rate_a"] == ra and row["rate_b"] == rb
+    assert row["abs_lift"] == ra - rb
+    assert row["z_score"] == z
+    assert row["significant"] == (1 if abs(z) > _AB_ZCRIT else 0)
+    # the hash split must be a genuine A/A on synthetic data: both arms
+    # populated and conversion non-degenerate
+    assert n_a > 0 and n_b > 0
+    assert 0 < c_a + c_b < n_a + n_b
+
+
+# ------------------------------------------------------------- lang-id eval
+
+
+def test_langid_eval_brute_force(spark, sf_dir):
+    from esvc_spark.queries.documents import QUERIES as DQ
+
+    preds = [
+        (r["lang"], r["pred_lang"])
+        for r in DQ["q_doc_lang_id"](spark, sf_dir).collect()
+    ]
+    per_true = defaultdict(lambda: [0, 0])
+    per_pred = defaultdict(int)
+    for lg, pd in preds:
+        per_true[lg][0] += 1
+        per_true[lg][1] += 1 if pd == lg else 0
+        per_pred[pd] += 1
+    n_total = len(preds)
+    n_right = sum(c for _, c in per_true.values())
+    expected = {}
+    for lg, (n, c) in per_true.items():
+        npred = per_pred.get(lg, 0)
+        rec = c / n
+        prec = c / npred if npred > 0 else 0.0
+        f1 = 2 * prec * rec / (prec + rec) if (rec + prec) > 0 else 0.0
+        expected[lg] = (n, c, npred, rec, prec, f1, n_right / n_total)
+    out = {
+        r["lang"]: (
+            r["n_docs"], r["n_correct"], r["n_predicted"], r["recall"],
+            r["precision"], r["f1"], r["overall_accuracy"],
+        )
+        for r in DOC_QUERIES["q_doc_langid_eval"](spark, sf_dir).collect()
+    }
+    assert out == expected
