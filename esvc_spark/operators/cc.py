@@ -18,6 +18,22 @@ from pyspark.sql import functions as F
 
 
 @contextmanager
+def _scoped_conf(spark, key: str, value: str):
+    """Temporarily set one session conf, restoring (or unsetting) the
+    previous value on exit — the single save/restore implementation every
+    query-scoped conf goes through."""
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
+@contextmanager
 def _scoped_shuffle_partitions(spark, n: int | None):
     """Temporarily size shuffle partitions for the label-propagation
     rounds. The label/edge tables of a dedup graph are pair-list-sized
@@ -28,15 +44,8 @@ def _scoped_shuffle_partitions(spark, n: int | None):
     if n is None:
         yield
         return
-    old = spark.conf.get("spark.sql.shuffle.partitions", None)
-    spark.conf.set("spark.sql.shuffle.partitions", str(n))
-    try:
+    with _scoped_conf(spark, "spark.sql.shuffle.partitions", str(n)):
         yield
-    finally:
-        if old is None:
-            spark.conf.unset("spark.sql.shuffle.partitions")
-        else:
-            spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 # Below this many edges the label-propagation rounds are pure

@@ -235,7 +235,7 @@ def q_esvc_editor_large(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized explode stays fully parallel with no global sort."""
     from ..core.exparse import make_command
     from ..core.spark_engine import SparkDat, SparkExEngine
-    from ..operators.cc import _scoped_shuffle_partitions
+    from ..operators.cc import _scoped_conf, _scoped_shuffle_partitions
 
     from pyspark.sql import Window
 
@@ -272,21 +272,14 @@ def q_esvc_editor_large(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same reason: the ~21 state materializations are tiny bounded jobs
     # whose runtime re-planning adds a scheduling round-trip each and can
     # never improve an 8-partition plan (measured ~15% of the query).
-    aqe_old = spark.conf.get("spark.sql.adaptive.enabled", None)
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        with _scoped_shuffle_partitions(spark, 8):
-            eng = SparkExEngine(spark)
-            init = SparkDat.create(lines, SparkExEngine.COLS)
-            final = _shelve_minimize_replay(eng, init, script)
-            out = final.df.select(
-                "line_no", F.md5("text").alias("text_md5")
-            ).localCheckpoint()
-    finally:
-        if aqe_old is None:
-            spark.conf.unset("spark.sql.adaptive.enabled")
-        else:
-            spark.conf.set("spark.sql.adaptive.enabled", aqe_old)
+    with _scoped_conf(spark, "spark.sql.adaptive.enabled", "false"), \
+            _scoped_shuffle_partitions(spark, 8):
+        eng = SparkExEngine(spark)
+        init = SparkDat.create(lines, SparkExEngine.COLS)
+        final = _shelve_minimize_replay(eng, init, script)
+        out = final.df.select(
+            "line_no", F.md5("text").alias("text_md5")
+        ).localCheckpoint()
     return out
 
 

@@ -3808,9 +3808,11 @@ def q_ev_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.expr("rn = (n + 1) div 2"))
         .select("event_type", F.col("value").alias("med"))
     )
+    # dev feeds both the MAD median branch and the final aggregate —
+    # persist it, or the full-events row_number window runs twice
     dev = ev.join(F.broadcast(med), "event_type").withColumn(
         "d", F.abs(F.col("value") - F.col("med"))
-    )
+    ).transform(_tp)
     w2 = Window.partitionBy("event_type").orderBy("d", "event_id")
     mad = (
         dev.withColumn("rn", F.row_number().over(w2))

@@ -14,6 +14,8 @@ entirely by Catalyst built-ins.
 
 from __future__ import annotations
 
+import math as _math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2018,8 +2020,6 @@ FROM maintained m JOIN full_v f USING (c_mktsegment)
 # total over the 9 digit rows is an order-pinned sequential fold (digit
 # order), keeping the double sum bit-identical. Scale shape: one scan to
 # a 9-row histogram; everything after is constant-size.
-
-import math as _math
 
 _BENFORD_P = {d: _math.log10(1 + 1 / d) for d in range(1, 10)}
 

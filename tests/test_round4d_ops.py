@@ -118,12 +118,12 @@ def test_dq_checks_brute_force(spark, sf_dir):
             len(evv), sum(1 for v in evv if v <= 0)
         ),
     }
+    rows = REL_QUERIES["q_dq_checks"](spark, sf_dir).collect()
     out = {
-        (r["tbl"], r["check_name"]): (r["n_rows"], r["n_bad"])
-        for r in REL_QUERIES["q_dq_checks"](spark, sf_dir).collect()
+        (r["tbl"], r["check_name"]): (r["n_rows"], r["n_bad"]) for r in rows
     }
     assert out == expected
-    for r in REL_QUERIES["q_dq_checks"](spark, sf_dir).collect():
+    for r in rows:
         assert r["bad_fraction"] == r["n_bad"] / r["n_rows"]
         assert r["passed"] == (1 if r["n_bad"] == 0 else 0)
 
@@ -329,9 +329,15 @@ def test_stickiness_brute_force(spark, sf_dir):
         dau = sum(1 for dd, _ in ud if dd == d)
         wau = len({u for dd, u in ud if d - 6 <= dd <= d})
         expected[d] = (dau, wau, (dau / wau) if wau else 0.0)
+    import datetime as dt
+
     rows = EV_QUERIES["q_ev_stickiness"](spark, sf_dir).collect()
+    # attach UTC before .timestamp(): a naive datetime would be read in
+    # the HOST timezone (test_streaming.py precedent)
     out = {
-        r["day"].timestamp() // 86400: (r["dau"], r["wau7"], r["stickiness"])
+        r["day"].replace(tzinfo=dt.timezone.utc).timestamp() // 86400: (
+            r["dau"], r["wau7"], r["stickiness"]
+        )
         for r in rows
     }
     assert out == {float(d): v for d, v in expected.items()}
