@@ -1396,6 +1396,104 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the semantics q_stream_join
+    cannot show: a click with no same-user purchase 1 s..300 s later emits
+    a null-padded row once the watermark passes its join horizon. Matched
+    pairs emit eagerly; unmatched clicks emit exactly when
+    c_ts + 300 s < final watermark, where the final watermark is
+    min(max click ts, max purchase ts) − 1 h (two watermarked sides, min
+    policy; each side's watermark tracks its own filtered stream because
+    the type filter precedes withWatermark). On a bounded stream the tail
+    of unmatched clicks inside the final horizon stays in state by DESIGN
+    — and the DuckDB oracle encodes exactly that eviction rule, so the
+    driver hash-checks the real outer-join watermark semantics, tail
+    retention included. Scale shape: identical to q_stream_join (bounded
+    watermarked state, no corpus-sized anything)."""
+    clicks = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND "
+            "p_ts >= c_ts + INTERVAL 1 SECOND AND "
+            "p_ts <= c_ts + INTERVAL 300 SECOND"
+        ),
+        "leftOuter",
+    ).select(
+        "click_id",
+        F.col("c_user").alias("user_id"),
+        "purchase_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+        F.when(F.col("purchase_id").isNotNull(), 1).otherwise(0)
+        .alias("matched"),
+    )
+    _STREAM_SEQ[0] += 1
+    name = f"stream_left_join_{_STREAM_SEQ[0]}"
+    with _bounded_stream_confs(spark):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.table(name)
+
+
+# The oracle states the outer-join eviction rule explicitly: every
+# matched pair, plus null-padded rows ONLY for clicks whose join horizon
+# (c_ts + 300 s) lies strictly before the final watermark
+# min(max c_ts, max p_ts) − 1 h. (A microsecond-exact tie between a
+# horizon and the watermark would make strictness observable; the
+# synthetic timestamps make that measure-zero.)
+_STREAM_LEFT_JOIN_SQL = """
+WITH clicks AS (
+  SELECT event_id AS click_id, user_id, ts::TIMESTAMP AS c_ts
+  FROM events WHERE event_type = 'click'
+),
+purch AS (
+  SELECT event_id AS purchase_id, user_id, ts::TIMESTAMP AS p_ts
+  FROM events WHERE event_type = 'purchase'
+),
+wmf AS (
+  SELECT LEAST((SELECT MAX(c_ts) FROM clicks),
+               (SELECT MAX(p_ts) FROM purch)) - INTERVAL 1 HOUR AS wm
+)
+SELECT c.click_id, c.user_id, p.purchase_id,
+       CASE WHEN p.purchase_id IS NULL THEN NULL
+            ELSE epoch_us(p.p_ts) - epoch_us(c.c_ts) END AS gap_us,
+       CASE WHEN p.purchase_id IS NULL THEN 0 ELSE 1 END AS matched
+FROM clicks c LEFT JOIN purch p
+  ON p.user_id = c.user_id
+ AND p.p_ts >= c.c_ts + INTERVAL 1 SECOND
+ AND p.p_ts <= c.c_ts + INTERVAL 300 SECOND
+WHERE p.purchase_id IS NOT NULL
+   OR c.c_ts + INTERVAL 300 SECOND < (SELECT wm FROM wmf)
+"""
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup with bounded state: dropDuplicatesWithinWatermark
     on the content key evicts dedup state past the horizon. Over the
@@ -4351,6 +4449,7 @@ QUERIES = {
     "q_stream_sessionize": q_stream_sessionize,
     "q_stream_running_totals": q_stream_running_totals,
     "q_stream_join": q_stream_join,
+    "q_stream_left_join": q_stream_left_join,
     "q_stream_dedup": q_stream_dedup,
     "q_stream_enrich": q_stream_enrich,
     "q_stream_heads": q_stream_heads,
@@ -4405,6 +4504,7 @@ ORACLES = {
     "q_stream_sessionize": _SESSION_SQL,
     "q_stream_running_totals": _RUNNING_TOTALS_SQL,
     "q_stream_join": _RANGE_SQL,
+    "q_stream_left_join": _STREAM_LEFT_JOIN_SQL,
     "q_stream_dedup": _STREAM_DEDUP_SQL,
     "q_stream_enrich": _STREAM_ENRICH_SQL,
     "q_stream_heads": _STREAM_HEADS_SQL,

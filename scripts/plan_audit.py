@@ -22,6 +22,10 @@ _IMPERATIVE = {
     "q_stream_sessionize": "streaming (micro-batch plans)",
     "q_stream_running_totals": "streaming (stateful micro-batch plans)",
     "q_stream_join": "streaming (stream-stream interval join micro-batches)",
+    "q_stream_left_join": (
+        "streaming (stream-stream LEFT OUTER interval join micro-batches; "
+        "oracle pins the watermark-eviction cutoff)"
+    ),
     "q_stream_dedup": "streaming (watermarked dedup micro-batches)",
     "q_stream_anomaly": (
         "streaming hourly counts (micro-batch plans) + batch z-score "
