@@ -521,7 +521,151 @@ JOIN (SELECT doc_id, MAX(scene_len) AS longest_scene FROM scenes GROUP BY 1) s
 """
 
 
+# ------------------------------------------------------ audio fingerprinting
+# Landmark-constellation audio matching (the Shazam algorithm, Wang 2003)
+# over the synthetic audio corpus: each window's PEAK byte stands in for
+# a spectrogram peak frequency; landmarks are (f1, f2, Δ) pairs of peaks
+# Δ ∈ {1,2,3} windows apart; a 16-window query clip cut from the middle
+# of each of the 5 lowest audio docs is matched against the full corpus
+# index by landmark-key equi-join + time-offset VOTING (the match is the
+# (doc, offset) cell with the most consistent landmark hits — invariant:
+# every clip re-finds its source doc at offset = clip start). Scale
+# shape: the corpus is touched once through the mapInPandas window stage;
+# the query landmark table is tiny and BROADCASTS into the index join
+# (fingerprints shuffle, payloads never do); voting is a bounded
+# (query × doc × offset) aggregate. At web scale the landmark key space
+# would be df-capped like the shingle index (hot boilerplate keys carry
+# no localization signal).
+
+_AM_QMAX = 15  # query set: audio docs with doc_id < 15 (5 clips)
+_AM_CLIP_LO = 4
+_AM_CLIP_HI = 19  # inclusive; 16-window clips
+_AM_DELTAS = (1, 2, 3)
+
+
+def q_mm_audio_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = (
+        audio_windows(media_table(spark, sf_dir), win=_AUDIO_WIN)
+        .select("doc_id", "window_idx", "peak")
+        .transform(_tp)  # feeds the corpus index AND the query clips
+    )
+    deltas = spark.range(0, 1).select(
+        F.explode(F.array(*[F.lit(d) for d in _AM_DELTAS])).alias("delta")
+    )
+    lm = (
+        w.join(F.broadcast(deltas))  # 3-row lattice: landmark fan-out
+        .select(
+            "doc_id",
+            F.col("window_idx").alias("t"),
+            F.col("peak").alias("f1"),
+            "delta",
+            (F.col("window_idx") + F.col("delta")).alias("t2"),
+        )
+        .join(
+            w.select(
+                "doc_id",
+                F.col("window_idx").alias("t2"),
+                F.col("peak").alias("f2"),
+            ),
+            ["doc_id", "t2"],
+        )
+        .select("doc_id", "t", "f1", "f2", "delta")
+        .transform(_tp)
+    )
+    qlm = lm.filter(
+        (F.col("doc_id") < _AM_QMAX)
+        & (F.col("t") >= _AM_CLIP_LO)
+        & (F.col("t") <= _AM_CLIP_HI - F.col("delta"))
+    ).select(
+        F.col("doc_id").alias("query_id"),
+        (F.col("t") - _AM_CLIP_LO).alias("tq"),
+        "f1",
+        "f2",
+        "delta",
+    )
+    votes = (
+        lm.join(F.broadcast(qlm), ["f1", "f2", "delta"])
+        .groupBy(
+            "query_id", "doc_id", (F.col("t") - F.col("tq")).alias("offset")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("votes"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.col("doc_id"), F.col("offset")
+    )
+    return (
+        votes.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "query_id",
+            F.col("doc_id").alias("matched_doc"),
+            F.col("offset").alias("match_offset"),
+            "votes",
+            F.when(
+                (F.col("doc_id") == F.col("query_id"))
+                & (F.col("offset") == _AM_CLIP_LO),
+                1,
+            ).otherwise(0).alias("self_match"),
+        )
+    )
+
+
+def _audio_match_sql() -> str:
+    deltas = ", ".join(f"({d})" for d in _AM_DELTAS)
+    return f"""
+WITH media AS (
+  SELECT doc_id, text, {_SQL_KIND} AS kind FROM documents
+),
+audio AS (SELECT * FROM media WHERE kind = 'audio'),
+w AS (
+  SELECT doc_id, CAST(i AS INT) AS window_idx,
+         substr(text, CAST(i AS INT) * {_AUDIO_WIN} + 1, {_AUDIO_WIN}) AS seg
+  FROM audio,
+       unnest(range(0, GREATEST((length(text) + {_AUDIO_WIN - 1}) // {_AUDIO_WIN},
+                                1))) t(i)
+),
+pk AS (
+  SELECT doc_id, window_idx,
+         -- empty-window guard: unicode('') = -1, see _AUDIO_SQL
+         CASE WHEN length(seg) = 0 THEN 0
+              ELSE CAST(COALESCE(list_max(list_transform(string_split(seg, ''),
+                                          c -> unicode(c))), 0)
+                   AS INTEGER) END AS peak
+  FROM w
+),
+lm AS (
+  SELECT a.doc_id, a.window_idx AS t, a.peak AS f1, b.peak AS f2, d.delta
+  FROM pk a, (SELECT delta FROM (VALUES {deltas}) v(delta)) d, pk b
+  WHERE b.doc_id = a.doc_id AND b.window_idx = a.window_idx + d.delta
+),
+qlm AS (
+  SELECT doc_id AS query_id, t - {_AM_CLIP_LO} AS tq, f1, f2, delta
+  FROM lm
+  WHERE doc_id < {_AM_QMAX} AND t >= {_AM_CLIP_LO}
+    AND t <= {_AM_CLIP_HI} - delta
+),
+votes AS (
+  -- "offset" is reserved in DuckDB; use off_ internally
+  SELECT query_id, lm.doc_id, lm.t - qlm.tq AS off_,
+         CAST(COUNT(*) AS BIGINT) AS votes
+  FROM lm JOIN qlm USING (f1, f2, delta)
+  GROUP BY 1, 2, 3
+)
+SELECT query_id, doc_id AS matched_doc, off_ AS match_offset, votes,
+       CASE WHEN doc_id = query_id AND off_ = {_AM_CLIP_LO}
+            THEN 1 ELSE 0 END AS self_match
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY votes DESC, doc_id, off_) AS rnk
+  FROM votes
+) WHERE rnk = 1
+"""
+
+
 QUERIES = {
+    "q_mm_audio_match": q_mm_audio_match,
     "q_mm_decode_stats": q_mm_decode_stats,
     "q_mm_frame_sample": q_mm_frame_sample,
     "q_mm_resize": q_mm_resize,
@@ -541,4 +685,5 @@ ORACLES = {
     "q_mm_silence": _SILENCE_SQL,
     "q_mm_phash_dedup": _PHASH_SQL,
     "q_mm_scene_cuts": _SCENE_SQL,
+    "q_mm_audio_match": _audio_match_sql(),
 }

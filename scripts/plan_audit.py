@@ -125,6 +125,10 @@ _NLJ_OK = {
     ),
     "q_dq_checks": "single-row orders-total cross join (n_rows patch)",
     "q_ev_ab_test": "single-row arm-A x arm-B cross join (2-row reduction)",
+    "q_mm_audio_match": (
+        "3-row delta-lattice landmark fan-out + tiny broadcast "
+        "query-landmark join (fingerprints shuffle, payloads never)"
+    ),
     "q_doc_langid_eval": "single-row accuracy-totals cross join",
     "q_benford_audit": (
         "single-row total + single-row chi2-fold cross joins over the "

@@ -743,3 +743,62 @@ def test_langid_eval_brute_force(spark, sf_dir):
         for r in DOC_QUERIES["q_doc_langid_eval"](spark, sf_dir).collect()
     }
     assert out == expected
+
+
+# -------------------------------------------------------- audio landmarks
+
+
+def test_audio_match_brute_force(spark, sf_dir):
+    from esvc_spark.queries.multimodal import (
+        _AM_CLIP_HI, _AM_CLIP_LO, _AM_DELTAS, _AM_QMAX, _AUDIO_WIN,
+    )
+
+    docs = _docs(sf_dir)
+    peaks = {}
+    for d in docs:
+        if d["doc_id"] % 3 != 1:  # kind != audio
+            continue
+        t = d["text"]
+        n_w = max((len(t) + _AUDIO_WIN - 1) // _AUDIO_WIN, 1)
+        peaks[d["doc_id"]] = [
+            max((ord(c) for c in t[i * _AUDIO_WIN:(i + 1) * _AUDIO_WIN]),
+                default=0)
+            for i in range(n_w)
+        ]
+    lm = defaultdict(list)  # (f1,f2,delta) -> [(doc, t)]
+    for doc, ps in peaks.items():
+        for t in range(len(ps)):
+            for dl in _AM_DELTAS:
+                if t + dl < len(ps):
+                    lm[(ps[t], ps[t + dl], dl)].append((doc, t))
+    expected = {}
+    for q, ps in peaks.items():
+        if q >= _AM_QMAX:
+            continue
+        votes = defaultdict(int)
+        for t in range(_AM_CLIP_LO, min(_AM_CLIP_HI + 1, len(ps))):
+            for dl in _AM_DELTAS:
+                if t + dl < len(ps) and t <= _AM_CLIP_HI - dl:
+                    for doc, tc in lm[(ps[t], ps[t + dl], dl)]:
+                        votes[(doc, tc - (t - _AM_CLIP_LO))] += 1
+        if not votes:
+            continue
+        (doc, off), v = min(
+            votes.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        expected[q] = (
+            doc, off, v, 1 if (doc == q and off == _AM_CLIP_LO) else 0
+        )
+    from esvc_spark.queries.multimodal import QUERIES as MM_QUERIES
+
+    out = {
+        r["query_id"]: (
+            r["matched_doc"], r["match_offset"], r["votes"], r["self_match"]
+        )
+        for r in MM_QUERIES["q_mm_audio_match"](spark, sf_dir).collect()
+    }
+    assert out == expected
+    # with full-length clips the constellation must localize its source
+    full = [q for q, ps in peaks.items()
+            if q < _AM_QMAX and len(ps) > _AM_CLIP_HI + max(_AM_DELTAS)]
+    assert all(out[q][3] == 1 for q in full if q in out)
