@@ -59,6 +59,7 @@ _FRONT = (
     "q_doc_langid_eval",
     "q_stream_left_join",
     "q_mm_audio_match",
+    "q_doc_bbit_minhash",
     # newest round-4 additions (second session): exact dup-run extents,
     # Neyman-optimal stratified sampling, Zipf slope audit
     "q_doc_dup_runs",

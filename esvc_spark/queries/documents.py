@@ -3131,6 +3131,167 @@ def q_doc_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# b-bit minwise hashing (Li & Konig, WWW 2010): store only the lowest
+# b=4 bits of each MinHash value — a 2^b-fold signature compression (the
+# difference between a 100 TB dedup index fitting in memory or not) —
+# and correct the estimator for accidental low-bit collisions:
+#   E[f_b] = C + (1 - C)·J  with C = 2^-b  ⇒  Ĵ = (m_b - 1) / (2^b - 1)
+# per 16-perm signature (clamped at 0). The audit reports, per LSH
+# candidate pair, the full-width estimate, the b-bit corrected estimate,
+# and the exact Jaccard — the evidence for shipping the compressed index.
+# Scale shape: identical to q_doc_minhash_audit (banded candidates, exact
+# side hydrated only for candidate docs); the b-bit columns are free.
+
+_BBIT = 4
+
+
+def q_doc_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_par(spark, sf_dir)
+    sig = _mh_sig(docs).transform(_tp)
+    bands = _mh_bands(sig)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .transform(_tp)
+    )
+    sa, sb = sig.alias("sa"), sig.alias("sb")
+    full = sum(
+        F.when(F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}"), 1).otherwise(0)
+        for i in range(_N_PERM)
+    )
+    bb = sum(
+        F.when(
+            F.col(f"sa.mh{i}") % (1 << _BBIT)
+            == F.col(f"sb.mh{i}") % (1 << _BBIT),
+            1,
+        ).otherwise(0)
+        for i in range(_N_PERM)
+    )
+    est = (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            full.cast("bigint").alias("sig_matches"),
+            bb.cast("bigint").alias("bb_matches"),
+        )
+    )
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select("doc_b"))
+        .distinct()
+    )
+    shc = _shingles_df(docs).join(F.broadcast(cand_docs), "doc_id").transform(_tp)
+    counts = shc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    xa, xb = shc.alias("xa"), shc.alias("xb")
+    shared = (
+        xa.join(
+            xb,
+            (F.col("xa.shingle") == F.col("xb.shingle"))
+            & (F.col("xa.doc_id") < F.col("xb.doc_id")),
+        )
+        .select(F.col("xa.doc_id").alias("doc_a"), F.col("xb.doc_id").alias("doc_b"))
+        .join(F.broadcast(cand), ["doc_a", "doc_b"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    ca, cb = counts.alias("ca"), counts.alias("cb")
+    corr = _N_PERM // (1 << _BBIT)  # expected accidental matches: 16/2^b
+    return (
+        est.join(shared, ["doc_a", "doc_b"], "left")
+        .withColumn("shared", F.coalesce("shared", F.lit(0)).cast("bigint"))
+        .join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "sig_matches",
+            (F.col("sig_matches").cast("double") / float(_N_PERM))
+            .alias("est_full"),
+            "bb_matches",
+            (
+                F.greatest(F.col("bb_matches") - corr, F.lit(0)).cast("double")
+                / float(_N_PERM - corr)
+            ).alias("est_bbit"),
+            (
+                F.col("shared").cast("double")
+                / (F.col("ca.n_sh") + F.col("cb.n_sh") - F.col("shared"))
+            ).alias("exact_jaccard"),
+        )
+    )
+
+
+def _bbit_minhash_sql() -> str:
+    mins = ", ".join(
+        f"MIN(({a} * h + {b}) % {_P}) AS mh{i}" for i, (a, b) in enumerate(_PERMS)
+    )
+    band_keys = ", ".join(
+        "concat_ws('_', "
+        + ", ".join(f"mh{j}" for j in range(b * _ROWS_PER_BAND, (b + 1) * _ROWS_PER_BAND))
+        + f") AS band{b}"
+        for b in range(_N_BANDS)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, band{b} AS band_key FROM banded"
+        for b in range(_N_BANDS)
+    )
+    full_expr = " + ".join(
+        f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(_N_PERM)
+    )
+    bb_expr = " + ".join(
+        f"CASE WHEN sa.mh{i} % {1 << _BBIT} = sb.mh{i} % {1 << _BBIT} "
+        "THEN 1 ELSE 0 END"
+        for i in range(_N_PERM)
+    )
+    corr = _N_PERM // (1 << _BBIT)
+    return f"""
+WITH sh AS ({_SQL_SHINGLES}),
+hashed AS (SELECT doc_id, {_sql_h('shingle')} % {_P} AS h FROM sh),
+sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+banded AS (SELECT doc_id, {band_keys} FROM sig),
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+cnt AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh
+  WHERE doc_id IN (SELECT doc_a FROM cand UNION SELECT doc_b FROM cand)
+  GROUP BY doc_id
+),
+shared AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS shared
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b,
+       CAST({full_expr} AS BIGINT) AS sig_matches,
+       CAST({full_expr} AS DOUBLE) / {_N_PERM} AS est_full,
+       CAST({bb_expr} AS BIGINT) AS bb_matches,
+       CAST(GREATEST(({bb_expr}) - {corr}, 0) AS DOUBLE)
+         / {_N_PERM - corr} AS est_bbit,
+       CAST(COALESCE(s.shared, 0) AS DOUBLE)
+         / (ca.n_sh + cb.n_sh - COALESCE(s.shared, 0)) AS exact_jaccard
+FROM cand c
+LEFT JOIN shared s ON s.doc_a = c.doc_a AND s.doc_b = c.doc_b
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b
+JOIN cnt ca ON ca.doc_id = c.doc_a
+JOIN cnt cb ON cb.doc_id = c.doc_b
+"""
+
+
 def _minhash_audit_sql() -> str:
     mins = ", ".join(
         f"MIN(({a} * h + {b}) % {_P}) AS mh{i}" for i, (a, b) in enumerate(_PERMS)
@@ -5257,6 +5418,7 @@ QUERIES = {
     "q_doc_weighted_sample": q_doc_weighted_sample,
     "q_doc_calibration": q_doc_calibration,
     "q_doc_langid_eval": q_doc_langid_eval,
+    "q_doc_bbit_minhash": q_doc_bbit_minhash,
     "q_doc_bpe_tokens": q_doc_bpe_tokens,
     "q_doc_token_stats": q_doc_token_stats,
     "q_doc_quality": q_doc_quality,
@@ -5322,6 +5484,7 @@ ORACLES = {
     "q_doc_weighted_sample": _weighted_sample_sql(),
     "q_doc_calibration": _calibration_sql(),
     "q_doc_langid_eval": _langid_eval_sql(),
+    "q_doc_bbit_minhash": _bbit_minhash_sql(),
     "q_doc_bpe_tokens": _bpe_sql(),
     "q_doc_token_stats": _TOKEN_STATS_SQL,
     "q_doc_quality": _QUALITY_SQL,

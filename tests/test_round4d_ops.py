@@ -802,3 +802,50 @@ def test_audio_match_brute_force(spark, sf_dir):
     full = [q for q, ps in peaks.items()
             if q < _AM_QMAX and len(ps) > _AM_CLIP_HI + max(_AM_DELTAS)]
     assert all(out[q][3] == 1 for q in full if q in out)
+
+
+# ----------------------------------------------------------- b-bit minhash
+
+
+def test_bbit_minhash_brute_force(spark, sf_dir):
+    from esvc_spark.queries.documents import (
+        _BBIT, _N_PERM, _P, _PERMS, _SHINGLE,
+    )
+
+    docs = _docs(sf_dir)
+    shingles = {}
+    for d in docs:
+        w = re.findall(r"\S+", d["text"])
+        shingles[d["doc_id"]] = {
+            " ".join(w[i:i + _SHINGLE]) for i in range(len(w) - _SHINGLE + 1)
+        }
+    sigs = {}
+    for doc, sh in shingles.items():
+        if not sh:
+            continue
+        hs = [_h15(s) % _P for s in sh]
+        sigs[doc] = [min((a * h + b) % _P for h in hs) for a, b in _PERMS]
+    rows = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in __import__("esvc_spark.queries.documents",
+                            fromlist=["QUERIES"]).QUERIES[
+            "q_doc_bbit_minhash"](spark, sf_dir).collect()
+    }
+    corr = _N_PERM // (1 << _BBIT)
+    for (a, b), r in rows.items():
+        sa, sb = sigs[a], sigs[b]
+        full = sum(1 for i in range(_N_PERM) if sa[i] == sb[i])
+        bb = sum(
+            1 for i in range(_N_PERM)
+            if sa[i] % (1 << _BBIT) == sb[i] % (1 << _BBIT)
+        )
+        inter = len(shingles[a] & shingles[b])
+        uni = len(shingles[a] | shingles[b])
+        assert r["sig_matches"] == full
+        assert r["bb_matches"] == bb
+        assert r["est_full"] == full / _N_PERM
+        assert r["est_bbit"] == max(bb - corr, 0) / (_N_PERM - corr)
+        assert r["exact_jaccard"] == inter / uni
+        # b-bit matches dominate full matches (low bits agree whenever
+        # the whole value does)
+        assert bb >= full
