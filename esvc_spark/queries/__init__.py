@@ -60,6 +60,12 @@ _FRONT = (
     "q_stream_left_join",
     "q_mm_audio_match",
     "q_doc_bbit_minhash",
+    "q_histogram_selectivity",
+    "q_join_card_audit",
+    "q_ev_watermark_plan",
+    # never driver-graded in any round — must land inside the ~50-row
+    # grading budget this time (VERDICT r3 what's-wrong #2)
+    "q_profile_lineitem",
     # newest round-4 additions (second session): exact dup-run extents,
     # Neyman-optimal stratified sampling, Zipf slope audit
     "q_doc_dup_runs",
@@ -94,8 +100,6 @@ _FRONT = (
     "q_emb_ood",
     "q_emb_quantize_int8",
     "q_doc_bigrams",
-    # never driver-graded in any round
-    "q_profile_lineitem",
     # r1-vintage attestation: their only driver rows predate the r2
     # dsum/decimal helper rewrite and r3 registry churn in relational.py
     # (VERDICT r3 next-round #1) — refresh all 28

@@ -4161,6 +4161,110 @@ ORDER BY lag
 """
 
 
+# -------------------------------------------------------- watermark planning
+# Watermark-delay planning audit: the driver data arrives in perfect
+# event-time order (event_id ≡ ts order), so delivery disorder is
+# simulated with a deterministic hash jitter — arrival_us = ts_us +
+# h(event_id) mod 120 s, a bounded network-delay model. Replaying events
+# in ARRIVAL order, an event is late-by the running max event time minus
+# its own; for each candidate watermark delay the audit reports how many
+# events a `withWatermark(delay)` would drop and the residual late rate —
+# exactly the table an engineer reads before picking the q_stream_* delay.
+# Integer µs end-to-end. Scale shape: one global arrival-order running-max
+# window (the audit's cost — production would sample), then a single
+# aggregate unpivoted over the constant delay lattice.
+
+_WM_JITTER_US = 120_000_000
+_WM_DELAYS_S = (0, 10, 30, 60, 120)
+
+
+def q_ev_watermark_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events").select(
+        "event_id", F.expr("unix_micros(ts)").alias("t_us")
+    )
+    arr = ev.select(
+        "event_id",
+        "t_us",
+        (
+            F.col("t_us")
+            + F.expr(
+                "CAST(conv(substr(md5(concat('wm:', CAST(event_id AS"
+                " STRING))), 1, 15), 16, 10) AS BIGINT)"
+            )
+            % _WM_JITTER_US
+        ).alias("a_us"),
+    )
+    w = Window.orderBy("a_us", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    late = arr.select(
+        (F.max("t_us").over(w) - F.col("t_us")).alias("late_us")
+    )
+    aggs = late.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        *[
+            F.sum(F.when(F.col("late_us") > d * 1_000_000, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"d{d}")
+            for d in _WM_DELAYS_S
+        ],
+        F.max("late_us").cast("bigint").alias("max_late_us"),
+    )
+    stack = ", ".join(f"{d}L, d{d}" for d in _WM_DELAYS_S)
+    return aggs.select(
+        F.expr(
+            f"stack({len(_WM_DELAYS_S)}, {stack}) AS (delay_s, n_dropped)"
+        ),
+        "n_events",
+        "max_late_us",
+    ).select(
+        "delay_s",
+        "n_events",
+        "n_dropped",
+        (F.col("n_dropped").cast("double") / F.col("n_events").cast("double"))
+        .alias("drop_rate"),
+        "max_late_us",
+    )
+
+
+def _watermark_plan_sql() -> str:
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({d} AS BIGINT) AS delay_s, d{d} AS n_dropped,"
+        f" n_events, max_late_us FROM aggs"
+        for d in _WM_DELAYS_S
+    )
+    sums = ", ".join(
+        f"CAST(SUM(CASE WHEN late_us > {d * 1_000_000} THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS d{d}"
+        for d in _WM_DELAYS_S
+    )
+    return f"""
+WITH ev AS (
+  SELECT event_id, epoch_us(ts::TIMESTAMP) AS t_us FROM events
+),
+arr AS (
+  SELECT event_id, t_us,
+         t_us + CAST(('0x' || substr(md5('wm:' || CAST(event_id AS VARCHAR)),
+                      1, 15)) AS BIGINT) % {_WM_JITTER_US} AS a_us
+  FROM ev
+),
+late AS (
+  SELECT MAX(t_us) OVER (ORDER BY a_us, event_id
+                         ROWS UNBOUNDED PRECEDING) - t_us AS late_us
+  FROM arr
+),
+aggs AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_events, {sums},
+         CAST(MAX(late_us) AS BIGINT) AS max_late_us
+  FROM late
+)
+SELECT delay_s, n_events, n_dropped,
+       CAST(n_dropped AS DOUBLE) / CAST(n_events AS DOUBLE) AS drop_rate,
+       max_late_us
+FROM ({rows})
+"""
+
+
 # ------------------------------------------------------------- A/B z-test
 # Experiment-analysis primitive: users hash-split 50/50 into variants
 # (the same deterministic md5 assignment q_doc_split uses for train/test),
@@ -4445,6 +4549,7 @@ QUERIES = {
     "q_ev_acf": q_ev_acf,
     "q_ev_bootstrap_ci": q_ev_bootstrap_ci,
     "q_ev_ab_test": q_ev_ab_test,
+    "q_ev_watermark_plan": q_ev_watermark_plan,
     "q_stream_tumbling_hourly": q_stream_tumbling_hourly,
     "q_stream_sessionize": q_stream_sessionize,
     "q_stream_running_totals": q_stream_running_totals,
@@ -4516,4 +4621,5 @@ ORACLES = {
     "q_ev_acf": _acf_sql(),
     "q_ev_bootstrap_ci": _bootstrap_sql(),
     "q_ev_ab_test": _AB_SQL,
+    "q_ev_watermark_plan": _watermark_plan_sql(),
 }

@@ -2318,6 +2318,275 @@ FROM scanned s JOIN npred USING (wclass) JOIN sizes USING (layout)
 """
 
 
+# ------------------------------------------------- histogram selectivity
+# Optimizer-statistics audit: a 32-bucket EQUI-HEIGHT histogram on
+# o_totalprice (boundaries picked positionally — exact data values, no
+# interpolation in the build) scored against truth on an 8-predicate
+# range workload with the textbook uniform-within-bucket estimator. The
+# per-predicate q-error is what a cost-based optimizer's row estimates
+# are graded on; ±1-row bucket heights are carried exactly and the
+# 32-term estimate sum is an order-pinned fold, so both engines agree to
+# the bit. Scale shape: one global rank window builds the histogram (the
+# audit's cost; a production ANALYZE samples instead), then everything is
+# a 32×8 lattice; truth is one scan against the broadcast predicate list.
+
+_HS_BUCKETS = 32
+_HS_PREDS = 8
+
+
+def q_histogram_selectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._util import ofold_sum
+
+    orders = T(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").alias("v")
+    )
+    n_tot = orders.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.orderBy("v", "o_orderkey")
+    ranked = orders.withColumn("rn", F.row_number().over(w))
+    # boundary rows: rn = (n*k) div B for k = 1..B (positional picks)
+    ks = spark.range(1, _HS_BUCKETS + 1).select(F.col("id").alias("k"))
+    marks = (
+        ks.join(F.broadcast(n_tot))
+        .select("k", F.expr(f"(n * k) div {_HS_BUCKETS}").alias("rn"))
+    )
+    hist = (
+        ranked.join(F.broadcast(marks), "rn")
+        .select("k", F.col("v").alias("ub"), F.col("rn").alias("hi_rn"))
+    )
+    wb = Window.orderBy("k")
+    buckets = hist.select(
+        "k",
+        F.coalesce(F.lag("ub").over(wb), F.lit(None).cast("double"))
+        .alias("lb"),
+        "ub",
+        (
+            F.col("hi_rn")
+            - F.coalesce(F.lag("hi_rn").over(wb), F.lit(0))
+        ).cast("bigint").alias("height"),
+    )
+    span = orders.agg(F.min("v").alias("vmin"), F.max("v").alias("vmax"))
+    preds = (
+        spark.range(0, _HS_PREDS)
+        .select(F.col("id").alias("p"))
+        .join(F.broadcast(span))
+        .select(
+            "p",
+            (
+                F.col("vmin")
+                + F.col("p").cast("double")
+                * (F.col("vmax") - F.col("vmin"))
+                / float(_HS_PREDS)
+            ).alias("plo"),
+            (
+                F.col("vmin")
+                + (F.col("p") + 1).cast("double")
+                * (F.col("vmax") - F.col("vmin"))
+                / float(_HS_PREDS)
+            ).alias("phi"),
+        )
+    )
+    # uniform-within-bucket overlap estimate; first bucket's lb = vmin
+    frac = F.when(
+        F.col("ub") == F.coalesce(F.col("lb"), F.col("vmin")),
+        F.when(
+            (F.col("ub") >= F.col("plo")) & (F.col("ub") < F.col("phi")), 1.0
+        ).otherwise(0.0),
+    ).otherwise(
+        F.greatest(
+            F.lit(0.0),
+            (
+                F.least(F.col("phi"), F.col("ub"))
+                - F.greatest(F.col("plo"), F.coalesce("lb", F.col("vmin")))
+            )
+            / (F.col("ub") - F.coalesce("lb", F.col("vmin"))),
+        )
+    )
+    est = (
+        buckets.join(F.broadcast(preds))
+        .join(F.broadcast(span))
+        .select(
+            "p", "plo", "phi", "k",
+            (F.least(frac, F.lit(1.0)) * F.col("height").cast("double"))
+            .alias("term"),
+        )
+        .groupBy("p", "plo", "phi")
+        .agg(ofold_sum("k", "term").alias("est_rows"))
+    )
+    truth = (
+        orders.join(
+            F.broadcast(preds),
+            (F.col("v") >= F.col("plo")) & (F.col("v") < F.col("phi")),
+        )
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_rows"))
+    )
+    return (
+        est.join(truth, "p", "left")
+        .select(
+            "p",
+            "plo",
+            "phi",
+            "est_rows",
+            F.coalesce("true_rows", F.lit(0)).cast("bigint")
+            .alias("true_rows"),
+            F.when(
+                F.coalesce("true_rows", F.lit(0)) == 0, F.lit(0.0)
+            ).otherwise(
+                F.greatest(
+                    F.col("est_rows") / F.col("true_rows").cast("double"),
+                    F.col("true_rows").cast("double")
+                    / F.greatest(F.col("est_rows"), F.lit(1e-9)),
+                )
+            ).alias("q_error"),
+        )
+    )
+
+
+def _histogram_selectivity_sql() -> str:
+    from ._util import sql_ofold_sum
+
+    return f"""
+WITH o AS (SELECT o_orderkey, o_totalprice AS v FROM orders),
+n_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM o),
+ranked AS (
+  SELECT v, ROW_NUMBER() OVER (ORDER BY v, o_orderkey) AS rn FROM o
+),
+marks AS (
+  SELECT t.k, (n * t.k) // {_HS_BUCKETS} AS rn
+  FROM n_tot, unnest(range(1, {_HS_BUCKETS} + 1)) t(k)
+),
+hist AS (
+  SELECT k, v AS ub, marks.rn AS hi_rn
+  FROM ranked JOIN marks USING (rn)
+),
+buckets AS (
+  SELECT k, LAG(ub) OVER (ORDER BY k) AS lb, ub,
+         CAST(hi_rn - COALESCE(LAG(hi_rn) OVER (ORDER BY k), 0) AS BIGINT)
+           AS height
+  FROM hist
+),
+span AS (SELECT MIN(v) AS vmin, MAX(v) AS vmax FROM o),
+preds AS (
+  SELECT t.p,
+         vmin + CAST(t.p AS DOUBLE) * (vmax - vmin) / {float(_HS_PREDS)}
+           AS plo,
+         vmin + CAST(t.p + 1 AS DOUBLE) * (vmax - vmin) / {float(_HS_PREDS)}
+           AS phi
+  FROM span, unnest(range(0, {_HS_PREDS})) t(p)
+),
+terms AS (
+  SELECT p, plo, phi, k,
+         LEAST(
+           CASE WHEN ub = COALESCE(lb, vmin)
+                THEN CASE WHEN ub >= plo AND ub < phi
+                          THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END
+                ELSE GREATEST(CAST(0 AS DOUBLE),
+                       (LEAST(phi, ub) - GREATEST(plo, COALESCE(lb, vmin)))
+                         / (ub - COALESCE(lb, vmin)))
+           END, CAST(1 AS DOUBLE)) * CAST(height AS DOUBLE) AS term
+  FROM buckets, preds, span
+),
+est AS (
+  SELECT p, plo, phi, {sql_ofold_sum('k', 'term')} AS est_rows
+  FROM terms GROUP BY 1, 2, 3
+),
+truth AS (
+  SELECT p, CAST(COUNT(*) AS BIGINT) AS true_rows
+  FROM o JOIN preds ON v >= plo AND v < phi
+  GROUP BY 1
+)
+SELECT e.p, e.plo, e.phi, e.est_rows,
+       COALESCE(t.true_rows, 0) AS true_rows,
+       CASE WHEN COALESCE(t.true_rows, 0) = 0 THEN CAST(0 AS DOUBLE)
+            ELSE GREATEST(e.est_rows / CAST(t.true_rows AS DOUBLE),
+                          CAST(t.true_rows AS DOUBLE)
+                            / GREATEST(e.est_rows, 1e-9))
+       END AS q_error
+FROM est e LEFT JOIN truth t USING (p)
+"""
+
+
+# -------------------------------------------------- join-cardinality audit
+# The optimizer's independence assumption, quantified: for the
+# many-to-many join events ⋈ orders ON user_id = o_custkey, compare the
+# uniform estimate |R|·|S| / max(d_R, d_S) (what a CBO computes from NDV
+# statistics) against the true size Σ_k n_R(k)·n_S(k) (computable from
+# per-key counts WITHOUT materializing the join). The q-error is the
+# factor by which key skew breaks the uniform assumption — the number
+# that decides whether a 100 TB join plan mis-sizes its shuffle. All
+# counts are exact integers; two divisions at the edge.
+
+
+def q_join_card_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events").select(F.col("user_id").alias("k"))
+    orders = T(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    r = ev.groupBy("k").agg(F.count(F.lit(1)).cast("bigint").alias("nr"))
+    s = orders.groupBy("k").agg(F.count(F.lit(1)).cast("bigint").alias("ns"))
+    stats = (
+        r.join(s, "k", "full_outer")
+        .agg(
+            F.sum(F.coalesce("nr", F.lit(0))).cast("bigint").alias("n_r"),
+            F.sum(F.coalesce("ns", F.lit(0))).cast("bigint").alias("n_s"),
+            F.sum(F.when(F.col("nr").isNotNull(), 1).otherwise(0))
+            .cast("bigint").alias("d_r"),
+            F.sum(F.when(F.col("ns").isNotNull(), 1).otherwise(0))
+            .cast("bigint").alias("d_s"),
+            F.sum(
+                F.coalesce("nr", F.lit(0)) * F.coalesce("ns", F.lit(0))
+            ).cast("bigint").alias("true_size"),
+        )
+    )
+    est = F.col("n_r").cast("double") * F.col("n_s").cast("double") / F.greatest(
+        F.col("d_r"), F.col("d_s")
+    ).cast("double")
+    return stats.select(
+        "n_r",
+        "n_s",
+        "d_r",
+        "d_s",
+        est.alias("est_uniform"),
+        "true_size",
+        F.when(F.col("true_size") == 0, F.lit(0.0)).otherwise(
+            F.greatest(
+                est / F.col("true_size").cast("double"),
+                F.col("true_size").cast("double") / est,
+            )
+        ).alias("q_error"),
+    )
+
+
+_JOIN_CARD_SQL = """
+WITH r AS (SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS nr
+           FROM events GROUP BY 1),
+s AS (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS ns
+      FROM orders GROUP BY 1),
+stats AS (
+  SELECT CAST(SUM(COALESCE(nr, 0)) AS BIGINT) AS n_r,
+         CAST(SUM(COALESCE(ns, 0)) AS BIGINT) AS n_s,
+         CAST(SUM(CASE WHEN nr IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS d_r,
+         CAST(SUM(CASE WHEN ns IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS d_s,
+         CAST(SUM(COALESCE(nr, 0) * COALESCE(ns, 0)) AS BIGINT) AS true_size
+  FROM r FULL OUTER JOIN s USING (k)
+)
+SELECT n_r, n_s, d_r, d_s,
+       CAST(n_r AS DOUBLE) * CAST(n_s AS DOUBLE)
+         / CAST(GREATEST(d_r, d_s) AS DOUBLE) AS est_uniform,
+       true_size,
+       CASE WHEN true_size = 0 THEN CAST(0 AS DOUBLE)
+            ELSE GREATEST(
+              (CAST(n_r AS DOUBLE) * CAST(n_s AS DOUBLE)
+                 / CAST(GREATEST(d_r, d_s) AS DOUBLE))
+                / CAST(true_size AS DOUBLE),
+              CAST(true_size AS DOUBLE)
+                / (CAST(n_r AS DOUBLE) * CAST(n_s AS DOUBLE)
+                     / CAST(GREATEST(d_r, d_s) AS DOUBLE)))
+       END AS q_error
+FROM stats
+"""
+
+
 QUERIES = {
     "q_fuzzy_match": q_fuzzy_match,
     "q_window_trailing_spend": q_window_trailing_spend,
@@ -2328,6 +2597,8 @@ QUERIES = {
     "q_ivm_join": q_ivm_join,
     "q_benford_audit": q_benford_audit,
     "q_zorder_layout": q_zorder_layout,
+    "q_histogram_selectivity": q_histogram_selectivity,
+    "q_join_card_audit": q_join_card_audit,
     "q01_pricing_summary": q01_pricing_summary,
     "q02_min_cost_supplier": q02_min_cost_supplier,
     "q_grouping_sets": q_grouping_sets,
@@ -2406,4 +2677,6 @@ ORACLES = {
     "q_ivm_join": _QIVM_SQL,
     "q_benford_audit": _benford_sql(),
     "q_zorder_layout": _zorder_sql(),
+    "q_histogram_selectivity": _histogram_selectivity_sql(),
+    "q_join_card_audit": _JOIN_CARD_SQL,
 }

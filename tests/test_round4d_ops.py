@@ -849,3 +849,109 @@ def test_bbit_minhash_brute_force(spark, sf_dir):
         # b-bit matches dominate full matches (low bits agree whenever
         # the whole value does)
         assert bb >= full
+
+
+# ---------------------------------------------------- histogram selectivity
+
+
+def test_histogram_selectivity_brute_force(spark, sf_dir):
+    from esvc_spark.queries.relational import _HS_BUCKETS, _HS_PREDS
+
+    t = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    vals = sorted(
+        zip(t.column("o_totalprice").to_pylist(),
+            t.column("o_orderkey").to_pylist())
+    )
+    n = len(vals)
+    marks = [(n * k) // _HS_BUCKETS for k in range(1, _HS_BUCKETS + 1)]
+    ubs = [vals[rn - 1][0] for rn in marks]
+    heights = [marks[0]] + [marks[i] - marks[i - 1]
+                            for i in range(1, _HS_BUCKETS)]
+    vmin, vmax = vals[0][0], vals[-1][0]
+    preds = [
+        (vmin + float(p) * (vmax - vmin) / _HS_PREDS,
+         vmin + float(p + 1) * (vmax - vmin) / _HS_PREDS)
+        for p in range(_HS_PREDS)
+    ]
+    expected = {}
+    for p, (plo, phi) in enumerate(preds):
+        est = 0.0
+        for k in range(_HS_BUCKETS):
+            lb = ubs[k - 1] if k > 0 else vmin
+            ub = ubs[k]
+            if ub == lb:
+                frac = 1.0 if (plo <= ub < phi) else 0.0
+            else:
+                frac = max(0.0, (min(phi, ub) - max(plo, lb)) / (ub - lb))
+            est += min(frac, 1.0) * heights[k]
+        true = sum(1 for v, _ in vals if plo <= v < phi)
+        q = 0.0 if true == 0 else max(est / true, true / max(est, 1e-9))
+        expected[p] = (plo, phi, est, true, q)
+    out = {
+        r["p"]: (r["plo"], r["phi"], r["est_rows"], r["true_rows"],
+                 r["q_error"])
+        for r in REL_QUERIES["q_histogram_selectivity"](
+            spark, sf_dir).collect()
+    }
+    assert out == expected
+    # positional-boundary invariant: bucket heights partition the table
+    assert sum(heights) == n
+
+
+# ----------------------------------------------------- join-cardinality
+
+
+def test_join_card_audit_brute_force(spark, sf_dir):
+    ev = pq.read_table(f"{sf_dir}/events.parquet", columns=["user_id"])
+    orders = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    from collections import Counter
+
+    r = Counter(ev.column("user_id").to_pylist())
+    s = Counter(orders.column("o_custkey").to_pylist())
+    n_r, n_s = sum(r.values()), sum(s.values())
+    true = sum(c * s.get(k, 0) for k, c in r.items())
+    est = n_r * n_s / max(len(r), len(s))
+    row = REL_QUERIES["q_join_card_audit"](spark, sf_dir).collect()[0]
+    assert (row["n_r"], row["n_s"], row["d_r"], row["d_s"]) == (
+        n_r, n_s, len(r), len(s),
+    )
+    assert row["true_size"] == true
+    assert row["est_uniform"] == est
+    assert row["q_error"] == (
+        0.0 if true == 0 else max(est / true, true / est)
+    )
+
+
+# ----------------------------------------------------- watermark planning
+
+
+def test_watermark_plan_brute_force(spark, sf_dir):
+    from esvc_spark.queries.events import _WM_DELAYS_S, _WM_JITTER_US
+
+    ev = _events(sf_dir)
+    arr = sorted(
+        (e["t_us"] + _h15(f"wm:{e['event_id']}") % _WM_JITTER_US,
+         e["event_id"], e["t_us"])
+        for e in ev
+    )
+    lates, mx = [], -1 << 62
+    for _, _, t in arr:
+        mx = max(mx, t)
+        lates.append(mx - t)
+    expected = {
+        d: (len(lates), sum(1 for l in lates if l > d * 1_000_000),
+            max(lates))
+        for d in _WM_DELAYS_S
+    }
+    out = {
+        r["delay_s"]: (r["n_events"], r["n_dropped"], r["max_late_us"])
+        for r in EV_QUERIES["q_ev_watermark_plan"](spark, sf_dir).collect()
+    }
+    assert out == expected
+    # monotone: a longer delay never drops more
+    ds = sorted(expected)
+    assert all(
+        expected[a][1] >= expected[b][1] for a, b in zip(ds, ds[1:])
+    )
