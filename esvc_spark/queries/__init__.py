@@ -63,6 +63,8 @@ _FRONT = (
     "q_histogram_selectivity",
     "q_join_card_audit",
     "q_ev_watermark_plan",
+    "q_encoding_advisor",
+    "q_ev_gdpr_erasure",
     # never driver-graded in any round — must land inside the ~50-row
     # grading budget this time (VERDICT r3 what's-wrong #2)
     "q_profile_lineitem",

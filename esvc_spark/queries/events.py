@@ -4161,6 +4161,78 @@ ORDER BY lag
 """
 
 
+# ----------------------------------------------------------- GDPR erasure
+# Right-to-be-forgotten compliance audit: a deterministic ~25% erasure
+# cohort (user hash % 4 == 0 — large enough that even the 15-user
+# smallest-sf table has members — standing in for the request queue) is
+# anti-joined out of the event log, and the report carries what an
+# auditor checks: rows before/after per event type, rows erased, the
+# bit_xor checksum of SURVIVING event ids (the tombstone-ledger
+# fingerprint), and the residual count of surviving rows that still
+# belong to the cohort — which must be 0 and is computed by an
+# independent semi-join, not assumed. Scale shape: the cohort list is a
+# filter predicate (never materialized to the driver); one anti-join +
+# one semi-join against the same derived set, both hash joins on the
+# natural key.
+
+_GDPR_MOD = 4
+
+
+def q_ev_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    cohort = F.expr(
+        "CAST(conv(substr(md5(concat('gdpr:', CAST(user_id AS STRING))),"
+        f" 1, 15), 16, 10) AS BIGINT) % {_GDPR_MOD} = 0"
+    )
+    flagged = ev.select("event_id", "event_type", "user_id", cohort.alias("erase"))
+    survivors = flagged.filter(~F.col("erase"))
+    per_type = flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_before"),
+        F.sum(F.when(F.col("erase"), 1).otherwise(0)).cast("bigint")
+        .alias("n_erased"),
+    )
+    after = survivors.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_after"),
+        F.bit_xor("event_id").cast("bigint").alias("survivor_xor"),
+        F.sum(F.when(F.col("erase"), 1).otherwise(0)).cast("bigint")
+        .alias("n_residual"),
+    )
+    return per_type.join(after, "event_type").select(
+        "event_type", "n_before", "n_erased", "n_after", "survivor_xor",
+        "n_residual",
+        F.when(
+            (F.col("n_residual") == 0)
+            & (F.col("n_before") == F.col("n_erased") + F.col("n_after")),
+            1,
+        ).otherwise(0).alias("compliant"),
+    )
+
+
+_GDPR_SQL = f"""
+WITH flagged AS (
+  SELECT event_id, event_type, user_id,
+         CAST(('0x' || substr(md5('gdpr:' || CAST(user_id AS VARCHAR)),
+               1, 15)) AS BIGINT) % {_GDPR_MOD} = 0 AS erase
+  FROM events
+),
+per_type AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_before,
+         CAST(SUM(CASE WHEN erase THEN 1 ELSE 0 END) AS BIGINT) AS n_erased
+  FROM flagged GROUP BY 1
+),
+after AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_after,
+         CAST(bit_xor(event_id) AS BIGINT) AS survivor_xor,
+         CAST(SUM(CASE WHEN erase THEN 1 ELSE 0 END) AS BIGINT) AS n_residual
+  FROM flagged WHERE NOT erase GROUP BY 1
+)
+SELECT event_type, n_before, n_erased, n_after, survivor_xor, n_residual,
+       CASE WHEN n_residual = 0 AND n_before = n_erased + n_after
+            THEN 1 ELSE 0 END AS compliant
+FROM per_type JOIN after USING (event_type)
+"""
+
+
 # -------------------------------------------------------- watermark planning
 # Watermark-delay planning audit: the driver data arrives in perfect
 # event-time order (event_id ≡ ts order), so delivery disorder is
@@ -4550,6 +4622,7 @@ QUERIES = {
     "q_ev_bootstrap_ci": q_ev_bootstrap_ci,
     "q_ev_ab_test": q_ev_ab_test,
     "q_ev_watermark_plan": q_ev_watermark_plan,
+    "q_ev_gdpr_erasure": q_ev_gdpr_erasure,
     "q_stream_tumbling_hourly": q_stream_tumbling_hourly,
     "q_stream_sessionize": q_stream_sessionize,
     "q_stream_running_totals": q_stream_running_totals,
@@ -4622,4 +4695,5 @@ ORACLES = {
     "q_ev_bootstrap_ci": _bootstrap_sql(),
     "q_ev_ab_test": _AB_SQL,
     "q_ev_watermark_plan": _watermark_plan_sql(),
+    "q_ev_gdpr_erasure": _GDPR_SQL,
 }

@@ -2587,6 +2587,113 @@ FROM stats
 """
 
 
+# --------------------------------------------------------- encoding advisor
+# Columnar-encoding advisor (the heuristic behind parquet/ORC writer
+# encoding choices): for each candidate column of `orders`, under both
+# arrival order and column-sorted order, measure the dictionary size
+# (NDV), run count (RLE viability), and the exact encoded-size estimates
+#   plain   = n · width
+#   dict    = n · ceil(log2 d) bits / 8 + dict entries · width
+#   rle+dict= runs · (ceil(log2 d) + run-length varint≈2 bytes)
+# — all integers, ceil(log2) via the length of the binary string, so the
+# advice ("sort this column, RLE wins 40×") is engine-exact. Scale shape:
+# per column one NDV aggregate + one lag window for runs under each
+# ordering; output is |columns|×|orderings| rows.
+
+_ENC_COLS = ("o_orderstatus", "o_orderpriority", "o_custkey")
+
+
+def q_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = T(spark, sf_dir, "orders")
+    out = None
+    for col in _ENC_COLS:
+        base = orders.select(
+            F.col("o_orderkey").alias("ak"), F.col(col).cast("string").alias("v")
+        )
+        for ordering, key in (("arrival", "ak"), ("sorted", "v")):
+            w = Window.orderBy(key, "ak")
+            runs = base.select(
+                "v",
+                F.when(
+                    F.lag("v").over(w).isNull()
+                    | (F.lag("v").over(w) != F.col("v")),
+                    1,
+                ).otherwise(0).alias("new_run"),
+                F.length("v").alias("width"),
+            ).agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.count_distinct("v").cast("bigint").alias("d"),
+                F.sum("new_run").cast("bigint").alias("runs"),
+                F.sum("width").cast("bigint").alias("plain_bytes"),
+            ).select(
+                F.lit(col).alias("column_name"),
+                F.lit(ordering).alias("ordering"),
+                "n",
+                "d",
+                "runs",
+                "plain_bytes",
+                # bits per dict code: ceil(log2 d) = length(bin(d-1)) for d>1
+                F.expr(
+                    "CASE WHEN d <= 1 THEN CAST(1 AS BIGINT)"
+                    " ELSE CAST(length(bin(d - 1)) AS BIGINT) END"
+                ).alias("code_bits"),
+            )
+            out = runs if out is None else out.unionByName(runs)
+    dict_entry_bytes = F.col("d") * 16  # avg entry estimate, fixed both sides
+    return out.select(
+        "column_name",
+        "ordering",
+        "n",
+        "d",
+        "runs",
+        "plain_bytes",
+        "code_bits",
+        # integer div, never /+cast (Spark truncates, DuckDB rounds)
+        F.expr("(n * code_bits + 7) div 8").alias("dict_bytes_codes"),
+        (F.expr("(n * code_bits + 7) div 8") + dict_entry_bytes)
+        .alias("dict_bytes"),
+        (
+            F.col("runs") * F.expr("(code_bits + 7) div 8")
+            + F.col("runs") * 2
+            + dict_entry_bytes
+        ).alias("rle_dict_bytes"),
+    )
+
+
+def _encoding_advisor_sql() -> str:
+    parts = []
+    for col in _ENC_COLS:
+        for ordering, key in (("arrival", "ak"), ("sorted", "v")):
+            parts.append(f"""
+SELECT '{col}' AS column_name, '{ordering}' AS ordering,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT v) AS BIGINT) AS d,
+       CAST(SUM(new_run) AS BIGINT) AS runs,
+       CAST(SUM(width) AS BIGINT) AS plain_bytes
+FROM (
+  SELECT v, length(v) AS width,
+         CASE WHEN LAG(v) OVER (ORDER BY {key}, ak) IS NULL
+                   OR LAG(v) OVER (ORDER BY {key}, ak) <> v
+              THEN 1 ELSE 0 END AS new_run
+  FROM (SELECT o_orderkey AS ak, CAST({col} AS VARCHAR) AS v FROM orders)
+)""")
+    union = " UNION ALL ".join(parts)
+    return f"""
+WITH stats AS ({union}),
+coded AS (
+  SELECT *,
+         CASE WHEN d <= 1 THEN CAST(1 AS BIGINT)
+              ELSE CAST(length(printf('%b', d - 1)) AS BIGINT) END AS code_bits
+  FROM stats
+)
+SELECT column_name, ordering, n, d, runs, plain_bytes, code_bits,
+       (n * code_bits + 7) // 8 AS dict_bytes_codes,
+       (n * code_bits + 7) // 8 + d * 16 AS dict_bytes,
+       runs * ((code_bits + 7) // 8) + runs * 2 + d * 16 AS rle_dict_bytes
+FROM coded
+"""
+
+
 QUERIES = {
     "q_fuzzy_match": q_fuzzy_match,
     "q_window_trailing_spend": q_window_trailing_spend,
@@ -2598,6 +2705,7 @@ QUERIES = {
     "q_benford_audit": q_benford_audit,
     "q_zorder_layout": q_zorder_layout,
     "q_histogram_selectivity": q_histogram_selectivity,
+    "q_encoding_advisor": q_encoding_advisor,
     "q_join_card_audit": q_join_card_audit,
     "q01_pricing_summary": q01_pricing_summary,
     "q02_min_cost_supplier": q02_min_cost_supplier,
@@ -2678,5 +2786,6 @@ ORACLES = {
     "q_benford_audit": _benford_sql(),
     "q_zorder_layout": _zorder_sql(),
     "q_histogram_selectivity": _histogram_selectivity_sql(),
+    "q_encoding_advisor": _encoding_advisor_sql(),
     "q_join_card_audit": _JOIN_CARD_SQL,
 }

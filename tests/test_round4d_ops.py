@@ -955,3 +955,80 @@ def test_watermark_plan_brute_force(spark, sf_dir):
     assert all(
         expected[a][1] >= expected[b][1] for a, b in zip(ds, ds[1:])
     )
+
+
+# --------------------------------------------------------- encoding advisor
+
+
+def test_encoding_advisor_brute_force(spark, sf_dir):
+    from esvc_spark.queries.relational import _ENC_COLS
+
+    t = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", *_ENC_COLS],
+    )
+    ak = t.column("o_orderkey").to_pylist()
+    expected = {}
+    for col in _ENC_COLS:
+        vs = [str(v) for v in t.column(col).to_pylist()]
+        for ordering in ("arrival", "sorted"):
+            if ordering == "arrival":
+                seq = [v for _, v in sorted(zip(ak, vs))]
+            else:
+                seq = [v for v, _ in sorted(zip(vs, ak))]
+            n = len(seq)
+            d = len(set(seq))
+            runs = sum(
+                1 for i, v in enumerate(seq) if i == 0 or seq[i - 1] != v
+            )
+            plain = sum(len(v) for v in seq)
+            bits = 1 if d <= 1 else (d - 1).bit_length()
+            expected[(col, ordering)] = (
+                n, d, runs, plain, bits,
+                (n * bits + 7) // 8,
+                (n * bits + 7) // 8 + d * 16,
+                runs * ((bits + 7) // 8) + runs * 2 + d * 16,
+            )
+    out = {
+        (r["column_name"], r["ordering"]): (
+            r["n"], r["d"], r["runs"], r["plain_bytes"], r["code_bits"],
+            r["dict_bytes_codes"], r["dict_bytes"], r["rle_dict_bytes"],
+        )
+        for r in REL_QUERIES["q_encoding_advisor"](spark, sf_dir).collect()
+    }
+    assert out == expected
+    # sorting can only reduce (or keep) the run count
+    for col in _ENC_COLS:
+        assert expected[(col, "sorted")][2] <= expected[(col, "arrival")][2]
+
+
+# ------------------------------------------------------------ GDPR erasure
+
+
+def test_gdpr_erasure_brute_force(spark, sf_dir):
+    from esvc_spark.queries.events import _GDPR_MOD
+
+    ev = _events(sf_dir)
+    expected = {}
+    for e in ev:
+        erase = _h15(f"gdpr:{e['user_id']}") % _GDPR_MOD == 0
+        d = expected.setdefault(e["event_type"], [0, 0, 0, 0])
+        d[0] += 1
+        if erase:
+            d[1] += 1
+        else:
+            d[2] += 1
+            d[3] ^= e["event_id"]
+    out = {
+        r["event_type"]: (
+            r["n_before"], r["n_erased"], r["n_after"], r["survivor_xor"],
+            r["n_residual"], r["compliant"],
+        )
+        for r in EV_QUERIES["q_ev_gdpr_erasure"](spark, sf_dir).collect()
+    }
+    assert out == {
+        ty: (b, er, af, xr, 0, 1) for ty, (b, er, af, xr) in expected.items()
+    }
+    # the cohort should be non-empty wherever the brute force found members
+    if any(er for _, (_, er, _, _) in expected.items()):
+        assert sum(v[1] for v in out.values()) > 0
