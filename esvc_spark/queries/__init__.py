@@ -65,6 +65,7 @@ _FRONT = (
     "q_ev_watermark_plan",
     "q_encoding_advisor",
     "q_ev_gdpr_erasure",
+    "q_ev_bursts",
     # never driver-graded in any round — must land inside the ~50-row
     # grading budget this time (VERDICT r3 what's-wrong #2)
     "q_profile_lineitem",

@@ -4161,6 +4161,200 @@ ORDER BY lag
 """
 
 
+# ------------------------------------------------------------ burst detection
+# Kleinberg-style burst detection (Kleinberg, KDD 2002 — the two-state
+# automaton variant over the gap-filled hourly count series): state 0
+# emits at the base rate λ = S/n, state 1 at 2λ; per-hour emission costs
+# are the Poisson negative log-likelihood in EXACT fixed point
+# (16·λ − c·16·log2 λ via _qlog2_expr's integer grid, the shared-c! term
+# dropped), entering a burst costs γ = 512 (32 bits·16); the optimal
+# state sequence is a 2-state Viterbi DP. Like q_ev_markov_attribution
+# and q_emb_pca_power, the corpus-sized work is ONE distributed hourly
+# aggregate; the DP runs driver-side over the bounded ≤n-hour series and
+# the result is a literal burst-interval table. The DuckDB oracle runs
+# the SAME integer DP as a forward recursive CTE plus a backward
+# backtrace recursive CTE — full hash-match, ties broken toward state 0
+# in both engines. 100 TB shape: the hour grid stays bounded no matter
+# the event volume.
+
+_BURST_GAMMA = 512  # 16·32: entering a burst must buy 32 fixed-point bits
+
+
+def q_ev_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    ev = T(spark, sf_dir, "events")
+    hours = ev.select(F.expr("unix_micros(ts) div 3600000000").alias("h"))
+    counts = hours.groupBy("h").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    bounds = hours.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    filled = (
+        bounds.select(F.explode(F.expr("sequence(h0, h1)")).alias("h"))
+        .join(counts, "h", "left")
+        .select("h", F.coalesce("c", F.lit(0)).cast("bigint").alias("c"))
+    )
+    rows = sorted((r["h"], r["c"]) for r in filled.collect())
+    cs = [c for _, c in rows]
+    h0 = rows[0][0]
+    n, s_tot = len(cs), sum(cs)
+
+    def qlog2(x: int) -> int:
+        e = x.bit_length() - 1
+        return 16 * e + (16 * x) // (1 << e) - 16
+
+    q_s, q_2s, q_n = qlog2(s_tot), qlog2(2 * s_tot), qlog2(n)
+
+    def cost(state: int, c: int) -> int:
+        if state == 0:
+            return (16 * s_tot) // n - c * (q_s - q_n)
+        return (16 * 2 * s_tot) // n - c * (q_2s - q_n)
+
+    d = [(cost(0, cs[0]), cost(1, cs[0]) + _BURST_GAMMA)]
+    for t in range(1, n):
+        d0, d1 = d[-1]
+        d.append(
+            (
+                cost(0, cs[t]) + min(d0, d1),
+                cost(1, cs[t]) + min(d0 + _BURST_GAMMA, d1),
+            )
+        )
+    states = [0] * n
+    states[n - 1] = 0 if d[n - 1][0] <= d[n - 1][1] else 1
+    for t in range(n - 2, -1, -1):
+        pen = _BURST_GAMMA if states[t + 1] == 1 else 0
+        if states[t + 1] == 1:
+            states[t] = 0 if d[t][0] + pen <= d[t][1] else 1
+        else:
+            states[t] = 0 if d[t][0] <= d[t][1] else 1
+    bursts, i, bid = [], 0, 0
+    while i < n:
+        if states[i] == 1:
+            j = i
+            while j < n and states[j] == 1:
+                j += 1
+            bid += 1
+            bursts.append(
+                (
+                    bid,
+                    (h0 + i) * 3_600_000_000,
+                    (h0 + j - 1) * 3_600_000_000,
+                    j - i,
+                    sum(cs[i:j]),
+                    max(cs[i:j]),
+                )
+            )
+            i = j
+        else:
+            i += 1
+    import datetime as dt
+
+    schema = StructType(
+        [
+            StructField("burst_id", LongType(), False),
+            StructField("start_hour", TimestampType(), False),
+            StructField("end_hour", TimestampType(), False),
+            StructField("n_hours", LongType(), False),
+            StructField("total_events", LongType(), False),
+            StructField("peak_hourly", LongType(), False),
+        ]
+    )
+    rows_out = [
+        (
+            b,
+            dt.datetime.fromtimestamp(su // 1_000_000, dt.timezone.utc)
+            .replace(tzinfo=None),
+            dt.datetime.fromtimestamp(eu // 1_000_000, dt.timezone.utc)
+            .replace(tzinfo=None),
+            nh,
+            te,
+            pk,
+        )
+        for b, su, eu, nh, te, pk in bursts
+    ]
+    return spark.createDataFrame(rows_out, schema)
+
+
+def _bursts_sql() -> str:
+    from .documents import _qlog2_expr
+
+    q_s = _qlog2_expr("s_tot", "duckdb")
+    q_2s = _qlog2_expr("(2 * s_tot)", "duckdb")
+    q_n = _qlog2_expr("n", "duckdb")
+    g = _BURST_GAMMA
+    return f"""
+WITH RECURSIVE hours AS (
+  SELECT epoch_us(ts::TIMESTAMP) // 3600000000 AS h FROM events
+),
+counts AS MATERIALIZED (
+  SELECT h, CAST(COUNT(*) AS BIGINT) AS c FROM hours GROUP BY 1),
+bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hours),
+filled AS MATERIALIZED (
+  SELECT t.i - h0 AS t, COALESCE(c, CAST(0 AS BIGINT)) AS c
+  FROM bounds, unnest(range(h0, h1 + 1)) t(i)
+  LEFT JOIN counts ON counts.h = t.i
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s_tot
+  FROM filled
+),
+-- MATERIALIZED is load-bearing on costs and fwd_m: each recursive
+-- iteration re-evaluates INLINED upstream CTEs (a 720-step recursion
+-- over an inlined event scan ran minutes; materialized, <1 s)
+costs AS MATERIALIZED (
+  SELECT t, c,
+         (16 * s_tot) // n - c * ({q_s} - {q_n}) AS c0,
+         (16 * 2 * s_tot) // n - c * ({q_2s} - {q_n}) AS c1
+  FROM filled, tot
+),
+fwd AS (
+  SELECT t, c0 AS d0, c1 + {g} AS d1 FROM costs WHERE t = 0
+  UNION ALL
+  SELECT costs.t,
+         costs.c0 + LEAST(fwd.d0, fwd.d1),
+         costs.c1 + LEAST(fwd.d0 + {g}, fwd.d1)
+  FROM fwd JOIN costs ON costs.t = fwd.t + 1
+),
+fwd_m AS MATERIALIZED (SELECT * FROM fwd),
+bwd AS (
+  SELECT t, CASE WHEN d0 <= d1 THEN 0 ELSE 1 END AS state
+  FROM fwd_m, tot WHERE t = n - 1
+  UNION ALL
+  SELECT fwd_m.t,
+         CASE WHEN bwd.state = 1
+              THEN CASE WHEN fwd_m.d0 + {g} <= fwd_m.d1 THEN 0 ELSE 1 END
+              ELSE CASE WHEN fwd_m.d0 <= fwd_m.d1 THEN 0 ELSE 1 END
+         END
+  FROM bwd JOIN fwd_m ON fwd_m.t = bwd.t - 1
+),
+flagged AS (
+  SELECT bwd.t, filled.c, state,
+         CASE WHEN state = 1 AND COALESCE(LAG(state) OVER (ORDER BY bwd.t),
+                                          0) = 0
+              THEN 1 ELSE 0 END AS burst_start
+  FROM bwd JOIN filled ON filled.t = bwd.t
+),
+grp AS (
+  SELECT t, c, state,
+         SUM(burst_start) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+           AS burst_id
+  FROM flagged
+)
+SELECT CAST(burst_id AS BIGINT) AS burst_id,
+       make_timestamp((MIN(t) + h0) * 3600000000) AS start_hour,
+       make_timestamp((MAX(t) + h0) * 3600000000) AS end_hour,
+       CAST(COUNT(*) AS BIGINT) AS n_hours,
+       CAST(SUM(c) AS BIGINT) AS total_events,
+       CAST(MAX(c) AS BIGINT) AS peak_hourly
+FROM grp, bounds
+WHERE state = 1
+GROUP BY burst_id, h0
+"""
+
+
 # ----------------------------------------------------------- GDPR erasure
 # Right-to-be-forgotten compliance audit: a deterministic ~25% erasure
 # cohort (user hash % 4 == 0 — large enough that even the 15-user
@@ -4623,6 +4817,7 @@ QUERIES = {
     "q_ev_ab_test": q_ev_ab_test,
     "q_ev_watermark_plan": q_ev_watermark_plan,
     "q_ev_gdpr_erasure": q_ev_gdpr_erasure,
+    "q_ev_bursts": q_ev_bursts,
     "q_stream_tumbling_hourly": q_stream_tumbling_hourly,
     "q_stream_sessionize": q_stream_sessionize,
     "q_stream_running_totals": q_stream_running_totals,
@@ -4696,4 +4891,5 @@ ORACLES = {
     "q_ev_ab_test": _AB_SQL,
     "q_ev_watermark_plan": _watermark_plan_sql(),
     "q_ev_gdpr_erasure": _GDPR_SQL,
+    "q_ev_bursts": _bursts_sql(),
 }

@@ -36,6 +36,11 @@ _IMPERATIVE = {
         "bounded driver-side power iteration; returned frame is the "
         "64-row literal loading vector"
     ),
+    "q_ev_bursts": (
+        "one distributed hourly aggregate, then a bounded driver-side "
+        "2-state integer Viterbi over the <=n-hour series; returned frame "
+        "is the literal burst-interval table (recursive-CTE oracle twin)"
+    ),
     "q_ev_markov_attribution": (
         "window-derived edge counts reduced to a ≤6×6 matrix, then a "
         "bounded driver-side integer power iteration; returned frame is "

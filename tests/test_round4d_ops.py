@@ -1032,3 +1032,66 @@ def test_gdpr_erasure_brute_force(spark, sf_dir):
     # the cohort should be non-empty wherever the brute force found members
     if any(er for _, (_, er, _, _) in expected.items()):
         assert sum(v[1] for v in out.values()) > 0
+
+
+# ------------------------------------------------------------- burst Viterbi
+
+
+def test_bursts_brute_force(spark, sf_dir):
+    from esvc_spark.queries.events import _BURST_GAMMA
+
+    ev = _events(sf_dir)
+    hr = 3_600_000_000
+    hs = [e["t_us"] // hr for e in ev]
+    h0, h1 = min(hs), max(hs)
+    from collections import Counter
+
+    cnt = Counter(hs)
+    cs = [cnt.get(h, 0) for h in range(h0, h1 + 1)]
+    n, s_tot = len(cs), sum(cs)
+    q_s, q_2s, q_n = _qlog2(s_tot), _qlog2(2 * s_tot), _qlog2(n)
+
+    def cost(st, c):
+        if st == 0:
+            return (16 * s_tot) // n - c * (q_s - q_n)
+        return (16 * 2 * s_tot) // n - c * (q_2s - q_n)
+
+    d = [(cost(0, cs[0]), cost(1, cs[0]) + _BURST_GAMMA)]
+    for t in range(1, n):
+        d0, d1 = d[-1]
+        d.append((cost(0, cs[t]) + min(d0, d1),
+                  cost(1, cs[t]) + min(d0 + _BURST_GAMMA, d1)))
+    st = [0] * n
+    st[n - 1] = 0 if d[n - 1][0] <= d[n - 1][1] else 1
+    for t in range(n - 2, -1, -1):
+        if st[t + 1] == 1:
+            st[t] = 0 if d[t][0] + _BURST_GAMMA <= d[t][1] else 1
+        else:
+            st[t] = 0 if d[t][0] <= d[t][1] else 1
+    expected, i, bid = {}, 0, 0
+    while i < n:
+        if st[i] == 1:
+            j = i
+            while j < n and st[j] == 1:
+                j += 1
+            bid += 1
+            expected[bid] = (h0 + i, h0 + j - 1, j - i,
+                             sum(cs[i:j]), max(cs[i:j]))
+            i = j
+        else:
+            i += 1
+    import datetime as dt
+
+    out = {}
+    for r in EV_QUERIES["q_ev_bursts"](spark, sf_dir).collect():
+        su = int(r["start_hour"].replace(
+            tzinfo=dt.timezone.utc).timestamp()) // 3600
+        eu = int(r["end_hour"].replace(
+            tzinfo=dt.timezone.utc).timestamp()) // 3600
+        out[r["burst_id"]] = (su, eu, r["n_hours"], r["total_events"],
+                              r["peak_hourly"])
+    assert out == expected
+    # the Viterbi path is globally optimal: its cost is the min of d[n-1]
+    # and every burst must beat base rate on average
+    for _, (_, _, nh, te, _) in expected.items():
+        assert te * n > s_tot * nh  # mean within burst > corpus mean
