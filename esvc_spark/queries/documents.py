@@ -3066,8 +3066,12 @@ FROM per_doc
 # sketch exists to avoid.
 
 
-def q_doc_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs_par(spark, sf_dir)
+def _mh_cand_exact(docs: DataFrame):
+    """Shared machinery of the MinHash audits (q_doc_minhash_audit,
+    q_doc_bbit_minhash): the persisted signature table, the banded LSH
+    candidate pairs, per-candidate-doc shingle counts, and the shared-
+    shingle counts per pair — one builder so the banding and
+    exact-Jaccard logic cannot drift between the audits."""
     sig = _mh_sig(docs).transform(_tp)
     bands = _mh_bands(sig)
     a, b = bands.alias("a"), bands.alias("b")
@@ -3081,16 +3085,6 @@ def q_doc_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
         .transform(_tp)
-    )
-    sa, sb = sig.alias("sa"), sig.alias("sb")
-    matches = sum(
-        F.when(F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}"), 1).otherwise(0)
-        for i in range(_N_PERM)
-    )
-    est = (
-        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select("doc_a", "doc_b", matches.cast("bigint").alias("sig_matches"))
     )
     cand_docs = (
         cand.select(F.col("doc_a").alias("doc_id"))
@@ -3110,6 +3104,62 @@ def q_doc_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cand), ["doc_a", "doc_b"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return sig, cand, counts, shared
+
+
+def _mh_common_ctes() -> str:
+    """DuckDB twin of _mh_cand_exact: the sh/sig/bands/cand/cnt/shared
+    CTE prelude both audit oracles interpolate."""
+    mins = ", ".join(
+        f"MIN(({a} * h + {b}) % {_P}) AS mh{i}" for i, (a, b) in enumerate(_PERMS)
+    )
+    band_keys = ", ".join(
+        "concat_ws('_', "
+        + ", ".join(f"mh{j}" for j in range(b * _ROWS_PER_BAND, (b + 1) * _ROWS_PER_BAND))
+        + f") AS band{b}"
+        for b in range(_N_BANDS)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, band{b} AS band_key FROM banded"
+        for b in range(_N_BANDS)
+    )
+    return f"""sh AS ({_SQL_SHINGLES}),
+hashed AS (SELECT doc_id, {_sql_h('shingle')} % {_P} AS h FROM sh),
+sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+banded AS (SELECT doc_id, {band_keys} FROM sig),
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+cnt AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh
+  WHERE doc_id IN (SELECT doc_a FROM cand UNION SELECT doc_b FROM cand)
+  GROUP BY doc_id
+),
+shared AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS shared
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+  GROUP BY 1, 2
+)"""
+
+
+def q_doc_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_par(spark, sf_dir)
+    sig, cand, counts, shared = _mh_cand_exact(docs)
+    sa, sb = sig.alias("sa"), sig.alias("sb")
+    matches = sum(
+        F.when(F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}"), 1).otherwise(0)
+        for i in range(_N_PERM)
+    )
+    est = (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", matches.cast("bigint").alias("sig_matches"))
     )
     ca, cb = counts.alias("ca"), counts.alias("cb")
     return (
@@ -3147,20 +3197,7 @@ _BBIT = 4
 
 def q_doc_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_par(spark, sf_dir)
-    sig = _mh_sig(docs).transform(_tp)
-    bands = _mh_bands(sig)
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-        .transform(_tp)
-    )
+    sig, cand, counts, shared = _mh_cand_exact(docs)
     sa, sb = sig.alias("sa"), sig.alias("sb")
     full = sum(
         F.when(F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}"), 1).otherwise(0)
@@ -3183,25 +3220,6 @@ def q_doc_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             full.cast("bigint").alias("sig_matches"),
             bb.cast("bigint").alias("bb_matches"),
         )
-    )
-    cand_docs = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .union(cand.select("doc_b"))
-        .distinct()
-    )
-    shc = _shingles_df(docs).join(F.broadcast(cand_docs), "doc_id").transform(_tp)
-    counts = shc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    xa, xb = shc.alias("xa"), shc.alias("xb")
-    shared = (
-        xa.join(
-            xb,
-            (F.col("xa.shingle") == F.col("xb.shingle"))
-            & (F.col("xa.doc_id") < F.col("xb.doc_id")),
-        )
-        .select(F.col("xa.doc_id").alias("doc_a"), F.col("xb.doc_id").alias("doc_b"))
-        .join(F.broadcast(cand), ["doc_a", "doc_b"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
     )
     ca, cb = counts.alias("ca"), counts.alias("cb")
     corr = _N_PERM // (1 << _BBIT)  # expected accidental matches: 16/2^b
@@ -3230,19 +3248,6 @@ def q_doc_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bbit_minhash_sql() -> str:
-    mins = ", ".join(
-        f"MIN(({a} * h + {b}) % {_P}) AS mh{i}" for i, (a, b) in enumerate(_PERMS)
-    )
-    band_keys = ", ".join(
-        "concat_ws('_', "
-        + ", ".join(f"mh{j}" for j in range(b * _ROWS_PER_BAND, (b + 1) * _ROWS_PER_BAND))
-        + f") AS band{b}"
-        for b in range(_N_BANDS)
-    )
-    band_rows = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band_idx, band{b} AS band_key FROM banded"
-        for b in range(_N_BANDS)
-    )
     full_expr = " + ".join(
         f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(_N_PERM)
     )
@@ -3253,28 +3258,7 @@ def _bbit_minhash_sql() -> str:
     )
     corr = _N_PERM // (1 << _BBIT)
     return f"""
-WITH sh AS ({_SQL_SHINGLES}),
-hashed AS (SELECT doc_id, {_sql_h('shingle')} % {_P} AS h FROM sh),
-sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
-banded AS (SELECT doc_id, {band_keys} FROM sig),
-bands AS ({band_rows}),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-),
-cnt AS (
-  SELECT doc_id, COUNT(*) AS n_sh FROM sh
-  WHERE doc_id IN (SELECT doc_a FROM cand UNION SELECT doc_b FROM cand)
-  GROUP BY doc_id
-),
-shared AS (
-  SELECT c.doc_a, c.doc_b, COUNT(*) AS shared
-  FROM cand c
-  JOIN sh a ON a.doc_id = c.doc_a
-  JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
-  GROUP BY 1, 2
-)
+WITH {_mh_common_ctes()}
 SELECT c.doc_a, c.doc_b,
        CAST({full_expr} AS BIGINT) AS sig_matches,
        CAST({full_expr} AS DOUBLE) / {_N_PERM} AS est_full,
@@ -3293,45 +3277,11 @@ JOIN cnt cb ON cb.doc_id = c.doc_b
 
 
 def _minhash_audit_sql() -> str:
-    mins = ", ".join(
-        f"MIN(({a} * h + {b}) % {_P}) AS mh{i}" for i, (a, b) in enumerate(_PERMS)
-    )
-    band_keys = ", ".join(
-        "concat_ws('_', "
-        + ", ".join(f"mh{j}" for j in range(b * _ROWS_PER_BAND, (b + 1) * _ROWS_PER_BAND))
-        + f") AS band{b}"
-        for b in range(_N_BANDS)
-    )
-    band_rows = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band_idx, band{b} AS band_key FROM banded"
-        for b in range(_N_BANDS)
-    )
     match_expr = " + ".join(
         f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(_N_PERM)
     )
     return f"""
-WITH sh AS ({_SQL_SHINGLES}),
-hashed AS (SELECT doc_id, {_sql_h('shingle')} % {_P} AS h FROM sh),
-sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
-banded AS (SELECT doc_id, {band_keys} FROM sig),
-bands AS ({band_rows}),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-),
-cnt AS (
-  SELECT doc_id, COUNT(*) AS n_sh FROM sh
-  WHERE doc_id IN (SELECT doc_a FROM cand UNION SELECT doc_b FROM cand)
-  GROUP BY doc_id
-),
-shared AS (
-  SELECT c.doc_a, c.doc_b, COUNT(*) AS shared
-  FROM cand c
-  JOIN sh a ON a.doc_id = c.doc_a
-  JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
-  GROUP BY 1, 2
-)
+WITH {_mh_common_ctes()}
 SELECT c.doc_a, c.doc_b,
        CAST({match_expr} AS BIGINT) AS sig_matches,
        CAST({match_expr} AS DOUBLE) / {_N_PERM} AS est_jaccard,

@@ -1340,13 +1340,10 @@ def _event_stream(spark: SparkSession, sf_dir: str):
     return normalize_event_ts(stream)
 
 
-def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-stream interval join: clicks joined to same-user purchases
-    landing 1 s..300 s later, both sides watermarked so the state store
-    evicts rows older than the horizon — the unbounded-safe topology.
-    Inner interval joins emit eagerly, so over a bounded stream the result
-    equals the batch range join and shares q_ev_range_pairs' oracle
-    semantics (driver-grade attestation of the stream-stream join path)."""
+def _click_purchase_streams(spark: SparkSession, sf_dir: str):
+    """The watermarked click/purchase stream pair shared by the inner
+    (q_stream_join) and left-outer (q_stream_left_join) interval joins —
+    one builder so delay/bounds/aliases cannot drift between the two."""
     clicks = (
         _event_stream(spark, sf_dir)
         .filter(F.col("event_type") == "click")
@@ -1367,6 +1364,17 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withWatermark("p_ts", "1 hour")
     )
+    return clicks, purchases
+
+
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: clicks joined to same-user purchases
+    landing 1 s..300 s later, both sides watermarked so the state store
+    evicts rows older than the horizon — the unbounded-safe topology.
+    Inner interval joins emit eagerly, so over a bounded stream the result
+    equals the batch range join and shares q_ev_range_pairs' oracle
+    semantics (driver-grade attestation of the stream-stream join path)."""
+    clicks, purchases = _click_purchase_streams(spark, sf_dir)
     joined = clicks.join(
         purchases,
         F.expr(
@@ -1402,34 +1410,16 @@ def q_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     a null-padded row once the watermark passes its join horizon. Matched
     pairs emit eagerly; unmatched clicks emit exactly when
     c_ts + 300 s < final watermark, where the final watermark is
-    min(max click ts, max purchase ts) − 1 h (two watermarked sides, min
-    policy; each side's watermark tracks its own filtered stream because
-    the type filter precedes withWatermark). On a bounded stream the tail
+    ms_floor(min(max click ts, max purchase ts)) − 1 h (two watermarked
+    sides, min policy; each side's watermark tracks its own filtered
+    stream because the type filter precedes withWatermark; Spark floors
+    event-time watermarks to milliseconds and the oracle mirrors that). On a bounded stream the tail
     of unmatched clicks inside the final horizon stays in state by DESIGN
     — and the DuckDB oracle encodes exactly that eviction rule, so the
     driver hash-checks the real outer-join watermark semantics, tail
     retention included. Scale shape: identical to q_stream_join (bounded
     watermarked state, no corpus-sized anything)."""
-    clicks = (
-        _event_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("c_user"),
-            F.col("ts").alias("c_ts"),
-        )
-        .withWatermark("c_ts", "1 hour")
-    )
-    purchases = (
-        _event_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user"),
-            F.col("ts").alias("p_ts"),
-        )
-        .withWatermark("p_ts", "1 hour")
-    )
+    clicks, purchases = _click_purchase_streams(spark, sf_dir)
     joined = clicks.join(
         purchases,
         F.expr(
@@ -1478,8 +1468,13 @@ purch AS (
   FROM events WHERE event_type = 'purchase'
 ),
 wmf AS (
-  SELECT LEAST((SELECT MAX(c_ts) FROM clicks),
-               (SELECT MAX(p_ts) FROM purch)) - INTERVAL 1 HOUR AS wm
+  -- Spark floors event-time watermarks to MILLISECONDS
+  -- (EventTimeWatermarkExec tracks max event time in ms), so the
+  -- eviction cutoff must be ms-floored here too or a click whose
+  -- horizon lands in the sub-ms gap diverges between engines
+  SELECT (LEAST((SELECT MAX(epoch_us(c_ts)) FROM clicks),
+                (SELECT MAX(epoch_us(p_ts)) FROM purch)) // 1000
+          - 3600000) * 1000 AS wm_us
 )
 SELECT c.click_id, c.user_id, p.purchase_id,
        CASE WHEN p.purchase_id IS NULL THEN NULL
@@ -1490,7 +1485,7 @@ FROM clicks c LEFT JOIN purch p
  AND p.p_ts >= c.c_ts + INTERVAL 1 SECOND
  AND p.p_ts <= c.c_ts + INTERVAL 300 SECOND
 WHERE p.purchase_id IS NOT NULL
-   OR c.c_ts + INTERVAL 300 SECOND < (SELECT wm FROM wmf)
+   OR epoch_us(c.c_ts) + 300000000 < (SELECT wm_us FROM wmf)
 """
 
 
@@ -4190,8 +4185,11 @@ def q_ev_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = T(spark, sf_dir, "events")
     hours = ev.select(F.expr("unix_micros(ts) div 3600000000").alias("h"))
-    counts = hours.groupBy("h").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    bounds = hours.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    counts = hours.groupBy("h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).transform(_tp)
+    # bounds from the tiny hourly aggregate — not a second events scan
+    bounds = counts.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
     filled = (
         bounds.select(F.explode(F.expr("sequence(h0, h1)")).alias("h"))
         .join(counts, "h", "left")
@@ -4225,9 +4223,8 @@ def q_ev_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     states = [0] * n
     states[n - 1] = 0 if d[n - 1][0] <= d[n - 1][1] else 1
     for t in range(n - 2, -1, -1):
-        pen = _BURST_GAMMA if states[t + 1] == 1 else 0
         if states[t + 1] == 1:
-            states[t] = 0 if d[t][0] + pen <= d[t][1] else 1
+            states[t] = 0 if d[t][0] + _BURST_GAMMA <= d[t][1] else 1
         else:
             states[t] = 0 if d[t][0] <= d[t][1] else 1
     bursts, i, bid = [], 0, 0
@@ -4359,71 +4356,125 @@ GROUP BY burst_id, h0
 # Right-to-be-forgotten compliance audit: a deterministic ~25% erasure
 # cohort (user hash % 4 == 0 — large enough that even the 15-user
 # smallest-sf table has members — standing in for the request queue) is
-# anti-joined out of the event log, and the report carries what an
-# auditor checks: rows before/after per event type, rows erased, the
-# bit_xor checksum of SURVIVING event ids (the tombstone-ledger
-# fingerprint), and the residual count of surviving rows that still
-# belong to the cohort — which must be 0 and is computed by an
-# independent semi-join, not assumed. Scale shape: the cohort list is a
-# filter predicate (never materialized to the driver); one anti-join +
-# one semi-join against the same derived set, both hash joins on the
-# natural key.
+# materialized as a distinct-user cohort frame and anti-joined out of
+# the event log; the report carries what an auditor checks: rows
+# before/after per event type, rows erased (semi-join), the bit_xor
+# checksum of SURVIVING event ids (the tombstone-ledger fingerprint),
+# and the residual count of surviving rows still in the cohort —
+# computed by a second semi-join over the anti-join's OUTPUT, so a
+# broken erasure path reports compliant = 0 instead of being true by
+# construction. Scale shape: the cohort frame broadcasts (requests are
+# ≪ corpus); one anti-join + two semi-joins on the natural key; nothing
+# driver-side.
 
 _GDPR_MOD = 4
 
 
 def q_ev_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = T(spark, sf_dir, "events")
-    cohort = F.expr(
-        "CAST(conv(substr(md5(concat('gdpr:', CAST(user_id AS STRING))),"
-        f" 1, 15), 16, 10) AS BIGINT) % {_GDPR_MOD} = 0"
+    ev = T(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    ).transform(_tp)  # feeds before-counts, erasure, survivors, residual
+    # the cohort as a distinct-user FRAME (the request-queue table), so
+    # erasure and the residual check run through real join machinery
+    # rather than re-evaluating a predicate inline
+    cohort = (
+        ev.select("user_id")
+        .distinct()
+        .filter(
+            F.expr(
+                "CAST(conv(substr(md5(concat('gdpr:', CAST(user_id AS"
+                f" STRING))), 1, 15), 16, 10) AS BIGINT) % {_GDPR_MOD} = 0"
+            )
+        )
     )
-    flagged = ev.select("event_id", "event_type", "user_id", cohort.alias("erase"))
-    survivors = flagged.filter(~F.col("erase"))
-    per_type = flagged.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_before"),
-        F.sum(F.when(F.col("erase"), 1).otherwise(0)).cast("bigint")
-        .alias("n_erased"),
+    before = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_before")
     )
+    erased = (
+        ev.join(F.broadcast(cohort), "user_id", "left_semi")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_erased"))
+    )
+    survivors = ev.join(
+        F.broadcast(cohort), "user_id", "left_anti"
+    ).transform(_tp)
     after = survivors.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_after"),
         F.bit_xor("event_id").cast("bigint").alias("survivor_xor"),
-        F.sum(F.when(F.col("erase"), 1).otherwise(0)).cast("bigint")
-        .alias("n_residual"),
     )
-    return per_type.join(after, "event_type").select(
-        "event_type", "n_before", "n_erased", "n_after", "survivor_xor",
-        "n_residual",
-        F.when(
-            (F.col("n_residual") == 0)
-            & (F.col("n_before") == F.col("n_erased") + F.col("n_after")),
-            1,
-        ).otherwise(0).alias("compliant"),
+    # residual: an INDEPENDENT semi-join of the surviving rows back
+    # against the cohort — 0 only if the anti-join actually erased
+    residual = (
+        survivors.join(F.broadcast(cohort), "user_id", "left_semi")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_residual"))
+    )
+    return (
+        before.join(erased, "event_type", "left")
+        .join(after, "event_type")
+        .join(residual, "event_type", "left")
+        .select(
+            "event_type",
+            "n_before",
+            F.coalesce("n_erased", F.lit(0)).cast("bigint").alias("n_erased"),
+            "n_after",
+            "survivor_xor",
+            F.coalesce("n_residual", F.lit(0)).cast("bigint")
+            .alias("n_residual"),
+            F.when(
+                (F.coalesce("n_residual", F.lit(0)) == 0)
+                & (
+                    F.col("n_before")
+                    == F.coalesce("n_erased", F.lit(0)) + F.col("n_after")
+                ),
+                1,
+            ).otherwise(0).alias("compliant"),
+        )
     )
 
 
 _GDPR_SQL = f"""
-WITH flagged AS (
-  SELECT event_id, event_type, user_id,
-         CAST(('0x' || substr(md5('gdpr:' || CAST(user_id AS VARCHAR)),
-               1, 15)) AS BIGINT) % {_GDPR_MOD} = 0 AS erase
-  FROM events
+WITH cohort AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE CAST(('0x' || substr(md5('gdpr:' || CAST(user_id AS VARCHAR)),
+              1, 15)) AS BIGINT) % {_GDPR_MOD} = 0
 ),
-per_type AS (
-  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_before,
-         CAST(SUM(CASE WHEN erase THEN 1 ELSE 0 END) AS BIGINT) AS n_erased
-  FROM flagged GROUP BY 1
+before AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_before
+  FROM events GROUP BY 1
+),
+erased AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_erased
+  FROM events e WHERE EXISTS (SELECT 1 FROM cohort c
+                              WHERE c.user_id = e.user_id)
+  GROUP BY 1
+),
+survivors AS (
+  SELECT event_id, event_type, user_id FROM events e
+  WHERE NOT EXISTS (SELECT 1 FROM cohort c WHERE c.user_id = e.user_id)
 ),
 after AS (
   SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_after,
-         CAST(bit_xor(event_id) AS BIGINT) AS survivor_xor,
-         CAST(SUM(CASE WHEN erase THEN 1 ELSE 0 END) AS BIGINT) AS n_residual
-  FROM flagged WHERE NOT erase GROUP BY 1
+         CAST(bit_xor(event_id) AS BIGINT) AS survivor_xor
+  FROM survivors GROUP BY 1
+),
+residual AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_residual
+  FROM survivors s WHERE EXISTS (SELECT 1 FROM cohort c
+                                 WHERE c.user_id = s.user_id)
+  GROUP BY 1
 )
-SELECT event_type, n_before, n_erased, n_after, survivor_xor, n_residual,
-       CASE WHEN n_residual = 0 AND n_before = n_erased + n_after
+SELECT b.event_type, b.n_before,
+       COALESCE(e.n_erased, 0) AS n_erased,
+       a.n_after, a.survivor_xor,
+       COALESCE(r.n_residual, 0) AS n_residual,
+       CASE WHEN COALESCE(r.n_residual, 0) = 0
+                 AND b.n_before = COALESCE(e.n_erased, 0) + a.n_after
             THEN 1 ELSE 0 END AS compliant
-FROM per_type JOIN after USING (event_type)
+FROM before b
+LEFT JOIN erased e USING (event_type)
+JOIN after a USING (event_type)
+LEFT JOIN residual r USING (event_type)
 """
 
 
