@@ -66,6 +66,8 @@ _FRONT = (
     "q_encoding_advisor",
     "q_ev_gdpr_erasure",
     "q_ev_bursts",
+    "q_ev_seasonality",
+    "q_emb_filtered_ann",
     # never driver-graded in any round — must land inside the ~50-row
     # grading budget this time (VERDICT r3 what's-wrong #2)
     "q_profile_lineitem",

@@ -2493,7 +2493,173 @@ FROM v{_PCA_STEPS}, piv, nn
 """
 
 
+# ------------------------------------------------------------ filtered ANN
+# Attribute-filtered ANN — the vector-database tradeoff every metadata-
+# constrained retrieval ("label = 3 only") forces: POST-FILTER (run the
+# unfiltered IVF-nprobe search, then drop non-matching candidates — cheap
+# but the filter eats the candidate pool) audited per query against the
+# exact top-k over the PRE-FILTERED corpus. The recall deficit reported
+# here is the reason real systems widen nprobe/k' or build per-attribute
+# lists when filters are selective. Scale shape: both arms reuse the IVF
+# equality-join / broadcast-query topology; the filtered exact arm scans
+# the ~10% slice.
+
+_FANN_LABEL = 3
+_FANN_K = 5
+
+
+def q_emb_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb_normed(spark, sf_dir)
+    qe = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+    )
+    filt = e.filter(F.col("label") == _FANN_LABEL)
+    # exact arm: brute-force top-k over the pre-filtered slice
+    wt = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), "vec_id"
+    )
+    truth = (
+        filt.join(F.broadcast(qe), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_prenorm(
+                F.col("qemb"), F.col("emb"), F.col("qnrm"), F.col("nrm")
+            ).alias("cos_sim"),
+        )
+        .withColumn("rk", F.row_number().over(wt))
+        .filter(F.col("rk") <= _FANN_K)
+        .select("query_id", "vec_id")
+    )
+    # post-filter arm: unfiltered IVF-nprobe candidates, filter label after
+    lists = _ivf_assign(e, 1, "vec_id")
+    probes = _ivf_assign(
+        e.filter(F.col("vec_id") < _N_QUERIES), _IVF_NPROBE, "query_id"
+    )
+    cand = (
+        probes.join(lists, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(filt.select("vec_id"), "vec_id", "left_semi")
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    scored = (
+        cand.join(F.broadcast(qe), "query_id")
+        .join(e.select("vec_id", "emb", "nrm"), "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_prenorm(
+                F.col("qemb"), F.col("emb"), F.col("qnrm"), F.col("nrm")
+            ).alias("cos_sim"),
+        )
+    )
+    n_cand = cand.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_filtered_cands")
+    )
+    ann = (
+        scored.withColumn("rk", F.row_number().over(wt))
+        .filter(F.col("rk") <= _FANN_K)
+        .select("query_id", "vec_id")
+    )
+    hits = (
+        truth.join(ann, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    return (
+        truth.groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+        .join(F.broadcast(n_cand), "query_id", "left")
+        .join(F.broadcast(hits), "query_id", "left")
+        .select(
+            "query_id",
+            "n_truth",
+            F.coalesce("n_filtered_cands", F.lit(0)).cast("bigint")
+            .alias("n_filtered_cands"),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            (
+                F.coalesce("n_hits", F.lit(0)).cast("double")
+                / F.col("n_truth").cast("double")
+            ).alias("recall_postfilter"),
+        )
+    )
+
+
+_FANN_SQL = f"""
+WITH e AS ({_SQL_EMB_NORMED}),
+qe AS (
+  SELECT vec_id AS query_id, emb AS qemb, nrm AS qnrm FROM e
+  WHERE vec_id < {_N_QUERIES}
+),
+filt AS (SELECT * FROM e WHERE label = {_FANN_LABEL}),
+truth AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, f.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+             {sql_cosine_prenorm('q.qemb', 'f.emb', 'q.qnrm', 'f.nrm')}
+               DESC, f.vec_id) AS rk
+    FROM filt f, qe q WHERE f.vec_id <> q.query_id
+  ) WHERE rk <= {_FANN_K}
+),
+cents AS (
+  SELECT vec_id AS cent_id, emb AS cemb, nrm AS cnrm FROM e
+  WHERE vec_id < {_IVF_K}
+),
+assign AS (
+  SELECT vec_id, cent_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+           {sql_cosine_prenorm('emb', 'cemb', 'nrm', 'cnrm')} DESC, cent_id)
+           AS crank
+  FROM e CROSS JOIN cents
+),
+lists AS (SELECT vec_id, cent_id AS cell FROM assign WHERE crank = 1),
+probes AS (
+  SELECT vec_id AS query_id, cent_id AS cell FROM assign
+  WHERE crank <= {_IVF_NPROBE} AND vec_id < {_N_QUERIES}
+),
+cand AS (
+  SELECT DISTINCT query_id, l.vec_id
+  FROM probes p JOIN lists l ON p.cell = l.cell
+  WHERE l.vec_id <> p.query_id
+    AND l.vec_id IN (SELECT vec_id FROM filt)
+),
+ncand AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_filtered_cands
+  FROM cand GROUP BY 1
+),
+ann AS (
+  SELECT query_id, vec_id FROM (
+    SELECT c.query_id, c.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY c.query_id ORDER BY
+             {sql_cosine_prenorm('q.qemb', 'n.emb', 'q.qnrm', 'n.nrm')}
+               DESC, c.vec_id) AS rk
+    FROM cand c JOIN qe q ON q.query_id = c.query_id
+    JOIN e n ON n.vec_id = c.vec_id
+  ) WHERE rk <= {_FANN_K}
+),
+hits AS (
+  SELECT t.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM truth t JOIN ann a ON a.query_id = t.query_id
+                         AND a.vec_id = t.vec_id
+  GROUP BY 1
+)
+SELECT t.query_id, CAST(COUNT(*) AS BIGINT) AS n_truth,
+       COALESCE(MIN(nc.n_filtered_cands), 0) AS n_filtered_cands,
+       COALESCE(MIN(h.n_hits), 0) AS n_hits,
+       CAST(COALESCE(MIN(h.n_hits), 0) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS recall_postfilter
+FROM truth t
+LEFT JOIN ncand nc ON nc.query_id = t.query_id
+LEFT JOIN hits h ON h.query_id = t.query_id
+GROUP BY t.query_id
+"""
+
+
 QUERIES = {
+    "q_emb_filtered_ann": q_emb_filtered_ann,
     "q_emb_pca_power": q_emb_pca_power,
     "q_emb_knn_cosine": q_emb_knn_cosine,
     "q_emb_ivf_knn": q_emb_ivf_knn,
@@ -2522,6 +2688,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_emb_filtered_ann": _FANN_SQL,
     "q_emb_pca_power": _pca_sql(),
     "q_emb_knn_cosine": _KNN_SQL,
     "q_emb_ivf_knn": _IVF_SQL,

@@ -4156,6 +4156,78 @@ ORDER BY lag
 """
 
 
+# --------------------------------------------------------- seasonal profile
+# Hour-of-day seasonality profile — the multiplicative seasonal index
+# behind q_ev_forecast's seasonal-naive lag and q_ev_acf's lag-24 peak:
+# index(hod) = (events in that hour-of-day / hours observed) / global
+# hourly mean, computed as ONE double division of exact integer products
+# c_hod·n / (n_hod·S). The gap-filled grid counts empty hours in n_hod,
+# so quiet hours-of-day read below 1 honestly. Scale shape: one hourly
+# aggregate reduced to a 24-row profile.
+
+
+def q_ev_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    hours = ev.select(F.expr("unix_micros(ts) div 3600000000").alias("h"))
+    counts = hours.groupBy("h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).transform(_tp)
+    bounds = counts.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    filled = (
+        bounds.select(F.explode(F.expr("sequence(h0, h1)")).alias("h"))
+        .join(counts, "h", "left")
+        .select(
+            F.expr("h % 24").alias("hod"),
+            F.coalesce("c", F.lit(0)).cast("bigint").alias("c"),
+        )
+    )
+    tot = filled.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+    )
+    return (
+        filled.groupBy("hod")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+            F.sum("c").cast("bigint").alias("n_events"),
+        )
+        .join(F.broadcast(tot))
+        .select(
+            "hod",
+            "n_hours",
+            "n_events",
+            (
+                (F.col("n_events") * F.col("n")).cast("double")
+                / (F.col("n_hours") * F.col("s")).cast("double")
+            ).alias("seasonal_index"),
+        )
+    )
+
+
+_SEASONALITY_SQL = """
+WITH hours AS (
+  SELECT epoch_us(ts::TIMESTAMP) // 3600000000 AS h FROM events
+),
+counts AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS c FROM hours GROUP BY 1),
+bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM counts),
+filled AS (
+  SELECT t.i % 24 AS hod, COALESCE(c, CAST(0 AS BIGINT)) AS c
+  FROM bounds, unnest(range(h0, h1 + 1)) t(i)
+  LEFT JOIN counts ON counts.h = t.i
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s
+  FROM filled
+)
+SELECT hod, CAST(COUNT(*) AS BIGINT) AS n_hours,
+       CAST(SUM(c) AS BIGINT) AS n_events,
+       CAST(SUM(c) * n AS DOUBLE) / CAST(COUNT(*) * s AS DOUBLE)
+         AS seasonal_index
+FROM filled, tot
+GROUP BY hod, n, s
+"""
+
+
 # ------------------------------------------------------------ burst detection
 # Kleinberg-style burst detection (Kleinberg, KDD 2002 — the two-state
 # automaton variant over the gap-filled hourly count series): state 0
@@ -4869,6 +4941,7 @@ QUERIES = {
     "q_ev_watermark_plan": q_ev_watermark_plan,
     "q_ev_gdpr_erasure": q_ev_gdpr_erasure,
     "q_ev_bursts": q_ev_bursts,
+    "q_ev_seasonality": q_ev_seasonality,
     "q_stream_tumbling_hourly": q_stream_tumbling_hourly,
     "q_stream_sessionize": q_stream_sessionize,
     "q_stream_running_totals": q_stream_running_totals,
@@ -4943,4 +5016,5 @@ ORACLES = {
     "q_ev_watermark_plan": _watermark_plan_sql(),
     "q_ev_gdpr_erasure": _GDPR_SQL,
     "q_ev_bursts": _bursts_sql(),
+    "q_ev_seasonality": _SEASONALITY_SQL,
 }

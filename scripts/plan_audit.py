@@ -151,6 +151,11 @@ _NLJ_OK = {
         "32-row replicate lattice map-side cross join + single-row "
         "ci_lo/ci_hi order-statistic cross joins"
     ),
+    "q_ev_seasonality": "single-row (n, s) totals cross join over the 24-row profile",
+    "q_emb_filtered_ann": (
+        "20-row query broadcast + 8-centroid assignment (knn + IVF "
+        "shapes) on both the exact-filtered and post-filter arms"
+    ),
     "q_ev_acf": (
         "single-row (n, s) totals + 2-row lag-lattice cross joins over "
         "the bounded hour grid"

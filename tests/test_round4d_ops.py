@@ -1095,3 +1095,97 @@ def test_bursts_brute_force(spark, sf_dir):
     # and every burst must beat base rate on average
     for _, (_, _, nh, te, _) in expected.items():
         assert te * n > s_tot * nh  # mean within burst > corpus mean
+
+
+# ------------------------------------------------------------ seasonality
+
+
+def test_seasonality_brute_force(spark, sf_dir):
+    ev = _events(sf_dir)
+    hr = 3_600_000_000
+    hs = [e["t_us"] // hr for e in ev]
+    h0, h1 = min(hs), max(hs)
+    from collections import Counter
+
+    cnt = Counter(hs)
+    per = defaultdict(lambda: [0, 0])
+    for h in range(h0, h1 + 1):
+        d = per[h % 24]
+        d[0] += 1
+        d[1] += cnt.get(h, 0)
+    n = h1 - h0 + 1
+    s = sum(cnt.values())
+    expected = {
+        hod: (nh, c, (c * n) / (nh * s)) for hod, (nh, c) in per.items()
+    }
+    out = {
+        r["hod"]: (r["n_hours"], r["n_events"], r["seasonal_index"])
+        for r in EV_QUERIES["q_ev_seasonality"](spark, sf_dir).collect()
+    }
+    assert out == expected
+    # indices average to ~1 by construction (weighted by hours)
+    wsum = sum(v[0] * v[2] for v in expected.values())
+    assert abs(wsum / n - 1.0) < 1e-9
+
+
+# ------------------------------------------------------------- filtered ANN
+
+
+def test_filtered_ann_brute_force(spark, sf_dir):
+    from esvc_spark.queries.embeddings import (
+        _FANN_K, _FANN_LABEL, _IVF_K, _IVF_NPROBE, _N_QUERIES,
+        QUERIES as EMB_QUERIES,
+    )
+    import math
+
+    emb_t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    embs, labels = {}, {}
+    for v, lb, e in zip(
+        emb_t.column("vec_id").to_pylist(),
+        emb_t.column("label").to_pylist(),
+        emb_t.column("embedding").to_pylist(),
+    ):
+        embs[v] = [float(x) for x in e]
+        labels[v] = lb
+    nrm = {v: math.sqrt(_dot(e, e)) for v, e in embs.items()}
+
+    def cos(a, b):
+        return _dot(embs[a], embs[b]) / (nrm[a] * nrm[b])
+
+    filt = [v for v in embs if labels[v] == _FANN_LABEL]
+    cents = [v for v in sorted(embs) if v < _IVF_K]
+
+    def assign(v, k):
+        ranked = sorted(((-cos(v, c), c) for c in cents))
+        return [c for _, c in ranked[:k]]
+
+    lists = {v: assign(v, 1)[0] for v in embs}
+    expected = {}
+    for q in range(_N_QUERIES):
+        if q not in embs:
+            continue
+        truth = [
+            v for _, v in sorted(
+                (-cos(q, v), v) for v in filt if v != q
+            )[:_FANN_K]
+        ]
+        cells = set(assign(q, _IVF_NPROBE))
+        cand = [
+            v for v in filt if v != q and lists[v] in cells
+        ]
+        ann = [v for _, v in sorted((-cos(q, v), v) for v in cand)[:_FANN_K]]
+        hits = len(set(truth) & set(ann))
+        expected[q] = (
+            len(truth), len(cand), hits, hits / len(truth)
+        )
+    out = {
+        r["query_id"]: (
+            r["n_truth"], r["n_filtered_cands"], r["n_hits"],
+            r["recall_postfilter"],
+        )
+        for r in EMB_QUERIES["q_emb_filtered_ann"](spark, sf_dir).collect()
+    }
+    assert out == expected
+    # hits can never exceed the filtered candidate pool
+    assert all(h <= c for _, c, h, _ in
+               ((v[0], v[1], v[2], v[3]) for v in out.values()))
