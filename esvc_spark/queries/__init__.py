@@ -68,6 +68,8 @@ _FRONT = (
     "q_ev_bursts",
     "q_ev_seasonality",
     "q_emb_filtered_ann",
+    "q_ev_slo_burn",
+    "q_doc_threshold_sweep",
     # never driver-graded in any round — must land inside the ~50-row
     # grading budget this time (VERDICT r3 what's-wrong #2)
     "q_profile_lineitem",

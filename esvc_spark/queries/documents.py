@@ -5278,6 +5278,93 @@ FROM binned GROUP BY 1
 """
 
 
+# --------------------------------------------------------- threshold sweep
+# Curation yield curve: for each candidate quality threshold (the
+# calibration bins' lower edges), the fraction of documents and of
+# TOKENS retained by "keep qscore ≥ τ" — the two axes a pipeline trades
+# when it turns the quality knob (corpus size vs quality floor). Built
+# as a cumulative suffix sum over the per-bin aggregate, so the corpus
+# is touched once no matter how many thresholds are swept. Doc and
+# token counts are integers; retention fractions are one division each.
+
+
+def q_doc_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _docs_par(spark, sf_dir)
+    d = _qscored(docs)
+    binned = d.select(
+        F.expr(
+            f"least(greatest(CAST(floor(qscore * 2) AS BIGINT), 0),"
+            f" {_CAL_BINS - 1})"
+        ).alias("bin"),
+        "n_tokens",
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+    w = Window.orderBy(F.desc("bin")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = per_bin.agg(
+        F.sum("n_docs").cast("bigint").alias("td"),
+        F.sum("n_tokens").cast("bigint").alias("tt"),
+    )
+    return (
+        per_bin.select(
+            "bin",
+            F.sum("n_docs").over(w).cast("bigint").alias("docs_kept"),
+            F.sum("n_tokens").over(w).cast("bigint").alias("tokens_kept"),
+        )
+        .join(F.broadcast(tot))
+        .select(
+            (F.col("bin").cast("double") / F.lit(2.0)).alias("threshold"),
+            "docs_kept",
+            "tokens_kept",
+            (F.col("docs_kept").cast("double") / F.col("td").cast("double"))
+            .alias("doc_retention"),
+            (F.col("tokens_kept").cast("double") / F.col("tt").cast("double"))
+            .alias("token_retention"),
+        )
+    )
+
+
+def _threshold_sweep_sql() -> str:
+    return f"""
+WITH d AS ({_qscored_sql()}),
+binned AS (
+  SELECT LEAST(GREATEST(CAST(floor(qscore * 2) AS BIGINT), 0),
+               {_CAL_BINS - 1}) AS bin,
+         n_tokens
+  FROM d
+),
+per_bin AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+  FROM binned GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS td,
+         CAST(SUM(n_tokens) AS BIGINT) AS tt
+  FROM per_bin
+),
+cum AS (
+  SELECT bin,
+         CAST(SUM(n_docs) OVER (ORDER BY bin DESC
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS docs_kept,
+         CAST(SUM(n_tokens) OVER (ORDER BY bin DESC
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tokens_kept
+  FROM per_bin
+)
+SELECT CAST(bin AS DOUBLE) / CAST(2.0 AS DOUBLE) AS threshold,
+       docs_kept, tokens_kept,
+       CAST(docs_kept AS DOUBLE) / CAST(td AS DOUBLE) AS doc_retention,
+       CAST(tokens_kept AS DOUBLE) / CAST(tt AS DOUBLE) AS token_retention
+FROM cum, tot
+"""
+
+
 # ------------------------------------------------- weighted sampling (A-ES)
 # Weighted sampling WITHOUT replacement by the Efraimidis-Spirakis
 # exponential race (A-ES, IPL 2006): each doc draws a deterministic
@@ -5367,6 +5454,7 @@ QUERIES = {
     "q_doc_heaps": q_doc_heaps,
     "q_doc_weighted_sample": q_doc_weighted_sample,
     "q_doc_calibration": q_doc_calibration,
+    "q_doc_threshold_sweep": q_doc_threshold_sweep,
     "q_doc_langid_eval": q_doc_langid_eval,
     "q_doc_bbit_minhash": q_doc_bbit_minhash,
     "q_doc_bpe_tokens": q_doc_bpe_tokens,
@@ -5433,6 +5521,7 @@ ORACLES = {
     "q_doc_heaps": _heaps_sql(),
     "q_doc_weighted_sample": _weighted_sample_sql(),
     "q_doc_calibration": _calibration_sql(),
+    "q_doc_threshold_sweep": _threshold_sweep_sql(),
     "q_doc_langid_eval": _langid_eval_sql(),
     "q_doc_bbit_minhash": _bbit_minhash_sql(),
     "q_doc_bpe_tokens": _bpe_sql(),

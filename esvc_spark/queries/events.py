@@ -4156,6 +4156,126 @@ ORDER BY lag
 """
 
 
+# ----------------------------------------------------------- SLO burn rate
+# Multiwindow burn-rate alerting (the Google SRE workbook pattern) over
+# the event stream's error rate against a 99% SLO: per hour, the 1 h and
+# trailing 6 h error fractions are turned into burn rates
+# (rate / error-budget) and the alert fires when BOTH windows exceed
+# their thresholds (14.4× short / 6× long — the standard fast-burn page).
+# Exactness: thresholds are applied by integer cross-multiplication
+# (1000·errors > 144·total ⟺ burn > 14.4 with budget 1%), so the flag
+# never touches a float; the reported burn-rate columns are one double
+# division each. Scale shape: one hourly aggregate + one 6-row trailing
+# window over the bounded hour grid.
+
+_SLO_BUDGET_MILLI = 10  # 99% SLO → 1% budget
+_SLO_SHORT_X10 = 144  # 14.4× short-window burn
+_SLO_LONG_X10 = 60  # 6× long-window burn
+
+
+def q_ev_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    observed = (
+        ev.select(
+            F.expr("unix_micros(ts) div 3600000000").alias("h"),
+            F.when(F.col("event_type") == "error", 1).otherwise(0).alias("e"),
+        )
+        .groupBy("h")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("t1"),
+            F.sum("e").cast("bigint").alias("e1"),
+        )
+        .transform(_tp)
+    )
+    # gap-fill: a quiet hour has zero traffic but still occupies a slot
+    # of the trailing window (ROWS 6 ≡ real 6 h only on a dense grid)
+    bounds = observed.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    hourly = (
+        bounds.select(F.explode(F.expr("sequence(h0, h1)")).alias("h"))
+        .join(observed, "h", "left")
+        .select(
+            "h",
+            F.coalesce("t1", F.lit(0)).cast("bigint").alias("t1"),
+            F.coalesce("e1", F.lit(0)).cast("bigint").alias("e1"),
+        )
+    )
+    w6 = Window.orderBy("h").rowsBetween(-5, 0)
+    rolled = hourly.select(
+        "h",
+        "t1",
+        "e1",
+        F.sum("t1").over(w6).cast("bigint").alias("t6"),
+        F.sum("e1").over(w6).cast("bigint").alias("e6"),
+    )
+    # burn = (e/t) / budget; threshold by integer cross-multiplication:
+    # e/t > X/10 * budget_milli/1000  ⟺  10000·e > X·budget_milli·t
+    short_hot = (
+        F.lit(10000) * F.col("e1")
+        > F.lit(_SLO_SHORT_X10 * _SLO_BUDGET_MILLI) * F.col("t1")
+    )
+    long_hot = (
+        F.lit(10000) * F.col("e6")
+        > F.lit(_SLO_LONG_X10 * _SLO_BUDGET_MILLI) * F.col("t6")
+    )
+    return rolled.select(
+        F.timestamp_micros(F.expr("h * 3600000000")).alias("ts_hour"),
+        "t1",
+        "e1",
+        "t6",
+        "e6",
+        # zero-traffic guard: 0/0 is NaN-vs-NULL engine-divergent (and
+        # an ANSI error in the driver session) — an empty window burns 0
+        F.when(F.col("t1") == 0, F.lit(0.0)).otherwise(
+            F.col("e1").cast("double")
+            / F.col("t1").cast("double")
+            * F.lit(1000.0 / _SLO_BUDGET_MILLI)
+        ).alias("burn_1h"),
+        F.when(F.col("t6") == 0, F.lit(0.0)).otherwise(
+            F.col("e6").cast("double")
+            / F.col("t6").cast("double")
+            * F.lit(1000.0 / _SLO_BUDGET_MILLI)
+        ).alias("burn_6h"),
+        F.when(short_hot & long_hot, 1).otherwise(0).alias("page"),
+    )
+
+
+_SLO_SQL = f"""
+WITH observed AS (
+  SELECT epoch_us(ts::TIMESTAMP) // 3600000000 AS h,
+         CAST(COUNT(*) AS BIGINT) AS t1,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS e1
+  FROM events GROUP BY 1
+),
+bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM observed),
+hourly AS (
+  SELECT t.i AS h, COALESCE(t1, CAST(0 AS BIGINT)) AS t1,
+         COALESCE(e1, CAST(0 AS BIGINT)) AS e1
+  FROM bounds, unnest(range(h0, h1 + 1)) t(i)
+  LEFT JOIN observed ON observed.h = t.i
+),
+rolled AS (
+  SELECT h, t1, e1,
+         CAST(SUM(t1) OVER (ORDER BY h ROWS BETWEEN 5 PRECEDING
+                            AND CURRENT ROW) AS BIGINT) AS t6,
+         CAST(SUM(e1) OVER (ORDER BY h ROWS BETWEEN 5 PRECEDING
+                            AND CURRENT ROW) AS BIGINT) AS e6
+  FROM hourly
+)
+SELECT make_timestamp(h * 3600000000) AS ts_hour, t1, e1, t6, e6,
+       CASE WHEN t1 = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(e1 AS DOUBLE) / CAST(t1 AS DOUBLE)
+                   * {1000.0 / _SLO_BUDGET_MILLI} END AS burn_1h,
+       CASE WHEN t6 = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(e6 AS DOUBLE) / CAST(t6 AS DOUBLE)
+                   * {1000.0 / _SLO_BUDGET_MILLI} END AS burn_6h,
+       CASE WHEN 10000 * e1 > {_SLO_SHORT_X10 * _SLO_BUDGET_MILLI} * t1
+                 AND 10000 * e6 > {_SLO_LONG_X10 * _SLO_BUDGET_MILLI} * t6
+            THEN 1 ELSE 0 END AS page
+FROM rolled
+"""
+
+
 # --------------------------------------------------------- seasonal profile
 # Hour-of-day seasonality profile — the multiplicative seasonal index
 # behind q_ev_forecast's seasonal-naive lag and q_ev_acf's lag-24 peak:
@@ -4942,6 +5062,7 @@ QUERIES = {
     "q_ev_gdpr_erasure": q_ev_gdpr_erasure,
     "q_ev_bursts": q_ev_bursts,
     "q_ev_seasonality": q_ev_seasonality,
+    "q_ev_slo_burn": q_ev_slo_burn,
     "q_stream_tumbling_hourly": q_stream_tumbling_hourly,
     "q_stream_sessionize": q_stream_sessionize,
     "q_stream_running_totals": q_stream_running_totals,
@@ -5017,4 +5138,5 @@ ORACLES = {
     "q_ev_gdpr_erasure": _GDPR_SQL,
     "q_ev_bursts": _bursts_sql(),
     "q_ev_seasonality": _SEASONALITY_SQL,
+    "q_ev_slo_burn": _SLO_SQL,
 }

@@ -1189,3 +1189,83 @@ def test_filtered_ann_brute_force(spark, sf_dir):
     # hits can never exceed the filtered candidate pool
     assert all(h <= c for _, c, h, _ in
                ((v[0], v[1], v[2], v[3]) for v in out.values()))
+
+
+# ------------------------------------------------------------ SLO burn rate
+
+
+def test_slo_burn_brute_force(spark, sf_dir):
+    from esvc_spark.queries.events import (
+        _SLO_BUDGET_MILLI, _SLO_LONG_X10, _SLO_SHORT_X10,
+    )
+
+    ev = _events(sf_dir)
+    hr = 3_600_000_000
+    from collections import Counter
+
+    tot, err = Counter(), Counter()
+    for e in ev:
+        h = e["t_us"] // hr
+        tot[h] += 1
+        if e["event_type"] == "error":
+            err[h] += 1
+    h0, h1 = min(tot), max(tot)
+    hs = list(range(h0, h1 + 1))
+    t1 = [tot.get(h, 0) for h in hs]
+    e1 = [err.get(h, 0) for h in hs]
+    expected = {}
+    for i, h in enumerate(hs):
+        lo = max(0, i - 5)
+        t6, e6 = sum(t1[lo:i + 1]), sum(e1[lo:i + 1])
+        b1 = 0.0 if t1[i] == 0 else e1[i] / t1[i] * (1000.0 / _SLO_BUDGET_MILLI)
+        b6 = 0.0 if t6 == 0 else e6 / t6 * (1000.0 / _SLO_BUDGET_MILLI)
+        page = int(
+            10000 * e1[i] > _SLO_SHORT_X10 * _SLO_BUDGET_MILLI * t1[i]
+            and 10000 * e6 > _SLO_LONG_X10 * _SLO_BUDGET_MILLI * t6
+        )
+        expected[h] = (t1[i], e1[i], t6, e6, b1, b6, page)
+    import datetime as dt
+
+    out = {
+        int(r["ts_hour"].replace(tzinfo=dt.timezone.utc).timestamp()) // 3600:
+        (r["t1"], r["e1"], r["t6"], r["e6"], r["burn_1h"], r["burn_6h"],
+         r["page"])
+        for r in EV_QUERIES["q_ev_slo_burn"](spark, sf_dir).collect()
+    }
+    assert out == expected
+
+
+# --------------------------------------------------------- threshold sweep
+
+
+def test_threshold_sweep_brute_force(spark, sf_dir):
+    from esvc_spark.queries.documents import _CAL_BINS
+
+    docs = _docs(sf_dir)
+    per = defaultdict(lambda: [0, 0])
+    for d in docs:
+        s = _qscore(d)
+        if s is None:
+            continue
+        b = min(max(int(s * 2 // 1), 0), _CAL_BINS - 1)
+        toks = len(re.findall(r"\S+", d["text"]))
+        per[b][0] += 1
+        per[b][1] += toks
+    td = sum(v[0] for v in per.values())
+    tt = sum(v[1] for v in per.values())
+    expected = {}
+    for b in per:
+        dk = sum(v[0] for bb, v in per.items() if bb >= b)
+        tk = sum(v[1] for bb, v in per.items() if bb >= b)
+        expected[b / 2.0] = (dk, tk, dk / td, tk / tt)
+    out = {
+        r["threshold"]: (
+            r["docs_kept"], r["tokens_kept"], r["doc_retention"],
+            r["token_retention"],
+        )
+        for r in DOC_QUERIES["q_doc_threshold_sweep"](spark, sf_dir).collect()
+    }
+    assert out == expected
+    # the yield curve is monotone non-increasing in the threshold
+    ts = sorted(out)
+    assert all(out[a][0] >= out[b][0] for a, b in zip(ts, ts[1:]))
