@@ -70,6 +70,7 @@ _FRONT = (
     "q_emb_filtered_ann",
     "q_ev_slo_burn",
     "q_doc_threshold_sweep",
+    "q_emb_db_index",
     # never driver-graded in any round — must land inside the ~50-row
     # grading budget this time (VERDICT r3 what's-wrong #2)
     "q_profile_lineitem",

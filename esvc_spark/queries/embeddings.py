@@ -2493,6 +2493,119 @@ FROM v{_PCA_STEPS}, piv, nn
 """
 
 
+# -------------------------------------------------------- Davies-Bouldin
+# Geometric cluster-quality audit of the LABEL clustering (the internal-
+# validity companion to q_emb_cluster_agreement's chance-corrected ARI
+# and q_emb_ood's per-vector scatter): per label the scatter σ = mean
+# member→centroid distance, and the Davies-Bouldin component
+# max_{j≠i} (σi + σj) / d(ci, cj) — low means tight, well-separated
+# clusters; the overall DB index is their mean. Centroid means and every
+# distance sum use order-pinned folds (full-precision float32-origin
+# doubles are NOT decimal-grid-safe — _util doctrine), sqrt is correctly
+# rounded in both engines, and the pairwise machinery is a K×K lattice
+# over the ≤10 labels. Scale shape: two corpus passes (centroids +
+# scatter), then constant-size geometry.
+
+
+def q_emb_db_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    el = e.select(
+        "vec_id", "label", F.posexplode("emb").alias("pos0", "val")
+    ).withColumn("pos", F.col("pos0") + 1).transform(_tp)
+    cent = el.groupBy("label", "pos").agg(
+        (ofold_sum("vec_id", "val") / F.count(F.lit(1))).alias("cval")
+    ).transform(_tp)
+    dists = (
+        el.join(F.broadcast(cent), ["label", "pos"])  # |labels|·dim rows
+        .withColumn(
+            "sq", (F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.sqrt(ofold_sum("pos", "sq")).alias("dist"))
+    )
+    sig = dists.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        (ofold_sum("vec_id", "dist") / F.count(F.lit(1))).alias("sigma"),
+    )
+    ca = cent.select(
+        F.col("label").alias("ci"), "pos", F.col("cval").alias("va")
+    )
+    cb = cent.select(
+        F.col("label").alias("cj"), "pos", F.col("cval").alias("vb")
+    )
+    cd = (
+        ca.join(F.broadcast(cb), "pos")  # K·dim lattice, both sides tiny
+        .filter(F.col("ci") != F.col("cj"))
+        .withColumn("sq", (F.col("va") - F.col("vb")) * (F.col("va") - F.col("vb")))
+        .groupBy("ci", "cj")
+        .agg(F.sqrt(ofold_sum("pos", "sq")).alias("dij"))
+    )
+    sa = sig.select(F.col("label").alias("ci"), F.col("sigma").alias("si"))
+    sb = sig.select(F.col("label").alias("cj"), F.col("sigma").alias("sj"))
+    comp = (
+        cd.join(F.broadcast(sa), "ci")
+        .join(F.broadcast(sb), "cj")
+        .select("ci", ((F.col("si") + F.col("sj")) / F.col("dij")).alias("r"))
+        .groupBy("ci")
+        .agg(F.max("r").alias("db_component"))
+    )
+    overall = comp.agg(
+        (ofold_sum("ci", "db_component") / F.count(F.lit(1))).alias("db_index")
+    )
+    return (
+        sig.join(comp, F.col("label") == F.col("ci"))
+        .join(F.broadcast(overall))
+        .select("label", "n_members", "sigma", "db_component", "db_index")
+    )
+
+
+_DB_INDEX_SQL = f"""
+WITH e AS ({_SQL_EMB}),
+el AS (
+  SELECT vec_id, label, unnest(emb) AS val,
+         generate_subscripts(emb, 1) AS pos
+  FROM e
+),
+cent AS (
+  SELECT label, pos, {sql_ofold_sum('vec_id', 'val')} / COUNT(*) AS cval
+  FROM el GROUP BY label, pos
+),
+dists AS (
+  SELECT el.vec_id, el.label,
+         sqrt({sql_ofold_sum('el.pos', '(val - cval) * (val - cval)')})
+           AS dist
+  FROM el JOIN cent ON cent.label = el.label AND cent.pos = el.pos
+  GROUP BY el.vec_id, el.label
+),
+sig AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members,
+         {sql_ofold_sum('vec_id', 'dist')} / COUNT(*) AS sigma
+  FROM dists GROUP BY label
+),
+cd AS (
+  SELECT a.label AS ci, b.label AS cj,
+         sqrt({sql_ofold_sum('a.pos', '(a.cval - b.cval) * (a.cval - b.cval)')})
+           AS dij
+  FROM cent a JOIN cent b ON a.pos = b.pos AND a.label <> b.label
+  GROUP BY a.label, b.label
+),
+comp AS (
+  SELECT ci, MAX((si.sigma + sj.sigma) / dij) AS db_component
+  FROM cd
+  JOIN sig si ON si.label = cd.ci
+  JOIN sig sj ON sj.label = cd.cj
+  GROUP BY ci
+),
+overall AS (
+  SELECT {sql_ofold_sum('ci', 'db_component')} / COUNT(*) AS db_index
+  FROM comp
+)
+SELECT sig.label, sig.n_members, sig.sigma, comp.db_component,
+       overall.db_index
+FROM sig JOIN comp ON comp.ci = sig.label, overall
+"""
+
+
 # ------------------------------------------------------------ filtered ANN
 # Attribute-filtered ANN — the vector-database tradeoff every metadata-
 # constrained retrieval ("label = 3 only") forces: POST-FILTER (run the
@@ -2660,6 +2773,7 @@ GROUP BY t.query_id
 
 QUERIES = {
     "q_emb_filtered_ann": q_emb_filtered_ann,
+    "q_emb_db_index": q_emb_db_index,
     "q_emb_pca_power": q_emb_pca_power,
     "q_emb_knn_cosine": q_emb_knn_cosine,
     "q_emb_ivf_knn": q_emb_ivf_knn,
@@ -2689,6 +2803,7 @@ QUERIES = {
 
 ORACLES = {
     "q_emb_filtered_ann": _FANN_SQL,
+    "q_emb_db_index": _DB_INDEX_SQL,
     "q_emb_pca_power": _pca_sql(),
     "q_emb_knn_cosine": _KNN_SQL,
     "q_emb_ivf_knn": _IVF_SQL,

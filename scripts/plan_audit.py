@@ -152,6 +152,7 @@ _NLJ_OK = {
         "ci_lo/ci_hi order-statistic cross joins"
     ),
     "q_ev_seasonality": "single-row (n, s) totals cross join over the 24-row profile",
+    "q_emb_db_index": "single-row overall-DB-index cross join over the K-label table",
     "q_doc_threshold_sweep": "single-row corpus-totals cross join over the <=9-bin cumulative",
     "q_emb_filtered_ann": (
         "20-row query broadcast + 8-centroid assignment (knn + IVF "

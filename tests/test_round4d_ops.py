@@ -1269,3 +1269,65 @@ def test_threshold_sweep_brute_force(spark, sf_dir):
     # the yield curve is monotone non-increasing in the threshold
     ts = sorted(out)
     assert all(out[a][0] >= out[b][0] for a, b in zip(ts, ts[1:]))
+
+
+# ----------------------------------------------------------- Davies-Bouldin
+
+
+def test_db_index_brute_force(spark, sf_dir):
+    import math
+
+    from esvc_spark.queries.embeddings import QUERIES as EMB_QUERIES
+
+    emb_t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    by_label = defaultdict(list)
+    for v, lb, e in zip(
+        emb_t.column("vec_id").to_pylist(),
+        emb_t.column("label").to_pylist(),
+        emb_t.column("embedding").to_pylist(),
+    ):
+        by_label[lb].append((v, [float(x) for x in e]))
+    dim = len(next(iter(by_label.values()))[0][1])
+    cent, sigma, nm = {}, {}, {}
+    for lb, vecs in by_label.items():
+        vecs.sort()
+        cent[lb] = [
+            sum(e[p] for _, e in vecs) / len(vecs) for p in range(dim)
+        ]
+        # order-pinned folds: sum in vec_id order, exactly like ofold_sum
+        acc = 0.0
+        for _, e in vecs:
+            d2 = 0.0
+            for p in range(dim):
+                d2 += (e[p] - cent[lb][p]) * (e[p] - cent[lb][p])
+            acc += math.sqrt(d2)
+        sigma[lb] = acc / len(vecs)
+        nm[lb] = len(vecs)
+    def cdist(a, b):
+        d2 = 0.0
+        for p in range(dim):
+            d2 += (cent[a][p] - cent[b][p]) * (cent[a][p] - cent[b][p])
+        return math.sqrt(d2)
+    comp = {
+        i: max((sigma[i] + sigma[j]) / cdist(i, j)
+               for j in cent if j != i)
+        for i in cent
+    }
+    dbi = 0.0
+    for i in sorted(comp):
+        dbi += comp[i]
+    dbi /= len(comp)
+    out = {
+        r["label"]: (r["n_members"], r["sigma"], r["db_component"],
+                     r["db_index"])
+        for r in EMB_QUERIES["q_emb_db_index"](spark, sf_dir).collect()
+    }
+    assert set(out) == set(cent)
+    for lb in cent:
+        n, sg, c, d = out[lb]
+        assert n == nm[lb]
+        assert sg == sigma[lb]
+        assert c == comp[lb]
+        assert d == dbi
+    # DB components are positive and finite
+    assert all(v[2] > 0 for v in out.values())
