@@ -4886,6 +4886,123 @@ FROM withvar
 """
 
 
+# ------------------------------------------------------------ power analysis
+# Experiment-design companion to q_ev_ab_test: at the CURRENT arm sizes
+# and pooled conversion rate, the minimum detectable effect at 5%
+# two-sided significance and 80% power
+#   MDE = (z_α + z_β) · sqrt(p(1-p)·(1/n_a + 1/n_b))
+# and the per-arm sample size needed to detect a 1-point absolute lift
+#   n_req = (z_α + z_β)² · 2·p(1-p) / 0.01²
+# — the "how long must this test run" table. z constants are identical
+# literals in both dialects; everything else is integer counts, one
+# sqrt, a few IEEE ops. Scale shape: one user-grain aggregate + a 2-row
+# reduction (the ab_test topology).
+
+_PW_ZA = 1.959964  # two-sided 5%
+_PW_ZB = 0.841621  # 80% power
+_PW_TARGET = 0.01  # 1-point absolute lift
+
+
+def q_ev_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    users = (
+        ev.groupBy("user_id")
+        .agg(
+            F.when(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                )
+                >= _AB_CONV_MIN,
+                1,
+            ).otherwise(0).alias("conv")
+        )
+        .select(
+            F.expr(
+                "CAST(conv(substr(md5(concat('ab:', CAST(user_id AS STRING))),"
+                " 1, 15), 16, 10) AS BIGINT) % 2"
+            ).alias("variant"),
+            "conv",
+        )
+    )
+    arms = users.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("conv").cast("bigint").alias("k"),
+    )
+    a = arms.filter(F.col("variant") == 0).select(
+        F.col("n").alias("n_a"), F.col("k").alias("conv_a")
+    )
+    b = arms.filter(F.col("variant") == 1).select(
+        F.col("n").alias("n_b"), F.col("k").alias("conv_b")
+    )
+    pp = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    z = F.lit(_PW_ZA + _PW_ZB)
+    mde = z * F.sqrt(
+        pp
+        * (F.lit(1).cast("double") - pp)
+        * (
+            F.lit(1).cast("double") / F.col("n_a").cast("double")
+            + F.lit(1).cast("double") / F.col("n_b").cast("double")
+        )
+    )
+    n_req = (
+        z
+        * z
+        * F.lit(2.0)
+        * pp
+        * (F.lit(1).cast("double") - pp)
+        / F.lit(_PW_TARGET * _PW_TARGET)
+    )
+    return a.join(F.broadcast(b)).select(
+        "n_a",
+        "n_b",
+        pp.alias("pooled_rate"),
+        mde.alias("mde_abs"),
+        n_req.alias("n_required_per_arm"),
+        F.when(
+            F.least(F.col("n_a"), F.col("n_b")).cast("double") >= n_req, 1
+        ).otherwise(0).alias("powered_for_target"),
+    )
+
+
+_POWER_SQL = f"""
+WITH users AS (
+  SELECT CAST(('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 2 AS variant,
+         CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   >= {_AB_CONV_MIN} THEN 1 ELSE 0 END AS conv
+  FROM events GROUP BY user_id
+),
+arms AS (
+  SELECT variant, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(conv) AS BIGINT) AS k
+  FROM users GROUP BY 1
+),
+ab AS (
+  SELECT a.n AS n_a, a.k AS conv_a, b.n AS n_b, b.k AS conv_b
+  FROM (SELECT n, k FROM arms WHERE variant = 0) a,
+       (SELECT n, k FROM arms WHERE variant = 1) b
+),
+base AS (
+  SELECT n_a, n_b,
+         CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS pp
+  FROM ab
+)
+SELECT n_a, n_b, pp AS pooled_rate,
+       {_PW_ZA + _PW_ZB} * sqrt(pp * (CAST(1 AS DOUBLE) - pp)
+         * (CAST(1 AS DOUBLE) / CAST(n_a AS DOUBLE)
+            + CAST(1 AS DOUBLE) / CAST(n_b AS DOUBLE))) AS mde_abs,
+       {_PW_ZA + _PW_ZB} * {_PW_ZA + _PW_ZB} * 2.0 * pp
+         * (CAST(1 AS DOUBLE) - pp)
+         / {_PW_TARGET * _PW_TARGET} AS n_required_per_arm,
+       CASE WHEN CAST(LEAST(n_a, n_b) AS DOUBLE)
+                 >= {_PW_ZA + _PW_ZB} * {_PW_ZA + _PW_ZB} * 2.0 * pp
+                      * (CAST(1 AS DOUBLE) - pp) / {_PW_TARGET * _PW_TARGET}
+            THEN 1 ELSE 0 END AS powered_for_target
+FROM base
+"""
+
+
 # ------------------------------------------------------------ bootstrap CI
 # Deterministic Poisson bootstrap on the purchase-conversion rate: each
 # of B=32 replicates reweights every event by a pseudo-Poisson(1) count
@@ -5058,6 +5175,7 @@ QUERIES = {
     "q_ev_acf": q_ev_acf,
     "q_ev_bootstrap_ci": q_ev_bootstrap_ci,
     "q_ev_ab_test": q_ev_ab_test,
+    "q_ev_power_analysis": q_ev_power_analysis,
     "q_ev_watermark_plan": q_ev_watermark_plan,
     "q_ev_gdpr_erasure": q_ev_gdpr_erasure,
     "q_ev_bursts": q_ev_bursts,
@@ -5134,6 +5252,7 @@ ORACLES = {
     "q_ev_acf": _acf_sql(),
     "q_ev_bootstrap_ci": _bootstrap_sql(),
     "q_ev_ab_test": _AB_SQL,
+    "q_ev_power_analysis": _POWER_SQL,
     "q_ev_watermark_plan": _watermark_plan_sql(),
     "q_ev_gdpr_erasure": _GDPR_SQL,
     "q_ev_bursts": _bursts_sql(),

@@ -130,6 +130,7 @@ _NLJ_OK = {
     ),
     "q_dq_checks": "single-row orders-total cross join (n_rows patch)",
     "q_ev_ab_test": "single-row arm-A x arm-B cross join (2-row reduction)",
+    "q_ev_power_analysis": "single-row arm-A x arm-B cross join (ab_test shape)",
     "q_histogram_selectivity": (
         "single-row n/span + 32-bucket x 8-predicate lattice cross joins; "
         "truth = 8-row broadcast range join against the scan"

@@ -1331,3 +1331,37 @@ def test_db_index_brute_force(spark, sf_dir):
         assert d == dbi
     # DB components are positive and finite
     assert all(v[2] > 0 for v in out.values())
+
+
+# ------------------------------------------------------------ power analysis
+
+
+def test_power_analysis_brute_force(spark, sf_dir):
+    import math
+
+    from esvc_spark.queries.events import (
+        _AB_CONV_MIN, _PW_TARGET, _PW_ZA, _PW_ZB,
+    )
+
+    ev = _events(sf_dir)
+    per_user = defaultdict(int)
+    for e in ev:
+        per_user[e["user_id"]] += 1 if e["event_type"] == "purchase" else 0
+    arms = {0: [0, 0], 1: [0, 0]}
+    for u, np_ in per_user.items():
+        v = _h15(f"ab:{u}") % 2
+        arms[v][0] += 1
+        arms[v][1] += 1 if np_ >= _AB_CONV_MIN else 0
+    (n_a, c_a), (n_b, c_b) = arms[0], arms[1]
+    pp = (c_a + c_b) / (n_a + n_b)
+    z = _PW_ZA + _PW_ZB
+    mde = z * math.sqrt(pp * (1.0 - pp) * (1.0 / n_a + 1.0 / n_b))
+    n_req = z * z * 2.0 * pp * (1.0 - pp) / (_PW_TARGET * _PW_TARGET)
+    row = EV_QUERIES["q_ev_power_analysis"](spark, sf_dir).collect()[0]
+    assert (row["n_a"], row["n_b"]) == (n_a, n_b)
+    assert row["pooled_rate"] == pp
+    assert row["mde_abs"] == mde
+    assert row["n_required_per_arm"] == n_req
+    assert row["powered_for_target"] == (1 if min(n_a, n_b) >= n_req else 0)
+    # the MDE shrinks as arms grow: sanity that it is positive and finite
+    assert 0 < mde < 1
