@@ -72,6 +72,7 @@ _FRONT = (
     "q_doc_threshold_sweep",
     "q_emb_db_index",
     "q_ev_power_analysis",
+    "q_mm_phash_neardup",
     # never driver-graded in any round — must land inside the ~50-row
     # grading budget this time (VERDICT r3 what's-wrong #2)
     "q_profile_lineitem",

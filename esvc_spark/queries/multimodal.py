@@ -328,17 +328,20 @@ FROM per_doc p LEFT JOIN longest l USING (doc_id)
 # window, one groupBy — fingerprints shuffle, payloads never do.
 
 
-def q_mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 16-bit average-hash fingerprint (one bit per feature
+    chunk: chunk mean above whole-payload mean) — shared by the exact
+    bucket dedup (q_mm_phash_dedup) and the banded-Hamming near-dup
+    clustering (q_mm_phash_neardup), one builder so the fingerprint
+    cannot drift between the two."""
     from pyspark.sql import Window
-
-    from ..catalog import table as T
 
     sums = extract_feature_sums(media_table(spark, sf_dir))
     w = Window.partitionBy("doc_id")
     bits = sums.withColumn("tsum", F.sum("chunk_sum").over(w)).withColumn(
         "tlen", F.sum("chunk_len").over(w)
     )
-    ah = bits.groupBy("doc_id").agg(
+    return bits.groupBy("doc_id").agg(
         F.sum(
             F.when(
                 F.col("chunk_sum") * F.col("tlen")
@@ -349,6 +352,12 @@ def q_mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("ahash")
     )
+
+
+def q_mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import table as T
+
+    ah = _ahash(spark, sf_dir)
     docs = T(spark, sf_dir, "documents").select(
         "doc_id", F.md5("text").alias("cmd5")
     )
@@ -521,6 +530,109 @@ JOIN (SELECT doc_id, MAX(scene_len) AS longest_scene FROM scenes GROUP BY 1) s
 """
 
 
+# ------------------------------------------------------ image near-dup CC
+# Perceptual NEAR-duplicate image clustering — q_mm_phash_dedup catches
+# only bit-identical fingerprints; here images whose 16-bit aHashes
+# differ by Hamming ≤ 2 become edges and connected components labels the
+# clusters (same CC discipline as the text/embedding dedup graphs).
+# Candidate generation is pigeonhole banding (6+5+5 bits: ≤2 flipped
+# bits leave ≥1 band intact — guaranteed recall, no all-pairs), then the
+# exact popcount filter. Scale shape: fingerprints shuffle (2 bytes per
+# image), payloads never; edges are banding-bounded; CC runs min-label
+# rounds with checkpointed lineage (operators/cc.py).
+
+_PN_HAM = 2
+
+
+def q_mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cc import connected_components
+
+    ah = _ahash(spark, sf_dir).filter(F.col("doc_id") % 3 == 0)  # images
+    banded = ah.select(
+        "doc_id",
+        "ahash",
+        F.expr("ahash % 64").alias("b0"),
+        F.expr("(ahash div 64) % 32").alias("b1"),
+        F.expr("ahash div 2048").alias("b2"),
+    ).transform(_tp)
+    cand = None
+    for i in range(3):
+        a, b = banded.alias("a"), banded.alias("b")
+        part = a.join(
+            b,
+            (F.col(f"a.b{i}") == F.col(f"b.b{i}"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.ahash").alias("ah_a"),
+            F.col("b.ahash").alias("ah_b"),
+        )
+        cand = part if cand is None else cand.unionByName(part)
+    edges = (
+        cand.distinct()
+        .filter(F.expr(f"bit_count(ah_a ^ ah_b) <= {_PN_HAM}"))
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    labels = connected_components(edges)
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return labels.join(sizes, "label").select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        "cluster_size",
+        (F.col("doc_id") == F.col("label")).alias("keep"),
+    )
+
+
+_PHASH_NEARDUP_SQL = f"""
+WITH RECURSIVE feats AS ({_FEATURES_SQL}),
+tot AS (
+  SELECT doc_id, chunk_idx, chunk_sum, chunk_len,
+         CAST(SUM(chunk_sum) OVER (PARTITION BY doc_id) AS BIGINT) AS tsum,
+         CAST(SUM(chunk_len) OVER (PARTITION BY doc_id) AS BIGINT) AS tlen
+  FROM feats
+),
+ah AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN chunk_sum * tlen > tsum * chunk_len
+                       THEN CAST(pow(2.0, chunk_idx) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS ahash
+  FROM tot WHERE doc_id % 3 = 0
+  GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, ahash, ahash % 64 AS b0, (ahash // 64) % 32 AS b1,
+         ahash // 2048 AS b2
+  FROM ah
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.ahash AS ah_a, b.ahash AS ah_b
+  FROM banded a JOIN banded b
+    ON a.doc_id < b.doc_id
+   AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2)
+),
+e0 AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cand
+  WHERE bit_count(xor(ah_a, ah_b)) <= {_PN_HAM}
+),
+edges AS MATERIALIZED (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+reach(a, b) AS (
+  SELECT src AS a, src AS b FROM edges
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+),
+clusters AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a)
+SELECT c.doc_id, c.cluster_id, s.cluster_size,
+       c.doc_id = c.cluster_id AS keep
+FROM clusters c
+JOIN (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM clusters GROUP BY cluster_id) s USING (cluster_id)
+"""
+
+
 # ------------------------------------------------------ audio fingerprinting
 # Landmark-constellation audio matching (the Shazam algorithm, Wang 2003)
 # over the synthetic audio corpus: each window's PEAK byte stands in for
@@ -666,6 +778,7 @@ FROM (
 
 QUERIES = {
     "q_mm_audio_match": q_mm_audio_match,
+    "q_mm_phash_neardup": q_mm_phash_neardup,
     "q_mm_decode_stats": q_mm_decode_stats,
     "q_mm_frame_sample": q_mm_frame_sample,
     "q_mm_resize": q_mm_resize,
@@ -686,4 +799,5 @@ ORACLES = {
     "q_mm_phash_dedup": _PHASH_SQL,
     "q_mm_scene_cuts": _SCENE_SQL,
     "q_mm_audio_match": _audio_match_sql(),
+    "q_mm_phash_neardup": _PHASH_NEARDUP_SQL,
 }

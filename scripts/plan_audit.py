@@ -47,6 +47,7 @@ _IMPERATIVE = {
         "the 4-row literal result"
     ),
     "q_doc_dup_clusters": "iterative (per-round join+agg, see operators/cc.py)",
+    "q_mm_phash_neardup": "iterative (banded-Hamming edges -> CC rounds, see operators/cc.py)",
     "q_doc_canonical": "iterative (CC labels + quality argmax, see operators/cc.py)",
     "q_doc_leakage_split": "iterative (CC labels feed the group-aware split, see operators/cc.py)",
     "q_emb_cluster_agreement": (

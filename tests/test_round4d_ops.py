@@ -1365,3 +1365,62 @@ def test_power_analysis_brute_force(spark, sf_dir):
     assert row["powered_for_target"] == (1 if min(n_a, n_b) >= n_req else 0)
     # the MDE shrinks as arms grow: sanity that it is positive and finite
     assert 0 < mde < 1
+
+
+# -------------------------------------------------------- phash near-dup CC
+
+
+def test_phash_neardup_brute_force(spark, sf_dir):
+    from esvc_spark.queries.multimodal import _PN_HAM, QUERIES as MM_QUERIES
+
+    docs = _docs(sf_dir)
+    DIM = 16
+    hashes = {}
+    for d in docs:
+        if d["doc_id"] % 3 != 0:  # images only
+            continue
+        t = d["text"]
+        n = len(t)
+        tsum = sum(ord(c) for c in t)
+        ah = 0
+        for i in range(DIM):
+            lo = i * (n // DIM) + min(i, n % DIM)
+            ln = n // DIM + (1 if i < n % DIM else 0)
+            csum = sum(ord(c) for c in t[lo:lo + ln])
+            if csum * n > tsum * ln:
+                ah |= 1 << i
+        hashes[d["doc_id"]] = ah
+    ids = sorted(hashes)
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    in_edges = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if bin(hashes[a] ^ hashes[b]).count("1") <= _PN_HAM:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+                in_edges.add(a)
+                in_edges.add(b)
+    expected = {}
+    comp = defaultdict(list)
+    for i in in_edges:
+        comp[find(i)].append(i)
+    for root, members in comp.items():
+        lab = min(members)
+        for m in members:
+            expected[m] = (lab, len(members), m == lab)
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["keep"])
+        for r in MM_QUERIES["q_mm_phash_neardup"](spark, sf_dir).collect()
+    }
+    assert out == expected
+    # banding guarantees recall at Hamming <= 2: every brute-force edge
+    # endpoint must be clustered
+    assert set(out) == in_edges
