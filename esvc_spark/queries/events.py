@@ -4901,6 +4901,12 @@ FROM withvar
 _PW_ZA = 1.959964  # two-sided 5%
 _PW_ZB = 0.841621  # 80% power
 _PW_TARGET = 0.01  # 1-point absolute lift
+# coefficients folded ONCE in Python and injected as identical literals:
+# DuckDB's bind-time folding of z*z*2.0 (decimal literal in the chain)
+# lands 1 ulp off Spark's runtime double chain otherwise
+_PW_Z = _PW_ZA + _PW_ZB
+_PW_C2 = _PW_Z * _PW_Z * 2.0
+_PW_T2 = _PW_TARGET * _PW_TARGET
 
 
 def q_ev_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4937,8 +4943,7 @@ def q_ev_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     pp = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
         F.col("n_a") + F.col("n_b")
     ).cast("double")
-    z = F.lit(_PW_ZA + _PW_ZB)
-    mde = z * F.sqrt(
+    mde = F.lit(_PW_Z) * F.sqrt(
         pp
         * (F.lit(1).cast("double") - pp)
         * (
@@ -4947,12 +4952,10 @@ def q_ev_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n_req = (
-        z
-        * z
-        * F.lit(2.0)
+        F.lit(_PW_C2)
         * pp
         * (F.lit(1).cast("double") - pp)
-        / F.lit(_PW_TARGET * _PW_TARGET)
+        / F.lit(_PW_T2)
     )
     return a.join(F.broadcast(b)).select(
         "n_a",
@@ -4989,15 +4992,14 @@ base AS (
   FROM ab
 )
 SELECT n_a, n_b, pp AS pooled_rate,
-       {_PW_ZA + _PW_ZB} * sqrt(pp * (CAST(1 AS DOUBLE) - pp)
+       {_PW_Z!r} * sqrt(pp * (CAST(1 AS DOUBLE) - pp)
          * (CAST(1 AS DOUBLE) / CAST(n_a AS DOUBLE)
             + CAST(1 AS DOUBLE) / CAST(n_b AS DOUBLE))) AS mde_abs,
-       {_PW_ZA + _PW_ZB} * {_PW_ZA + _PW_ZB} * 2.0 * pp
-         * (CAST(1 AS DOUBLE) - pp)
-         / {_PW_TARGET * _PW_TARGET} AS n_required_per_arm,
+       {_PW_C2!r} * pp * (CAST(1 AS DOUBLE) - pp)
+         / {_PW_T2!r} AS n_required_per_arm,
        CASE WHEN CAST(LEAST(n_a, n_b) AS DOUBLE)
-                 >= {_PW_ZA + _PW_ZB} * {_PW_ZA + _PW_ZB} * 2.0 * pp
-                      * (CAST(1 AS DOUBLE) - pp) / {_PW_TARGET * _PW_TARGET}
+                 >= {_PW_C2!r} * pp
+                      * (CAST(1 AS DOUBLE) - pp) / {_PW_T2!r}
             THEN 1 ELSE 0 END AS powered_for_target
 FROM base
 """

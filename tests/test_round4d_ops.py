@@ -1340,7 +1340,7 @@ def test_power_analysis_brute_force(spark, sf_dir):
     import math
 
     from esvc_spark.queries.events import (
-        _AB_CONV_MIN, _PW_TARGET, _PW_ZA, _PW_ZB,
+        _AB_CONV_MIN, _PW_C2, _PW_T2, _PW_Z,
     )
 
     ev = _events(sf_dir)
@@ -1354,9 +1354,8 @@ def test_power_analysis_brute_force(spark, sf_dir):
         arms[v][1] += 1 if np_ >= _AB_CONV_MIN else 0
     (n_a, c_a), (n_b, c_b) = arms[0], arms[1]
     pp = (c_a + c_b) / (n_a + n_b)
-    z = _PW_ZA + _PW_ZB
-    mde = z * math.sqrt(pp * (1.0 - pp) * (1.0 / n_a + 1.0 / n_b))
-    n_req = z * z * 2.0 * pp * (1.0 - pp) / (_PW_TARGET * _PW_TARGET)
+    mde = _PW_Z * math.sqrt(pp * (1.0 - pp) * (1.0 / n_a + 1.0 / n_b))
+    n_req = _PW_C2 * pp * (1.0 - pp) / _PW_T2
     row = EV_QUERIES["q_ev_power_analysis"](spark, sf_dir).collect()[0]
     assert (row["n_a"], row["n_b"]) == (n_a, n_b)
     assert row["pooled_rate"] == pp
