@@ -21,98 +21,72 @@ from pyspark.sql import DataFrame, SparkSession
 # fresh driver row) ordered roughly by contract criticality; queries
 # with green rows from earlier rounds absorb the truncation. Rotate at
 # the START of each round: drop freshly-graded names from _FRONT, add
-# anything new/changed.
+# anything new/changed. ATTESTATION.md is the ledger of which driver
+# round last graded each query — update it when CORRECTNESS_r{N}.json
+# lands.
+#
+# Round-5 rotation (VERDICT r4 next-round #1: freeze additions, close
+# the attestation gap): new/changed esvc contract queries first, then
+# the 5 events queries whose latest driver row is still the r01 FAIL
+# from the long-fixed NANOS-timestamp loader bug, then the 33 round-4
+# queries never driver-graded, then the r1-vintage relational rows to
+# absorb whatever budget remains. Planned r6 rotation: whatever of the
+# r1-vintage relational tail (q0x..q22, cube/rollup/grouping/setops/
+# window) misses the r5 budget, then the r2-vintage doc/emb rows.
 _MODULE_ORDER = ("esvc", "multimodal", "embeddings", "documents", "events", "relational")
 
 _FRONT = (
-    # brand-new this round (round 4): the distributed shelve path and the
-    # idempotent streaming event-log ingest, both under full oracles
+    # new/changed this round (round 5): try_merge at distributed-editor
+    # scale (new), and editor_large's offset table made partition-parallel
+    # via the two-phase prefix sum (changed)
+    "q_esvc_merge_large",
     "q_esvc_editor_large",
-    "q_stream_ingest_log",
-    # newest round-4 additions (third session): SCD2 intervals, PSI drift,
-    # Markov removal-effect attribution, zone-map skipping audit, skyline
-    "q_ev_scd2",
-    "q_ev_psi_drift",
-    "q_ev_markov_attribution",
-    "q_zonemap_skipping",
-    "q_skyline_customers",
-    "q_ev_survival",
-    "q_doc_rake",
-    "q_emb_pca_power",
-    "q_dq_checks",
-    "q_bloom_join_filter",
-    "q_doc_rrf_fusion",
-    "q_ivm_join",
-    # newest round-4 additions (fourth session): robust MAD outliers,
-    # DAU/WAU stickiness, exact hourly autocorrelation
-    "q_ev_mad_outliers",
-    "q_ev_stickiness",
-    "q_ev_acf",
-    "q_doc_quality_auc",
-    "q_doc_heaps",
-    "q_doc_weighted_sample",
-    "q_benford_audit",
-    "q_zorder_layout",
-    "q_doc_calibration",
-    "q_ev_bootstrap_ci",
-    "q_ev_ab_test",
-    "q_doc_langid_eval",
-    "q_stream_left_join",
-    "q_mm_audio_match",
-    "q_doc_bbit_minhash",
-    "q_histogram_selectivity",
-    "q_join_card_audit",
-    "q_ev_watermark_plan",
-    "q_encoding_advisor",
-    "q_ev_gdpr_erasure",
-    "q_ev_bursts",
-    "q_ev_seasonality",
-    "q_emb_filtered_ann",
-    "q_ev_slo_burn",
-    "q_doc_threshold_sweep",
-    "q_emb_db_index",
-    "q_ev_power_analysis",
-    "q_mm_phash_neardup",
-    # never driver-graded in any round — must land inside the ~50-row
-    # grading budget this time (VERDICT r3 what's-wrong #2)
-    "q_profile_lineitem",
-    # newest round-4 additions (second session): exact dup-run extents,
-    # Neyman-optimal stratified sampling, Zipf slope audit
-    "q_doc_dup_runs",
-    "q_doc_neyman_sample",
-    "q_doc_zipf",
-    # round-4 additions: DSIR importance scoring, SemDeDup pruning, CCNet
-    # fluency terciles, perceptual media dedup
-    "q_doc_dsir",
-    "q_emb_semdedup",
-    "q_doc_ccnet_buckets",
-    "q_mm_phash_dedup",
+    # stale-FAIL ledger rows: last driver row is the r01 FAIL from the
+    # NANOS-timestamp loader bug fixed in r02 (catalog.normalize_event_ts);
+    # green in every driver-identical verify since — need re-attestation
+    "q_ev_percentiles",
+    "q_ev_sessionize",
+    "q_ev_dedup_content",
+    "q_ev_json_props",
+    "q_ev_user_journey",
+    # never driver-graded in any round (33 round-4 additions; all green in
+    # the judge's driver-identical 163-query verify pass)
+    "q_dedup_method_eval",
+    "q_doc_bm25",
+    "q_emb_kcenter",
+    "q_emb_mmr",
+    "q_ev_bot_detect",
+    "q_mm_scene_cuts",
+    "q_stream_anomaly",
+    "q_window_trailing_spend",
+    "q_doc_cross_source_dup",
     "q_doc_domain_reweight",
-    "q_ev_forecast",
+    "q_doc_dup_transitivity",
+    "q_doc_entropy",
+    "q_doc_jackknife",
+    "q_doc_leakage_split",
+    "q_doc_lsh_tuning",
     "q_doc_novelty",
-    # changed this round — oracle guards / derived bounds / cc probe /
-    # O(N²) gate — need fresh attestation
-    "q_doc_repetition",
-    "q_ev_hll_union",
-    "q_mm_features",
-    "q_mm_audio_windows",
-    "q_mm_silence",
-    "q_mm_decode_stats",
-    "q_doc_dup_clusters",
-    "q_emb_neardup_cosine",
-    # round-4 numeric-determinism rewrite: full-precision double means now
-    # use order-pinned folds (decimal casts of arbitrary doubles are
-    # engine-divergent — see _util docstring); all need fresh driver rows
-    "q_emb_label_centroids",
-    "q_emb_kmeans",
-    "q_emb_pq",
-    "q_emb_pq_search",
-    "q_emb_ood",
-    "q_emb_quantize_int8",
-    "q_doc_bigrams",
-    # r1-vintage attestation: their only driver rows predate the r2
-    # dsum/decimal helper rewrite and r3 registry churn in relational.py
-    # (VERDICT r3 next-round #1) — refresh all 28
+    "q_doc_signal_corr",
+    "q_doc_source_overlap",
+    "q_doc_winnow_pairs",
+    "q_emb_binary_hamming",
+    "q_emb_cluster_agreement",
+    "q_emb_cluster_sample",
+    "q_emb_drift",
+    "q_emb_recall_curve",
+    "q_emb_shard_plan",
+    "q_ev_asof_nearest",
+    "q_ev_forecast",
+    "q_ev_funnel_latency",
+    "q_ev_gini",
+    "q_ev_incremental_agg",
+    "q_ev_key_skew",
+    "q_ev_ltv",
+    "q_ev_predictability",
+    # r1-vintage attestation: only driver rows predate the r2 dsum/decimal
+    # helper rewrite (VERDICT r4 next-round #5) — absorb remaining budget;
+    # whatever misses the r5 cut fronts the r6 rotation
     "q01_pricing_summary",
     "q02_min_cost_supplier",
     "q03_shipping_priority",
@@ -141,47 +115,6 @@ _FRONT = (
     "q_setops_customers",
     "q_window_running_spend",
     "q_window_top_orders",
-    # late round-4 additions: behind the r1-vintage refresh on purpose —
-    # judge-verified this round, take driver rows next round
-    "q_emb_shard_plan",
-    "q_doc_entropy",
-    "q_doc_winnow_pairs",
-    "q_stream_anomaly",
-    "q_emb_binary_hamming",
-    "q_doc_bm25",
-    "q_ev_funnel_latency",
-    "q_doc_leakage_split",
-    "q_ev_bot_detect",
-    "q_ev_ltv",
-    "q_emb_cluster_sample",
-    "q_emb_recall_curve",
-    "q_doc_cross_source_dup",
-    "q_doc_source_overlap",
-    "q_emb_drift",
-    "q_emb_mmr",
-    "q_mm_scene_cuts",
-    "q_doc_lsh_tuning",
-    "q_ev_incremental_agg",
-    "q_doc_dup_transitivity",
-    "q_ev_key_skew",
-    "q_doc_signal_corr",
-    "q_ev_asof_nearest",
-    "q_dedup_method_eval",
-    "q_window_trailing_spend",
-    "q_emb_kcenter",
-    "q_doc_jackknife",
-    "q_ev_gini",
-    "q_ev_predictability",
-    "q_emb_cluster_agreement",
-    # refactored onto the shared _qscored pipeline (same values, fresh
-    # attestation wanted)
-    "q_doc_quality",
-    # judge-only attestation + touched by this round's tracked_persist
-    # swap — absorb any truncation overflow
-    "q_doc_minhash_lsh",
-    "q_emb_ann_lsh",
-    "q_doc_ngram_jaccard",
-    "q_doc_incremental_dedup",
 )
 
 
