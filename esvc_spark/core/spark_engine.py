@@ -72,6 +72,70 @@ class SparkDat:
         return hash(self.fingerprint)
 
 
+def exclusive_prefix_sum(
+    spark: SparkSession,
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str,
+    *,
+    local: bool = False,
+) -> DataFrame:
+    """`df` plus `out_col` = exclusive prefix sum of `value_col` in
+    `order_cols` order (row i gets the sum of values strictly before it).
+
+    Distributed path (default): two-phase prefix sum —
+    1. range-partition on the order key and PIN the partitioning with an
+       eager localCheckpoint (repartitionByRange samples its boundaries,
+       so two jobs over the lazy plan could see different partition ids);
+    2. one small aggregate collects per-partition sums (P rows) and turns
+       them into cumulative offsets on the driver;
+    3. within-partition running sum (ROWS frame, pinned — RANGE would
+       merge ties) + broadcast offset. Every stage is partition-parallel;
+       the only driver-side data is P partial sums. This is the renumber
+       strategy behind SparkExEngine at corpus scale, factored out so
+       other prefix-sum consumers (e.g. global line numbering of an
+       exploded corpus) share it.
+
+    `local=True` keeps the single-window plan — cheapest when the CALLER
+    knows the input is small (one tiny sort beats three jobs).
+    """
+    from pyspark.sql import Window
+
+    if local:
+        w = (
+            Window.orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return df.withColumn(
+            out_col, F.sum(value_col).over(w) - F.col(value_col)
+        )
+    p = max(spark.sparkContext.defaultParallelism, 2)
+    part = (
+        df.repartitionByRange(p, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    sums = part.groupBy("_pid").agg(F.sum(value_col).alias("_s")).collect()
+    offs, acc = [], 0
+    for r in sorted(sums, key=lambda r: r["_pid"]):
+        offs.append((r["_pid"], acc))
+        acc += r["_s"] or 0
+    off_df = spark.createDataFrame(offs, "_pid INT, _off BIGINT")
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        part.join(F.broadcast(off_df), "_pid")
+        .withColumn(
+            out_col, F.sum(value_col).over(w) - F.col(value_col) + F.col("_off")
+        )
+        .drop("_pid", "_off")
+    )
+
+
 class SparkEngineBase(BaseEngine):
     def __init__(self, spark: SparkSession):
         self.spark = spark
@@ -138,45 +202,19 @@ class SparkExEngine(SparkEngineBase):
         self, df: DataFrame, order_cols: list[str], n_rows: int | None
     ) -> DataFrame:
         """(line_no, text) with line_no = 0-based contiguous global rank in
-        `order_cols` order.
-
-        Large path (> _RENUMBER_LOCAL_ROWS): distributed prefix sum —
-        1. range-partition on the order key and PIN the partitioning with
-           an eager localCheckpoint (repartitionByRange samples its
-           boundaries, so two jobs over the lazy plan could see different
-           partition ids);
-        2. one small aggregate collects per-partition counts (P rows) and
-           turns them into cumulative offsets on the driver;
-        3. within-partition row_number + broadcast offset. Every stage is
-           partition-parallel; the only driver data is P counts.
-        """
-        from pyspark.sql import Window
-
-        if n_rows is None or n_rows <= self._RENUMBER_LOCAL_ROWS:
-            w = Window.orderBy(*order_cols)
-            return df.select(
-                (F.row_number().over(w) - 1).cast("bigint").alias("line_no"),
-                "text",
-            )
-        p = max(self.spark.sparkContext.defaultParallelism, 2)
-        part = (
-            df.repartitionByRange(p, *order_cols)
-            .withColumn("_pid", F.spark_partition_id())
-            .localCheckpoint()
+        `order_cols` order — the exclusive prefix sum of 1s, delegated to
+        `exclusive_prefix_sum` (two-phase partition-parallel above
+        _RENUMBER_LOCAL_ROWS, single tiny window below)."""
+        local = n_rows is None or n_rows <= self._RENUMBER_LOCAL_ROWS
+        out = exclusive_prefix_sum(
+            self.spark,
+            df.withColumn("_one", F.lit(1).cast("bigint")),
+            order_cols,
+            "_one",
+            "line_no",
+            local=local,
         )
-        counts = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c")).collect()
-        offs, acc = [], 0
-        for r in sorted(counts, key=lambda r: r["_pid"]):
-            offs.append((r["_pid"], acc))
-            acc += r["_c"]
-        off_df = self.spark.createDataFrame(offs, "_pid INT, _off BIGINT")
-        w = Window.partitionBy("_pid").orderBy(*order_cols)
-        return part.join(F.broadcast(off_df), "_pid").select(
-            (F.row_number().over(w) - 1 + F.col("_off"))
-            .cast("bigint")
-            .alias("line_no"),
-            "text",
-        )
+        return out.select(F.col("line_no").cast("bigint").alias("line_no"), "text")
 
     def _renumber(self, df: DataFrame, n_rows: int | None = None) -> DataFrame:
         """Reassign contiguous line_no by (pos, sub) order."""

@@ -226,36 +226,48 @@ SELECT ln AS line_no, md5(text) AS text_md5 FROM ap
 _EL_TRAILER = "-- end of words"
 
 
-def q_esvc_editor_large(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents -> one line per whitespace-separated word, globally
-    numbered 0..N-1 in (doc_id, word position) order, then the editor
-    script shelved through the DISTRIBUTED engine. The global numbering
-    is arithmetic — per-doc offsets from a cumulative sum over the TINY
-    per-doc count table broadcast back onto the exploded words — so the
-    corpus-sized explode stays fully parallel with no global sort."""
-    from ..core.exparse import make_command
-    from ..core.spark_engine import SparkDat, SparkExEngine
-    from ..operators.cc import _scoped_conf, _scoped_shuffle_partitions
-
-    from pyspark.sql import Window
+def _word_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents exploded to one line per whitespace-separated word,
+    globally numbered 0..N-1 in (doc_id, word position) order. The
+    numbering is arithmetic — per-doc offsets from a two-phase
+    partition-parallel prefix sum over the per-doc count table
+    (core.spark_engine.exclusive_prefix_sum, the same machinery behind
+    the engine's corpus-scale renumber), broadcast back onto the exploded
+    words — so neither the corpus-sized explode NOR the offset table has
+    a single-task stage at any scale. (The broadcast of the per-doc
+    offset table is itself the small side only up to ~10⁸ docs; past
+    that, swap the hint for a hash join on doc_id — both sides already
+    partition on it.)"""
+    from ..core.spark_engine import exclusive_prefix_sum
 
     docs = (
         T(spark, sf_dir, "documents")
         .select("doc_id", F.split("text", " ").alias("w"))
         .repartition(8, "doc_id")
     )
-    offs = (
-        docs.select("doc_id", F.size("w").cast("bigint").alias("nw"))
-        .withColumn(
-            "off", F.sum("nw").over(Window.orderBy("doc_id")) - F.col("nw")
-        )
-        .select("doc_id", "off")
-    )
-    lines = (
+    offs = exclusive_prefix_sum(
+        spark,
+        docs.select("doc_id", F.size("w").cast("bigint").alias("nw")),
+        ["doc_id"],
+        "nw",
+        "off",
+    ).select("doc_id", "off")
+    return (
         docs.join(F.broadcast(offs), "doc_id")
         .select("off", F.posexplode("w").alias("wi", "text"))
         .select((F.col("off") + F.col("wi")).cast("bigint").alias("line_no"), "text")
     )
+
+
+def q_esvc_editor_large(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The editor script shelved through the DISTRIBUTED engine over the
+    word-exploded lines table (`_word_lines` — fully partition-parallel
+    construction at any scale)."""
+    from ..core.exparse import make_command
+    from ..core.spark_engine import SparkDat, SparkExEngine
+    from ..operators.cc import _scoped_conf, _scoped_shuffle_partitions
+
+    lines = _word_lines(spark, sf_dir)
     script = [
         make_command(
             {"type": "rngf", "start": 0}, "substitute", ["fast", "slowed"]
@@ -306,11 +318,86 @@ SELECT ln AS line_no, md5(word) AS text_md5 FROM ap
 """
 
 
+# Merge-at-scale contract query (VERDICT r4 next-round #3): try_merge —
+# the O(n²) heart of the reference's README claim
+# (ref crates/esvc-core/src/workcache.rs:419-479) — exercised on the
+# word-exploded lines table under the DISTRIBUTED SparkExEngine, so every
+# re-shelve commutation test the merge runs is a real Spark fingerprint
+# aggregate. Branch A is a two-event hard-dep chain (A2's pattern is
+# INTRODUCED by A1: 'fast'→'f4st' then 'f4st'→'F4ST!'), branch B is a
+# single independent event on a disjoint literal alphabet
+# ('slow'→'SL0W!'), shelved in parallel off the empty graph. try_merge
+# must (a) re-discover A2's hard dep on A1 unchanged (else
+# HashChangeAtMerge) and (b) prove B1 independent of the whole A chain.
+# The literals share no overlapping matches ('fast'/'slow' cannot overlap
+# and neither replacement introduces the other's pattern), so the merged
+# state is both branches applied in any order — which a DuckDB oracle
+# states as nested replace() calls.
+_MLG_A = [("fast", "f4st"), ("f4st", "F4ST!")]
+_MLG_B = [("slow", "SL0W!")]
+
+
+def q_esvc_merge_large(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..core.spark_engine import SparkDat, SparkExEngine
+    from ..operators.cc import _scoped_conf, _scoped_shuffle_partitions
+
+    lines = _word_lines(spark, sf_dir)
+    # Shuffle partitions + AQE scoped identically to q_esvc_editor_large
+    # (same rationale: ~line-table-sized bounded jobs, measured there).
+    with _scoped_conf(spark, "spark.sql.adaptive.enabled", "false"), \
+            _scoped_shuffle_partitions(spark, 8):
+        eng = SparkExEngine(spark)
+        init = SparkDat.create(lines, SparkExEngine.COLS)
+        g, wc = Graph(), WorkCache(eng, init)
+        heads: set[bytes] = set()
+        from ..core.exparse import make_command
+
+        for branch in (_MLG_A, _MLG_B):
+            seed: set[bytes] = set()
+            for s, r in branch:
+                arg = make_command(
+                    {"type": "rngf", "start": 0}, "substitute", [s, r]
+                )
+                h = wc.shelve_event(g, set(seed), Event(cmd=0, arg=arg))
+                if h is not None:
+                    seed.add(h)
+                    heads.add(h)
+        wc.try_merge(g, set(heads))
+        minimized = set(
+            g.fold_state({h: False for h in heads}, expand=False).keys()
+        )
+        final, _ = wc.run_foreach_recursively(
+            g, {h: IncludeSpec.INCLUDE_ALL for h in minimized}
+        )
+        out = final.df.select(
+            "line_no", F.md5("text").alias("text_md5")
+        ).localCheckpoint()
+    return out
+
+
+_MERGE_LARGE_SQL = f"""
+WITH words AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS wi, w[i] AS word
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       unnest(range(1, len(w) + 1)) t(i)
+),
+fin AS (
+  SELECT doc_id, wi,
+         {_sql_chain(_MLG_A + _MLG_B).replace("text", "word")} AS word
+  FROM words
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY doc_id, wi) - 1 AS BIGINT) AS line_no,
+       md5(word) AS text_md5
+FROM fin
+"""
+
+
 QUERIES = {
     "q_esvc_replay": q_esvc_replay,
     "q_esvc_merge": q_esvc_merge,
     "q_esvc_editor": q_esvc_editor,
     "q_esvc_editor_large": q_esvc_editor_large,
+    "q_esvc_merge_large": q_esvc_merge_large,
 }
 
 ORACLES = {
@@ -318,4 +405,5 @@ ORACLES = {
     "q_esvc_merge": _MERGE_SQL,
     "q_esvc_editor": _EDITOR_SQL,
     "q_esvc_editor_large": _EDITOR_LARGE_SQL,
+    "q_esvc_merge_large": _MERGE_LARGE_SQL,
 }
