@@ -1,0 +1,186 @@
+"""Degenerate-input differential suite (VERDICT r4 next-round #6).
+
+The r3/r4 ADVICE findings shared one shape: an expression correct on
+generator-typical rows that diverges (or errors) on an empty/degenerate
+row — `slice` on an empty token list, `string_split('')`, zero-length
+audio chunks, zero-token documents. This suite makes that class
+systematic: build a tiny sf-dir whose documents/embeddings/events tables
+are SEEDED with degenerate rows (empty text, whitespace-only text,
+single-token docs, exact-duplicate docs, newline text, zero vectors,
+duplicate vectors, constant vectors, single-event users, tied
+timestamps, empty-JSON props, zero values), then run every round-4/5
+query through the SAME Spark-vs-DuckDB comparator the driver uses. Any
+unguarded edge either errors or hash-mismatches here at 50-row scale.
+
+The remaining tables (region..lineitem) are copied verbatim from
+sf0.001 so loaders and oracles see the full catalog.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import duckdb
+import pytest
+
+from esvc_spark.queries import all_oracles, all_queries
+
+from .conftest import SF_DIR
+from .oracle_utils import compare, run_oracle
+
+QUERIES = all_queries()
+ORACLES = all_oracles()
+
+# The round-4/5 surface: everything driver-graded in r04, everything
+# added in round 4 but never driver-graded, plus this round's esvc
+# contract queries. (Earlier-vintage queries already survived two rounds
+# of sf0.001 runs where short rows are likelier — the named families are
+# where the empty-input trap class lives.)
+ROUND45_QUERIES = sorted(
+    {
+        # CORRECTNESS_r04 rows
+        "q_esvc_editor_large", "q_stream_ingest_log", "q_ev_scd2",
+        "q_ev_psi_drift", "q_ev_markov_attribution", "q_zonemap_skipping",
+        "q_skyline_customers", "q_ev_survival", "q_doc_rake",
+        "q_emb_pca_power", "q_dq_checks", "q_bloom_join_filter",
+        "q_doc_rrf_fusion", "q_ivm_join", "q_ev_mad_outliers",
+        "q_ev_stickiness", "q_ev_acf", "q_doc_quality_auc", "q_doc_heaps",
+        "q_doc_weighted_sample", "q_benford_audit", "q_zorder_layout",
+        "q_doc_calibration", "q_ev_bootstrap_ci", "q_ev_ab_test",
+        "q_doc_langid_eval", "q_stream_left_join", "q_mm_audio_match",
+        "q_doc_bbit_minhash", "q_histogram_selectivity",
+        "q_join_card_audit", "q_ev_watermark_plan", "q_encoding_advisor",
+        "q_ev_gdpr_erasure", "q_ev_bursts", "q_ev_seasonality",
+        "q_emb_filtered_ann", "q_ev_slo_burn", "q_doc_threshold_sweep",
+        "q_emb_db_index", "q_ev_power_analysis", "q_mm_phash_neardup",
+        "q_profile_lineitem", "q_doc_dup_runs", "q_doc_neyman_sample",
+        "q_doc_zipf", "q_doc_dsir", "q_emb_semdedup",
+        "q_doc_ccnet_buckets", "q_mm_phash_dedup",
+        # round-4 additions never driver-graded
+        "q_dedup_method_eval", "q_doc_bm25", "q_doc_cross_source_dup",
+        "q_doc_domain_reweight", "q_doc_dup_transitivity", "q_doc_entropy",
+        "q_doc_jackknife", "q_doc_leakage_split", "q_doc_lsh_tuning",
+        "q_doc_novelty", "q_doc_signal_corr", "q_doc_source_overlap",
+        "q_doc_winnow_pairs", "q_emb_binary_hamming",
+        "q_emb_cluster_agreement", "q_emb_cluster_sample", "q_emb_drift",
+        "q_emb_kcenter", "q_emb_mmr", "q_emb_recall_curve",
+        "q_emb_shard_plan", "q_ev_asof_nearest", "q_ev_bot_detect",
+        "q_ev_forecast", "q_ev_funnel_latency", "q_ev_gini",
+        "q_ev_incremental_agg", "q_ev_key_skew", "q_ev_ltv",
+        "q_ev_predictability", "q_mm_scene_cuts", "q_stream_anomaly",
+        "q_window_trailing_spend",
+        # round-5 contract queries
+        "q_esvc_merge_large",
+    }
+)
+
+_COPY_TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders", "lineitem",
+)
+
+# lang/source values drawn from the generator's domain so per-group
+# queries see the degenerates inside existing groups.
+_DEGEN_DOCS = [
+    ("", "en", "src0"),
+    (" ", "en", "src1"),
+    ("   ", "fr", "src2"),
+    ("a", "de", "src3"),
+    ("dup dup dup dup", "es", "src4"),
+    ("!!!", "zh", "src5"),
+    ("fast slow", "en", "src6"),
+    ("  leading and trailing  ", "en", "src7"),
+    ("line one\nline two", "fr", "src8"),
+    ("a" * 200, "en", "src9"),
+]
+
+
+def _build_degen_dir(base: str) -> None:
+    for t in _COPY_TABLES:
+        shutil.copyfile(
+            os.path.join(SF_DIR, f"{t}.parquet"), os.path.join(base, f"{t}.parquet")
+        )
+    con = duckdb.connect()
+    src = SF_DIR
+
+    # documents: 40 originals + 10 degenerates + 1 exact duplicate of doc 0
+    doc_rows = ", ".join(
+        f"({40 + i}, {t!r}, {lang!r}, {srcv!r}, {len(t)})"
+        for i, (t, lang, srcv) in enumerate(_DEGEN_DOCS)
+    )
+    con.sql(
+        f"""
+        COPY (
+          SELECT * FROM '{src}/documents.parquet' WHERE doc_id < 40
+          UNION ALL
+          SELECT * FROM (VALUES {doc_rows})
+            v(doc_id, text, lang, source, n_chars)
+          UNION ALL
+          SELECT CAST(50 AS BIGINT), text, lang, source, n_chars
+          FROM '{src}/documents.parquet' WHERE doc_id = 0
+        ) TO '{base}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+
+    # embeddings: 100 originals + zero vector, duplicate of vec 0,
+    # constant vector (labels from the existing domain)
+    con.sql(
+        f"""
+        COPY (
+          SELECT * FROM '{src}/embeddings.parquet' WHERE vec_id < 100
+          UNION ALL
+          SELECT CAST(100 AS BIGINT),
+                 CAST(list_transform(range(64), i -> 0.0) AS FLOAT[]), 0
+          UNION ALL
+          SELECT CAST(101 AS BIGINT), embedding, label
+          FROM '{src}/embeddings.parquet' WHERE vec_id = 0
+          UNION ALL
+          SELECT CAST(102 AS BIGINT),
+                 CAST(list_transform(range(64), i -> 0.5) AS FLOAT[]), 1
+        ) TO '{base}/embeddings.parquet' (FORMAT PARQUET)
+        """
+    )
+
+    # events: 300 originals + single-event user, tied-timestamp pair,
+    # zero value, empty-JSON props, exact-midnight boundary
+    con.sql(
+        f"""
+        COPY (
+          SELECT * FROM '{src}/events.parquet' WHERE event_id < 300
+          UNION ALL
+          SELECT * FROM (VALUES
+            (CAST(300 AS BIGINT), TIMESTAMP '2024-01-01 05:00:00',
+             CAST(9999 AS BIGINT), 'view', 1.0, '{{"k": 1}}'),
+            (CAST(301 AS BIGINT), TIMESTAMP '2024-01-01 06:30:30.123456',
+             CAST(9998 AS BIGINT), 'click', 2.5, '{{"k": 2}}'),
+            (CAST(302 AS BIGINT), TIMESTAMP '2024-01-01 06:30:30.123456',
+             CAST(9998 AS BIGINT), 'purchase', 0.0, '{{"k": 3}}'),
+            (CAST(303 AS BIGINT), TIMESTAMP '2024-01-01 00:00:00',
+             CAST(9997 AS BIGINT), 'signup', 0.0, '{{}}'),
+            (CAST(304 AS BIGINT), TIMESTAMP '2024-01-02 00:00:00',
+             CAST(9997 AS BIGINT), 'error', 0.0, '{{}}')
+          ) v(event_id, ts, user_id, event_type, value, props)
+        ) TO '{base}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.close()
+
+
+@pytest.fixture(scope="session")
+def degen_dir(tmp_path_factory) -> str:
+    base = str(tmp_path_factory.mktemp("degen_sf"))
+    _build_degen_dir(base)
+    return base
+
+
+def test_round45_list_is_registered():
+    missing = [n for n in ROUND45_QUERIES if n not in QUERIES]
+    assert missing == []
+
+
+@pytest.mark.parametrize("name", ROUND45_QUERIES)
+def test_degenerate_inputs(spark, degen_dir, name):
+    sdf = QUERIES[name](spark, degen_dir)
+    pdf = run_oracle(ORACLES[name], degen_dir)
+    problems = compare(sdf, pdf, exact=True)
+    assert not problems, f"{name}: {problems}"
