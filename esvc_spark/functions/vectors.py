@@ -44,14 +44,24 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity with the zero-norm convention cosine(0, ·) = 0.
+
+    A real corpus contains zero embeddings (failed encodes, padding rows);
+    under ANSI mode a bare division dies with DIVIDE_BY_ZERO. Convention:
+    when either norm is 0 the similarity is defined as 0.0, so zero vectors
+    sort last in kNN/similarity rankings instead of crashing the query.
+    The DuckDB twin `sql_cosine` carries the identical CASE."""
+    denom = norm(a) * norm(b)
+    return F.when(denom == F.lit(0.0), F.lit(0.0)).otherwise(dot(a, b) / denom)
 
 
 def cosine_prenorm(a: Column, b: Column, na: Column, nb: Column) -> Column:
     """Cosine with norms precomputed per-vector (same expression tree as
     `cosine`, factored: dot/(na*nb)) — bit-identical values, but each pair
-    costs one fold instead of three. Use for all-pairs / kNN hot paths."""
-    return dot(a, b) / (na * nb)
+    costs one fold instead of three. Use for all-pairs / kNN hot paths.
+    Same zero-norm convention as `cosine`: 0.0 when either norm is 0."""
+    denom = na * nb
+    return F.when(denom == F.lit(0.0), F.lit(0.0)).otherwise(dot(a, b) / denom)
 
 
 # ---------------------------------------------------------------- DuckDB twins
@@ -67,9 +77,18 @@ def sql_dot(a: str, b: str) -> str:
 
 
 def sql_cosine(a: str, b: str) -> str:
-    return f"({sql_dot(a, b)} / (sqrt({sql_dot(a, a)}) * sqrt({sql_dot(b, b)})))"
+    """DuckDB twin of `cosine` incl. the zero-norm convention (0.0)."""
+    denom = f"(sqrt({sql_dot(a, a)}) * sqrt({sql_dot(b, b)}))"
+    return (
+        f"(CASE WHEN {denom} = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) "
+        f"ELSE {sql_dot(a, b)} / {denom} END)"
+    )
 
 
 def sql_cosine_prenorm(a: str, b: str, na: str, nb: str) -> str:
-    """DuckDB twin of `cosine_prenorm` (norms from a CTE column)."""
-    return f"({sql_dot(a, b)} / ({na} * {nb}))"
+    """DuckDB twin of `cosine_prenorm` (norms from a CTE column),
+    incl. the zero-norm convention (0.0 when either norm is 0)."""
+    return (
+        f"(CASE WHEN ({na} * {nb}) = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) "
+        f"ELSE {sql_dot(a, b)} / ({na} * {nb}) END)"
+    )

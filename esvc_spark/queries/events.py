@@ -1678,9 +1678,9 @@ def q_stream_heads(spark: SparkSession, sf_dir: str) -> DataFrame:
     event depends on its key-predecessor (id-16) except every third
     generation, which starts a fresh chain — so the final head set per
     key is exactly the events never named as a later event's dependency,
-    which a closed-form oracle can state. event ids are contiguous and ts
-    is id-monotone in the testdata, making the sequential fold the state
-    op runs well-defined."""
+    which a closed-form oracle can state. The tracker's fold is
+    order-independent (pending-supersession state), so the oracle holds
+    even when ts is not id-monotone (out-of-order delivery)."""
     from ..streaming.stateful import streaming_head_tracker
 
     ev = _event_stream(spark, sf_dir)

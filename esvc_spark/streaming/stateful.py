@@ -65,7 +65,7 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
 
 
 HEADS_SCHEMA = "graph_key STRING, heads ARRAY<STRING>, n_events LONG"
-_HEADS_STATE = "heads_json STRING, n LONG"
+_HEADS_STATE = "heads_json STRING, pending_json STRING, n LONG"
 
 
 def _heads_fn(
@@ -73,15 +73,28 @@ def _heads_fn(
 ) -> Iterator[pd.DataFrame]:
     import json
 
-    heads_json, n = state.get if state.exists else ("[]", 0)
+    heads_json, pending_json, n = state.get if state.exists else ("[]", "[]", 0)
     heads: set[str] = set(json.loads(heads_json))
+    # deps named by an arrived event whose target has not arrived yet:
+    # when that target shows up it is born already-superseded. This makes
+    # the fold EXACTLY order-independent under exactly-once delivery —
+    # out-of-order arrival (the norm on a real bus) can no longer leave a
+    # superseded id in the head set. Fan-in deps whose target already
+    # arrived may linger in `pending`; they never affect `heads` (ids
+    # arrive at most once) and at scale would be pruned by a state TTL.
+    pending: set[str] = set(json.loads(pending_json))
     for pdf in batches:
         for _, row in pdf.sort_values(["ts", "event_id"]).iterrows():
             deps = set(json.loads(row["deps_json"])) if row["deps_json"] else set()
+            pending |= deps - heads  # supersessions seen before their target
             heads -= deps  # an event supersedes the heads it depends on
-            heads.add(str(row["event_id"]))
+            eid = str(row["event_id"])
+            if eid in pending:
+                pending.discard(eid)  # already superseded by an earlier arrival
+            else:
+                heads.add(eid)
             n += 1
-    state.update((json.dumps(sorted(heads)), n))
+    state.update((json.dumps(sorted(heads)), json.dumps(sorted(pending)), n))
     yield pd.DataFrame(
         {"graph_key": [key[0]], "heads": [sorted(heads)], "n_events": [n]}
     )
@@ -92,7 +105,10 @@ def streaming_head_tracker(stream: DataFrame) -> DataFrame:
     Input schema: (graph_key STRING, event_id, ts, deps_json STRING —
     JSON array of dep event ids). Emits the current minimized head set
     after each micro-batch (≙ append_head + compaction, main.rs:217-250,
-    but incremental instead of whole-set re-minimization)."""
+    but incremental instead of whole-set re-minimization). The fold is
+    order-independent (see `pending` in `_heads_fn`): the final head set
+    is exactly {arrived ids never named as any arrived event's dep}
+    regardless of delivery order."""
     return stream.groupBy("graph_key").applyInPandasWithState(
         _heads_fn,
         HEADS_SCHEMA,

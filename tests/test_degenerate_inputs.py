@@ -32,48 +32,15 @@ from .oracle_utils import compare, run_oracle
 QUERIES = all_queries()
 ORACLES = all_oracles()
 
-# The round-4/5 surface: everything driver-graded in r04, everything
-# added in round 4 but never driver-graded, plus this round's esvc
-# contract queries. (Earlier-vintage queries already survived two rounds
-# of sf0.001 runs where short rows are likelier — the named families are
-# where the empty-input trap class lives.)
-ROUND45_QUERIES = sorted(
-    {
-        # CORRECTNESS_r04 rows
-        "q_esvc_editor_large", "q_stream_ingest_log", "q_ev_scd2",
-        "q_ev_psi_drift", "q_ev_markov_attribution", "q_zonemap_skipping",
-        "q_skyline_customers", "q_ev_survival", "q_doc_rake",
-        "q_emb_pca_power", "q_dq_checks", "q_bloom_join_filter",
-        "q_doc_rrf_fusion", "q_ivm_join", "q_ev_mad_outliers",
-        "q_ev_stickiness", "q_ev_acf", "q_doc_quality_auc", "q_doc_heaps",
-        "q_doc_weighted_sample", "q_benford_audit", "q_zorder_layout",
-        "q_doc_calibration", "q_ev_bootstrap_ci", "q_ev_ab_test",
-        "q_doc_langid_eval", "q_stream_left_join", "q_mm_audio_match",
-        "q_doc_bbit_minhash", "q_histogram_selectivity",
-        "q_join_card_audit", "q_ev_watermark_plan", "q_encoding_advisor",
-        "q_ev_gdpr_erasure", "q_ev_bursts", "q_ev_seasonality",
-        "q_emb_filtered_ann", "q_ev_slo_burn", "q_doc_threshold_sweep",
-        "q_emb_db_index", "q_ev_power_analysis", "q_mm_phash_neardup",
-        "q_profile_lineitem", "q_doc_dup_runs", "q_doc_neyman_sample",
-        "q_doc_zipf", "q_doc_dsir", "q_emb_semdedup",
-        "q_doc_ccnet_buckets", "q_mm_phash_dedup",
-        # round-4 additions never driver-graded
-        "q_dedup_method_eval", "q_doc_bm25", "q_doc_cross_source_dup",
-        "q_doc_domain_reweight", "q_doc_dup_transitivity", "q_doc_entropy",
-        "q_doc_jackknife", "q_doc_leakage_split", "q_doc_lsh_tuning",
-        "q_doc_novelty", "q_doc_signal_corr", "q_doc_source_overlap",
-        "q_doc_winnow_pairs", "q_emb_binary_hamming",
-        "q_emb_cluster_agreement", "q_emb_cluster_sample", "q_emb_drift",
-        "q_emb_kcenter", "q_emb_mmr", "q_emb_recall_curve",
-        "q_emb_shard_plan", "q_ev_asof_nearest", "q_ev_bot_detect",
-        "q_ev_forecast", "q_ev_funnel_latency", "q_ev_gini",
-        "q_ev_incremental_agg", "q_ev_key_skew", "q_ev_ltv",
-        "q_ev_predictability", "q_mm_scene_cuts", "q_stream_anomaly",
-        "q_window_trailing_spend",
-        # round-5 contract queries
-        "q_esvc_merge_large",
-    }
-)
+# Round 6 (VERDICT r5 next-round #2): the parametrization is the WHOLE
+# registered surface, not a per-round allowlist — the zero-norm cosine
+# crash hid for two rounds in earlier-vintage queries precisely because
+# the original list covered only round-4/5 names. Every query runs the
+# driver's Spark-vs-DuckDB comparator on the degenerate-seeded tables.
+# Skips must be explicit and justified here.
+DEGEN_SKIP: dict[str, str] = {}
+
+DEGEN_QUERIES = sorted(n for n in QUERIES if n not in DEGEN_SKIP)
 
 _COPY_TABLES = (
     "region", "nation", "customer", "supplier", "part", "orders", "lineitem",
@@ -173,12 +140,12 @@ def degen_dir(tmp_path_factory) -> str:
     return base
 
 
-def test_round45_list_is_registered():
-    missing = [n for n in ROUND45_QUERIES if n not in QUERIES]
+def test_skip_list_is_registered():
+    missing = [n for n in DEGEN_SKIP if n not in QUERIES]
     assert missing == []
 
 
-@pytest.mark.parametrize("name", ROUND45_QUERIES)
+@pytest.mark.parametrize("name", DEGEN_QUERIES)
 def test_degenerate_inputs(spark, degen_dir, name):
     sdf = QUERIES[name](spark, degen_dir)
     pdf = run_oracle(ORACLES[name], degen_dir)

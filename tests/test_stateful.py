@@ -102,3 +102,44 @@ def test_head_tracker_maintains_antichain(spark, tmp_path):
     got = {r["graph_key"]: (sorted(r["heads"]), r["n_events"]) for r in out.collect()}
     assert got["g"] == (["e2", "e3"], 3)  # e1 folded away, e2/e3 parallel
     assert got["h"] == (["f1"], 1)
+
+
+def test_head_tracker_out_of_order_delivery(spark, tmp_path):
+    """The fold is order-independent: a dep delivered AFTER the event
+    naming it (ts inversion, split across micro-batches) must still end
+    up superseded — the pending-supersession state, not arrival luck,
+    decides head membership."""
+    import json
+
+    import pandas as pd
+
+    # e2 (deps e1) and e4 (deps e3) arrive in batch 1; their deps e1/e3
+    # arrive in batch 2. Diamond fan-in: e5 also names e1 (already
+    # superseded by then). Correct final antichain: {e2, e4, e5}.
+    batch1 = [
+        ("g", "e2", 10, json.dumps(["e1"])),
+        ("g", "e4", 11, json.dumps(["e3"])),
+    ]
+    batch2 = [
+        ("g", "e1", 20, "[]"),
+        ("g", "e3", 21, "[]"),
+        ("g", "e5", 22, json.dumps(["e1"])),
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    cols = ["graph_key", "event_id", "ts", "deps_json"]
+    pd.DataFrame(batch1, columns=cols).to_parquet(os.path.join(src, "a.parquet"))
+    pd.DataFrame(batch2, columns=cols).to_parquet(os.path.join(src, "b.parquet"))
+
+    stream = (
+        spark.readStream.schema(
+            "graph_key STRING, event_id STRING, ts BIGINT, deps_json STRING"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = f"heads_{uuid.uuid4().hex}"
+    out = _run_update(streaming_head_tracker(stream), name).toPandas()
+    final = out.sort_values("n_events").groupby("graph_key").last()
+    assert sorted(final.loc["g", "heads"]) == ["e2", "e4", "e5"]
+    assert final.loc["g", "n_events"] == 5
