@@ -137,17 +137,19 @@ def main() -> None:
     # noisy-neighbor variance (same query 2-10x slower across minutes),
     # and a single sample of a slow-looking query is as likely noise as
     # signal. Bounded: only queries > 2 s re-run, inside a global budget.
-    # Budget covers the whole run INCLUDING the first pass; the surface
-    # has grown past the point where 180 s leaves re-run headroom, and
-    # without re-runs single noisy-neighbor samples (observed 25x) stand
-    # unchallenged in the recorded JSON.
-    _RERUN_BUDGET = 420.0
+    # The budget is measured FROM THE END OF THE FIRST PASS (r5 lesson:
+    # a fixed whole-run budget eroded to ~nothing as the surface grew to
+    # 214 queries and three >1.5x noise swings survived into the JSON),
+    # scaled with the surface so the worst-first loop always gets real
+    # headroom: ~0.75 s/query of rerun time, floored at 180 s.
+    rerun_start = time.perf_counter()
+    _RERUN_BUDGET = max(180.0, 0.75 * len(ordered))
     # Worst-first: a single noisy-neighbor sample can read 25x (observed
     # 55 s for a steady-state 2 s query), so spend the rerun budget on the
     # most extreme outliers before the marginal ones.
     by_time = sorted(ordered, key=lambda kv: -timings[kv[0]])
     for name, fn in by_time:
-        if timings[name] > 2.0 and time.perf_counter() - t_start < _RERUN_BUDGET:
+        if timings[name] > 2.0 and time.perf_counter() - rerun_start < _RERUN_BUDGET:
             timings[name] = round(min(timings[name], run_once(fn)), 4)
 
     # Second pass for extreme outliers only: a noise burst can hit BOTH
@@ -158,7 +160,7 @@ def main() -> None:
     for name, fn in sorted(ordered, key=lambda kv: -timings[kv[0]]):
         if (
             timings[name] > max(10 * med, 2.0)
-            and time.perf_counter() - t_start < _RERUN_BUDGET
+            and time.perf_counter() - rerun_start < _RERUN_BUDGET
         ):
             timings[name] = round(min(timings[name], run_once(fn)), 4)
 

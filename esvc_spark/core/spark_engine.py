@@ -99,17 +99,20 @@ def exclusive_prefix_sum(
 
     `local=True` keeps the single-window plan — cheapest when the CALLER
     knows the input is small (one tiny sort beats three jobs).
+
+    NULL `value_col` rows count as 0 in BOTH paths (coalesced below, to
+    match the driver-side offset coalescing `_s or 0`), so a nullable
+    caller gets shifted-by-0 rows, never mixed NULL/shifted output.
     """
     from pyspark.sql import Window
 
+    val = F.coalesce(F.col(value_col), F.lit(0))
     if local:
         w = (
             Window.orderBy(*order_cols)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        return df.withColumn(
-            out_col, F.sum(value_col).over(w) - F.col(value_col)
-        )
+        return df.withColumn(out_col, F.sum(val).over(w) - val)
     p = max(spark.sparkContext.defaultParallelism, 2)
     part = (
         df.repartitionByRange(p, *order_cols)
@@ -129,9 +132,7 @@ def exclusive_prefix_sum(
     )
     return (
         part.join(F.broadcast(off_df), "_pid")
-        .withColumn(
-            out_col, F.sum(value_col).over(w) - F.col(value_col) + F.col("_off")
-        )
+        .withColumn(out_col, F.sum(val).over(w) - val + F.col("_off"))
         .drop("_pid", "_off")
     )
 

@@ -25,78 +25,41 @@ from pyspark.sql import DataFrame, SparkSession
 # round last graded each query — update it when CORRECTNESS_r{N}.json
 # lands.
 #
-# Round-5 rotation (VERDICT r4 next-round #1: freeze additions, close
-# the attestation gap): new/changed esvc contract queries first, then
-# the 5 events queries whose latest driver row is still the r01 FAIL
-# from the long-fixed NANOS-timestamp loader bug, then the 33 round-4
-# queries never driver-graded, then the r1-vintage relational rows to
-# absorb whatever budget remains. Planned r6 rotation: whatever of the
-# r1-vintage relational tail (q0x..q22, cube/rollup/grouping/setops/
-# window) misses the r5 budget, then the r2-vintage doc/emb rows.
+# Round-6 rotation: (a) every query whose code OR oracle changed this
+# round — the zero-norm cosine guard rewrote the shared helper pair
+# (functions/vectors.py) and its DuckDB twins, touching the 19 queries
+# on the cosine path, and streaming_head_tracker gained the
+# pending-supersession state (q_stream_heads); (b) the 18 r1-vintage
+# rows whose latest driver row predates the r2 dsum/decimal helper
+# rewrite; (c) r2-vintage doc/esvc fillers to round the budget to 50.
+# Remaining r2-vintage tail (~27 doc/mm/ev rows) fronts round 7.
 _MODULE_ORDER = ("esvc", "multimodal", "embeddings", "documents", "events", "relational")
 
 _FRONT = (
-    # new/changed this round (round 5): try_merge at distributed-editor
-    # scale (new), and editor_large's offset table made partition-parallel
-    # via the two-phase prefix sum (changed)
-    "q_esvc_merge_large",
-    "q_esvc_editor_large",
-    # stale-FAIL ledger rows: last driver row is the r01 FAIL from the
-    # NANOS-timestamp loader bug fixed in r02 (catalog.normalize_event_ts);
-    # green in every driver-identical verify since — need re-attestation
-    "q_ev_percentiles",
-    "q_ev_sessionize",
-    "q_ev_dedup_content",
-    "q_ev_json_props",
-    "q_ev_user_journey",
-    # never driver-graded in any round (33 round-4 additions; all green in
-    # the judge's driver-identical 163-query verify pass)
-    "q_dedup_method_eval",
-    "q_doc_bm25",
-    "q_emb_kcenter",
-    "q_emb_mmr",
-    "q_ev_bot_detect",
-    "q_mm_scene_cuts",
-    "q_stream_anomaly",
-    "q_window_trailing_spend",
-    "q_doc_cross_source_dup",
-    "q_doc_domain_reweight",
-    "q_doc_dup_transitivity",
-    "q_doc_entropy",
-    "q_doc_jackknife",
-    "q_doc_leakage_split",
-    "q_doc_lsh_tuning",
-    "q_doc_novelty",
-    "q_doc_signal_corr",
-    "q_doc_source_overlap",
-    "q_doc_winnow_pairs",
+    # changed this round: order-independent head tracker state
+    "q_stream_heads",
+    # changed this round: zero-norm cosine convention in both dialects
+    "q_emb_knn_cosine",
+    "q_emb_neardup_cosine",
+    "q_emb_ann_lsh",
+    "q_emb_ann_recall",
+    "q_emb_ivf_knn",
+    "q_emb_hard_negatives",
+    "q_emb_matryoshka",
     "q_emb_binary_hamming",
     "q_emb_cluster_agreement",
     "q_emb_cluster_sample",
-    "q_emb_drift",
+    "q_emb_dup_clusters",
+    "q_emb_filtered_ann",
+    "q_emb_mmr",
     "q_emb_recall_curve",
+    "q_emb_semdedup",
     "q_emb_shard_plan",
-    "q_ev_asof_nearest",
-    "q_ev_forecast",
-    "q_ev_funnel_latency",
-    "q_ev_gini",
-    "q_ev_incremental_agg",
-    "q_ev_key_skew",
-    "q_ev_ltv",
-    "q_ev_predictability",
-    # r1-vintage attestation: only driver rows predate the r2 dsum/decimal
-    # helper rewrite (VERDICT r4 next-round #5) — absorb remaining budget;
-    # whatever misses the r5 cut fronts the r6 rotation
-    "q01_pricing_summary",
-    "q02_min_cost_supplier",
-    "q03_shipping_priority",
-    "q04_order_priority",
-    "q05_local_supplier_volume",
-    "q06_forecast_revenue",
-    "q07_volume_shipping",
-    "q08_market_share",
-    "q09_product_profit",
-    "q10_returned_items",
+    "q_rag_retrieval",
+    "q_doc_rrf_fusion",
+    "q_dedup_agreement",
+    # r1-vintage attestation: latest driver rows predate the r2
+    # dsum/decimal helper rewrite
     "q11_value_concentration",
     "q12_ship_lag",
     "q13_customer_distribution",
@@ -115,6 +78,19 @@ _FRONT = (
     "q_setops_customers",
     "q_window_running_spend",
     "q_window_top_orders",
+    # r2-vintage fillers (flagship dedup/text/esvc rows first)
+    "q_doc_exact_dedup",
+    "q_doc_minhash_lsh",
+    "q_doc_simhash",
+    "q_doc_ngram_jaccard",
+    "q_doc_dup_clusters",
+    "q_doc_lang_id",
+    "q_doc_quality",
+    "q_doc_token_stats",
+    "q_doc_fingerprint",
+    "q_esvc_merge",
+    "q_esvc_replay",
+    "q_ev_asof_purchase",
 )
 
 

@@ -114,8 +114,8 @@ def q_esvc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _result(final, wc)
 
 
-def _sql_chain(sears: list[tuple[str, str]]) -> str:
-    expr = "text"
+def _sql_chain(sears: list[tuple[str, str]], col: str = "text") -> str:
+    expr = col
     for s, r in sears:
         expr = f"replace({expr}, '{s}', '{r}')"
     return expr
@@ -383,7 +383,7 @@ WITH words AS (
 ),
 fin AS (
   SELECT doc_id, wi,
-         {_sql_chain(_MLG_A + _MLG_B).replace("text", "word")} AS word
+         {_sql_chain(_MLG_A + _MLG_B, col="word")} AS word
   FROM words
 )
 SELECT CAST(ROW_NUMBER() OVER (ORDER BY doc_id, wi) - 1 AS BIGINT) AS line_no,

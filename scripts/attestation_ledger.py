@@ -15,16 +15,18 @@ import glob
 import json
 import os
 import re
+import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
 
 
 def registered_names() -> set[str]:
-    names: set[str] = set()
-    for f in glob.glob(os.path.join(ROOT, "esvc_spark/queries/*.py")):
-        with open(f) as fh:
-            names.update(re.findall(r'"(q[\w]+)":', fh.read()))
-    return names
+    # the actual registry, not a source-scrape: a helper dict with
+    # q-prefixed keys or a commented-out entry must not inflate the surface
+    from esvc_spark.queries import all_queries
+
+    return set(all_queries())
 
 
 def main() -> None:
@@ -66,10 +68,7 @@ Maintenance: regenerate after each round's CORRECTNESS file lands
     )
     lines.append(f"- registered queries: **{len(names)}**")
     lines.append(f"- driver-graded green (latest row): **{len(green)}**")
-    lines.append(
-        "- latest driver row is a FAIL (all five are the r01 NANOS loader "
-        f"bug, fixed r02, pending re-attestation): **{len(stale)}**"
-    )
+    lines.append(f"- latest driver row is a FAIL: **{len(stale)}**")
     lines.append(f"- never driver-graded: **{len(never)}**\n")
     lines.append("## Per-round coverage\n")
     lines.append("| round | rows graded | green | fail |")
@@ -84,7 +83,14 @@ Maintenance: regenerate after each round's CORRECTNESS file lands
     for n in sorted(names):
         if n in latest:
             r, ok = latest[n]
-            res = "green" if ok else "FAIL (stale r01 loader bug, fixed r02)"
+            if ok:
+                res = "green"
+            elif r == 1:
+                # the one known historical FAIL class: the r01 NANOS
+                # timestamp loader bug, fixed r02
+                res = "FAIL (stale r01 loader bug, fixed r02)"
+            else:
+                res = f"FAIL (r{r:02d})"
             lines.append(f"| {n} | r{r:02d} | {res} |")
         else:
             lines.append(

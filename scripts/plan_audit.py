@@ -82,6 +82,12 @@ _IMPERATIVE = {
         "streaming foreachBatch parquet append run twice (redelivery "
         "proof); returned frame is the checkpointed final aggregate"
     ),
+    "q_esvc_merge_large": (
+        "try_merge orchestration over the DISTRIBUTED SparkExEngine "
+        "(hard-dep chain re-discovery + independence proof, each "
+        "commutation check a fingerprint agg, under scoped confs); "
+        "returned frame is the checkpointed merged state"
+    ),
 }
 
 # NLJs that are by-construction safe: scalar subquery or tiny broadcast side
