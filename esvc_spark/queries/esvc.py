@@ -238,19 +238,27 @@ def _word_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     offset table is itself the small side only up to ~10⁸ docs; past
     that, swap the hint for a hash join on doc_id — both sides already
     partition on it.)"""
-    from ..core.spark_engine import exclusive_prefix_sum
+    from ..core.spark_engine import SparkExEngine, exclusive_prefix_sum
 
     docs = (
         T(spark, sf_dir, "documents")
         .select("doc_id", F.split("text", " ").alias("w"))
         .repartition(8, "doc_id")
     )
+    # size-conditional offset plan, same policy as the engine's renumber
+    # (_RENUMBER_LOCAL_ROWS): the offsets table is |documents| rows, so
+    # below the threshold one tiny window beats the two-phase prefix
+    # sum's three jobs (measured: 0.28 vs 1.08 s at sf0.1 — see
+    # scripts/ab_offset_path.py); above it the two-phase path keeps the
+    # plan free of single-task stages. The count is parquet-metadata-only.
+    n_docs = T(spark, sf_dir, "documents").count()
     offs = exclusive_prefix_sum(
         spark,
         docs.select("doc_id", F.size("w").cast("bigint").alias("nw")),
         ["doc_id"],
         "nw",
         "off",
+        local=n_docs <= SparkExEngine._RENUMBER_LOCAL_ROWS,
     ).select("doc_id", "off")
     return (
         docs.join(F.broadcast(offs), "doc_id")
