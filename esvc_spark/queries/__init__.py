@@ -36,6 +36,11 @@ from pyspark.sql import DataFrame, SparkSession
 _MODULE_ORDER = ("esvc", "multimodal", "embeddings", "documents", "events", "relational")
 
 _FRONT = (
+    # NEW this round: Gopher rule battery, TextRank keywords, kNN
+    # label-noise audit
+    "q_doc_gopher_rules",
+    "q_doc_textrank",
+    "q_emb_label_consistency",
     # changed this round: order-independent head tracker state
     "q_stream_heads",
     # changed this round: zero-norm cosine convention in both dialects
@@ -87,9 +92,6 @@ _FRONT = (
     "q_doc_lang_id",
     "q_doc_quality",
     "q_doc_token_stats",
-    "q_doc_fingerprint",
-    "q_esvc_merge",
-    "q_esvc_replay",
     "q_ev_asof_purchase",
 )
 

@@ -2170,3 +2170,290 @@ FROM cum, tot
 """
 
 
+
+
+# ------------------------------------------------------- Gopher rule battery
+# The Gopher/MassiveText quality-filter rule set (Rae et al. 2021, table
+# A1), adapted to this corpus: per-doc boolean rules on word count, mean
+# word length, alphabetic-word ratio, stopword presence, and the two
+# repetition rules (most-common-word fraction, duplicate-bigram
+# fraction), rolled up to per-source pass rates. Every rule is an exact
+# INTEGER comparison (cnt*k <= m*total — no float ratios), so both
+# engines agree bit-for-bit, including on degenerate docs (empty text
+# tokenizes to [''], which fails r_alpha/r_meanlen honestly).
+#
+# Scale shape: ONE corpus tokenize/explode (shuffled by doc_id), three
+# narrow per-doc re-aggregations off it (token stats, per-word mode,
+# adjacent-bigram distincts), one broadcast-sized per-source rollup.
+# No all-pairs anything; the explode is the same heavy shuffle every
+# dedup query already pays.
+
+_GR_WC_LO, _GR_WC_HI = 10, 90  # word-count bounds
+_GR_MWL_LO, _GR_MWL_HI = 2, 8  # mean-word-length bounds (exact: lo*wc<=sum<=hi*wc)
+
+
+def q_doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _docs_par(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", "source", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    stats = toks.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("wc"),
+        F.sum(F.length("w")).cast("bigint").alias("sum_len"),
+        F.sum(F.when(F.col("w").rlike("[a-z]"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_alpha"),
+        F.sum(F.when(F.col("w").isin(_STOPWORDS), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_stop"),
+    )
+    mode = (
+        toks.groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("wf"))
+        .groupBy("doc_id")
+        .agg(F.max("wf").cast("bigint").alias("max_wf"))
+    )
+    wnd = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        toks.select("doc_id", "w", F.lead("w").over(wnd).alias("nxt"))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("total_bg"),
+            F.count_distinct("w", "nxt").alias("dist_bg"),
+        )
+    )
+    per_doc = (
+        stats.join(mode, "doc_id")
+        .join(bg, "doc_id", "left")
+        .select(
+            "source",
+            (
+                (F.col("wc") >= _GR_WC_LO) & (F.col("wc") <= _GR_WC_HI)
+            ).alias("r_wordcount"),
+            (
+                (F.col("sum_len") >= _GR_MWL_LO * F.col("wc"))
+                & (F.col("sum_len") <= _GR_MWL_HI * F.col("wc"))
+            ).alias("r_meanlen"),
+            (F.col("n_alpha") * 10 >= F.col("wc") * 8).alias("r_alpha"),
+            (F.col("n_stop") >= 2).alias("r_stop"),
+            (F.col("max_wf") * 5 <= F.col("wc")).alias("r_rep_word"),
+            (
+                F.col("total_bg").isNotNull()
+                & (
+                    (F.coalesce("total_bg", F.lit(0)) - F.coalesce("dist_bg", F.lit(0)))
+                    * 5
+                    <= F.coalesce("total_bg", F.lit(0))
+                )
+            ).alias("r_rep_bigram"),
+        )
+    )
+    rules = [
+        "r_wordcount", "r_meanlen", "r_alpha", "r_stop", "r_rep_word",
+        "r_rep_bigram",
+    ]
+    aggs = [
+        F.sum(F.when(F.col(r), 1).otherwise(0)).cast("bigint").alias(f"n_{r}")
+        for r in rules
+    ]
+    all_pass = F.lit(True)
+    for r in rules:
+        all_pass = all_pass & F.col(r)
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        *aggs,
+        F.sum(F.when(all_pass, 1).otherwise(0)).cast("bigint").alias("n_pass_all"),
+    )
+
+
+def _gopher_rules_sql() -> str:
+    sw = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source, CAST(i AS BIGINT) AS pos, w[i] AS w
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+       unnest(range(1, len(w) + 1)) t(i)
+),
+stats AS (
+  SELECT doc_id, source, COUNT(*) AS wc,
+         CAST(SUM(length(w)) AS BIGINT) AS sum_len,
+         CAST(SUM(CASE WHEN regexp_matches(w, '[a-z]') THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_alpha,
+         CAST(SUM(CASE WHEN w IN ({sw}) THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_stop
+  FROM toks GROUP BY doc_id, source
+),
+mode AS (
+  SELECT doc_id, CAST(MAX(wf) AS BIGINT) AS max_wf
+  FROM (SELECT doc_id, w, COUNT(*) AS wf FROM toks GROUP BY doc_id, w)
+  GROUP BY doc_id
+),
+bg AS (
+  SELECT doc_id, COUNT(*) AS total_bg,
+         COUNT(DISTINCT (w, nxt)) AS dist_bg
+  FROM (SELECT doc_id, w,
+               LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+        FROM toks)
+  WHERE nxt IS NOT NULL GROUP BY doc_id
+),
+per_doc AS (
+  SELECT s.source,
+         (s.wc >= {_GR_WC_LO} AND s.wc <= {_GR_WC_HI}) AS r_wordcount,
+         (s.sum_len >= {_GR_MWL_LO} * s.wc
+          AND s.sum_len <= {_GR_MWL_HI} * s.wc) AS r_meanlen,
+         (s.n_alpha * 10 >= s.wc * 8) AS r_alpha,
+         (s.n_stop >= 2) AS r_stop,
+         (m.max_wf * 5 <= s.wc) AS r_rep_word,
+         (b.total_bg IS NOT NULL
+          AND (COALESCE(b.total_bg, 0) - COALESCE(b.dist_bg, 0)) * 5
+              <= COALESCE(b.total_bg, 0)) AS r_rep_bigram
+  FROM stats s JOIN mode m USING (doc_id)
+  LEFT JOIN bg b USING (doc_id)
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN r_wordcount THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_r_wordcount,
+       CAST(SUM(CASE WHEN r_meanlen THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_r_meanlen,
+       CAST(SUM(CASE WHEN r_alpha THEN 1 ELSE 0 END) AS BIGINT) AS n_r_alpha,
+       CAST(SUM(CASE WHEN r_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_r_stop,
+       CAST(SUM(CASE WHEN r_rep_word THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_r_rep_word,
+       CAST(SUM(CASE WHEN r_rep_bigram THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_r_rep_bigram,
+       CAST(SUM(CASE WHEN r_wordcount AND r_meanlen AND r_alpha AND r_stop
+                      AND r_rep_word AND r_rep_bigram
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
+FROM per_doc GROUP BY source
+"""
+
+
+# ------------------------------------------------------------- TextRank
+# TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over the
+# word co-occurrence graph (adjacent-token pairs, undirected via
+# symmetric directed edges, weight = corpus co-occurrence count), 3
+# damped power iterations, top-10 words. Complements RAKE (q_doc_rake)
+# with the graph-centrality ranking the paper made standard.
+#
+# Determinism mirrors q_ev_pagerank (events_sketches.py): transition
+# probabilities are single IEEE divisions of exact counts; each
+# iteration's per-node contribution sum is a sequential fold in src
+# order, so both engines walk bit-identical rank vectors.
+#
+# Scale shape: the heavy work is ONE corpus tokenize + adjacent-pair
+# count (same explode shuffle as the dedup family); the rank loop runs
+# on the vocabulary-sized node/edge tables with broadcast joins — no
+# corpus data in the loop.
+
+_TR_DAMP = 0.85
+_TR_ITERS = 3
+_TR_K = 10
+
+
+def q_doc_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _docs_par(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    wnd = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        toks.select("doc_id", "w", F.lead("w").over(wnd).alias("nxt"))
+        .filter(F.col("nxt").isNotNull())
+    )
+    edges = (
+        pairs.select(F.col("w").alias("src"), F.col("nxt").alias("dst"))
+        .union(pairs.select(F.col("nxt").alias("src"), F.col("w").alias("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    out = edges.groupBy("src").agg(F.sum("cnt").alias("out_cnt"))
+    p = (
+        edges.join(out, "src")
+        .select(
+            "src", "dst", (F.col("cnt").cast("double") / F.col("out_cnt")).alias("p")
+        )
+        .transform(_tp)
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    n = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    base = nodes.join(n)  # single-row cross join: N reaches every node row
+    ranks = base.select("node", (F.lit(1.0) / F.col("n_nodes")).alias("r"))
+    for _ in range(_TR_ITERS):
+        contrib = p.join(
+            F.broadcast(ranks.select(F.col("node").alias("src"), "r")), "src"
+        ).select("dst", "src", (F.col("r") * F.col("p")).alias("c"))
+        agg = contrib.groupBy("dst").agg(
+            F.aggregate(
+                F.expr("transform(array_sort(collect_list(struct(src, c))), t -> t.c)"),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("s")
+        )
+        ranks = base.join(F.broadcast(agg), base["node"] == agg["dst"], "left").select(
+            "node",
+            (
+                (F.lit(1.0) - F.lit(_TR_DAMP)) / F.col("n_nodes")
+                + F.lit(_TR_DAMP) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("r"),
+        )
+    wk = Window.orderBy(F.col("r").desc(), F.col("node"))
+    return (
+        ranks.withColumn("kw_rank", F.row_number().over(wk).cast("bigint"))
+        .filter(F.col("kw_rank") <= _TR_K)
+        .select("kw_rank", F.col("node").alias("word"), F.col("r").alias("score"))
+    )
+
+
+def _textrank_sql() -> str:
+    it = """
+SELECT node,
+       (CAST(1.0 AS DOUBLE) - CAST({d} AS DOUBLE)) / n_nodes
+         + CAST({d} AS DOUBLE) * COALESCE(s, CAST(0.0 AS DOUBLE)) AS r
+FROM nodes CROSS JOIN n LEFT JOIN (
+  SELECT dst, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                       list(c ORDER BY src)),
+                          (acc, x) -> acc + x) AS s
+  FROM (SELECT dst, src, r * p AS c
+        FROM p JOIN {prev} ON {prev}.node = p.src)
+  GROUP BY dst
+) agg ON agg.dst = nodes.node"""
+    ctes = ",\n".join(
+        f"r{i + 1} AS ({it.format(d=_TR_DAMP, prev=f'r{i}')})"
+        for i in range(_TR_ITERS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos, w[i] AS w
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       unnest(range(1, len(w) + 1)) t(i)
+),
+pairs AS (
+  SELECT w, nxt FROM (
+    SELECT w, LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+    FROM toks)
+  WHERE nxt IS NOT NULL
+),
+edges AS (
+  SELECT src, dst, COUNT(*) AS cnt FROM (
+    SELECT w AS src, nxt AS dst FROM pairs
+    UNION ALL
+    SELECT nxt AS src, w AS dst FROM pairs)
+  GROUP BY src, dst
+),
+outd AS (SELECT src, SUM(cnt) AS out_cnt FROM edges GROUP BY src),
+p AS (SELECT src, dst, CAST(cnt AS DOUBLE) / out_cnt AS p
+      FROM edges JOIN outd USING (src)),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+n AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / n_nodes AS r
+       FROM nodes CROSS JOIN n),
+{ctes}
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY r DESC, node) AS BIGINT) AS kw_rank,
+       node AS word, r AS score
+FROM r{_TR_ITERS}
+QUALIFY kw_rank <= {_TR_K}
+"""

@@ -2771,7 +2771,115 @@ GROUP BY t.query_id
 """
 
 
+
+# ------------------------------------------------ kNN label consistency
+# Label-noise audit (kNN agreement, cf. Confident Learning / deep-kNN
+# noise detection): for a deterministic anchor sample, take the top-5
+# cosine neighbors and compare the neighborhood's majority label with
+# the anchor's own label. Per-label consistency rates flag label noise
+# or class overlap before the labels feed a classifier or a
+# cluster-balanced sampler. Output is all-integer (counts), so the hash
+# gate is exact; majority ties break to the smaller label, neighbor
+# ties to (cos_sim DESC, vec_id) — both pinned, and cos_sim itself is
+# bit-identical across engines (sequential-fold dot products).
+#
+# Scale shape: the anchor side is a fixed tiny sample -> broadcast; the
+# corpus streams through ONE stage (same plan family as q_emb_knn_cosine).
+# Zero-norm vectors score cos 0 and sort last (OPERATORS.md convention).
+
+_LC_ANCHORS = 40
+_LC_K = 5
+
+
+def q_emb_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb_normed(spark, sf_dir)
+    anchors = e.filter(F.col("vec_id") < _LC_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("own_label"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = e.join(
+        F.broadcast(anchors), F.col("vec_id") != F.col("anchor_id")
+    ).select(
+        "anchor_id",
+        "own_label",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("nlabel"),
+        cosine_prenorm(
+            F.col("qemb"), F.col("emb"), F.col("qnrm"), F.col("nrm")
+        ).alias("cos_sim"),
+    )
+    wr = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    top = scored.withColumn("rank", F.row_number().over(wr)).filter(
+        F.col("rank") <= _LC_K
+    )
+    votes = top.groupBy("anchor_id", "own_label", "nlabel").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    wv = Window.partitionBy("anchor_id").orderBy(
+        F.col("votes").desc(), F.col("nlabel")
+    )
+    maj = (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            "anchor_id",
+            "own_label",
+            F.col("nlabel").alias("maj_label"),
+            F.col("votes").alias("maj_votes"),
+        )
+    )
+    return maj.groupBy(F.col("own_label").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_anchors"),
+        F.sum(F.when(F.col("maj_label") == F.col("own_label"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_consistent"),
+        F.sum("maj_votes").cast("bigint").alias("sum_maj_votes"),
+    )
+
+
+_LABEL_CONSISTENCY_SQL = f"""
+WITH e AS ({_SQL_EMB_NORMED}),
+anchors AS (
+  SELECT vec_id AS anchor_id, label AS own_label, emb AS qemb, nrm AS qnrm
+  FROM e WHERE vec_id < {_LC_ANCHORS}
+),
+scored AS (
+  SELECT anchor_id, own_label, e.vec_id AS neighbor_id, e.label AS nlabel,
+         {sql_cosine_prenorm('qemb', 'emb', 'qnrm', 'nrm')} AS cos_sim
+  FROM anchors JOIN e ON e.vec_id <> anchors.anchor_id
+),
+top AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                ORDER BY cos_sim DESC, neighbor_id) AS rnk
+    FROM scored)
+  WHERE rnk <= {_LC_K}
+),
+votes AS (
+  SELECT anchor_id, own_label, nlabel, COUNT(*) AS votes
+  FROM top GROUP BY anchor_id, own_label, nlabel
+),
+maj AS (
+  SELECT anchor_id, own_label, nlabel AS maj_label, votes AS maj_votes
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                    ORDER BY votes DESC, nlabel) AS vr
+        FROM votes)
+  WHERE vr = 1
+)
+SELECT own_label AS label, CAST(COUNT(*) AS BIGINT) AS n_anchors,
+       CAST(SUM(CASE WHEN maj_label = own_label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_consistent,
+       CAST(SUM(maj_votes) AS BIGINT) AS sum_maj_votes
+FROM maj GROUP BY own_label
+"""
+
+
 QUERIES = {
+    "q_emb_label_consistency": q_emb_label_consistency,
     "q_emb_filtered_ann": q_emb_filtered_ann,
     "q_emb_db_index": q_emb_db_index,
     "q_emb_pca_power": q_emb_pca_power,
@@ -2802,6 +2910,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_emb_label_consistency": _LABEL_CONSISTENCY_SQL,
     "q_emb_filtered_ann": _FANN_SQL,
     "q_emb_db_index": _DB_INDEX_SQL,
     "q_emb_pca_power": _pca_sql(),

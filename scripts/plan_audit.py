@@ -162,6 +162,11 @@ _NLJ_OK = {
     "q_ev_seasonality": "single-row (n, s) totals cross join over the 24-row profile",
     "q_emb_db_index": "single-row overall-DB-index cross join over the K-label table",
     "q_doc_threshold_sweep": "single-row corpus-totals cross join over the <=9-bin cumulative",
+    "q_doc_textrank": (
+        "single-row node-count cross join per rank iteration "
+        "(pagerank shape; loop tables are vocabulary-sized)"
+    ),
+    "q_emb_label_consistency": "40-row anchor side broadcast (knn shape)",
     "q_emb_filtered_ann": (
         "20-row query broadcast + 8-centroid assignment (knn + IVF "
         "shapes) on both the exact-filtered and post-filter arms"
