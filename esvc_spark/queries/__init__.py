@@ -37,10 +37,13 @@ _MODULE_ORDER = ("esvc", "multimodal", "embeddings", "documents", "events", "rel
 
 _FRONT = (
     # NEW this round: Gopher rule battery, TextRank keywords, kNN
-    # label-noise audit
+    # label-noise audit, readability battery, IVF cell-balance audit
     "q_doc_gopher_rules",
     "q_doc_textrank",
     "q_emb_label_consistency",
+    "q_doc_readability",
+    "q_emb_ivf_balance",
+    "q_part_prune_audit",
     # changed this round: order-independent head tracker state
     "q_stream_heads",
     # changed this round: zero-norm cosine convention in both dialects

@@ -2182,11 +2182,12 @@ FROM cum, tot
 # engines agree bit-for-bit, including on degenerate docs (empty text
 # tokenizes to [''], which fails r_alpha/r_meanlen honestly).
 #
-# Scale shape: ONE corpus tokenize/explode (shuffled by doc_id), three
-# narrow per-doc re-aggregations off it (token stats, per-word mode,
-# adjacent-bigram distincts), one broadcast-sized per-source rollup.
-# No all-pairs anything; the explode is the same heavy shuffle every
-# dedup query already pays.
+# Scale shape: TWO passes over the exploded tokens — (a) a two-level
+# aggregation (doc,word)->doc that computes token stats AND the word
+# mode in one tree (partial agg combines repeated words map-side before
+# the shuffle), (b) the adjacent-bigram window — then one
+# broadcast-sized per-source rollup. No all-pairs anything; the explode
+# is the same heavy shuffle every dedup query already pays.
 
 _GR_WC_LO, _GR_WC_HI = 10, 90  # word-count bounds
 _GR_MWL_LO, _GR_MWL_HI = 2, 8  # mean-word-length bounds (exact: lo*wc<=sum<=hi*wc)
@@ -2199,21 +2200,21 @@ def q_doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", "source", F.posexplode(F.split("text", " ")).alias("pos", "w")
     )
-    stats = toks.groupBy("doc_id", "source").agg(
-        F.count(F.lit(1)).alias("wc"),
-        F.sum(F.length("w")).cast("bigint").alias("sum_len"),
-        F.sum(F.when(F.col("w").rlike("[a-z]"), 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_alpha"),
-        F.sum(F.when(F.col("w").isin(_STOPWORDS), 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_stop"),
-    )
-    mode = (
-        toks.groupBy("doc_id", "w")
+    stats = (
+        toks.groupBy("doc_id", "source", "w")
         .agg(F.count(F.lit(1)).alias("wf"))
-        .groupBy("doc_id")
-        .agg(F.max("wf").cast("bigint").alias("max_wf"))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("wf").cast("bigint").alias("wc"),
+            F.sum(F.col("wf") * F.length("w")).cast("bigint").alias("sum_len"),
+            F.sum(F.when(F.col("w").rlike("[a-z]"), F.col("wf")).otherwise(0))
+            .cast("bigint")
+            .alias("n_alpha"),
+            F.sum(F.when(F.col("w").isin(_STOPWORDS), F.col("wf")).otherwise(0))
+            .cast("bigint")
+            .alias("n_stop"),
+            F.max("wf").cast("bigint").alias("max_wf"),
+        )
     )
     wnd = Window.partitionBy("doc_id").orderBy("pos")
     bg = (
@@ -2226,8 +2227,7 @@ def q_doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     per_doc = (
-        stats.join(mode, "doc_id")
-        .join(bg, "doc_id", "left")
+        stats.join(bg, "doc_id", "left")
         .select(
             "source",
             (
@@ -2364,9 +2364,18 @@ def q_doc_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.select("doc_id", "w", F.lead("w").over(wnd).alias("nxt"))
         .filter(F.col("nxt").isNotNull())
     )
+    # one corpus pass: emit both edge directions inline instead of a
+    # union of two selects (which would re-run the explode+window twice)
     edges = (
-        pairs.select(F.col("w").alias("src"), F.col("nxt").alias("dst"))
-        .union(pairs.select(F.col("nxt").alias("src"), F.col("w").alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("w").alias("src"), F.col("nxt").alias("dst")),
+                    F.struct(F.col("nxt").alias("src"), F.col("w").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -2456,4 +2465,100 @@ SELECT CAST(ROW_NUMBER() OVER (ORDER BY r DESC, node) AS BIGINT) AS kw_rank,
        node AS word, r AS score
 FROM r{_TR_ITERS}
 QUALIFY kw_rank <= {_TR_K}
+"""
+
+
+# ----------------------------------------------------------- readability
+# Syllable-based readability battery per source, adapted from the
+# Flesch/SMOG family to this corpus (word streams, no sentence
+# boundaries): syllables are approximated as vowel-group runs
+# ([aeiouy]+, min 1 per word) — the standard cheap estimator — and the
+# sentence-level terms are replaced by per-doc polysyllable density
+# ("hard doc" = >20% words with >=3 syllables, the SMOG ingredient).
+# All outputs are exact integers (counts and integer-division basis
+# points), so the cross-engine hash is exact.
+#
+# Scale shape: the syllable pass is a PURE NARROW MAP — per-doc stats
+# come from higher-order functions over the split array (no explode, no
+# corpus shuffle at all); the only shuffle is the |sources|-row rollup.
+# That is the plan to want at 100 TB: the scan streams once through
+# whole-stage codegen and reduces to a broadcast-sized table.
+
+_RD_POLY = 3  # >= this many syllables = polysyllabic (SMOG ingredient)
+_RD_LONG = 7  # >= this many chars = long word (LIX ingredient)
+
+
+def q_doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_par(spark, sf_dir)
+    per_doc = docs.select(
+        "source",
+        F.expr(
+            "transform(split(text, ' '), "
+            "w -> greatest(regexp_count(w, '[aeiouy]+'), 1))"
+        ).alias("syls"),
+        F.split("text", " ").alias("arr"),
+    ).select(
+        "source",
+        F.size("arr").cast("bigint").alias("wc"),
+        F.expr("aggregate(syls, 0L, (a, x) -> a + x)").alias("sum_syl"),
+        F.expr(f"size(filter(syls, s -> s >= {_RD_POLY}))")
+        .cast("bigint")
+        .alias("n_poly"),
+        F.expr(f"size(filter(arr, w -> length(w) >= {_RD_LONG}))")
+        .cast("bigint")
+        .alias("n_long"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("wc").cast("bigint").alias("n_words"),
+        F.sum("sum_syl").cast("bigint").alias("n_syllables"),
+        F.sum("n_poly").cast("bigint").alias("n_poly"),
+        F.sum("n_long").cast("bigint").alias("n_long"),
+        F.sum(F.when(F.col("n_poly") * 5 >= F.col("wc"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hard_docs"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_words",
+        "n_syllables",
+        "n_poly",
+        "n_long",
+        "n_hard_docs",
+        F.expr("n_syllables * 100 div n_words").alias("syl_per_word_cents"),
+        F.expr("n_poly * 10000 div n_words").alias("poly_bp"),
+        F.expr("n_long * 10000 div n_words").alias("long_bp"),
+    )
+
+
+_READABILITY_SQL = f"""
+WITH per_doc AS (
+  SELECT source,
+         CAST(len(arr) AS BIGINT) AS wc,
+         CAST(list_sum(list_transform(arr,
+              x -> greatest(len(regexp_extract_all(x, '[aeiouy]+')), 1)))
+           AS BIGINT) AS sum_syl,
+         CAST(len(list_filter(list_transform(arr,
+              x -> len(regexp_extract_all(x, '[aeiouy]+'))),
+              s -> greatest(s, 1) >= {_RD_POLY})) AS BIGINT) AS n_poly,
+         CAST(len(list_filter(arr, w -> length(w) >= {_RD_LONG}))
+           AS BIGINT) AS n_long
+  FROM (SELECT source, string_split(text, ' ') AS arr FROM documents)
+),
+agg AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(wc) AS BIGINT) AS n_words,
+         CAST(SUM(sum_syl) AS BIGINT) AS n_syllables,
+         CAST(SUM(n_poly) AS BIGINT) AS n_poly,
+         CAST(SUM(n_long) AS BIGINT) AS n_long,
+         CAST(SUM(CASE WHEN n_poly * 5 >= wc THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hard_docs
+  FROM per_doc GROUP BY source
+)
+SELECT source, n_docs, n_words, n_syllables, n_poly, n_long, n_hard_docs,
+       n_syllables * 100 // n_words AS syl_per_word_cents,
+       n_poly * 10000 // n_words AS poly_bp,
+       n_long * 10000 // n_words AS long_bp
+FROM agg
 """

@@ -2878,7 +2878,78 @@ FROM maj GROUP BY own_label
 """
 
 
+# ------------------------------------------------------ IVF cell balance
+# IVF index-health audit: assign every vector to its nearest pinned
+# centroid (the q_emb_ivf_knn lists) and report the cell-size histogram
+# plus the two numbers that decide whether the index survives at scale —
+# the imbalance factor (max cell * K / N; >2x means a hot cell bottleneck
+# every probe pays) and the expected nprobe=1 scan fraction under
+# size-proportional query traffic (sum of squared cell shares — a
+# Herfindahl index; 1/K = perfectly balanced). All integer arithmetic
+# (counts + integer-division basis points), so the hash gate is exact.
+#
+# Scale shape: ONE corpus pass against K broadcast centroids, reduced to
+# a K-row table; the rollup joins are single-row cross joins. The
+# sum-of-squares stays in BIGINT up to ~3e9 vectors; beyond that the
+# HHI term needs per-cell down-scaling (cell_n div 1024) — documented
+# seam, same convention as the 63-bit bitset words.
+
+
+def q_emb_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb_normed(spark, sf_dir)
+    lists = _ivf_assign(e, 1, "vec_id")
+    cells = lists.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cell_n")
+    )
+    tot = cells.agg(
+        F.sum("cell_n").cast("bigint").alias("n_total"),
+        F.max("cell_n").cast("bigint").alias("max_cell"),
+        F.sum(F.col("cell_n") * F.col("cell_n")).cast("bigint").alias("sum_sq"),
+    )
+    return cells.join(tot).select(
+        F.col("cell").alias("cent_id"),
+        "cell_n",
+        F.expr("cell_n * 10000 div n_total").alias("share_bp"),
+        "n_total",
+        F.expr(f"max_cell * {_IVF_K * 10000} div n_total").alias("imbalance_bp"),
+        F.expr("sum_sq * 10000 div (n_total * n_total)").alias("scan1_bp"),
+    )
+
+
+_IVF_BALANCE_SQL = f"""
+WITH e AS ({_SQL_EMB_NORMED}),
+cents AS (
+  SELECT vec_id AS cent_id, emb AS cemb, nrm AS cnrm FROM e
+  WHERE vec_id < {_IVF_K}
+),
+assign AS (
+  SELECT vec_id, cent_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+           {sql_cosine_prenorm('emb', 'cemb', 'nrm', 'cnrm')} DESC, cent_id)
+           AS crank
+  FROM e CROSS JOIN cents
+),
+cells AS (
+  SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS cell_n
+  FROM assign WHERE crank = 1 GROUP BY cent_id
+),
+tot AS (
+  SELECT CAST(SUM(cell_n) AS BIGINT) AS n_total,
+         CAST(MAX(cell_n) AS BIGINT) AS max_cell,
+         CAST(SUM(cell_n * cell_n) AS BIGINT) AS sum_sq
+  FROM cells
+)
+SELECT cent_id, cell_n,
+       cell_n * 10000 // n_total AS share_bp,
+       n_total,
+       max_cell * {_IVF_K * 10000} // n_total AS imbalance_bp,
+       sum_sq * 10000 // (n_total * n_total) AS scan1_bp
+FROM cells CROSS JOIN tot
+"""
+
+
 QUERIES = {
+    "q_emb_ivf_balance": q_emb_ivf_balance,
     "q_emb_label_consistency": q_emb_label_consistency,
     "q_emb_filtered_ann": q_emb_filtered_ann,
     "q_emb_db_index": q_emb_db_index,
@@ -2910,6 +2981,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_emb_ivf_balance": _IVF_BALANCE_SQL,
     "q_emb_label_consistency": _LABEL_CONSISTENCY_SQL,
     "q_emb_filtered_ann": _FANN_SQL,
     "q_emb_db_index": _DB_INDEX_SQL,

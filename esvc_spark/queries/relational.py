@@ -2694,7 +2694,66 @@ FROM coded
 """
 
 
+# --------------------------------------------------- partition pruning
+# End-to-end partition-layout audit through the sink/source layer: write
+# events Hive-partitioned by day (sources/io.py write_sink layout), read
+# back with a literal day predicate — Catalyst resolves it as a
+# PartitionFilter, so the scan lists exactly ONE day directory and never
+# opens the other 29 — and aggregate that day. The target day is
+# min(day)+2, computed identically by the oracle from the flat table.
+# This is the layout decision that matters most at 100 TB: a daily
+# time-partitioned event log turns every time-bounded query from a full
+# scan into a touched-partitions scan, for free, declaratively.
+#
+# The returned frame is localCheckpoint'd (the temp partitioned copy is
+# removed before returning) — listed in plan_audit._IMPERATIVE; the
+# pruning itself is asserted by tests/test_plans.py on a live plan.
+
+
+def q_part_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    ev = T(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    work = tempfile.mkdtemp(prefix="esvc_prune_")
+    try:
+        path = os.path.join(work, "events_by_day")
+        ev.write.partitionBy("day").parquet(path)
+        target = ev.agg(F.date_add(F.min("day"), 2)).collect()[0][0]
+        pruned = spark.read.parquet(path).filter(F.col("day") == F.lit(target))
+        return (
+            # day travels as TIMESTAMP in the result (q_fullouter_daily
+            # convention: Spark DATE arrives as pandas object, not M8)
+            pruned.withColumn("day", F.col("day").cast("timestamp"))
+            .groupBy("day", "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.count_distinct("user_id").alias("n_users"),
+                dsum("value", 2).alias("sum_value"),
+            )
+            # tiny (one row per event type): materialize eagerly so the
+            # temp partitioned copy can be removed before returning
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+_PART_PRUNE_SQL = """
+WITH target AS (SELECT MIN(CAST(ts AS DATE)) + 2 AS day FROM events)
+SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day, event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       {sum_value} AS sum_value
+FROM events
+WHERE CAST(ts AS DATE) = (SELECT day FROM target)
+GROUP BY 1, 2
+""".format(sum_value=sql_dsum("value", 2))
+
+
 QUERIES = {
+    "q_part_prune_audit": q_part_prune_audit,
     "q_fuzzy_match": q_fuzzy_match,
     "q_window_trailing_spend": q_window_trailing_spend,
     "q_zonemap_skipping": q_zonemap_skipping,
@@ -2743,6 +2802,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_part_prune_audit": _PART_PRUNE_SQL,
     "q_window_trailing_spend": _QWINDOW_TRAIL_SQL,
     "q_fuzzy_match": _FUZZY_SQL,
     "q01_pricing_summary": _Q01_SQL,

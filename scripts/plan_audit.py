@@ -18,6 +18,11 @@ sys.path.insert(0, REPO)
 
 # queries whose physical plan is not a single static DAG
 _IMPERATIVE = {
+    "q_part_prune_audit": (
+        "Hive-partitioned temp write + pruned one-day read (PartitionFilters "
+        "lists 1 of 30 day dirs — asserted live in tests/test_plans.py); "
+        "returned frame is the checkpointed per-type day aggregate"
+    ),
     "q_stream_tumbling_hourly": "streaming (micro-batch plans)",
     "q_stream_sessionize": "streaming (micro-batch plans)",
     "q_stream_running_totals": "streaming (stateful micro-batch plans)",
@@ -167,6 +172,10 @@ _NLJ_OK = {
         "(pagerank shape; loop tables are vocabulary-sized)"
     ),
     "q_emb_label_consistency": "40-row anchor side broadcast (knn shape)",
+    "q_emb_ivf_balance": (
+        "8-centroid broadcast assignment cross join (IVF shape) + "
+        "single-row totals cross join over the K-cell table"
+    ),
     "q_emb_filtered_ann": (
         "20-row query broadcast + 8-centroid assignment (knn + IVF "
         "shapes) on both the exact-filtered and post-filter arms"

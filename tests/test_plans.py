@@ -133,3 +133,23 @@ def test_stream_confs_restored(spark):
         assert (
             spark.conf.get("spark.sql.shuffle.partitions") == before
         ), fn.__name__
+
+
+def test_partition_prune_one_day(spark, tmp_path):
+    """The q_part_prune_audit layout: a day-partitioned write read back
+    with a literal day filter must prune to exactly one partition
+    directory (PartitionFilters, not a post-scan Filter)."""
+    from pyspark.sql import functions as F
+
+    from esvc_spark.catalog import table as T
+
+    ev = T(spark, SF, "events").withColumn("day", F.to_date("ts"))
+    path = str(tmp_path / "events_by_day")
+    ev.write.partitionBy("day").parquet(path)
+    target = ev.agg(F.date_add(F.min("day"), 2)).collect()[0][0]
+    pruned = spark.read.parquet(path).filter(F.col("day") == F.lit(target))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "day" in plan
+    # live proof: the scan reads exactly the one day's files
+    files = pruned.select(F.input_file_name()).distinct().collect()
+    assert files and all(f"day={target}" in r[0] for r in files)
