@@ -44,6 +44,8 @@ _FRONT = (
     "q_doc_readability",
     "q_emb_ivf_balance",
     "q_part_prune_audit",
+    "q_bucket_join_audit",
+    "q_ev_k_anonymity",
     # changed this round: order-independent head tracker state
     "q_stream_heads",
     # changed this round: zero-norm cosine convention in both dialects

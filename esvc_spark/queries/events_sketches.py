@@ -1758,3 +1758,77 @@ LEFT JOIN residual r USING (event_type)
 """
 
 
+
+
+# --------------------------------------------------------- k-anonymity
+# k-anonymity release audit (Sweeney 2002): if events were released with
+# the quasi-identifier tuple (event_type, day, hour) — the columns a
+# "safe" export typically keeps — how identifiable are the rows?
+# Equivalence classes are the QI groups; a row's k is its class size.
+# Output: the k-histogram (unique / 2-4 / 5-9 / 10+) with class and row
+# counts plus each band's share of released rows in integer basis
+# points — the number a privacy review reads before approving an export.
+# All integers, so the cross-engine hash is exact.
+#
+# Scale shape: ONE groupBy on the QI tuple (map-side combine), then a
+# 4-row histogram; the totals join is a single-row cross join
+# (annotated). At 100 TB the QI cardinality (types x days x 24) is tiny
+# vs the corpus — the class table broadcasts anywhere.
+
+_KA_BANDS = (
+    ("k=1", 1, 1),
+    ("k=2-4", 2, 4),
+    ("k=5-9", 5, 9),
+    ("k>=10", 10, None),
+)
+
+
+def q_ev_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    classes = (
+        ev.select(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+            .cast("bigint")
+            .alias("day_idx"),
+            F.hour("ts").cast("bigint").alias("hr"),
+        )
+        .groupBy("event_type", "day_idx", "hr")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    )
+    band = F.when(F.col("k") == 1, "k=1").when(F.col("k") <= 4, "k=2-4").when(
+        F.col("k") <= 9, "k=5-9"
+    ).otherwise("k>=10")
+    hist = classes.select(band.alias("k_band"), "k").groupBy("k_band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.sum("k").cast("bigint").alias("n_rows"),
+    )
+    tot = hist.agg(F.sum("n_rows").cast("bigint").alias("n_total"))
+    return hist.join(tot).select(
+        "k_band",
+        "n_classes",
+        "n_rows",
+        F.expr("n_rows * 10000 div n_total").alias("rows_bp"),
+    )
+
+
+_K_ANONYMITY_SQL = """
+WITH classes AS (
+  SELECT event_type,
+         CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+           AS day_idx,
+         CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM events GROUP BY 1, 2, 3
+),
+hist AS (
+  SELECT CASE WHEN k = 1 THEN 'k=1' WHEN k <= 4 THEN 'k=2-4'
+              WHEN k <= 9 THEN 'k=5-9' ELSE 'k>=10' END AS k_band,
+         CAST(COUNT(*) AS BIGINT) AS n_classes,
+         CAST(SUM(k) AS BIGINT) AS n_rows
+  FROM classes GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS n_total FROM hist)
+SELECT k_band, n_classes, n_rows, n_rows * 10000 // n_total AS rows_bp
+FROM hist CROSS JOIN tot
+"""

@@ -2752,7 +2752,79 @@ GROUP BY 1, 2
 """.format(sum_value=sql_dsum("value", 2))
 
 
+# ----------------------------------------------------- bucketed join
+# Co-located join audit through the sink layer's bucketed path
+# (sources/io.py write_sink bucket_by): orders and customer are written
+# bucketed 8 ways on the custkey join key (sorted within buckets), then
+# joined with broadcast disabled — Spark plans a SortMergeJoin with NO
+# exchange on either side (bucket-to-bucket, asserted live in
+# tests/test_plans.py). This is THE big-fact-join strategy at 100 TB:
+# bucketing both fact tables on the join key at write time removes the
+# dominant shuffle from every subsequent join on that key.
+#
+# The audit aggregates the joined result per market segment; the oracle
+# is the plain flat join. Scoped conf + temp tables -> localCheckpoint
+# and listed in plan_audit._IMPERATIVE (q_esvc_editor_large precedent).
+
+_BJA_BUCKETS = 8
+
+
+def q_bucket_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="esvc_bucket_")
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        for name, df, key in (
+            ("bja_orders", T(spark, sf_dir, "orders"), "o_custkey"),
+            ("bja_customer", T(spark, sf_dir, "customer"), "c_custkey"),
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            (
+                df.write.mode("overwrite")
+                .option("path", os.path.join(work, name))
+                .bucketBy(_BJA_BUCKETS, key)
+                .sortBy(key)
+                .saveAsTable(name)
+            )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        o = spark.table("bja_orders")
+        c = spark.table("bja_customer")
+        return (
+            o.join(c, o["o_custkey"] == c["c_custkey"])
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.count_distinct("o_custkey").alias("n_customers"),
+                dsum("o_totalprice", 2).alias("total_spend"),
+            )
+            # tiny (one row per segment): materialize eagerly so the temp
+            # bucketed tables can be dropped before returning
+            .localCheckpoint()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        for name in ("bja_orders", "bja_customer"):
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS {name}")
+            except Exception:
+                pass
+        shutil.rmtree(work, ignore_errors=True)
+
+
+_BUCKET_JOIN_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       {total_spend} AS total_spend
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""".format(total_spend=sql_dsum("o_totalprice", 2))
+
+
 QUERIES = {
+    "q_bucket_join_audit": q_bucket_join_audit,
     "q_part_prune_audit": q_part_prune_audit,
     "q_fuzzy_match": q_fuzzy_match,
     "q_window_trailing_spend": q_window_trailing_spend,
@@ -2802,6 +2874,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_bucket_join_audit": _BUCKET_JOIN_SQL,
     "q_part_prune_audit": _PART_PRUNE_SQL,
     "q_window_trailing_spend": _QWINDOW_TRAIL_SQL,
     "q_fuzzy_match": _FUZZY_SQL,

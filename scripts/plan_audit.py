@@ -18,6 +18,12 @@ sys.path.insert(0, REPO)
 
 # queries whose physical plan is not a single static DAG
 _IMPERATIVE = {
+    "q_bucket_join_audit": (
+        "bucketed temp write (8 buckets on custkey, both sides) + "
+        "exchange-free SortMergeJoin (bucket-to-bucket, broadcast disabled "
+        "under scoped conf — asserted live in tests/test_plans.py); "
+        "returned frame is the checkpointed per-segment aggregate"
+    ),
     "q_part_prune_audit": (
         "Hive-partitioned temp write + pruned one-day read (PartitionFilters "
         "lists 1 of 30 day dirs — asserted live in tests/test_plans.py); "
@@ -176,6 +182,7 @@ _NLJ_OK = {
         "8-centroid broadcast assignment cross join (IVF shape) + "
         "single-row totals cross join over the K-cell table"
     ),
+    "q_ev_k_anonymity": "single-row totals cross join over the 4-band histogram",
     "q_emb_filtered_ann": (
         "20-row query broadcast + 8-centroid assignment (knn + IVF "
         "shapes) on both the exact-filtered and post-filter arms"

@@ -153,3 +153,41 @@ def test_partition_prune_one_day(spark, tmp_path):
     # live proof: the scan reads exactly the one day's files
     files = pruned.select(F.input_file_name()).distinct().collect()
     assert files and all(f"day={target}" in r[0] for r in files)
+
+
+def test_bucketed_join_no_exchange(spark, tmp_path):
+    """The q_bucket_join_audit layout: both sides written bucketed on the
+    join key -> SortMergeJoin with ZERO exchanges (bucket-to-bucket)."""
+    from pyspark.sql import functions as F
+
+    from esvc_spark.catalog import table as T
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        for name, tbl, key in (
+            ("tbja_orders", "orders", "o_custkey"),
+            ("tbja_customer", "customer", "c_custkey"),
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            (
+                T(spark, SF, tbl)
+                .write.mode("overwrite")
+                .option("path", str(tmp_path / name))
+                .bucketBy(8, key)
+                .sortBy(key)
+                .saveAsTable(name)
+            )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        o = spark.table("tbja_orders")
+        c = spark.table("tbja_customer")
+        joined = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+            "o_orderkey", "c_mktsegment"
+        )
+        st = plan_stats(joined)
+        assert st["sort_merge_joins"] == 1
+        assert st["shuffles"] == 0  # bucket-to-bucket: no exchange either side
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        for name in ("tbja_orders", "tbja_customer"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
