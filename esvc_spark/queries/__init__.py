@@ -46,6 +46,7 @@ _FRONT = (
     "q_part_prune_audit",
     "q_bucket_join_audit",
     "q_ev_k_anonymity",
+    "q_emb_ivfpq_search",
     # changed this round: order-independent head tracker state
     "q_stream_heads",
     # changed this round: zero-norm cosine convention in both dialects

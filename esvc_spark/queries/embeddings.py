@@ -2948,7 +2948,216 @@ FROM cells CROSS JOIN tot
 """
 
 
+# ------------------------------------------------------- IVF+PQ (IVFADC)
+# The canonical billion-scale ANN architecture (FAISS IVFADC, Jégou et
+# al. 2011), composed from the repo's two halves: IVF probing bounds
+# WHICH vectors are scored (nprobe=2 of 8 cells) and PQ asymmetric
+# distance bounds WHAT is read per vector (8 one-byte codes + a tiny
+# broadcast distance table). Audited per query as recall@3 against the
+# exact ranking PLUS the realized scan fraction (candidates / corpus, in
+# basis points) — the two axes of the ANN cost/quality trade. Same
+# deterministic untrained-codebook convention as q_emb_pq_search /
+# q_emb_ivf_knn: the audit, not the recall figure, is the product.
+#
+# Scale shape: index build = one corpus encode pass (broadcast book) +
+# one assignment pass (broadcast centroids); query time touches ONLY the
+# probed cells' code rows (cand join), never raw corpus vectors — the
+# exact arm exists purely as the audit baseline (knn broadcast shape).
+
+_IVFPQ_K = 3
+
+
+def q_emb_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    en = _emb_normed(spark, sf_dir)
+    e = _emb(spark, sf_dir).select("vec_id", "emb")
+    lists = _ivf_assign(en, 1, "vec_id")
+    probes = _ivf_assign(
+        en.filter(F.col("vec_id") < _N_QUERIES), _IVF_NPROBE, "query_id"
+    )
+    cand = (
+        probes.join(lists, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    parts = _pq_parts(e).transform(_tp)
+    book = parts.filter(F.col("vec_id") < _PQ_CODES).select(
+        F.col("vec_id").cast("int").alias("code"),
+        "sub",
+        F.col("part").alias("cpart"),
+    )
+    enc = (
+        parts.join(F.broadcast(book), "sub")
+        .select(
+            "vec_id",
+            "sub",
+            "code",
+            _km_sqdist(F.col("part"), F.col("cpart")).alias("sqe"),
+        )
+        .groupBy("vec_id", "sub")
+        .agg(F.min(F.struct("sqe", "code")).alias("b"))
+        .select("vec_id", "sub", F.col("b.code").alias("code"))
+    )
+    qparts = parts.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "sub", F.col("part").alias("qpart")
+    )
+    dtab = qparts.join(F.broadcast(book), "sub").select(
+        "query_id",
+        "sub",
+        "code",
+        _km_sqdist(F.col("qpart"), F.col("cpart")).alias("qd"),
+    )
+    approx = (
+        cand.join(enc, "vec_id")
+        .join(F.broadcast(dtab), ["query_id", "sub", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(ofold_sum("sub", "qd").alias("adist"))
+    )
+    wq = Window.partitionBy("query_id").orderBy("adist", "vec_id")
+    topa = (
+        approx.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= _IVFPQ_K)
+        .select("query_id", "vec_id")
+    )
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    exact_d = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id", "vec_id", _km_sqdist(F.col("emb"), F.col("qemb")).alias("d")
+    )
+    we = Window.partitionBy("query_id").orderBy("d", "vec_id")
+    tope = (
+        exact_d.withColumn("rk", F.row_number().over(we))
+        .filter(F.col("rk") <= _IVFPQ_K)
+        .select("query_id", "vec_id")
+    )
+    hits = (
+        topa.join(tope, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    ncand = cand.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cand")
+    )
+    ntot = e.agg((F.count(F.lit(1)) - 1).cast("bigint").alias("n_other"))
+    return (
+        q.select("query_id")
+        .join(ncand, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .join(ntot)
+        .select(
+            "query_id",
+            F.coalesce("n_cand", F.lit(0)).cast("bigint").alias("n_cand"),
+            F.expr("coalesce(n_cand, 0) * 10000 div n_other").alias("scanned_bp"),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            (
+                F.coalesce("n_hits", F.lit(0)).cast("double") / float(_IVFPQ_K)
+            ).alias("recall_at_3"),
+        )
+    )
+
+
+def _ivfpq_sql() -> str:
+    dsub = _SQL_KM_SQDIST.format(dim=_PQ_SUBDIM, a="part", b="cpart")
+    dq = _SQL_KM_SQDIST.format(dim=_PQ_SUBDIM, a="qpart", b="cpart")
+    dfull = _SQL_KM_SQDIST.format(dim=_DIM, a="emb", b="qemb")
+    part = (
+        f"SELECT vec_id, CAST(j AS INT) AS sub, "
+        f"emb[j * {_PQ_SUBDIM} + 1 : (j + 1) * {_PQ_SUBDIM}] AS part "
+        f"FROM e, unnest(range(0, {_PQ_SUBS})) t(j)"
+    )
+    return f"""
+WITH en AS ({_SQL_EMB_NORMED}),
+e AS (SELECT vec_id, emb FROM ({_SQL_EMB})),
+cents AS (
+  SELECT vec_id AS cent_id, emb AS cemb, nrm AS cnrm FROM en
+  WHERE vec_id < {_IVF_K}
+),
+assign AS (
+  SELECT vec_id, cent_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+           {sql_cosine_prenorm('emb', 'cemb', 'nrm', 'cnrm')} DESC, cent_id)
+           AS crank
+  FROM en CROSS JOIN cents
+),
+lists AS (SELECT vec_id, cent_id AS cell FROM assign WHERE crank = 1),
+probes AS (
+  SELECT vec_id AS query_id, cent_id AS cell FROM assign
+  WHERE crank <= {_IVF_NPROBE} AND vec_id < {_N_QUERIES}
+),
+cand AS (
+  SELECT DISTINCT query_id, l.vec_id
+  FROM probes p JOIN lists l ON p.cell = l.cell
+  WHERE l.vec_id <> p.query_id
+),
+parts AS ({part}),
+book AS (
+  SELECT CAST(vec_id AS INT) AS code, sub, part AS cpart
+  FROM parts WHERE vec_id < {_PQ_CODES}
+),
+enc AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, parts.sub, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, parts.sub
+                              ORDER BY {dsub}, code) AS rk
+    FROM parts JOIN book USING (sub)
+  ) WHERE rk = 1
+),
+qparts AS (
+  SELECT vec_id AS query_id, sub, part AS qpart
+  FROM parts WHERE vec_id < {_N_QUERIES}
+),
+dtab AS (
+  SELECT query_id, sub, code, {dq} AS qd
+  FROM qparts JOIN book USING (sub)
+),
+approx AS (
+  SELECT query_id, vec_id, {sql_ofold_sum('sub', 'qd')} AS adist
+  FROM (
+    SELECT c.query_id, c.vec_id, enc.sub AS sub, dtab.qd AS qd
+    FROM cand c
+    JOIN enc ON enc.vec_id = c.vec_id
+    JOIN dtab ON dtab.query_id = c.query_id AND dtab.sub = enc.sub
+             AND dtab.code = enc.code
+  ) GROUP BY 1, 2
+),
+topa AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY adist, vec_id) AS rk
+    FROM approx
+  ) WHERE rk <= {_IVFPQ_K}
+),
+q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < {_N_QUERIES}),
+tope AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, e.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY {dfull}, e.vec_id) AS rk
+    FROM e JOIN q ON e.vec_id <> q.query_id
+  ) WHERE rk <= {_IVFPQ_K}
+),
+hits AS (
+  SELECT query_id, COUNT(*) AS n_hits
+  FROM topa JOIN tope USING (query_id, vec_id)
+  GROUP BY query_id
+),
+ncand AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_cand FROM cand GROUP BY 1),
+ntot AS (SELECT CAST(COUNT(*) - 1 AS BIGINT) AS n_other FROM e)
+SELECT q.query_id,
+       CAST(COALESCE(nc.n_cand, 0) AS BIGINT) AS n_cand,
+       COALESCE(nc.n_cand, 0) * 10000 // n_other AS scanned_bp,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / {_IVFPQ_K} AS recall_at_3
+FROM q LEFT JOIN ncand nc USING (query_id)
+LEFT JOIN hits h USING (query_id)
+CROSS JOIN ntot
+"""
+
+
 QUERIES = {
+    "q_emb_ivfpq_search": q_emb_ivfpq_search,
     "q_emb_ivf_balance": q_emb_ivf_balance,
     "q_emb_label_consistency": q_emb_label_consistency,
     "q_emb_filtered_ann": q_emb_filtered_ann,
@@ -2981,6 +3190,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_emb_ivfpq_search": _ivfpq_sql(),
     "q_emb_ivf_balance": _IVF_BALANCE_SQL,
     "q_emb_label_consistency": _LABEL_CONSISTENCY_SQL,
     "q_emb_filtered_ann": _FANN_SQL,

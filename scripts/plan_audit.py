@@ -183,6 +183,11 @@ _NLJ_OK = {
         "single-row totals cross join over the K-cell table"
     ),
     "q_ev_k_anonymity": "single-row totals cross join over the 4-band histogram",
+    "q_emb_ivfpq_search": (
+        "8-centroid broadcast assignment (IVF shape), 20-row query "
+        "broadcast on the exact-recall audit arm (knn shape), single-row "
+        "corpus-count cross join for the scan fraction"
+    ),
     "q_emb_filtered_ann": (
         "20-row query broadcast + 8-centroid assignment (knn + IVF "
         "shapes) on both the exact-filtered and post-filter arms"
