@@ -89,16 +89,12 @@ _FRONT = (
     "q_setops_customers",
     "q_window_running_spend",
     "q_window_top_orders",
-    # r2-vintage fillers (flagship dedup/text/esvc rows first)
+    # r2-vintage fillers (flagship dedup rows; the rest of the r2 tail —
+    # simhash/ngram_jaccard/lang_id/quality/token_stats/asof_purchase and
+    # ~27 doc/mm/ev rows — fronts round 7)
     "q_doc_exact_dedup",
     "q_doc_minhash_lsh",
-    "q_doc_simhash",
-    "q_doc_ngram_jaccard",
     "q_doc_dup_clusters",
-    "q_doc_lang_id",
-    "q_doc_quality",
-    "q_doc_token_stats",
-    "q_ev_asof_purchase",
 )
 
 
