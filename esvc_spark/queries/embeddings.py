@@ -2960,9 +2960,11 @@ FROM cells CROSS JOIN tot
 # q_emb_ivf_knn: the audit, not the recall figure, is the product.
 #
 # Scale shape: index build = one corpus encode pass (broadcast book) +
-# one assignment pass (broadcast centroids); query time touches ONLY the
-# probed cells' code rows (cand join), never raw corpus vectors — the
-# exact arm exists purely as the audit baseline (knn broadcast shape).
+# one assignment pass (broadcast centroids) + the codes-by-cell join
+# (all offline); query time is broadcast-only — the probe table onto
+# the cell key, the distance table onto (query, sub, code) — and never
+# touches raw corpus vectors. The exact arm exists purely as the audit
+# baseline (knn broadcast shape).
 
 _IVFPQ_K = 3
 
@@ -2973,12 +2975,6 @@ def q_emb_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists = _ivf_assign(en, 1, "vec_id")
     probes = _ivf_assign(
         en.filter(F.col("vec_id") < _N_QUERIES), _IVF_NPROBE, "query_id"
-    )
-    cand = (
-        probes.join(lists, "cell")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id")
-        .distinct()
     )
     parts = _pq_parts(e).transform(_tp)
     book = parts.filter(F.col("vec_id") < _PQ_CODES).select(
@@ -3007,18 +3003,25 @@ def q_emb_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "code",
         _km_sqdist(F.col("qpart"), F.col("cpart")).alias("qd"),
     )
+    # index build: codes stored BY CELL (enc ⋈ lists happens offline);
+    # query time is then broadcast-only — tiny probe table onto the cell
+    # key, tiny distance table onto (query, sub, code). A vector lives in
+    # exactly one cell and a query's probed cells are distinct, so no
+    # dedup step is needed.
+    enc_cells = enc.join(lists, "vec_id")
     approx = (
-        cand.join(enc, "vec_id")
+        enc_cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
         .join(F.broadcast(dtab), ["query_id", "sub", "code"])
         .groupBy("query_id", "vec_id")
         .agg(ofold_sum("sub", "qd").alias("adist"))
     )
     wq = Window.partitionBy("query_id").orderBy("adist", "vec_id")
-    topa = (
-        approx.withColumn("rk", F.row_number().over(wq))
-        .filter(F.col("rk") <= _IVFPQ_K)
-        .select("query_id", "vec_id")
+    wc = Window.partitionBy("query_id")
+    ranked = approx.withColumn("rk", F.row_number().over(wq)).withColumn(
+        "nc", F.count(F.lit(1)).over(wc)
     )
+    topa = ranked.filter(F.col("rk") <= _IVFPQ_K).select("query_id", "vec_id")
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
     )
@@ -3036,8 +3039,8 @@ def q_emb_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
-    ncand = cand.groupBy("query_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_cand")
+    ncand = ranked.filter(F.col("rk") == 1).select(
+        "query_id", F.col("nc").cast("bigint").alias("n_cand")
     )
     ntot = e.agg((F.count(F.lit(1)) - 1).cast("bigint").alias("n_other"))
     return (
