@@ -32,7 +32,8 @@ from pyspark.sql import DataFrame, SparkSession
 # pending-supersession state (q_stream_heads); (b) the 18 r1-vintage
 # rows whose latest driver row predates the r2 dsum/decimal helper
 # rewrite; (c) r2-vintage doc/esvc fillers to round the budget to 50.
-# Remaining r2-vintage tail (~27 doc/mm/ev rows) fronts round 7.
+# Remaining r1/r2-vintage tail (36 doc/mm/ev/emb/esvc rows) fronts
+# round 7, leaving ≤14 slots for round-7 new/changed queries.
 _MODULE_ORDER = ("esvc", "multimodal", "embeddings", "documents", "events", "relational")
 
 _FRONT = (
@@ -91,7 +92,7 @@ _FRONT = (
     "q_window_top_orders",
     # r2-vintage fillers (flagship dedup rows; the rest of the r2 tail —
     # simhash/ngram_jaccard/lang_id/quality/token_stats/asof_purchase and
-    # ~27 doc/mm/ev rows — fronts round 7)
+    # 36 doc/mm/ev/emb/esvc rows — fronts round 7)
     "q_doc_exact_dedup",
     "q_doc_minhash_lsh",
     "q_doc_dup_clusters",
