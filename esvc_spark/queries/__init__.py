@@ -32,8 +32,10 @@ from pyspark.sql import DataFrame, SparkSession
 # pending-supersession state (q_stream_heads); (b) the 18 r1-vintage
 # rows whose latest driver row predates the r2 dsum/decimal helper
 # rewrite; (c) r2-vintage doc/esvc fillers to round the budget to 50.
-# Remaining r1/r2-vintage tail (36 doc/mm/ev/emb/esvc rows) fronts
-# round 7, leaving ≤14 slots for round-7 new/changed queries.
+# Remaining r1/r2-vintage tail (42 doc/mm/ev/emb/esvc rows incl. the
+# six displaced below by the NULL-convention changes, among them
+# q16_parts_supplier) fronts round 7, leaving ≤8 slots for round-7
+# new/changed queries.
 _MODULE_ORDER = ("esvc", "multimodal", "embeddings", "documents", "events", "relational")
 
 _FRONT = (
@@ -70,6 +72,15 @@ _FRONT = (
     "q_rag_retrieval",
     "q_doc_rrf_fusion",
     "q_dedup_agreement",
+    # changed this round: NULL-convention guards (value IS NOT NULL /
+    # NULLS FIRST pins / sketch NULL-subject exclusion) and the
+    # density-free head oracle — see the degenerate suite's null seeds
+    "q_ev_rfm",
+    "q_ev_approx_quantiles",
+    "q_ev_mad_outliers",
+    "q_ev_hll_union",
+    "q_stream_running_totals",
+    "q_doc_domain_reweight",
     # r1-vintage attestation: latest driver rows predate the r2
     # dsum/decimal helper rewrite
     "q11_value_concentration",
@@ -77,7 +88,6 @@ _FRONT = (
     "q13_customer_distribution",
     "q14_promo_share",
     "q15_top_supplier",
-    "q16_parts_supplier",
     "q17_small_quantity",
     "q18_large_orders",
     "q19_disjunctive_revenue",
@@ -88,14 +98,9 @@ _FRONT = (
     "q_grouping_sets",
     "q_rollup_returns",
     "q_setops_customers",
-    "q_window_running_spend",
-    "q_window_top_orders",
-    # r2-vintage fillers (flagship dedup rows; the rest of the r2 tail —
-    # simhash/ngram_jaccard/lang_id/quality/token_stats/asof_purchase and
-    # 36 doc/mm/ev/emb/esvc rows — fronts round 7)
-    "q_doc_exact_dedup",
-    "q_doc_minhash_lsh",
-    "q_doc_dup_clusters",
+    # (q_window_running_spend / q_window_top_orders and the r2-vintage
+    # fillers moved to the round-7 backlog: the five NULL-convention
+    # changes above outrank freshness rotation for the 50-slot budget)
 )
 
 

@@ -372,7 +372,14 @@ def q_doc_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.lit(1.0) + F.lit(float(_DRW_ALPHA)) * F.col("excess")),
         )
     ).transform(_tp)
-    z = j.agg(ofold_sum("source", "w_raw").alias("z"))
+    # NULL convention (degenerate-suite seeds): a NULL source would take
+    # opposite ends of the two engines' fold order (Spark struct sort vs
+    # DuckDB ORDER BY, NULLS FIRST vs LAST) and drift the normalizer by
+    # an ulp — pin it with an empty-string fold key ('' is not a
+    # generator source value; only fold ORDER, not output, changes).
+    z = j.withColumn("src_k", F.coalesce("source", F.lit(""))).agg(
+        ofold_sum("src_k", "w_raw").alias("z")
+    )
     return j.join(F.broadcast(z)).select(  # single-row normalizer cross join
         "source",
         "n_docs",
@@ -447,7 +454,7 @@ j3 AS (
            * (1.0 + CAST({_DRW_ALPHA} AS DOUBLE) * excess) AS w_raw
   FROM j2
 ),
-z AS (SELECT {sql_ofold_sum('source', 'w_raw')} AS z FROM j3)
+z AS (SELECT {sql_ofold_sum("COALESCE(source, '')", 'w_raw')} AS z FROM j3)
 SELECT source, n_docs, n_bigrams,
        avg_q / CAST({_DRW_Q} AS DOUBLE) AS avg_fluency,
        excess,

@@ -403,9 +403,19 @@ def q_ev_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         dsum("value", 2).alias("monetary"),
     )
-    wr = Window.orderBy("last_ts", "user_id")
-    wf = Window.orderBy("n_events", "user_id")
-    wm = Window.orderBy("monetary", "user_id")
+    # NULL convention (degenerate-suite seeds): a NULL user_id group and
+    # a NULL monetary (all-NULL values) sort FIRST in every quartile
+    # ranking — Spark's ASC default, pinned explicitly in the oracle
+    # (DuckDB defaults to NULLS LAST).
+    wr = Window.orderBy(
+        F.asc_nulls_first("last_ts"), F.asc_nulls_first("user_id")
+    )
+    wf = Window.orderBy(
+        F.asc_nulls_first("n_events"), F.asc_nulls_first("user_id")
+    )
+    wm = Window.orderBy(
+        F.asc_nulls_first("monetary"), F.asc_nulls_first("user_id")
+    )
     return per_user.select(
         "user_id",
         "last_ts",
@@ -429,12 +439,18 @@ WITH per_user AS (
   FROM events GROUP BY user_id
 )
 SELECT user_id, last_ts, n_events, monetary,
-       NTILE(4) OVER (ORDER BY last_ts, user_id) AS r_quartile,
-       NTILE(4) OVER (ORDER BY n_events, user_id) AS f_quartile,
-       NTILE(4) OVER (ORDER BY monetary, user_id) AS m_quartile,
-       CAST(NTILE(4) OVER (ORDER BY last_ts, user_id) AS VARCHAR)
-         || CAST(NTILE(4) OVER (ORDER BY n_events, user_id) AS VARCHAR)
-         || CAST(NTILE(4) OVER (ORDER BY monetary, user_id) AS VARCHAR)
+       NTILE(4) OVER (ORDER BY last_ts NULLS FIRST, user_id NULLS FIRST)
+         AS r_quartile,
+       NTILE(4) OVER (ORDER BY n_events NULLS FIRST, user_id NULLS FIRST)
+         AS f_quartile,
+       NTILE(4) OVER (ORDER BY monetary NULLS FIRST, user_id NULLS FIRST)
+         AS m_quartile,
+       CAST(NTILE(4) OVER (ORDER BY last_ts NULLS FIRST,
+                           user_id NULLS FIRST) AS VARCHAR)
+         || CAST(NTILE(4) OVER (ORDER BY n_events NULLS FIRST,
+                                user_id NULLS FIRST) AS VARCHAR)
+         || CAST(NTILE(4) OVER (ORDER BY monetary NULLS FIRST,
+                                user_id NULLS FIRST) AS VARCHAR)
          AS rfm_segment
 FROM per_user
 """
@@ -729,7 +745,18 @@ def q_ev_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.conv(
         F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
     ).cast("bigint")
-    hashed = ev.select("event_type", h.alias("h")).distinct().transform(_tp)
+    # NULL convention (degenerate-suite seeds): a NULL user_id is not a
+    # user (COUNT(DISTINCT user_id) skips it in both engines — the union
+    # sketch must agree with its own exact arm) and a NULL event_type is
+    # unroutable: it takes opposite ranks in the two engines' type
+    # ordering (Spark NULLS FIRST, DuckDB NULLS LAST) and then silently
+    # drops out of the equality joins, shifting every union prefix.
+    hashed = (
+        ev.filter(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+        .select("event_type", h.alias("h"))
+        .distinct()
+        .transform(_tp)
+    )
     wt = Window.orderBy("event_type")
     ranks = (
         hashed.select("event_type")
@@ -804,6 +831,7 @@ WITH hashed AS (
   SELECT DISTINCT event_type,
          CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
   FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
 ),
 ranks AS (
   SELECT event_type, ROW_NUMBER() OVER (ORDER BY event_type) AS rank

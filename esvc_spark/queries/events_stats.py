@@ -287,7 +287,16 @@ _HQ_PS = [(50, "p50"), (90, "p90"), (99, "p99")]
 def q_ev_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = T(spark, sf_dir, "events").select("event_type", "value")
+    # NULL convention (degenerate-suite seeds): NULL values are excluded
+    # from the histogram AND its n_events, matching percentile()'s
+    # NULL-skipping — otherwise the NULL bin lands at opposite ends of
+    # the cumulative window in the two engines (Spark ASC = NULLS FIRST,
+    # DuckDB = NULLS LAST) and every estimate shifts.
+    ev = (
+        T(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .filter(F.col("value").isNotNull())
+    )
     binned = ev.withColumn("bin", F.floor(F.col("value") * 2).cast("bigint"))
     counts = binned.groupBy("event_type", "bin").agg(F.count(F.lit(1)).alias("c"))
     w = Window.partitionBy("event_type").orderBy("bin")
@@ -332,7 +341,8 @@ def _hq_sql() -> str:
     )
     return f"""
 WITH binned AS (
-  SELECT event_type, value, CAST(floor(value * 2) AS BIGINT) AS bin FROM events
+  SELECT event_type, value, CAST(floor(value * 2) AS BIGINT) AS bin
+  FROM events WHERE value IS NOT NULL
 ),
 counts AS (
   SELECT event_type, bin, COUNT(*) AS c FROM binned GROUP BY 1, 2
@@ -1028,7 +1038,15 @@ _MAD_K = 3  # flag |v - med| > K * MAD
 
 
 def q_ev_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = T(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    # NULL convention (degenerate-suite seeds): NULL values carry no
+    # magnitude and are excluded before the rank-based medians — left
+    # in, the NULL row lands at opposite ends of the two engines'
+    # ORDER BY value and shifts the median index.
+    ev = (
+        T(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value")
+        .filter(F.col("value").isNotNull())
+    )
     n = ev.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     w1 = Window.partitionBy("event_type").orderBy("value", "event_id")
     med = (
@@ -1069,7 +1087,8 @@ def q_ev_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MAD_SQL = f"""
-WITH ev AS (SELECT event_id, event_type, value FROM events),
+WITH ev AS (SELECT event_id, event_type, value FROM events
+            WHERE value IS NOT NULL),
 n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM ev GROUP BY 1),
 r1 AS (
   SELECT event_type, value,

@@ -935,14 +935,17 @@ def q_stream_heads(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # head ⟺ never referenced as a later event's dep: its successor (id+16)
-# is past the end of the log, or starts a fresh chain ((id+16) div 16 ≡ 0
-# mod 3 — Spark's has_dep rule negated)
+# is NOT in the log, or starts a fresh chain ((id+16) div 16 ≡ 0 mod 3 —
+# Spark's has_dep rule negated). Presence is tested directly (anti-join)
+# rather than via a max-id bound: the bound form silently assumed a
+# DENSE id space and mislabeled heads when the degenerate suite seeded
+# sparse ids — the tracker itself never assumed density.
 _STREAM_HEADS_SQL = """
 WITH e AS (SELECT event_id, event_id % 16 AS gk FROM events),
-mx AS (SELECT MAX(event_id) AS m FROM e),
 heads AS (
-  SELECT gk, event_id FROM e, mx
-  WHERE event_id + 16 > m OR ((event_id + 16) // 16) % 3 = 0
+  SELECT gk, event_id FROM e
+  WHERE NOT EXISTS (SELECT 1 FROM e s WHERE s.event_id = e.event_id + 16)
+     OR ((event_id + 16) // 16) % 3 = 0
 ),
 agg AS (
   SELECT gk,
@@ -1230,7 +1233,9 @@ def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RUNNING_TOTALS_SQL = """
 SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
-       CAST(ROUND(SUM(value * 100)) AS BIGINT) AS value_cents,
+       -- NULL values contribute 0 cents (the stateful op's pandas sum
+       -- skips NaN; an all-NULL user must not yield a NULL total)
+       CAST(ROUND(COALESCE(SUM(value * 100), 0)) AS BIGINT) AS value_cents,
        MAX(ts) AS last_ts
 FROM events GROUP BY user_id
 """

@@ -8,8 +8,11 @@ systematic: build a tiny sf-dir whose documents/embeddings/events tables
 are SEEDED with degenerate rows (empty text, whitespace-only text,
 single-token docs, exact-duplicate docs, newline text, zero vectors,
 duplicate vectors, constant vectors, single-event users, tied
-timestamps, empty-JSON props, zero values), then run every round-4/5
-query through the SAME Spark-vs-DuckDB comparator the driver uses. Any
+timestamps, empty-JSON props, zero values — and, round 6, NULL optional
+fields: lang/source/label/value/props/user_id/event_type, plus sparse
+event ids; identity and payload columns doc_id/text/ts/vec_id/embedding
+stay NOT NULL by ingest contract), then run every registered query
+through the SAME Spark-vs-DuckDB comparator the driver uses. Any
 unguarded edge either errors or hash-mismatches here at 50-row scale.
 
 The remaining tables (region..lineitem) are copied verbatim from
@@ -70,7 +73,9 @@ def _build_degen_dir(base: str) -> None:
     con = duckdb.connect()
     src = SF_DIR
 
-    # documents: 40 originals + 10 degenerates + 1 exact duplicate of doc 0
+    # documents: 40 originals + 10 degenerates + 1 exact duplicate of
+    # doc 0 + 2 NULL-optional-field rows (round 6: NULL lang/source —
+    # identity and payload columns stay NOT NULL by ingest contract)
     doc_rows = ", ".join(
         f"({40 + i}, {t!r}, {lang!r}, {srcv!r}, {len(t)})"
         for i, (t, lang, srcv) in enumerate(_DEGEN_DOCS)
@@ -85,6 +90,13 @@ def _build_degen_dir(base: str) -> None:
           UNION ALL
           SELECT CAST(50 AS BIGINT), text, lang, source, n_chars
           FROM '{src}/documents.parquet' WHERE doc_id = 0
+          UNION ALL
+          SELECT * FROM (VALUES
+            (CAST(60 AS BIGINT), 'fast slow key value',
+             CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(19 AS BIGINT)),
+            (CAST(61 AS BIGINT), 'the a of and to', 'en',
+             CAST(NULL AS VARCHAR), CAST(15 AS BIGINT))
+          ) n(doc_id, text, lang, source, n_chars)
         ) TO '{base}/documents.parquet' (FORMAT PARQUET)
         """
     )
@@ -104,6 +116,9 @@ def _build_degen_dir(base: str) -> None:
           UNION ALL
           SELECT CAST(102 AS BIGINT),
                  CAST(list_transform(range(64), i -> 0.5) AS FLOAT[]), 1
+          UNION ALL
+          SELECT CAST(103 AS BIGINT), embedding, CAST(NULL AS INTEGER)
+          FROM '{src}/embeddings.parquet' WHERE vec_id = 1
         ) TO '{base}/embeddings.parquet' (FORMAT PARQUET)
         """
     )
@@ -125,7 +140,16 @@ def _build_degen_dir(base: str) -> None:
             (CAST(303 AS BIGINT), TIMESTAMP '2024-01-01 00:00:00',
              CAST(9997 AS BIGINT), 'signup', 0.0, '{{}}'),
             (CAST(304 AS BIGINT), TIMESTAMP '2024-01-02 00:00:00',
-             CAST(9997 AS BIGINT), 'error', 0.0, '{{}}')
+             CAST(9997 AS BIGINT), 'error', 0.0, '{{}}'),
+            -- round 6: NULL optional fields (subject-less event, untyped
+            -- event) at SPARSE ids — 307/309 skip 305/306/308, so any
+            -- oracle assuming a dense id space diverges from the
+            -- operator (q_stream_heads' old max-bound head rule did)
+            (CAST(307 AS BIGINT), TIMESTAMP '2024-01-01 07:00:00',
+             CAST(NULL AS BIGINT), 'view', CAST(NULL AS DOUBLE),
+             CAST(NULL AS VARCHAR)),
+            (CAST(309 AS BIGINT), TIMESTAMP '2024-01-01 08:00:00',
+             CAST(9996 AS BIGINT), CAST(NULL AS VARCHAR), 1.5, '{{}}')
           ) v(event_id, ts, user_id, event_type, value, props)
         ) TO '{base}/events.parquet' (FORMAT PARQUET)
         """
