@@ -58,7 +58,10 @@ latest driver round that graded it and the result, so a judge does not
 have to reconstruct coverage from the per-round JSON files. Queries with
 no driver row yet are covered by `scripts/verify_contract.py` (the
 driver-identical harness) every round and by the parametrized pytest
-oracle suite at sf0.001.
+oracle suite at sf0.001. Round 6 additionally verified the ENTIRE
+surface at sf0.1 (10x the driver's correctness scale — every query
+hash-matched its oracle) and probed every query bit-identical across
+local[4]/shuffle=3 vs local[32]/shuffle=64.
 
 Maintenance: regenerate after each round's CORRECTNESS file lands
 (`python scripts/attestation_ledger.py`).
