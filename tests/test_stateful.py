@@ -143,3 +143,55 @@ def test_head_tracker_out_of_order_delivery(spark, tmp_path):
     final = out.sort_values("n_events").groupby("graph_key").last()
     assert sorted(final.loc["g", "heads"]) == ["e2", "e4", "e5"]
     assert final.loc["g", "n_events"] == 5
+
+
+def test_running_totals_recover_from_checkpoint(spark, tmp_path):
+    """State survives a full query STOP + RESTART from the same
+    checkpoint: a second query started on the same checkpointLocation
+    resumes the per-user lifetime counters (emitting batch-2 users with
+    their FULL-history totals) instead of restarting from zero — the
+    state-store recovery every production stream relies on."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt")
+    t = pq.read_table(EVENTS)
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), os.path.join(src, "a.parquet"))
+
+    def run_phase(outdir):
+        # memory sink is not checkpoint-recoverable; foreachBatch is —
+        # each phase appends its emissions to its own directory
+        q = (
+            running_user_totals(read_events_stream(spark, src))
+            .writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(outdir)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(outdir).toPandas()
+
+    run_phase(str(tmp_path / "out1"))
+    # phase 2: new file arrives, NEW query object, SAME checkpoint
+    pq.write_table(t.slice(half), os.path.join(src, "b.parquet"))
+    out2 = run_phase(str(tmp_path / "out2"))
+    assert len(out2) > 0  # phase 2 processed only the new file
+
+    batch = (
+        T(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value") * 100)).cast("long").alias("cents"),
+        )
+        .toPandas()
+        .set_index("user_id")
+    )
+    final = out2.sort_values("n_events").groupby("user_id").last()
+    for uid, row in final.iterrows():
+        # lifetime totals, not batch-2-only totals -> state was recovered
+        assert row["n_events"] == batch.loc[uid, "n_events"], uid
+        assert row["value_cents"] == batch.loc[uid, "cents"], uid
