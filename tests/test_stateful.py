@@ -195,3 +195,51 @@ def test_running_totals_recover_from_checkpoint(spark, tmp_path):
         # lifetime totals, not batch-2-only totals -> state was recovered
         assert row["n_events"] == batch.loc[uid, "n_events"], uid
         assert row["value_cents"] == batch.loc[uid, "cents"], uid
+
+
+def test_head_tracker_recover_from_checkpoint(spark, tmp_path):
+    """The esvc head-set state survives a query restart: after recovery
+    the tracker sees the full event count and the post-restart event
+    supersedes a head it only knows from the checkpointed state."""
+    import json
+
+    import pandas as pd
+
+    cols = ["graph_key", "event_id", "ts", "deps_json"]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt")
+    pd.DataFrame(
+        [("g", "e1", 1, "[]"), ("g", "e2", 2, json.dumps(["e1"]))], columns=cols
+    ).to_parquet(os.path.join(src, "a.parquet"))
+
+    def run_phase(outdir):
+        stream = (
+            spark.readStream.schema(
+                "graph_key STRING, event_id STRING, ts BIGINT, deps_json STRING"
+            ).parquet(src)
+        )
+        q = (
+            streaming_head_tracker(stream)
+            .writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(outdir)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(outdir).toPandas()
+
+    out1 = run_phase(str(tmp_path / "out1"))
+    assert sorted(out1.iloc[-1]["heads"]) == ["e2"]
+    # restart: e3 supersedes e2 — a head the new query only knows from
+    # the recovered state; n_events proves the counter resumed too
+    pd.DataFrame(
+        [("g", "e3", 3, json.dumps(["e2"]))], columns=cols
+    ).to_parquet(os.path.join(src, "b.parquet"))
+    out2 = run_phase(str(tmp_path / "out2"))
+    assert len(out2) == 1
+    assert sorted(out2.iloc[0]["heads"]) == ["e3"]
+    assert out2.iloc[0]["n_events"] == 3
