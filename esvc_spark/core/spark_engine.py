@@ -137,6 +137,31 @@ def exclusive_prefix_sum(
     )
 
 
+def global_row_number(
+    spark: SparkSession,
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str,
+) -> DataFrame:
+    """`df` plus `out_col` = 1-based global ROW_NUMBER() in `order_cols`
+    order, computed partition-parallel as exclusive_prefix_sum of a
+    constant 1 (per-partition row_number + broadcast partition offsets)
+    — never an unpartitioned window funnelling the whole table through
+    one task. Deterministic iff `order_cols` is a total order (unique
+    full key); ties would land on whichever side of a sampled range
+    boundary they fall. Spark's ASC default (NULLS FIRST) applies to
+    both the range partitioning and the within-partition window, so a
+    DuckDB oracle twin must pin NULLS FIRST explicitly.
+    """
+    tmp = "_grn_one"
+    out = exclusive_prefix_sum(
+        spark, df.withColumn(tmp, F.lit(1)), order_cols, tmp, out_col
+    )
+    return out.withColumn(
+        out_col, (F.col(out_col) + F.lit(1)).cast("bigint")
+    ).drop(tmp)
+
+
 class SparkEngineBase(BaseEngine):
     def __init__(self, spark: SparkSession):
         self.spark = spark

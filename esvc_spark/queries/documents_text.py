@@ -1447,9 +1447,11 @@ FROM per
 #
 # Scale shape: phrase segmentation is a per-document window (one
 # shuffle keyed by doc); word stats are a vocabulary-sized aggregate
-# broadcast back onto the phrase-word rows; the top-k is a global sort
-# of the bounded distinct-phrase table. No joins over corpus-sized
-# sides except the broadcast vocabulary.
+# broadcast back onto the phrase-word rows; the top-k is
+# orderBy().limit() (TakeOrderedAndProject — per-partition heaps, then
+# a k-row merge), so the |distinct phrases| table never funnels
+# through a single ranking task. No joins over corpus-sized sides
+# except the broadcast vocabulary.
 
 _RAKE_STOP = (
     "a", "an", "and", "are", "as", "at", "be", "but", "by", "for",
@@ -1502,12 +1504,16 @@ def q_doc_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
         F.max("score_q").alias("score_q"),
     )
-    wr = Window.orderBy(
-        F.desc("score_q"), F.desc("n_occurrences"), F.col("phrase")
-    )
+    # Top-k via orderBy().limit() (TakeOrderedAndProject: per-partition
+    # top-k then a k-row merge — partition-parallel), NOT a global
+    # row_number window that would funnel the |distinct phrases| table
+    # through one task. The (score, occurrences, phrase) key is a total
+    # order, so the k-row set is deterministic.
     return (
-        top.withColumn("rnk", F.row_number().over(wr))
-        .filter(F.col("rnk") <= _RAKE_TOP)
+        top.orderBy(
+            F.desc("score_q"), F.desc("n_occurrences"), F.col("phrase")
+        )
+        .limit(_RAKE_TOP)
         .select(
             "phrase",
             "n_words",
@@ -2409,10 +2415,16 @@ def q_doc_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.lit(_TR_DAMP) * F.coalesce(F.col("s"), F.lit(0.0))
             ).alias("r"),
         )
+    # Top-k FIRST via orderBy().limit() (TakeOrderedAndProject,
+    # partition-parallel), THEN the row_number window over the k
+    # surviving rows — the q_doc_weighted_sample pattern. The previous
+    # shape ranked the whole |vocab| table through one unpartitioned
+    # window task. (r desc, node) is a total order (node unique), so
+    # the k-row set and ranks are deterministic.
+    topk = ranks.orderBy(F.col("r").desc(), F.col("node")).limit(_TR_K)
     wk = Window.orderBy(F.col("r").desc(), F.col("node"))
     return (
-        ranks.withColumn("kw_rank", F.row_number().over(wk).cast("bigint"))
-        .filter(F.col("kw_rank") <= _TR_K)
+        topk.withColumn("kw_rank", F.row_number().over(wk).cast("bigint"))
         .select("kw_rank", F.col("node").alias("word"), F.col("r").alias("score"))
     )
 

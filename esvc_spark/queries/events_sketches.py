@@ -390,12 +390,32 @@ CROSS JOIN nb
 # User feature engineering: recency / frequency / monetary per user with
 # quartile binning (ntile over a pinned total order — metric then
 # user_id, so both engines tile identically) and a composed RFM segment
-# label — the feature-store shape behind churn/LTV training sets. One
-# aggregate + three window passes over the (small) per-user table.
+# label — the feature-store shape behind churn/LTV training sets.
+#
+# Scale: the quartiles come from three PARTITION-PARALLEL global ranks
+# (core.spark_engine.global_row_number: range-partition, per-partition
+# row_number, broadcast partition offsets — the exclusive_prefix_sum
+# machinery), never from an unpartitioned NTILE window that would
+# funnel the |users| table through one task. NTILE(4) is then exact
+# integer arithmetic on (rank, n): with n = 4q + r the first r tiles
+# hold q+1 rows — identical to the oracle's NTILE down to the last
+# straddling tie, because the rank key (metric, user_id) is a total
+# order. The returned plan embeds the prefix-sum localCheckpoints
+# (listed in plan_audit._IMPERATIVE with the honest topology).
+
+
+def _ntile4(rank_col: str) -> "F.Column":
+    i, n = rank_col, "_n_users"
+    return F.expr(
+        f"CAST(CASE WHEN {i} <= ({n} % 4) * (({n} div 4) + 1) "
+        f"THEN ({i} - 1) div (({n} div 4) + 1) + 1 "
+        f"ELSE ({n} % 4) + ({i} - ({n} % 4) * (({n} div 4) + 1) - 1) "
+        f"div ({n} div 4) + 1 END AS INT)"
+    )
 
 
 def q_ev_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from esvc_spark.core.spark_engine import global_row_number
 
     ev = T(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
@@ -405,29 +425,27 @@ def q_ev_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # NULL convention (degenerate-suite seeds): a NULL user_id group and
     # a NULL monetary (all-NULL values) sort FIRST in every quartile
-    # ranking — Spark's ASC default, pinned explicitly in the oracle
-    # (DuckDB defaults to NULLS LAST).
-    wr = Window.orderBy(
-        F.asc_nulls_first("last_ts"), F.asc_nulls_first("user_id")
-    )
-    wf = Window.orderBy(
-        F.asc_nulls_first("n_events"), F.asc_nulls_first("user_id")
-    )
-    wm = Window.orderBy(
-        F.asc_nulls_first("monetary"), F.asc_nulls_first("user_id")
-    )
-    return per_user.select(
+    # ranking — Spark's ASC default (global_row_number inherits it for
+    # both the range partitioner and the window), pinned explicitly in
+    # the oracle (DuckDB defaults to NULLS LAST).
+    ranked = per_user
+    for metric, out in (
+        ("last_ts", "_ri"), ("n_events", "_fi"), ("monetary", "_mi")
+    ):
+        ranked = global_row_number(spark, ranked, [metric, "user_id"], out)
+    n = per_user.agg(F.count(F.lit(1)).alias("_n_users"))
+    return ranked.crossJoin(F.broadcast(n)).select(
         "user_id",
         "last_ts",
         "n_events",
         "monetary",
-        F.ntile(4).over(wr).cast("int").alias("r_quartile"),
-        F.ntile(4).over(wf).cast("int").alias("f_quartile"),
-        F.ntile(4).over(wm).cast("int").alias("m_quartile"),
+        _ntile4("_ri").alias("r_quartile"),
+        _ntile4("_fi").alias("f_quartile"),
+        _ntile4("_mi").alias("m_quartile"),
         F.concat(
-            F.ntile(4).over(wr).cast("string"),
-            F.ntile(4).over(wf).cast("string"),
-            F.ntile(4).over(wm).cast("string"),
+            _ntile4("_ri").cast("string"),
+            _ntile4("_fi").cast("string"),
+            _ntile4("_mi").cast("string"),
         ).alias("rfm_segment"),
     )
 
@@ -1191,22 +1209,38 @@ FROM ev GROUP BY day, event_type
 # concentration diagnosis behind sampling and skew decisions. All
 # integer until two final divisions.
 #
-# Scale: one per-user aggregate + one ranking window over |users| rows;
-# the weighted sum is a single aggregate. Output is one row. BIGINT
-# bound: wsum ≤ n_users·total_events, safe while that product stays
-# under 2^63 (~1e9 users × 1e9 events); beyond that switch wsum and the
-# denominator to DECIMAL(38,0) — the q_ev_bot_detect escalation rule.
+# Scale: per-user aggregate, then the rank-weighted sum is computed
+# from the HISTOGRAM of per-user counts, never from per-user ranks:
+# within a tie group of value v and size c the ranks form an arithmetic
+# series whatever the user_id tiebreak, so
+#   Σ i·x over the group = v·(c·B + c·(c+1)/2),  B = #users with count < v.
+# The only window runs over the distinct-count histogram (bounded by
+# the max per-user activity — ~1e5 rows at 1e9 users, the
+# q_skyline_customers distinct-values shape), so no corpus-proportional
+# table ever funnels through one task. wsum is the identical integer
+# the per-user ROW_NUMBER formulation yields (the oracle keeps that
+# form). Output is one row. BIGINT bound: wsum ≤ n_users·total_events,
+# safe while that product stays under 2^63 (~1e9 users × 1e9 events);
+# beyond that switch wsum and the denominator to DECIMAL(38,0) — the
+# q_ev_bot_detect escalation rule.
 
 
 def q_ev_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = T(spark, sf_dir, "events")
     per = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("x"))
-    w = Window.orderBy("x", "user_id")
-    ranked = per.withColumn("i", F.row_number().over(w).cast("bigint"))
-    return ranked.agg(
-        F.count(F.lit(1)).alias("n_users"),
-        F.sum("x").cast("bigint").alias("total_events"),
-        F.sum(F.col("i") * F.col("x")).cast("bigint").alias("wsum"),
+    hist = per.groupBy("x").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wb = (
+        Window.orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("b", F.sum("c").over(wb) - F.col("c"))
+    return cum.agg(
+        F.sum("c").alias("n_users"),
+        F.sum(F.col("x") * F.col("c")).cast("bigint").alias("total_events"),
+        F.sum(
+            F.col("x")
+            * (F.col("c") * F.col("b") + F.expr("(c * (c + 1)) div 2"))
+        ).cast("bigint").alias("wsum"),
     ).select(
         "n_users",
         "total_events",

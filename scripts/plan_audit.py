@@ -75,6 +75,14 @@ _IMPERATIVE = {
         "candidate/sim pools, q_emb_shard_plan precedent; corpus touched "
         "once by the knn-shape candidate scoring)"
     ),
+    "q_ev_rfm": (
+        "three partition-parallel global ranks (global_row_number: "
+        "range-partition + per-partition row_number + broadcast "
+        "partition offsets, exclusive_prefix_sum machinery); returned "
+        "plan embeds the prefix-sum localCheckpoint scans + the "
+        "broadcast n_users cross join; exact NTILE(4) is integer "
+        "arithmetic on (rank, n)"
+    ),
     "q_esvc_replay": "event-log orchestration (many fingerprint jobs)",
     "q_esvc_merge": "event-log orchestration (many fingerprint jobs)",
     "q_esvc_editor": "event-log orchestration (many fingerprint jobs)",
