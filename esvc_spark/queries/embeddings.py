@@ -1184,12 +1184,20 @@ def q_emb_ood(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = d2.groupBy("label").agg(
         (ofold_sum("vec_id", "d2") / F.count(F.lit(1))).alias("mean_d2")
     )
+    # Degenerate-label convention (round 7, mirrors the zero-norm
+    # cosine rule): a label whose members all coincide with their
+    # centroid (e.g. a singleton label) has mean_d2 = 0 — its members
+    # score ood_ratio := 0.0 instead of 0/0 (ANSI divide-by-zero).
+    # d2 > 0 with mean_d2 = 0 is impossible (the mean averages the d2s).
+    ratio = F.when(F.col("mean_d2") == 0, F.lit(0.0)).otherwise(
+        F.col("d2") / F.col("mean_d2")
+    )
     return d2.join(F.broadcast(stats), "label").select(
         "vec_id",
         "label",
         "d2",
         "mean_d2",
-        (F.col("d2") / F.col("mean_d2")).alias("ood_ratio"),
+        ratio.alias("ood_ratio"),
         (F.col("d2") > 4 * F.col("mean_d2")).cast("int").alias("is_outlier"),
     )
 
@@ -1215,7 +1223,8 @@ stats AS (
   SELECT label, {sql_ofold_sum('vec_id', 'd2')} / COUNT(*) AS mean_d2 FROM d2 GROUP BY label
 )
 SELECT vec_id, d2.label, d2, mean_d2,
-       d2 / mean_d2 AS ood_ratio,
+       CASE WHEN mean_d2 = 0 THEN CAST(0 AS DOUBLE)
+            ELSE d2 / mean_d2 END AS ood_ratio,
        CAST(d2 > 4 * mean_d2 AS INTEGER) AS is_outlier
 FROM d2 JOIN stats ON d2.label = stats.label
 """
@@ -2779,7 +2788,9 @@ GROUP BY t.query_id
 # the anchor's own label. Per-label consistency rates flag label noise
 # or class overlap before the labels feed a classifier or a
 # cluster-balanced sampler. Output is all-integer (counts), so the hash
-# gate is exact; majority ties break to the smaller label, neighbor
+# gate is exact; majority ties break to the smaller label with NULL
+# labels FIRST (Spark's ASC default, pinned NULLS FIRST in the oracle —
+# label is nullable under the round-6 convention), neighbor
 # ties to (cos_sim DESC, vec_id) — both pinned, and cos_sim itself is
 # bit-identical across engines (sequential-fold dot products).
 #
@@ -2864,9 +2875,13 @@ votes AS (
   FROM top GROUP BY anchor_id, own_label, nlabel
 ),
 maj AS (
+  -- nlabel is NULLABLE (round-6 convention): the tiebreak must pin
+  -- NULLS FIRST to match Spark's ASC default, or a vote tie involving
+  -- a NULL-label neighborhood elects different majority labels per
+  -- engine (exercised by the vote-tie degenerate seed).
   SELECT anchor_id, own_label, nlabel AS maj_label, votes AS maj_votes
   FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
-                    ORDER BY votes DESC, nlabel) AS vr
+                    ORDER BY votes DESC, nlabel NULLS FIRST) AS vr
         FROM votes)
   WHERE vr = 1
 )

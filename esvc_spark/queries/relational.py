@@ -2773,13 +2773,20 @@ def q_bucket_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
     import tempfile
+    import uuid
 
     work = tempfile.mkdtemp(prefix="esvc_bucket_")
+    # uuid-suffixed catalog names (the stream_ sink convention) so two
+    # concurrent callers sharing a metastore never clobber each other's
+    # temp bucketed tables (ADVICE r6).
+    run_id = uuid.uuid4().hex[:12]
+    t_orders = f"bja_orders_{run_id}"
+    t_customer = f"bja_customer_{run_id}"
     old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         for name, df, key in (
-            ("bja_orders", T(spark, sf_dir, "orders"), "o_custkey"),
-            ("bja_customer", T(spark, sf_dir, "customer"), "c_custkey"),
+            (t_orders, T(spark, sf_dir, "orders"), "o_custkey"),
+            (t_customer, T(spark, sf_dir, "customer"), "c_custkey"),
         ):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
             (
@@ -2790,8 +2797,8 @@ def q_bucket_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .saveAsTable(name)
             )
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        o = spark.table("bja_orders")
-        c = spark.table("bja_customer")
+        o = spark.table(t_orders)
+        c = spark.table(t_customer)
         return (
             o.join(c, o["o_custkey"] == c["c_custkey"])
             .groupBy("c_mktsegment")
@@ -2806,7 +2813,7 @@ def q_bucket_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
-        for name in ("bja_orders", "bja_customer"):
+        for name in (t_orders, t_customer):
             try:
                 spark.sql(f"DROP TABLE IF EXISTS {name}")
             except Exception:

@@ -65,6 +65,15 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
 
 
 HEADS_SCHEMA = "graph_key STRING, heads ARRAY<STRING>, n_events LONG"
+# STATE-FORMAT COMPATIBILITY (round 7, ADVICE r6): `pending_json` was
+# added in round 6, growing the state row from 2 to 3 fields. Spark's
+# state-store schema validation REJECTS a restart against a checkpoint
+# written by the 2-field version before any user code runs, so there is
+# no in-function migration hook — restarting an upgraded head-tracker
+# requires a NEW checkpointLocation (replaying the source from its
+# retained offset, which the order-independent fold makes safe). This
+# is the standard applyInPandasWithState upgrade rule; bump this note
+# whenever _HEADS_STATE changes shape.
 _HEADS_STATE = "heads_json STRING, pending_json STRING, n LONG"
 
 

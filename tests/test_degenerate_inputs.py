@@ -119,6 +119,19 @@ def _build_degen_dir(base: str) -> None:
           UNION ALL
           SELECT CAST(103 AS BIGINT), embedding, CAST(NULL AS INTEGER)
           FROM '{src}/embeddings.parquet' WHERE vec_id = 1
+          UNION ALL
+          -- round 7 (ADVICE): vote-tie-with-NULL-label — five clones of
+          -- vec 2's embedding labelled NULL,NULL,own,own,other, so
+          -- anchor 2's top-5 neighborhood votes NULL:2 vs own_label:2
+          -- and the majority tiebreak over the NULLABLE label column
+          -- decides n_consistent (Spark ASC = NULLS FIRST elects NULL
+          -- -> inconsistent; an unpinned DuckDB oracle would elect
+          -- own_label -> consistent and hash-diverge).
+          SELECT CAST(104 AS BIGINT) + i, embedding,
+                 CASE WHEN i < 2 THEN CAST(NULL AS INTEGER)
+                      WHEN i < 4 THEN label ELSE label + 1 END
+          FROM '{src}/embeddings.parquet', unnest(range(5)) t(i)
+          WHERE vec_id = 2
         ) TO '{base}/embeddings.parquet' (FORMAT PARQUET)
         """
     )
