@@ -25,82 +25,73 @@ from pyspark.sql import DataFrame, SparkSession
 # round last graded each query — update it when CORRECTNESS_r{N}.json
 # lands.
 #
-# Round-6 rotation: (a) every query whose code OR oracle changed this
-# round — the zero-norm cosine guard rewrote the shared helper pair
-# (functions/vectors.py) and its DuckDB twins, touching the 19 queries
-# on the cosine path, and streaming_head_tracker gained the
-# pending-supersession state (q_stream_heads); (b) the 18 r1-vintage
-# rows whose latest driver row predates the r2 dsum/decimal helper
-# rewrite; (c) r2-vintage doc/esvc fillers to round the budget to 50.
-# Remaining r1/r2-vintage tail (42 doc/mm/ev/emb/esvc rows incl. the
-# six displaced below by the NULL-convention changes, among them
-# q16_parts_supplier) fronts round 7, leaving ≤8 slots for round-7
-# new/changed queries.
+# Round-7 rotation (the plan the r6 registry comment promised): front
+# (a) the round-7 new/changed queries — the ingest-contract gate, the
+# four partition-parallel ranking rewrites, the NULL-tiebreak and
+# degenerate-label fixes, the uuid-table bucket audit; (b) ALL 42
+# remaining r1/r2-vintage rows, whose latest driver grade predates the
+# r2 numeric-helper rewrite and the r6 NULL convention. 50 slots
+# exactly; everything else holds a green r3+ row and absorbs the
+# truncation.
 _MODULE_ORDER = ("esvc", "multimodal", "embeddings", "documents", "events", "relational")
 
 _FRONT = (
-    # NEW this round: Gopher rule battery, TextRank keywords, kNN
-    # label-noise audit, readability battery, IVF cell-balance audit
-    "q_doc_gopher_rules",
-    "q_doc_textrank",
-    "q_emb_label_consistency",
-    "q_doc_readability",
-    "q_emb_ivf_balance",
-    "q_part_prune_audit",
-    "q_bucket_join_audit",
-    "q_ev_k_anonymity",
-    "q_emb_ivfpq_search",
-    # changed this round: order-independent head tracker state
-    "q_stream_heads",
-    # changed this round: zero-norm cosine convention in both dialects
-    "q_emb_knn_cosine",
-    "q_emb_neardup_cosine",
-    "q_emb_ann_lsh",
-    "q_emb_ann_recall",
-    "q_emb_ivf_knn",
-    "q_emb_hard_negatives",
-    "q_emb_matryoshka",
-    "q_emb_binary_hamming",
-    "q_emb_cluster_agreement",
-    "q_emb_cluster_sample",
-    "q_emb_dup_clusters",
-    "q_emb_filtered_ann",
-    "q_emb_mmr",
-    "q_emb_recall_curve",
-    "q_emb_semdedup",
-    "q_emb_shard_plan",
-    "q_rag_retrieval",
-    "q_doc_rrf_fusion",
-    "q_dedup_agreement",
-    # changed this round: NULL-convention guards (value IS NOT NULL /
-    # NULLS FIRST pins / sketch NULL-subject exclusion) and the
-    # density-free head oracle — see the degenerate suite's null seeds
+    # NEW this round: the executable ingest contract
+    "q_dq_ingest_contract",
+    # changed this round: partition-parallel global ranking
+    "q_ev_gini",
     "q_ev_rfm",
-    "q_ev_approx_quantiles",
-    "q_ev_mad_outliers",
-    "q_ev_hll_union",
-    "q_stream_running_totals",
-    "q_doc_domain_reweight",
-    # r1-vintage attestation: latest driver rows predate the r2
-    # dsum/decimal helper rewrite
-    "q11_value_concentration",
-    "q12_ship_lag",
-    "q13_customer_distribution",
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q17_small_quantity",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q20_excess_stock",
-    "q21_waiting_supplier",
-    "q22_dormant_customers",
-    "q_cube_orders",
-    "q_grouping_sets",
-    "q_rollup_returns",
-    "q_setops_customers",
-    # (q_window_running_spend / q_window_top_orders and the r2-vintage
-    # fillers moved to the round-7 backlog: the five NULL-convention
-    # changes above outrank freshness rotation for the 50-slot budget)
+    "q_doc_textrank",
+    "q_doc_rake",
+    # changed this round: NULL-label majority tiebreak pin /
+    # degenerate-label ood convention / uuid bucket tables
+    "q_emb_label_consistency",
+    "q_emb_ood",
+    "q_bucket_join_audit",
+    # r1/r2-vintage attestation backlog (latest driver rows predate the
+    # r2 dsum/decimal rewrite and the r6 NULL convention)
+    "q16_parts_supplier",
+    "q_window_running_spend",
+    "q_window_top_orders",
+    "q_dataset_card",
+    "q_doc_bigrams",
+    "q_doc_bpe_tokens",
+    "q_doc_canonical",
+    "q_doc_contamination",
+    "q_doc_curation",
+    "q_doc_dup_clusters",
+    "q_doc_exact_dedup",
+    "q_doc_fingerprint",
+    "q_doc_incremental_dedup",
+    "q_doc_lang_id",
+    "q_doc_length_hist",
+    "q_doc_lm_score",
+    "q_doc_minhash_lsh",
+    "q_doc_negatives",
+    "q_doc_ngram_jaccard",
+    "q_doc_normalize",
+    "q_doc_pack",
+    "q_doc_quality",
+    "q_doc_sample_mixture",
+    "q_doc_simhash",
+    "q_doc_simhash_pairs",
+    "q_doc_split",
+    "q_doc_tfidf_top",
+    "q_doc_token_stats",
+    "q_doc_upsample",
+    "q_doc_vocab",
+    "q_emb_kmeans",
+    "q_emb_label_centroids",
+    "q_emb_pq",
+    "q_emb_quantize_int8",
+    "q_esvc_merge",
+    "q_esvc_replay",
+    "q_ev_asof_purchase",
+    "q_ev_range_pairs",
+    "q_ev_tumbling_hourly",
+    "q_mm_decode_stats",
+    "q_mm_frame_sample",
+    "q_mm_resize",
 )
 
 

@@ -1742,6 +1742,176 @@ FROM rows_
 """
 
 
+# ------------------------------------------------ ingest contract gate
+# The round-6 NULL/finite-numeric ingest contract (OPERATORS.md:10-26),
+# made EXECUTABLE (VERDICT r6 #3): a Deequ-style gate over the three
+# pipeline tables asserting exactly what every downstream query assumes
+# — identity/payload fields NOT NULL (doc_id, text, ts, vec_id,
+# embedding) and unique ids, embeddings fixed-width with FINITE
+# non-null elements, event values finite-or-NULL. Optional fields
+# (lang, source, label, value, props, user_id, event_type) are
+# NULL-allowed — deliberately absent from the battery. A violating
+# corpus surfaces as n_bad > 0 / passed = 0 rows, never as a crash 200
+# queries later (tests/test_ingest_contract.py proves the gate fires on
+# each violation class).
+#
+# Scale shape: ONE aggregate pass per table (all checks fused into a
+# single map-side-combinable agg row, unpivoted with stack), so the
+# gate costs three scans regardless of check count — the shape a 100 TB
+# pre-training ingest runs on every delivery.
+
+_DQIC_CHECKS = {
+    "documents": (
+        "doc_id_not_null", "doc_id_unique", "text_not_null",
+        "n_chars_matches_text",
+    ),
+    "embeddings": (
+        "vec_id_not_null", "vec_id_unique", "embedding_not_null",
+        "embedding_dim_64", "embedding_finite",
+    ),
+    "events": (
+        "event_id_not_null", "event_id_unique", "ts_not_null",
+        "value_finite_or_null",
+    ),
+}
+
+
+def q_dq_ingest_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    emb = T(spark, sf_dir, "embeddings")
+    ev = T(spark, sf_dir, "events")
+    inf = F.lit(float("inf"))
+
+    def b(cond) -> F.Column:
+        # NULL predicate results count as bad via the caller's coalesce
+        return F.sum(cond.cast("int")).cast("bigint")
+
+    def uniq(key: str) -> F.Column:
+        # COUNT(key) (not COUNT(*)) so a NULL id is charged only to the
+        # not_null check, never double-counted as a duplicate
+        return (F.count(F.col(key)) - F.count_distinct(F.col(key))).cast(
+            "bigint"
+        )
+
+    aggs = {
+        "documents": docs.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            b(F.col("doc_id").isNull()).alias("doc_id_not_null"),
+            uniq("doc_id").alias("doc_id_unique"),
+            b(F.col("text").isNull()).alias("text_not_null"),
+            b(
+                ~F.coalesce(
+                    F.col("n_chars") == F.length("text"), F.lit(False)
+                )
+            ).alias("n_chars_matches_text"),
+        ),
+        "embeddings": emb.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            b(F.col("vec_id").isNull()).alias("vec_id_not_null"),
+            uniq("vec_id").alias("vec_id_unique"),
+            b(F.col("embedding").isNull()).alias("embedding_not_null"),
+            b(
+                ~F.coalesce(F.size("embedding") == 64, F.lit(False))
+            ).alias("embedding_dim_64"),
+            b(
+                F.coalesce(
+                    F.exists(
+                        "embedding",
+                        lambda x: x.isNull()
+                        | F.isnan(x)
+                        | (F.abs(x) == inf),
+                    ),
+                    F.lit(True),
+                )
+            ).alias("embedding_finite"),
+        ),
+        "events": ev.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            b(F.col("event_id").isNull()).alias("event_id_not_null"),
+            uniq("event_id").alias("event_id_unique"),
+            b(F.col("ts").isNull()).alias("ts_not_null"),
+            b(
+                F.col("value").isNotNull()
+                & (F.isnan("value") | (F.abs("value") == inf))
+            ).alias("value_finite_or_null"),
+        ),
+    }
+    parts = []
+    for tbl, checks in _DQIC_CHECKS.items():
+        pairs = ", ".join(f"'{c}', {c}" for c in checks)
+        parts.append(
+            aggs[tbl].selectExpr(
+                f"'{tbl}' AS tbl",
+                f"stack({len(checks)}, {pairs}) AS (check_name, n_bad)",
+                "n_rows",
+            )
+        )
+    rows = parts[0]
+    for p in parts[1:]:
+        rows = rows.unionAll(p)
+    return rows.select(
+        "tbl",
+        "check_name",
+        "n_rows",
+        "n_bad",
+        (F.col("n_bad").cast("double") / F.col("n_rows").cast("double"))
+        .alias("bad_fraction"),
+        F.when(F.col("n_bad") == 0, 1).otherwise(0).alias("passed"),
+    )
+
+
+def _dqic_sql() -> str:
+    exprs = {
+        "doc_id_not_null": "COUNT(*) FILTER (doc_id IS NULL)",
+        "doc_id_unique": "COUNT(doc_id) - COUNT(DISTINCT doc_id)",
+        "text_not_null": "COUNT(*) FILTER (text IS NULL)",
+        "n_chars_matches_text": (
+            "COUNT(*) FILTER (NOT COALESCE(n_chars = length(text), FALSE))"
+        ),
+        "vec_id_not_null": "COUNT(*) FILTER (vec_id IS NULL)",
+        "vec_id_unique": "COUNT(vec_id) - COUNT(DISTINCT vec_id)",
+        "embedding_not_null": "COUNT(*) FILTER (embedding IS NULL)",
+        "embedding_dim_64": (
+            "COUNT(*) FILTER (NOT COALESCE(len(embedding) = 64, FALSE))"
+        ),
+        "embedding_finite": (
+            "COUNT(*) FILTER (COALESCE(len(list_filter(embedding, "
+            "x -> x IS NULL OR isnan(x) OR isinf(x))) > 0, TRUE))"
+        ),
+        "event_id_not_null": "COUNT(*) FILTER (event_id IS NULL)",
+        "event_id_unique": "COUNT(event_id) - COUNT(DISTINCT event_id)",
+        "ts_not_null": "COUNT(*) FILTER (ts IS NULL)",
+        "value_finite_or_null": (
+            "COUNT(*) FILTER (value IS NOT NULL AND "
+            "(isnan(value) OR isinf(value)))"
+        ),
+    }
+    ctes, selects = [], []
+    for tbl, checks in _DQIC_CHECKS.items():
+        cols = ", ".join(
+            f"CAST({exprs[c]} AS BIGINT) AS {c}" for c in checks
+        )
+        ctes.append(
+            f"agg_{tbl} AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            f"{cols} FROM {tbl})"
+        )
+        for c in checks:
+            selects.append(
+                f"SELECT '{tbl}' AS tbl, '{c}' AS check_name, n_rows, "
+                f"{c} AS n_bad FROM agg_{tbl}"
+            )
+    body = "\nUNION ALL\n".join(selects)
+    return (
+        "WITH " + ",\n".join(ctes) + ",\nrows_ AS (\n" + body + "\n)\n"
+        "SELECT tbl, check_name, n_rows, n_bad,\n"
+        "       CAST(n_bad AS DOUBLE) / CAST(n_rows AS DOUBLE) AS bad_fraction,\n"
+        "       CASE WHEN n_bad = 0 THEN 1 ELSE 0 END AS passed\nFROM rows_"
+    )
+
+
+_DQIC_SQL = _dqic_sql()
+
+
 # ------------------------------------------------------- runtime filter
 # Bloom-pruned join (the "runtime filter" every warehouse engine injects
 # at scale): the selective dimension side (BUILDING customers with
@@ -2838,6 +3008,7 @@ QUERIES = {
     "q_zonemap_skipping": q_zonemap_skipping,
     "q_skyline_customers": q_skyline_customers,
     "q_dq_checks": q_dq_checks,
+    "q_dq_ingest_contract": q_dq_ingest_contract,
     "q_bloom_join_filter": q_bloom_join_filter,
     "q_ivm_join": q_ivm_join,
     "q_benford_audit": q_benford_audit,
@@ -2921,6 +3092,7 @@ ORACLES = {
     "q_zonemap_skipping": _QZONEMAP_SQL,
     "q_skyline_customers": _QSKYLINE_SQL,
     "q_dq_checks": _QDQ_SQL,
+    "q_dq_ingest_contract": _DQIC_SQL,
     "q_bloom_join_filter": _bloom_join_sql(),
     "q_ivm_join": _QIVM_SQL,
     "q_benford_audit": _benford_sql(),
