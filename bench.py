@@ -107,6 +107,20 @@ def main() -> None:
 
     t_start = time.perf_counter()
 
+    # Previous run's full timing map (this round's earlier run or the
+    # prior round's recorded one) — the reference for the ratio-based
+    # re-measurement pass below.
+    prior_timings: dict[str, float] = {}
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+            )
+        ) as fh:
+            prior_timings = json.load(fh).get("queries", {}) or {}
+    except (OSError, ValueError):
+        pass
+
     def run_once(fn) -> float:
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()
@@ -163,6 +177,33 @@ def main() -> None:
             and time.perf_counter() - rerun_start < _RERUN_BUDGET
         ):
             timings[name] = round(min(timings[name], run_once(fn)), 4)
+
+    # Ratio-based re-measurement (VERDICT r6 #4): the >2 s absolute
+    # threshold above never re-measures the sub-2 s population — exactly
+    # where r6's apparent "regressions" lived (0.56 -> 1.43 s on
+    # untouched logic, on a host with 25x swings). Compare against the
+    # previous run's full map (BENCH_FULL.json as it stood when this run
+    # started) and give anything >1.5x its prior reading up to TWO
+    # re-measures (min kept), worst-ratio-first inside the same budget.
+    # A swing that survives both is reported as real.
+    if prior_timings:
+        for _pass in range(2):
+            ratio_outliers = sorted(
+                (
+                    (name, fn)
+                    for name, fn in ordered
+                    if name in prior_timings
+                    and prior_timings[name] > 0
+                    and timings[name] > 1.5 * prior_timings[name]
+                ),
+                key=lambda kv: -(timings[kv[0]] / prior_timings[kv[0]]),
+            )
+            if not ratio_outliers:
+                break
+            for name, fn in ratio_outliers:
+                if time.perf_counter() - rerun_start >= _RERUN_BUDGET:
+                    break
+                timings[name] = round(min(timings[name], run_once(fn)), 4)
 
     total = round(sum(timings.values()), 4)
     # Like-for-like round comparison: the surface grows every round, so
