@@ -224,6 +224,10 @@ SELECT ln AS line_no, md5(text) AS text_md5 FROM ap
 # delete's pattern: 'fast' -> 'slowed' ⊃ /slow/), exercising the
 # non-commuting branch of shelve's commutation tests distributed.
 _EL_TRAILER = "-- end of words"
+# Broadcast ceiling for the per-doc offsets table: past ~10⁸ (id, off)
+# rows the broadcast side stops being "small" and the join swaps to a
+# doc_id-partitioned hash join (see _word_lines).
+_ED_OFFS_BROADCAST_DOCS = 100_000_000
 
 
 def _word_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -232,12 +236,18 @@ def _word_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     numbering is arithmetic — per-doc offsets from a two-phase
     partition-parallel prefix sum over the per-doc count table
     (core.spark_engine.exclusive_prefix_sum, the same machinery behind
-    the engine's corpus-scale renumber), broadcast back onto the exploded
+    the engine's corpus-scale renumber), joined back onto the exploded
     words — so neither the corpus-sized explode NOR the offset table has
-    a single-task stage at any scale. (The broadcast of the per-doc
-    offset table is itself the small side only up to ~10⁸ docs; past
-    that, swap the hint for a hash join on doc_id — both sides already
-    partition on it.)"""
+    a single-task stage at any scale. The offsets join is itself
+    size-conditional (round 7, closing the seam the r6 docstring only
+    named): broadcast while |documents| ≤ _ED_OFFS_BROADCAST_DOCS
+    (measured min-of-5 0.264 s vs 0.278 s for the shuffled join at
+    sf0.1, scripts/ab_offset_path.py --join — broadcast wins small, and
+    the gap widens with executor count since the hash join re-shuffles
+    the offsets), a doc_id-partitioned hash join past it — a ~10⁸-row
+    offsets table (~1.6 GB of (id, off)) no longer
+    fits a broadcast, and both sides already hash-partition on doc_id
+    so the swap adds one bounded exchange, never a driver-sized one."""
     from ..core.spark_engine import SparkExEngine, exclusive_prefix_sum
 
     docs = (
@@ -260,10 +270,15 @@ def _word_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         "off",
         local=n_docs <= SparkExEngine._RENUMBER_LOCAL_ROWS,
     ).select("doc_id", "off")
-    return (
+    joined = (
         docs.join(F.broadcast(offs), "doc_id")
-        .select("off", F.posexplode("w").alias("wi", "text"))
-        .select((F.col("off") + F.col("wi")).cast("bigint").alias("line_no"), "text")
+        if n_docs <= _ED_OFFS_BROADCAST_DOCS
+        else docs.join(offs.repartition(8, "doc_id"), "doc_id")
+    )
+    return joined.select(
+        "off", F.posexplode("w").alias("wi", "text")
+    ).select(
+        (F.col("off") + F.col("wi")).cast("bigint").alias("line_no"), "text"
     )
 
 

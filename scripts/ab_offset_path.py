@@ -7,7 +7,13 @@ two-phase path exists for the 100 TB shape where a single-task window is
 the scale-killer), so the question is only whether the small-sf fixed
 cost is worth a size-conditional local path.
 
-Usage: python scripts/ab_offset_path.py [sf_dir] [n_rounds]
+Round 7 adds a second arm behind `--join`: the offsets-onto-words join
+as a broadcast vs a doc_id-partitioned shuffled hash join — the
+measurement behind `_ED_OFFS_BROADCAST_DOCS` (the size-conditional
+swap that closes the r6 "~10⁸-doc broadcast cap" seam in
+queries/esvc.py:_word_lines).
+
+Usage: python scripts/ab_offset_path.py [--join] [sf_dir] [n_rounds]
 """
 
 import os
@@ -19,8 +25,10 @@ sys.path.insert(0, REPO)
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    n = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    args = [a for a in sys.argv[1:] if a != "--join"]
+    join_mode = "--join" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    n = int(args[1]) if len(args) > 1 else 5
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -51,7 +59,43 @@ def main() -> None:
         ).select("doc_id", "off").count()
         return time.perf_counter() - t0
 
+    def run_join(broadcast: bool) -> float:
+        docs = (
+            T(spark, sf_dir, "documents")
+            .select("doc_id", F.split("text", " ").alias("w"))
+            .repartition(8, "doc_id")
+        )
+        offs = exclusive_prefix_sum(
+            spark,
+            docs.select("doc_id", F.size("w").cast("bigint").alias("nw")),
+            ["doc_id"],
+            "nw",
+            "off",
+            local=True,
+        ).select("doc_id", "off")
+        t0 = time.perf_counter()
+        joined = (
+            docs.join(F.broadcast(offs), "doc_id")
+            if broadcast
+            else docs.join(offs.repartition(8, "doc_id"), "doc_id")
+        )
+        joined.select(
+            "off", F.posexplode("w").alias("wi", "text")
+        ).select((F.col("off") + F.col("wi")).alias("line_no")).count()
+        return time.perf_counter() - t0
+
     # interleave A/B so a noise burst hits both arms equally
+    if join_mode:
+        bcast, hashj = [], []
+        run_join(True)
+        run_join(False)  # warm both paths once
+        for _ in range(n):
+            bcast.append(run_join(True))
+            hashj.append(run_join(False))
+        print(f"broadcast  min={min(bcast):.3f}s all={[round(x, 3) for x in bcast]}")
+        print(f"hash_join  min={min(hashj):.3f}s all={[round(x, 3) for x in hashj]}")
+        spark.stop()
+        return
     two_phase, single_window = [], []
     run(True)
     run(False)  # warm both paths once

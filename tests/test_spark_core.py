@@ -320,3 +320,18 @@ def test_import_merge_saved_graphs_sf(spark, tmp_path, replace_engine, sf_dir):
     )
     assert got.df.exceptAll(expected).isEmpty()
     assert expected.exceptAll(got.df).isEmpty()
+
+
+def test_word_lines_hash_join_path_matches_broadcast(spark, sf_dir, monkeypatch):
+    """The size-conditional offsets join in q_esvc_editor_large's
+    _word_lines: past _ED_OFFS_BROADCAST_DOCS the broadcast swaps to a
+    doc_id-partitioned hash join. Force the swap (threshold -> 0) and
+    require the numbered lines to be identical to the broadcast path —
+    the join strategy must never change the numbering."""
+    from esvc_spark.queries import esvc as esvc_q
+
+    bcast = esvc_q._word_lines(spark, sf_dir).orderBy("line_no").collect()
+    monkeypatch.setattr(esvc_q, "_ED_OFFS_BROADCAST_DOCS", 0)
+    hashed = esvc_q._word_lines(spark, sf_dir).orderBy("line_no").collect()
+    assert bcast == hashed
+    assert [r["line_no"] for r in bcast] == list(range(len(bcast)))
