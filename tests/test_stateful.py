@@ -22,6 +22,39 @@ from esvc_spark.streaming.stateful import (
 SF_DIR = "/root/testdata/sf0.001"
 EVENTS = os.path.join(SF_DIR, "events.parquet")
 
+# Recovery tests run under BOTH state-store providers (VERDICT r6 #6):
+# the default HDFS-backed store and RocksDB — the provider a 100 TB
+# stream actually runs (state no longer bounded by executor heap). The
+# provider is recorded in the checkpoint, so each parametrized case
+# uses its own checkpointLocation.
+_PROVIDERS = {
+    "hdfs": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider"
+    ),
+    "rocksdb": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
+}
+_PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
+
+
+@pytest.fixture(params=sorted(_PROVIDERS))
+def state_provider(request, spark):
+    cls = _PROVIDERS[request.param]
+    try:
+        spark._jvm.java.lang.Class.forName(cls)
+    except Exception:
+        pytest.skip(f"state store provider class not on classpath: {cls}")
+    old = spark.conf.get(_PROVIDER_CONF, None)
+    spark.conf.set(_PROVIDER_CONF, cls)
+    yield request.param
+    if old is None:
+        spark.conf.unset(_PROVIDER_CONF)
+    else:
+        spark.conf.set(_PROVIDER_CONF, old)
+
 
 @pytest.fixture(scope="module")
 def two_batch_dir(tmp_path_factory):
@@ -145,7 +178,7 @@ def test_head_tracker_out_of_order_delivery(spark, tmp_path):
     assert final.loc["g", "n_events"] == 5
 
 
-def test_running_totals_recover_from_checkpoint(spark, tmp_path):
+def test_running_totals_recover_from_checkpoint(spark, tmp_path, state_provider):
     """State survives a full query STOP + RESTART from the same
     checkpoint: a second query started on the same checkpointLocation
     resumes the per-user lifetime counters (emitting batch-2 users with
@@ -197,7 +230,7 @@ def test_running_totals_recover_from_checkpoint(spark, tmp_path):
         assert row["value_cents"] == batch.loc[uid, "cents"], uid
 
 
-def test_head_tracker_recover_from_checkpoint(spark, tmp_path):
+def test_head_tracker_recover_from_checkpoint(spark, tmp_path, state_provider):
     """The esvc head-set state survives a query restart: after recovery
     the tracker sees the full event count and the post-restart event
     supersedes a head it only knows from the checkpointed state."""
