@@ -92,6 +92,101 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# colour type -> samples per pixel (8-bit depth only; palette needs a
+# PLTE lookup and stays behind PIL)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _decode_png(payload: bytes):
+    """Stdlib PNG decoder (zlib inflate + per-row unfilter) for the
+    fixture subset: 8-bit depth, grey/RGB/grey+alpha/RGBA, no
+    interlace. All five row filters (None/Sub/Up/Average/Paeth) are
+    implemented and CRCs are verified. Returns a uint8 array of shape
+    (h, w) for greyscale or (h, w, channels) otherwise — the same shape
+    contract as PIL's ``np.asarray(Image.open(...))``, so the two
+    backends are interchangeable downstream. Per-pixel Python loops are
+    fine here: the decoder exists to make the codec seam REAL for the
+    synthetic fixtures; a production image pipeline swaps in PIL/OpenCV
+    via the same ``decode_real`` dispatch."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG: bad signature")
+    pos, ihdr, idat = 8, None, b""
+    while pos < len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r}: CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG without IHDR")
+    width, height, depth, ctype_n, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise NotImplementedError(
+            "stdlib PNG path is 8-bit non-interlaced only; install the "
+            "optional 'pillow' extra for the full format"
+        )
+    if ctype_n not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            "palette PNG needs PIL (optional 'pillow' extra)"
+        )
+    ch = _PNG_CHANNELS[ctype_n]
+    raw = zlib.decompress(idat)
+    stride = width * ch
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG scanline data has wrong length")
+    out = bytearray()
+    prev = bytearray(stride)
+    rpos = 0
+    for _y in range(height):
+        ft = raw[rpos]
+        row = bytearray(raw[rpos + 1 : rpos + 1 + stride])
+        rpos += 1 + stride
+        if ft == 1:  # Sub
+            for i in range(ch, stride):
+                row[i] = (row[i] + row[i - ch]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                a = row[i - ch] if i >= ch else 0
+                row[i] = (row[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                row[i] = (
+                    row[i]
+                    + (a if pa <= pb and pa <= pc else b if pb <= pc else c)
+                ) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"PNG filter type {ft} is invalid")
+        out += row
+        prev = row
+    arr = np.frombuffer(bytes(out), dtype=np.uint8)
+    return arr.reshape(height, width) if ch == 1 else arr.reshape(
+        height, width, ch
+    )
+
+
 def decode_real(payload: bytes, fmt: str):
     """Real-codec seam, dispatching on `meta.fmt`:
 
@@ -99,8 +194,14 @@ def decode_real(payload: bytes, fmt: str):
       available): returns an int16 numpy array of shape
       (n_frames, n_channels). A REAL decode path, smoke-tested in
       tests/test_multimodal.py by round-tripping synthesized PCM.
-    - ``"png"`` / ``"jpeg"`` — PIL-backed behind an optional extra;
-      raises NotImplementedError when PIL is absent (this container).
+    - ``"png"`` — PIL when present; otherwise the stdlib decoder
+      ``_decode_png`` (zlib + unfilter, round 7) covering the 8-bit
+      non-interlaced subset the fixtures use — a REAL end-to-end codec
+      path in this container, smoke-tested through mapInPandas the same
+      way WAV is.
+    - ``"jpeg"`` — PIL-backed behind an optional extra; raises
+      NotImplementedError when PIL is absent (entropy coding is not a
+      reasonable stdlib re-implementation).
     - ``"raw"`` — passthrough: returns the payload bytes unchanged
       (the synthetic-corpus contract; every oracle-checked query uses
       this format).
@@ -125,9 +226,11 @@ def decode_real(payload: bytes, fmt: str):
     if fmt in ("png", "jpeg", "jpg"):
         try:
             from PIL import Image
-        except ImportError as e:  # pragma: no cover - optional extra
+        except ImportError as e:
+            if fmt == "png":
+                return _decode_png(payload)
             raise NotImplementedError(
-                "image decode requires PIL (install the optional "
+                "jpeg decode requires PIL (install the optional "
                 "'pillow' extra); not available in this environment"
             ) from e
         import io  # pragma: no cover - optional extra
