@@ -1552,10 +1552,15 @@ FROM sizes JOIN scanned USING (layout), np
 #   4. join survivors back to customers (exact duplicates — same spend
 #      and count — don't dominate each other and all ship).
 #
-# Scale shape: one per-customer aggregate, one per-spend aggregate, then
-# ONE global window over |distinct spends| rows — the only serial part,
-# already reduced by step 2; at 100 TB add a per-partition local skyline
-# before the global pass (a strict superset filter, same semantics).
+# Scale shape: one per-customer aggregate, one per-spend aggregate, a
+# PARTITION-LOCAL skyline prefilter (round 7 — the extension the r6
+# comment only named), then the global window over the prefilter's
+# survivors. The local pass is the same running-max rule applied within
+# each partition (a point dominated by a higher-spend point in its OWN
+# partition is dominated globally, so the filter is a strict superset —
+# semantics and output unchanged, proven by the unchanged oracle), so
+# the only single-task stage sees ~|local staircases| rows, not
+# |distinct spends|.
 
 
 def q_skyline_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1568,12 +1573,22 @@ def q_skyline_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     grp = per.groupBy("spend_d").agg(F.max("n_orders").alias("ymax"))
+    lw = (
+        Window.partitionBy(F.spark_partition_id())
+        .orderBy(F.desc("spend_d"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pre = (
+        grp.withColumn("lmax", F.max("ymax").over(lw))
+        .filter(F.col("lmax").isNull() | (F.col("ymax") > F.col("lmax")))
+        .drop("lmax")
+    )
     w = (
         Window.orderBy(F.desc("spend_d"))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     sky = (
-        grp.withColumn("runmax", F.max("ymax").over(w))
+        pre.withColumn("runmax", F.max("ymax").over(w))
         .filter(F.col("runmax").isNull() | (F.col("ymax") > F.col("runmax")))
         # sky derives from per: re-alias the join keys so the self-join
         # does not hit Spark's conflicting-attributes resolution
