@@ -125,6 +125,23 @@ def main() -> int:
     only = set(args.only.split(",")) if args.only else None
     failed = []
     # registry order (the driver runs in this order and may truncate)
+    def release_between_queries() -> None:
+        # The same between-query hygiene bench.py applies: without it a
+        # FULL-surface run accumulates every query's persisted
+        # intermediates and streaming memory-sink tables in one driver
+        # heap — fits at sf0.01, OOMs ~halfway through 224 queries at
+        # sf0.1 (the round-7 attestation run found this).
+        try:
+            import esvc_spark
+
+            esvc_spark.release_cached()
+            spark.catalog.clearCache()
+            for v in spark.catalog.listTables():
+                if v.name.startswith("stream_"):
+                    spark.catalog.dropTempView(v.name)
+        except Exception:  # noqa: BLE001 - hygiene must never fail a run
+            pass
+
     for name in queries:
         if only and name not in only:
             continue
@@ -134,7 +151,9 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001 - report like the driver does
             print(f"FAIL {name:32s}    ERR {type(e).__name__}: {e}")
             failed.append(name)
+            release_between_queries()
             continue
+        release_between_queries()
         dt = time.perf_counter() - t0
         if name not in oracles:
             status = f"rows-only ({len(got)} rows)"
