@@ -58,10 +58,15 @@ latest driver round that graded it and the result, so a judge does not
 have to reconstruct coverage from the per-round JSON files. Queries with
 no driver row yet are covered by `scripts/verify_contract.py` (the
 driver-identical harness) every round and by the parametrized pytest
-oracle suite at sf0.001. Round 6 additionally verified the ENTIRE
-surface at sf0.1 (10x the driver's correctness scale — every query
-hash-matched its oracle) and probed every query bit-identical across
-local[4]/shuffle=3 vs local[32]/shuffle=64.
+oracle suite at sf0.001. Rounds 6 and 7 additionally verified the
+ENTIRE surface at sf0.1 (10x the driver's correctness scale — every
+query hash-matched its oracle; the round-7 run also surfaced and fixed
+a long-session heap leak in the harness itself, see verify_contract's
+release_between_queries) and probed every query bit-identical across
+local[4]/shuffle=3 vs local[32]/shuffle=64 — in round 7 AFTER the
+partition-parallel ranking rewrites (gini/rfm/textrank/rake), the
+skyline prefilter, the ingest-contract gate, and the NULL-tiebreak /
+degenerate-label fixes landed.
 
 Maintenance: regenerate after each round's CORRECTNESS file lands
 (`python scripts/attestation_ledger.py`).
