@@ -137,10 +137,54 @@ def exclusive_prefix_sum(
     )
 
 
+def global_running_max(
+    spark: SparkSession,
+    df: DataFrame,
+    order_cols: list,  # str names or Column sort orders (F.desc(...))
+    value_col: str,
+    out_col: str,
+) -> DataFrame:
+    """`df` plus `out_col` = running MAX of `value_col` over the rows at
+    or before this one in `order_cols` order (inclusive prefix max) —
+    the exclusive_prefix_sum two-phase shape with max in place of sum:
+    range-partition on the order key (pinned by localCheckpoint),
+    collect the P per-partition maxima, turn them into exclusive prefix
+    maxima on the driver, then greatest(within-partition running max,
+    broadcast offset). Partition-parallel at any scale; NULL values are
+    ignored by max in both phases."""
+    from pyspark.sql import Window
+
+    p = max(spark.sparkContext.defaultParallelism, 2)
+    part = (
+        df.repartitionByRange(p, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    maxima = part.groupBy("_pid").agg(F.max(value_col).alias("_m")).collect()
+    offs, run = [], None
+    for r in sorted(maxima, key=lambda r: r["_pid"]):
+        offs.append((r["_pid"], run))
+        if r["_m"] is not None and (run is None or r["_m"] > run):
+            run = r["_m"]
+    schema_val = dict(part.dtypes)[value_col]
+    off_df = spark.createDataFrame(offs, f"_pid INT, _off {schema_val}")
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local_max = F.max(value_col).over(w)
+    return (
+        part.join(F.broadcast(off_df), "_pid")
+        .withColumn(out_col, F.greatest(local_max, F.col("_off")))
+        .drop("_pid", "_off")
+    )
+
+
 def global_row_number(
     spark: SparkSession,
     df: DataFrame,
-    order_cols: list[str],
+    order_cols: list,  # str names or Column sort orders (F.desc(...))
     out_col: str,
 ) -> DataFrame:
     """`df` plus `out_col` = 1-based global ROW_NUMBER() in `order_cols`

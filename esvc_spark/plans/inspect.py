@@ -67,6 +67,13 @@ def plan_stats(df: DataFrame) -> dict:
     tree = s.split("\n\n")[0]
     return {
         "shuffles": len(re.findall(r"\bExchange hashpartitioning", t)),
+        # SinglePartition exchanges funnel their whole input through ONE
+        # task — only acceptable over BOUNDED frames (value histograms,
+        # top-k survivors, per-group reductions); PLANS.md surfaces the
+        # count per query so the single-task story is auditable
+        "single_partition": len(
+            re.findall(r"\bExchange SinglePartition", t)
+        ),
         "broadcasts": len(re.findall(r"\bBroadcastExchange\b", tree)),
         "broadcast_hash_joins": len(re.findall(r"\bBroadcastHashJoin\b", tree)),
         "sort_merge_joins": len(re.findall(r"\bSortMergeJoin\b", tree)),

@@ -32,7 +32,10 @@ from pyspark.sql import DataFrame, SparkSession
 # remaining r1/r2-vintage rows, whose latest driver grade predates the
 # r2 numeric-helper rewrite and the r6 NULL convention. 50 slots
 # exactly; everything else holds a green r3+ row and absorbs the
-# truncation.
+# truncation. (q_window_deciles joined mid-round — the same NTILE class,
+# found by the new PLANS.md 1p column — pushing the front to 51; the
+# driver budget truncates the last backlog row, which stays covered by
+# the full verify.)
 _MODULE_ORDER = ("esvc", "multimodal", "embeddings", "documents", "events", "relational")
 
 _FRONT = (
@@ -43,6 +46,10 @@ _FRONT = (
     "q_ev_rfm",
     "q_doc_textrank",
     "q_doc_rake",
+    "q_window_deciles",
+    "q_ev_watermark_plan",
+    "q_histogram_selectivity",
+    "q_encoding_advisor",
     # changed this round: NULL-label majority tiebreak pin /
     # degenerate-label ood convention / uuid bucket tables
     "q_emb_label_consistency",

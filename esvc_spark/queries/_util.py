@@ -106,6 +106,25 @@ def sql_ofold_sum(key: str, val: str) -> str:
     )
 
 
+def ntile_from_rank(rank_col: str, n_col: str, k: int) -> Column:
+    """Exact NTILE(k) from a 1-based global rank and the total row count
+    — pure integer arithmetic, so a partition-parallel global rank
+    (core.spark_engine.global_row_number) replaces the unpartitioned
+    NTILE window while matching DuckDB's NTILE down to the last
+    straddling tie: with n = k·q + r the first r tiles hold q+1 rows.
+    The ELSE branch divides by q, which is 0 only when n < k — in that
+    case every rank satisfies the first branch, and Spark's CASE
+    short-circuits."""
+    q = f"({n_col} div {k})"
+    r = f"({n_col} % {k})"
+    i = rank_col
+    return F.expr(
+        f"CAST(CASE WHEN {i} <= {r} * ({q} + 1) "
+        f"THEN ({i} - 1) div ({q} + 1) + 1 "
+        f"ELSE {r} + ({i} - {r} * ({q} + 1) - 1) div {q} + 1 END AS INT)"
+    )
+
+
 # --------------------------------------------------------------- cache scope
 # Query functions persist() intermediates that feed multiple plan branches
 # (LSH signatures, hashed event sets, shingle tables). The returned

@@ -405,13 +405,9 @@ CROSS JOIN nb
 
 
 def _ntile4(rank_col: str) -> "F.Column":
-    i, n = rank_col, "_n_users"
-    return F.expr(
-        f"CAST(CASE WHEN {i} <= ({n} % 4) * (({n} div 4) + 1) "
-        f"THEN ({i} - 1) div (({n} div 4) + 1) + 1 "
-        f"ELSE ({n} % 4) + ({i} - ({n} % 4) * (({n} div 4) + 1) - 1) "
-        f"div ({n} div 4) + 1 END AS INT)"
-    )
+    from ._util import ntile_from_rank
+
+    return ntile_from_rank(rank_col, "_n_users", 4)
 
 
 def q_ev_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1356,9 +1356,13 @@ FROM events GROUP BY event_type
 # its own; for each candidate watermark delay the audit reports how many
 # events a `withWatermark(delay)` would drop and the residual late rate —
 # exactly the table an engineer reads before picking the q_stream_* delay.
-# Integer µs end-to-end. Scale shape: one global arrival-order running-max
-# window (the audit's cost — production would sample), then a single
-# aggregate unpivoted over the constant delay lattice.
+# Integer µs end-to-end. Scale shape (round 7): the arrival-order
+# running max is PARTITION-PARALLEL — the two-phase prefix-max
+# (core.spark_engine.global_running_max: range-partition on arrival
+# order, per-partition running max, broadcast prefix maxima), never an
+# unpartitioned window funnelling |events| through one task — then a
+# single aggregate unpivoted over the constant delay lattice. The plan
+# embeds the prefix-max localCheckpoint (plan_audit._IMPERATIVE).
 
 _WM_JITTER_US = 120_000_000
 _WM_DELAYS_S = (0, 10, 30, 60, 120)
@@ -1380,12 +1384,11 @@ def q_ev_watermark_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             % _WM_JITTER_US
         ).alias("a_us"),
     )
-    w = Window.orderBy("a_us", "event_id").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    late = arr.select(
-        (F.max("t_us").over(w) - F.col("t_us")).alias("late_us")
-    )
+    from ..core.spark_engine import global_running_max
+
+    late = global_running_max(
+        spark, arr, ["a_us", "event_id"], "t_us", "_runmax"
+    ).select((F.col("_runmax") - F.col("t_us")).alias("late_us"))
     aggs = late.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         *[

@@ -780,15 +780,30 @@ FROM o FULL OUTER JOIN s ON o.d = s.d
 def q_window_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE deciles of customer lifetime spend (ties broken by custkey so
     bucket assignment is total-order deterministic), re-aggregated to one
-    row per decile."""
+    row per decile.
+
+    Scale (round 7, the q_ev_rfm shape): the decile comes from a
+    partition-parallel global rank (core.spark_engine.global_row_number
+    — range-partition, per-partition row_number, broadcast offsets) and
+    exact integer NTILE-from-rank arithmetic (_util.ntile_from_rank),
+    never an unpartitioned NTILE window funnelling the |customers| table
+    through one task. Output and oracle unchanged."""
+    from esvc_spark.core.spark_engine import global_row_number
+
+    from ._util import ntile_from_rank
+
     spend = (
         T(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(dsum("o_totalprice", 2).alias("spend"))
     )
-    w = Window.orderBy(F.desc("spend"), "o_custkey")
+    ranked = global_row_number(
+        spark, spend, [F.desc("spend"), F.asc("o_custkey")], "_i"
+    )
+    n = spend.agg(F.count(F.lit(1)).alias("_n"))
     return (
-        spend.withColumn("decile", F.ntile(10).over(w))
+        ranked.crossJoin(F.broadcast(n))
+        .withColumn("decile", ntile_from_rank("_i", "_n", 10))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
@@ -2526,8 +2541,13 @@ def q_histogram_selectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", F.col("o_totalprice").alias("v")
     )
     n_tot = orders.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    w = Window.orderBy("v", "o_orderkey")
-    ranked = orders.withColumn("rn", F.row_number().over(w))
+    # partition-parallel global rank (round 7, the q_ev_rfm machinery):
+    # the previous unpartitioned row_number funnelled |orders| through
+    # one task; the boundary picks only need exact ranks, which the
+    # two-phase prefix sum provides at any scale
+    from esvc_spark.core.spark_engine import global_row_number
+
+    ranked = global_row_number(spark, orders, ["v", "o_orderkey"], "rn")
     # boundary rows: rn = (n*k) div B for k = 1..B (positional picks)
     ks = spark.range(1, _HS_BUCKETS + 1).select(F.col("id").alias("k"))
     marks = (
@@ -2782,10 +2802,53 @@ FROM stats
 #   rle+dict= runs · (ceil(log2 d) + run-length varint≈2 bytes)
 # — all integers, ceil(log2) via the length of the binary string, so the
 # advice ("sort this column, RLE wins 40×") is engine-exact. Scale shape:
-# per column one NDV aggregate + one lag window for runs under each
-# ordering; output is |columns|×|orderings| rows.
+# per column one NDV aggregate + a PARTITION-PARALLEL run count under
+# each ordering (two-phase: within-range-partition lag + a P-row
+# boundary correction, see _ordered_runs — round 7 removed the
+# unpartitioned lag window); output is |columns|×|orderings| rows.
 
 _ENC_COLS = ("o_orderstatus", "o_orderpriority", "o_custkey")
+
+
+def _ordered_runs(spark: SparkSession, base: DataFrame, key: str):
+    """Two-phase run detection (round 7): range-partition on the
+    ordering key (pinned by localCheckpoint), count run starts WITHIN
+    each partition (every partition's first row counts as a start),
+    then subtract one for each partition boundary whose neighboring
+    values are equal — a P-row driver-side correction, exactly the
+    exclusive_prefix_sum offset pattern. Replaces the unpartitioned lag
+    window that funnelled the whole table through one task. Returns
+    (per-row frame with new_run/width, boundary correction count)."""
+    p = max(spark.sparkContext.defaultParallelism, 2)
+    part = (
+        base.repartitionByRange(p, F.col(key), F.col("ak"))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    wp = Window.partitionBy("_pid").orderBy(key, "ak")
+    within = part.select(
+        "v",
+        F.when(
+            F.lag("v").over(wp).isNull()
+            | (F.lag("v").over(wp) != F.col("v")),
+            1,
+        ).otherwise(0).alias("new_run"),
+        F.length("v").alias("width"),
+    )
+    okey = F.struct(F.col(key).alias("k1"), F.col("ak").alias("k2"))
+    edges = sorted(
+        part.groupBy("_pid")
+        .agg(
+            F.min_by("v", okey).alias("first_v"),
+            F.max_by("v", okey).alias("last_v"),
+        )
+        .collect(),
+        key=lambda r: r["_pid"],
+    )
+    correction = sum(
+        1 for a, b in zip(edges, edges[1:]) if a["last_v"] == b["first_v"]
+    )
+    return within, correction
 
 
 def q_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2796,19 +2859,12 @@ def q_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderkey").alias("ak"), F.col(col).cast("string").alias("v")
         )
         for ordering, key in (("arrival", "ak"), ("sorted", "v")):
-            w = Window.orderBy(key, "ak")
-            runs = base.select(
-                "v",
-                F.when(
-                    F.lag("v").over(w).isNull()
-                    | (F.lag("v").over(w) != F.col("v")),
-                    1,
-                ).otherwise(0).alias("new_run"),
-                F.length("v").alias("width"),
-            ).agg(
+            within, correction = _ordered_runs(spark, base, key)
+            runs = within.agg(
                 F.count(F.lit(1)).cast("bigint").alias("n"),
                 F.count_distinct("v").cast("bigint").alias("d"),
-                F.sum("new_run").cast("bigint").alias("runs"),
+                (F.sum("new_run") - F.lit(correction)).cast("bigint")
+                .alias("runs"),
                 F.sum("width").cast("bigint").alias("plain_bytes"),
             ).select(
                 F.lit(col).alias("column_name"),

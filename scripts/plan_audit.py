@@ -11,6 +11,7 @@ reached the parquet scan. Re-run after plan-affecting changes:
 from __future__ import annotations
 
 import os
+import re
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -82,6 +83,30 @@ _IMPERATIVE = {
         "plan embeds the prefix-sum localCheckpoint scans + the "
         "broadcast n_users cross join; exact NTILE(4) is integer "
         "arithmetic on (rank, n)"
+    ),
+    "q_window_deciles": (
+        "partition-parallel global rank (global_row_number, the q_ev_rfm "
+        "machinery) + exact integer NTILE(10) from (rank, n); returned "
+        "plan embeds the prefix-sum localCheckpoint scan + the broadcast "
+        "n cross join"
+    ),
+    "q_ev_watermark_plan": (
+        "partition-parallel arrival-order running max "
+        "(global_running_max: range-partition + per-partition running "
+        "max + broadcast prefix maxima); returned plan embeds the "
+        "prefix-max localCheckpoint scan; delay lattice is a constant "
+        "stack unpivot"
+    ),
+    "q_histogram_selectivity": (
+        "partition-parallel global rank (global_row_number) for the "
+        "equi-depth boundary picks; returned plan embeds the prefix-sum "
+        "localCheckpoint scan; bucket lattice and truth arm are tiny "
+        "broadcast joins (zonemap shape)"
+    ),
+    "q_encoding_advisor": (
+        "six two-phase run counts (_ordered_runs: within-range-partition "
+        "lag + P-row boundary correction, one per column x ordering); "
+        "returned plan embeds the six checkpoint scans"
     ),
     "q_esvc_replay": "event-log orchestration (many fingerprint jobs)",
     "q_esvc_merge": "event-log orchestration (many fingerprint jobs)",
@@ -235,18 +260,23 @@ def main() -> None:
         "# PLANS — physical-plan profile of the query surface",
         "",
         "Generated by `scripts/plan_audit.py` at sf0.001 (plan shape is",
-        "sf-independent). `sh` = shuffle exchanges, `bhj`/`smj`/`nlj` =",
-        "broadcast-hash / sort-merge / nested-loop joins, `pushed` = #",
-        "predicates reaching a parquet scan. Every `nlj` is annotated —",
-        "unannotated nested loops are treated as regressions by",
-        "tests/test_plans.py's contract checks.",
+        "sf-independent). `sh` = shuffle exchanges, `1p` = SinglePartition",
+        "exchanges (whole input through ONE task — must only ever sit over",
+        "BOUNDED frames: value histograms, top-k survivors, single-row",
+        "reductions; round 7 removed the last corpus-proportional ones),",
+        "`bhj`/`smj`/`nlj` = broadcast-hash / sort-merge / nested-loop",
+        "joins, `pushed` = # predicates reaching a parquet scan. Every",
+        "`nlj` is annotated — unannotated nested loops are treated as",
+        "regressions by tests/test_plans.py's contract checks.",
         "",
-        "| query | sh | bhj | smj | nlj | pushed | note |",
-        "|---|---|---|---|---|---|---|",
+        "| query | sh | 1p | bhj | smj | nlj | pushed | note |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     for name, fn in all_queries().items():
         if name in _IMPERATIVE:
-            lines.append(f"| {name} | — | — | — | — | — | {_IMPERATIVE[name]} |")
+            lines.append(
+                f"| {name} | — | — | — | — | — | — | {_IMPERATIVE[name]} |"
+            )
             continue
         st = plan_stats(fn(spark, sf))
         nlj = st.get("nested_loop_joins", 0)
@@ -254,7 +284,8 @@ def main() -> None:
         if nlj and not note:
             note = "UNEXPECTED NESTED LOOP"
         lines.append(
-            f"| {name} | {st['shuffles']} | {st.get('broadcast_hash_joins', 0)} "
+            f"| {name} | {st['shuffles']} | {st.get('single_partition', 0)} "
+            f"| {st.get('broadcast_hash_joins', 0)} "
             f"| {st.get('sort_merge_joins', 0)} | {nlj} "
             f"| {len(st.get('pushed_filters', []))} | {note} |"
         )
@@ -264,7 +295,11 @@ def main() -> None:
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
     bad = [ln for ln in lines if "UNEXPECTED" in ln]
-    print(f"wrote {out} ({len(lines) - 11} queries), unexpected NLJs: {len(bad)}")
+    n_rows = sum(
+        1 for ln in lines
+        if ln.startswith("| q_") or re.match(r"\| q\d", ln)
+    )
+    print(f"wrote {out} ({n_rows} queries), unexpected NLJs: {len(bad)}")
     sys.exit(1 if bad else 0)
 
 

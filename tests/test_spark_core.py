@@ -335,3 +335,47 @@ def test_word_lines_hash_join_path_matches_broadcast(spark, sf_dir, monkeypatch)
     hashed = esvc_q._word_lines(spark, sf_dir).orderBy("line_no").collect()
     assert bcast == hashed
     assert [r["line_no"] for r in bcast] == list(range(len(bcast)))
+
+
+def test_global_rank_helpers_match_single_window(spark):
+    """The two-phase partition-parallel helpers (global_row_number,
+    global_running_max) are plan-shape optimizations only: on a random
+    frame they must equal the unpartitioned-window formulation row for
+    row, whatever the range partitioner sampled."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from esvc_spark.core.spark_engine import (
+        global_row_number,
+        global_running_max,
+    )
+
+    rng = random.Random(42)
+    rows = [(i, rng.randint(0, 40), rng.randint(-100, 100)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id BIGINT, k BIGINT, x BIGINT").repartition(7)
+
+    got_rank = {
+        r["id"]: r["rn"]
+        for r in global_row_number(spark, df, ["k", "id"], "rn").collect()
+    }
+    w = Window.orderBy("k", "id")
+    want_rank = {
+        r["id"]: r["rn"]
+        for r in df.withColumn(
+            "rn", F.row_number().over(w).cast("bigint")
+        ).collect()
+    }
+    assert got_rank == want_rank
+
+    got_max = {
+        r["id"]: r["m"]
+        for r in global_running_max(spark, df, ["k", "id"], "x", "m").collect()
+    }
+    wm = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want_max = {
+        r["id"]: r["m"]
+        for r in df.withColumn("m", F.max("x").over(wm)).collect()
+    }
+    assert got_max == want_max
