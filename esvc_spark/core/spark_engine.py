@@ -137,6 +137,98 @@ def exclusive_prefix_sum(
     )
 
 
+def grouped_exclusive_prefix_sum(
+    spark: SparkSession,
+    df: DataFrame,
+    group_cols: list,
+    order_cols: list,  # str names or Column sort orders (F.desc(...))
+    value_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Per-GROUP exclusive prefix sum of `value_col` in `order_cols`
+    order — the grouped twin of exclusive_prefix_sum, for the plan shape
+    a per-group window over a LOW-CARDINALITY key produces at scale: a
+    `Window.partitionBy(event_type)` over 1e9 events funnels each type's
+    whole partition through one task, while this runs every stage
+    partition-parallel. Range-partition on (group, order) so each
+    group's rows are contiguous across partitions, pin with
+    localCheckpoint, collect the P×|groups| per-(partition, group)
+    partial sums (the only driver-side data — use the plain grouped
+    window instead when |groups| is high-cardinality, since then each
+    group is small and the window already parallelizes), fold them into
+    per-group offsets, and add the within-partition running sum.
+    NULL `value_col` counts as 0 (matching exclusive_prefix_sum)."""
+    from pyspark.sql import Window
+
+    val = F.coalesce(F.col(value_col), F.lit(0))
+    p = max(spark.sparkContext.defaultParallelism, 2)
+    part = (
+        df.repartitionByRange(p, *group_cols, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    sums = part.groupBy("_pid", *group_cols).agg(
+        F.sum(value_col).alias("_s")
+    ).collect()
+    acc: dict = {}
+    offs = []
+    for r in sorted(sums, key=lambda r: r["_pid"]):
+        g = tuple(r[c] for c in group_cols)
+        offs.append((r["_pid"], *g, acc.get(g, 0)))
+        acc[g] = acc.get(g, 0) + (r["_s"] or 0)
+    gtypes = dict(part.dtypes)
+    vt = gtypes[value_col]
+    off_type = (
+        "BIGINT" if vt in ("tinyint", "smallint", "int", "bigint") else vt
+    )
+    schema = ", ".join(
+        ["_pid INT"]
+        + [f"{c} {gtypes[c]}" for c in group_cols]
+        + [f"_off {off_type}"]
+    )
+    off_df = spark.createDataFrame(offs, schema)
+    w = (
+        Window.partitionBy("_pid", *group_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # NULL group keys: join on null-safe equality so a NULL group (the
+    # degenerate-suite convention allows NULL lang/event_type) gets its
+    # offset like any other group
+    cond = [part["_pid"] == off_df["_pid"]] + [
+        part[c].eqNullSafe(off_df[c]) for c in group_cols
+    ]
+    joined = part.join(F.broadcast(off_df), cond).drop(off_df["_pid"])
+    for c in group_cols:
+        joined = joined.drop(off_df[c])
+    return (
+        joined.withColumn(out_col, F.sum(val).over(w) - val + F.col("_off"))
+        .drop("_pid", "_off")
+    )
+
+
+def grouped_row_number(
+    spark: SparkSession,
+    df: DataFrame,
+    group_cols: list,
+    order_cols: list,
+    out_col: str,
+) -> DataFrame:
+    """1-based per-group ROW_NUMBER in `order_cols` order, computed
+    partition-parallel via grouped_exclusive_prefix_sum of a constant 1
+    — the scale replacement for `row_number().over(Window.partitionBy(
+    low_cardinality_key).orderBy(...))`. Deterministic iff (group,
+    order) is a total order."""
+    tmp = "_grn_one"
+    out = grouped_exclusive_prefix_sum(
+        spark, df.withColumn(tmp, F.lit(1)), group_cols, order_cols,
+        tmp, out_col,
+    )
+    return out.withColumn(
+        out_col, (F.col(out_col) + F.lit(1)).cast("bigint")
+    ).drop(tmp)
+
+
 def global_running_max(
     spark: SparkSession,
     df: DataFrame,

@@ -50,6 +50,10 @@ _FRONT = (
     "q_ev_watermark_plan",
     "q_histogram_selectivity",
     "q_encoding_advisor",
+    "q_ev_mad_outliers",
+    "q_doc_pack",
+    "q_doc_neyman_sample",
+    "q_doc_ccnet_buckets",
     # changed this round: NULL-label majority tiebreak pin /
     # degenerate-label ood convention / uuid bucket tables
     "q_emb_label_consistency",
@@ -77,7 +81,6 @@ _FRONT = (
     "q_doc_negatives",
     "q_doc_ngram_jaccard",
     "q_doc_normalize",
-    "q_doc_pack",
     "q_doc_quality",
     "q_doc_sample_mixture",
     "q_doc_simhash",

@@ -154,8 +154,10 @@ FROM stats LEFT JOIN cov USING (lang)
 # Concat-and-chunk sequence packing: documents are laid end-to-end per
 # language in doc_id order and cut into fixed token-budget bins (the
 # packing step that turns a curated corpus into training sequences).
-# bin = cumulative-token-count div budget — one window cumsum per lang
-# partition, then one aggregate; deterministic because the layout order
+# bin = exclusive-cumulative-token-count div budget — computed
+# partition-parallel via grouped_exclusive_prefix_sum (round 7; a
+# per-lang window cumsum would put each language's whole corpus in one
+# task), then one aggregate; deterministic because the layout order
 # (lang, doc_id) is total. Reported per bin: docs, tokens, fill ratio.
 
 _PACK_BUDGET = 256
@@ -168,12 +170,18 @@ def q_doc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs.select(
         "lang", "doc_id", F.size(_TOKENS()).cast("bigint").alias("n_tokens")
     )
-    w = Window.partitionBy("lang").orderBy("doc_id")
-    binned = d.withColumn(
-        "bin",
-        F.expr(f"CAST((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) "
-               f"- n_tokens) div {_PACK_BUDGET} AS BIGINT)"),
-    )
+    # per-lang exclusive prefix token sum, PARTITION-PARALLEL (round 7):
+    # lang is a low-cardinality key, so the previous partitionBy(lang)
+    # running-sum window put each language's whole corpus in one task;
+    # grouped_exclusive_prefix_sum keeps the packing scan parallel with
+    # only a P×|langs| offset table on the driver.
+    from ..core.spark_engine import grouped_exclusive_prefix_sum
+
+    binned = grouped_exclusive_prefix_sum(
+        spark, d, ["lang"], ["doc_id"], "n_tokens", "_pre"
+    ).withColumn(
+        "bin", F.expr(f"CAST(_pre div {_PACK_BUDGET} AS BIGINT)")
+    ).drop("_pre")
     return binned.groupBy("lang", "bin").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
@@ -1129,8 +1137,10 @@ SELECT * FROM scores ORDER BY dsir_score DESC, doc_id LIMIT {_DSIR_TAKE}
 #
 # Scale shape: one narrow per-stratum moment aggregate (map-side
 # combined), the allocation arithmetic on the |langs|-row table, and one
-# per-stratum rank window for the draw — raw docs are scanned twice
-# (moments, draw), shuffled once by the window.
+# PARTITION-PARALLEL per-stratum draw rank (grouped_row_number, round 7
+# — a per-lang rank window would put each stratum in one task) — raw
+# docs are scanned twice (moments, draw), shuffled once by the rank's
+# range partitioner.
 
 _NEYMAN_N = 100
 
@@ -1182,14 +1192,18 @@ def q_doc_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("quota", F.least(F.col("alloc"), F.col("n_docs")))
     )
-    ranked = docs.withColumn(
+    # per-lang hash-ordered draw rank, partition-parallel (round 7 —
+    # the q_ev_mad_outliers grouped_row_number shape; a partitionBy(lang)
+    # window would funnel each stratum through one task)
+    from ..core.spark_engine import grouped_row_number
+
+    ranked = grouped_row_number(
+        spark,
+        docs.withColumn("_hk", _h(F.col("doc_id").cast("string"))),
+        ["lang"],
+        ["_hk", "doc_id"],
         "rk",
-        F.row_number().over(
-            Window.partitionBy("lang").orderBy(
-                _h(F.col("doc_id").cast("string")), F.col("doc_id")
-            )
-        ),
-    )
+    ).drop("_hk")
     sampled = (
         ranked.join(
             F.broadcast(alloc.select("lang", "quota")), "lang", "inner"

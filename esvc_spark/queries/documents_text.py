@@ -352,9 +352,11 @@ FROM scored GROUP BY doc_id
 # are absent (no fluency evidence), mirrored by the oracle.
 #
 # Scale: the model aggregates are map-side-combined counts; the per-lang
-# NTILE is a per-language sort — fine while each language fits a range
-# partition (CCNet itself shards per language); at 100× replace with
-# approx-quantile score cutoffs to avoid the per-key global sort.
+# tercile comes from a PARTITION-PARALLEL grouped rank plus exact
+# integer NTILE-from-rank arithmetic (round 7 — the q_ev_rfm shape,
+# grouped: a partitionBy(lang) NTILE window would put each language's
+# whole corpus in one task, and languages are exactly the skewed hot
+# keys at 100 TB). Oracle NTILE unchanged.
 
 _CCNET_TILES = 3
 
@@ -401,8 +403,24 @@ def q_doc_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("psum") / F.col("n_bigrams")).alias("lm_score"),
         )
     )
-    wl = Window.partitionBy("lang").orderBy(F.col("lm_score").desc(), "doc_id")
-    ranked = perdoc.withColumn("tercile", F.ntile(_CCNET_TILES).over(wl))
+    from ..core.spark_engine import grouped_row_number
+
+    from ._util import ntile_from_rank
+
+    # null-safe count join: lang is nullable and the NULL-lang stratum
+    # terciles like any other (the previous partitionBy window kept it)
+    nl = perdoc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_nl")
+    ).withColumnRenamed("lang", "_lang")
+    ranked = (
+        grouped_row_number(
+            spark, perdoc, ["lang"], [F.desc("lm_score"), F.asc("doc_id")],
+            "_rk",
+        )
+        .join(F.broadcast(nl), F.col("lang").eqNullSafe(F.col("_lang")))
+        .drop("_lang")
+        .withColumn("tercile", ntile_from_rank("_rk", "_nl", _CCNET_TILES))
+    )
     return ranked.groupBy("lang", "tercile").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_bigrams").cast("bigint").alias("total_bigrams"),

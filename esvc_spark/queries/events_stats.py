@@ -1030,9 +1030,12 @@ LEFT JOIN (SELECT sc, p FROM s{_MK_STEPS} WHERE state = 'conv') r
 # medians picked positionally (row_number at (n+1) div 2 with ties pinned
 # by event_id), so both engines select the SAME physical value and no
 # float interpolation ever happens; |v − med| and the 3·MAD comparison are
-# pure IEEE ops on identical inputs. Scale shape: two row_number windows
-# partitioned by event_type (the natural key), one broadcast join of the
-# ≤|types| median table back — no global sort, no collect.
+# pure IEEE ops on identical inputs. Scale shape (round 7): two
+# PARTITION-PARALLEL grouped ranks (core.spark_engine.grouped_row_number
+# — event_type is low-cardinality, so a partitionBy(type) window would
+# put each type's whole event set in one task), one broadcast join of
+# the ≤|types| median table back; the only driver-side data is the
+# P×|types| rank-offset table.
 
 _MAD_K = 3  # flag |v - med| > K * MAD
 
@@ -1047,22 +1050,32 @@ def q_ev_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "value")
         .filter(F.col("value").isNotNull())
     )
+    # Per-type exact medians by rank, computed PARTITION-PARALLEL
+    # (round 7): event_type is a low-cardinality key, so the previous
+    # partitionBy(event_type) row_number funnelled each type's whole
+    # event set through one task; grouped_row_number (range-partition on
+    # (type, value, id), per-partition ranks, broadcast per-(partition,
+    # type) offsets) keeps every stage parallel at any |events|.
+    from ..core.spark_engine import grouped_row_number
+
     n = ev.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    w1 = Window.partitionBy("event_type").orderBy("value", "event_id")
     med = (
-        ev.withColumn("rn", F.row_number().over(w1))
+        grouped_row_number(
+            spark, ev, ["event_type"], ["value", "event_id"], "rn"
+        )
         .join(F.broadcast(n), "event_type")
         .filter(F.expr("rn = (n + 1) div 2"))
         .select("event_type", F.col("value").alias("med"))
     )
     # dev feeds both the MAD median branch and the final aggregate —
-    # persist it, or the full-events row_number window runs twice
+    # persist it, or the deviation computation runs twice
     dev = ev.join(F.broadcast(med), "event_type").withColumn(
         "d", F.abs(F.col("value") - F.col("med"))
     ).transform(_tp)
-    w2 = Window.partitionBy("event_type").orderBy("d", "event_id")
     mad = (
-        dev.withColumn("rn", F.row_number().over(w2))
+        grouped_row_number(
+            spark, dev, ["event_type"], ["d", "event_id"], "rn"
+        )
         .join(F.broadcast(n), "event_type")
         .filter(F.expr("rn = (n + 1) div 2"))
         .select("event_type", F.col("d").alias("mad"))

@@ -108,6 +108,28 @@ _IMPERATIVE = {
         "lag + P-row boundary correction, one per column x ordering); "
         "returned plan embeds the six checkpoint scans"
     ),
+    "q_ev_mad_outliers": (
+        "two partition-parallel grouped ranks (grouped_row_number: "
+        "range-partition on (type, value, id) + per-partition ranks + "
+        "broadcast P x |types| offsets) for the positional medians; "
+        "returned plan embeds the two checkpoint scans + broadcast "
+        "median/MAD joins"
+    ),
+    "q_doc_pack": (
+        "partition-parallel per-lang exclusive prefix token sum "
+        "(grouped_exclusive_prefix_sum); returned plan embeds the "
+        "prefix-sum checkpoint scan + the bin aggregate"
+    ),
+    "q_doc_neyman_sample": (
+        "partition-parallel per-lang draw rank (grouped_row_number); "
+        "returned plan embeds the rank checkpoint scan + the "
+        "|langs|-row allocation joins"
+    ),
+    "q_doc_ccnet_buckets": (
+        "partition-parallel per-lang fluency rank (grouped_row_number) "
+        "+ exact integer NTILE(3) from (rank, n_lang); returned plan "
+        "embeds the rank checkpoint scan + broadcast lang-count join"
+    ),
     "q_esvc_replay": "event-log orchestration (many fingerprint jobs)",
     "q_esvc_merge": "event-log orchestration (many fingerprint jobs)",
     "q_esvc_editor": "event-log orchestration (many fingerprint jobs)",

@@ -379,3 +379,62 @@ def test_global_rank_helpers_match_single_window(spark):
         for r in df.withColumn("m", F.max("x").over(wm)).collect()
     }
     assert got_max == want_max
+
+
+def test_grouped_rank_helpers_match_grouped_window(spark):
+    """grouped_row_number / grouped_exclusive_prefix_sum equal the
+    plain partitionBy(group) window formulation on a random frame with
+    a NULL group key (the degenerate-suite convention)."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from esvc_spark.core.spark_engine import (
+        grouped_exclusive_prefix_sum,
+        grouped_row_number,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (
+            i,
+            rng.choice(["a", "b", "c", None]),
+            rng.randint(0, 30),
+            rng.randint(0, 9),
+        )
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(
+        rows, "id BIGINT, g STRING, k BIGINT, x BIGINT"
+    ).repartition(5)
+
+    got = {
+        r["id"]: r["rn"]
+        for r in grouped_row_number(
+            spark, df, ["g"], ["k", "id"], "rn"
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy("k", "id")
+    want = {
+        r["id"]: r["rn"]
+        for r in df.withColumn(
+            "rn", F.row_number().over(w).cast("bigint")
+        ).collect()
+    }
+    assert got == want
+
+    got_s = {
+        r["id"]: r["ps"]
+        for r in grouped_exclusive_prefix_sum(
+            spark, df, ["g"], ["k", "id"], "x", "ps"
+        ).collect()
+    }
+    ws = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want_s = {
+        r["id"]: r["ps"]
+        for r in df.withColumn(
+            "ps", F.sum("x").over(ws) - F.col("x")
+        ).collect()
+    }
+    assert got_s == want_s
