@@ -54,6 +54,22 @@ _FRONT = (
     "q_doc_pack",
     "q_doc_neyman_sample",
     "q_doc_ccnet_buckets",
+    # changed this round: two-phase per-group top-k (operators/topk.py)
+    "q_emb_knn_cosine",
+    "q_emb_ivf_knn",
+    "q_rag_retrieval",
+    "q_emb_pq_search",
+    "q_emb_binary_hamming",
+    "q_emb_recall_curve",
+    "q_emb_mmr",
+    "q_emb_filtered_ann",
+    "q_emb_hard_negatives",
+    "q_emb_ivfpq_search",
+    "q_emb_cluster_sample",
+    "q_emb_ann_recall",
+    "q_doc_bm25",
+    "q_doc_rrf_fusion",
+    "q_mm_audio_match",
     # changed this round: NULL-label majority tiebreak pin /
     # degenerate-label ood convention / uuid bucket tables
     "q_emb_label_consistency",

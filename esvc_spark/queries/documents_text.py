@@ -546,10 +546,16 @@ def q_doc_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_hit_terms"),
         ofold_sum("term", "contrib").alias("score"),
     )
-    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), "doc_id")
+    # two-phase per-query top-k (operators/topk.py): the hit set is
+    # corpus-proportional for common terms
+    from ..operators.topk import topk_per_group
+
     return (
-        per.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= _BM25_TOPK)
+        topk_per_group(
+            per, ["qid"], [F.col("score").desc(), F.col("doc_id")],
+            _BM25_TOPK,
+        )
+        .withColumn("rank", F.col("rank").cast("bigint"))
         .select("qid", "doc_id", "n_hit_terms", "score", "rank")
     )
 
@@ -1640,20 +1646,28 @@ def q_doc_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", "doc_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
     )
-    wl = Window.partitionBy("query_id").orderBy(
-        F.desc("jacc_q"), F.col("doc_id")
-    )
+    # two-phase per-query top-k on both retrieval arms
+    # (operators/topk.py): the lexical hit set and the semantic scored
+    # set are corpus-proportional; only the fused <=2*pool window stays
+    # a plain per-query window (bounded by construction)
+    from ..operators.topk import topk_per_group
+
     lex = (
-        inter.join(sizes, "doc_id")
-        .join(F.broadcast(qsizes), "query_id")
-        .select(
-            "query_id",
-            "doc_id",
-            F.expr("(inter * 1048576) div (qsz + sz - inter)")
-            .alias("jacc_q"),
+        topk_per_group(
+            inter.join(sizes, "doc_id")
+            .join(F.broadcast(qsizes), "query_id")
+            .select(
+                "query_id",
+                "doc_id",
+                F.expr("(inter * 1048576) div (qsz + sz - inter)")
+                .alias("jacc_q"),
+            ),
+            ["query_id"],
+            [F.desc("jacc_q"), F.asc("doc_id")],
+            _RRF_POOL,
+            "lex_rank",
         )
-        .withColumn("lex_rank", F.row_number().over(wl).cast("bigint"))
-        .filter(F.col("lex_rank") <= _RRF_POOL)
+        .withColumn("lex_rank", F.col("lex_rank").cast("bigint"))
         .select("query_id", "doc_id", "lex_rank")
     )
     e = _emb_normed(spark, sf_dir)
@@ -1662,20 +1676,22 @@ def q_doc_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("emb").alias("qemb"),
         F.col("nrm").alias("qnrm"),
     )
-    ws = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.col("doc_id")
-    )
     sem = (
-        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("doc_id"),
-            cosine_prenorm(
-                F.col("qemb"), F.col("emb"), F.col("qnrm"), F.col("nrm")
-            ).alias("cos_sim"),
+        topk_per_group(
+            e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("doc_id"),
+                cosine_prenorm(
+                    F.col("qemb"), F.col("emb"), F.col("qnrm"), F.col("nrm")
+                ).alias("cos_sim"),
+            ),
+            ["query_id"],
+            [F.desc("cos_sim"), F.asc("doc_id")],
+            _RRF_POOL,
+            "sem_rank",
         )
-        .withColumn("sem_rank", F.row_number().over(ws).cast("bigint"))
-        .filter(F.col("sem_rank") <= _RRF_POOL)
+        .withColumn("sem_rank", F.col("sem_rank").cast("bigint"))
         .select("query_id", "doc_id", "sem_rank")
     )
     fused = lex.join(sem, ["query_id", "doc_id"], "full_outer").select(

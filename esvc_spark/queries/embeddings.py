@@ -29,6 +29,7 @@ from ..functions.vectors import (
     sql_cosine_prenorm,
     sql_dot,
 )
+from ..operators.topk import topk_per_group
 from ._util import ofold_sum, sql_ofold_sum, tracked_persist as _tp
 
 # Embedding width is fixed (embeddings.embedding FLOAT[64], TESTDATA.md).
@@ -85,12 +86,16 @@ def q_emb_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
-    )
+    # two-phase per-query top-k (round 7, operators/topk.py): the
+    # corpus-scale scored set never funnels through one task per query
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= _K)
+        topk_per_group(
+            scored,
+            ["query_id"],
+            [F.col("cos_sim").desc(), F.col("neighbor_id")],
+            _K,
+        )
+        .withColumn("rank", F.col("rank").cast("bigint"))
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
 
@@ -421,12 +426,16 @@ def q_emb_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()  # a neighbor can surface via both probed cells
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), "neighbor_id"
-    )
+    # two-phase per-query top-k (operators/topk.py): probed cells are a
+    # corpus fraction, not a constant — never one task per query
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= _IVF_TOPK)
+        topk_per_group(
+            scored,
+            ["query_id"],
+            [F.col("cos_sim").desc(), F.col("neighbor_id")],
+            _IVF_TOPK,
+        )
+        .withColumn("rank", F.col("rank").cast("bigint"))
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
 
@@ -496,11 +505,10 @@ def q_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cos_sim"
         ),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "hit_id")
-    hits = (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= _RAG_K)
-    )
+    # two-phase per-query top-k (operators/topk.py)
+    hits = topk_per_group(
+        scored, ["query_id"], [F.col("cos_sim").desc(), F.col("hit_id")], _RAG_K
+    ).withColumn("rank", F.col("rank").cast("bigint"))
     docs = T(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("hit_id"), "lang", "source", "n_chars"
     )
@@ -897,12 +905,11 @@ def q_emb_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", "vec_id")
         .agg(ofold_sum("sub", "qd").alias("adist"))
     )
-    wq = Window.partitionBy("query_id").orderBy("adist", "vec_id")
-    topa = (
-        approx.withColumn("rk", F.row_number().over(wq))
-        .filter(F.col("rk") <= _PQS_K)
-        .select("query_id", "vec_id")
-    )
+    # two-phase per-query top-k on both arms (operators/topk.py): the
+    # ADC table and the exact audit arm are both corpus-row-count sized
+    topa = topk_per_group(
+        approx, ["query_id"], [F.asc("adist"), F.asc("vec_id")], _PQS_K, "rk"
+    ).select("query_id", "vec_id")
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
     )
@@ -914,12 +921,9 @@ def q_emb_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             _km_sqdist(F.col("emb"), F.col("qemb")).alias("d"),
         )
     )
-    we = Window.partitionBy("query_id").orderBy("d", "vec_id")
-    tope = (
-        exact_d.withColumn("rk", F.row_number().over(we))
-        .filter(F.col("rk") <= _PQS_K)
-        .select("query_id", "vec_id")
-    )
+    tope = topk_per_group(
+        exact_d, ["query_id"], [F.asc("d"), F.asc("vec_id")], _PQS_K, "rk"
+    ).select("query_id", "vec_id")
     hits = (
         topa.join(tope, ["query_id", "vec_id"])
         .groupBy("query_id")
@@ -1031,9 +1035,16 @@ def q_emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cos_sim"
         ),
     )
-    w = Window.partitionBy("anchor_id").orderBy(F.col("cos_sim").desc(), "neg_id")
+    # two-phase per-anchor top-k (operators/topk.py): keep the top
+    # _HARD_HI then slice the LO..HI band — identical ranks
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        topk_per_group(
+            scored,
+            ["anchor_id"],
+            [F.col("cos_sim").desc(), F.col("neg_id")],
+            _HARD_HI,
+        )
+        .withColumn("rank", F.col("rank").cast("bigint"))
         .filter(F.col("rank").between(_HARD_LO, _HARD_HI))
         .select("anchor_id", "neg_id", "cos_sim", "rank")
     )
@@ -1468,13 +1479,14 @@ def q_emb_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("int").alias("hamming"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("hamming").asc(), F.col("neighbor_id")
-    )
-    top = (
-        ham.withColumn("brank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("brank") <= _BH_K)
-    )
+    # two-phase per-query top-k (operators/topk.py)
+    top = topk_per_group(
+        ham,
+        ["query_id"],
+        [F.col("hamming").asc(), F.col("neighbor_id")],
+        _BH_K,
+        "brank",
+    ).withColumn("brank", F.col("brank").cast("bigint"))
     exact = q_emb_knn_cosine(spark, sf_dir).select(
         "query_id", "neighbor_id", F.lit(1).alias("in_exact")
     )
@@ -1963,9 +1975,12 @@ FROM per
 # whether the budget actually bound.
 #
 # Scale: cell assignment is the broadcast-centroid join (no all-pairs);
-# the in-cell ranking is one window partitioned by cell — at 100 TB the
-# heavy cells bound the window's partition size, which is exactly what
-# the budget is for; K output rows.
+# the audit needs only per-cell COUNTS, and |kept-balanced| is exactly
+# least(n_members, budget) — so the whole query is one map-side
+# aggregate (round 7 removed the per-cell hash-rank window, which put
+# each of the K cells' corpus share through one task; a MATERIALIZING
+# sampler picks the members with operators/topk.topk_per_group over
+# (h, vec_id), partition-parallel). K output rows.
 
 _CS_BUDGET = 50
 _CS_NAIVE_MOD = 16
@@ -1980,13 +1995,11 @@ def _cs_hash(col: str) -> Column:
 def q_emb_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb_normed(spark, sf_dir)
     cells = _ivf_assign(e, 1, "vec_id").withColumn("h", _cs_hash("vec_id"))
-    w = Window.partitionBy("cell").orderBy("h", "vec_id")
-    ranked = cells.withColumn("srank", F.row_number().over(w))
     return (
-        ranked.groupBy("cell")
+        cells.groupBy("cell")
         .agg(
             F.count(F.lit(1)).alias("n_members"),
-            F.sum((F.col("srank") <= _CS_BUDGET).cast("bigint"))
+            F.least(F.count(F.lit(1)), F.lit(_CS_BUDGET).cast("bigint"))
             .alias("n_kept_balanced"),
             F.sum((F.col("h") % _CS_NAIVE_MOD == 0).cast("bigint"))
             .alias("n_kept_naive"),
@@ -2064,14 +2077,14 @@ def q_emb_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("qemb"), F.col("emb"), F.col("qnrm"), F.col("nrm")
         ).alias("cos_sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), "neighbor_id"
-    )
-    truth = (
-        scored.withColumn("trank", F.row_number().over(w))
-        .filter(F.col("trank") <= kmax)
-        .select("query_id", "neighbor_id", "trank")
-    )
+    # two-phase per-query top-k on both arms (operators/topk.py)
+    truth = topk_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cos_sim").desc(), F.col("neighbor_id")],
+        kmax,
+        "trank",
+    ).select("query_id", "neighbor_id", "trank")
     lists = _ivf_assign(e, 1, "vec_id")
     probes = _ivf_assign(
         e.filter(F.col("vec_id") < _N_QUERIES), _IVF_NPROBE, "query_id"
@@ -2093,14 +2106,13 @@ def q_emb_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("a_sim"),
         )
     )
-    wa = Window.partitionBy("query_id").orderBy(
-        F.col("a_sim").desc(), "neighbor_id"
-    )
-    approx = (
-        ascored.withColumn("arank", F.row_number().over(wa))
-        .filter(F.col("arank") <= kmax)
-        .select("query_id", "neighbor_id", "arank")
-    )
+    approx = topk_per_group(
+        ascored,
+        ["query_id"],
+        [F.col("a_sim").desc(), F.col("neighbor_id")],
+        kmax,
+        "arank",
+    ).select("query_id", "neighbor_id", "arank")
     matched = truth.join(approx, ["query_id", "neighbor_id"])
     ks = F.array(*[F.lit(k) for k in _RC_KS])
     counts = (
@@ -2224,12 +2236,14 @@ def q_emb_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "emb",
         "nrm",
     )
-    wp = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), "cid")
-    cand = (
-        scored.withColumn("rn", F.row_number().over(wp))
-        .filter(F.col("rn") <= _MMR_POOL)
-        .select("query_id", "cid", "rel", "emb", "nrm")
-    ).transform(_tp)  # feeds the sims build + every greedy round
+    # two-phase per-query pool pick (operators/topk.py) — the scored
+    # set is corpus-sized per query
+    cand = topk_per_group(
+        scored, ["query_id"], [F.col("rel").desc(), F.col("cid")],
+        _MMR_POOL, "rn",
+    ).select("query_id", "cid", "rel", "emb", "nrm").transform(
+        _tp
+    )  # feeds the sims build + every greedy round
     ci = cand.select(
         "query_id", F.col("cid").alias("ci"),
         F.col("emb").alias("iemb"), F.col("nrm").alias("inrm"),
@@ -2638,11 +2652,10 @@ def q_emb_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("qnrm"),
     )
     filt = e.filter(F.col("label") == _FANN_LABEL)
-    # exact arm: brute-force top-k over the pre-filtered slice
-    wt = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), "vec_id"
-    )
-    truth = (
+    # exact arm: brute-force top-k over the pre-filtered slice, via the
+    # two-phase per-query top-k (operators/topk.py)
+    _order = [F.col("cos_sim").desc(), F.col("vec_id")]
+    truth = topk_per_group(
         filt.join(F.broadcast(qe), F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -2650,11 +2663,9 @@ def q_emb_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             cosine_prenorm(
                 F.col("qemb"), F.col("emb"), F.col("qnrm"), F.col("nrm")
             ).alias("cos_sim"),
-        )
-        .withColumn("rk", F.row_number().over(wt))
-        .filter(F.col("rk") <= _FANN_K)
-        .select("query_id", "vec_id")
-    )
+        ),
+        ["query_id"], _order, _FANN_K, "rk",
+    ).select("query_id", "vec_id")
     # post-filter arm: unfiltered IVF-nprobe candidates, filter label after
     lists = _ivf_assign(e, 1, "vec_id")
     probes = _ivf_assign(
@@ -2682,8 +2693,7 @@ def q_emb_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_filtered_cands")
     )
     ann = (
-        scored.withColumn("rk", F.row_number().over(wt))
-        .filter(F.col("rk") <= _FANN_K)
+        topk_per_group(scored, ["query_id"], _order, _FANN_K, "rk")
         .select("query_id", "vec_id")
     )
     hits = (
@@ -2821,11 +2831,13 @@ def q_emb_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("qemb"), F.col("emb"), F.col("qnrm"), F.col("nrm")
         ).alias("cos_sim"),
     )
-    wr = Window.partitionBy("anchor_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
-    )
-    top = scored.withColumn("rank", F.row_number().over(wr)).filter(
-        F.col("rank") <= _LC_K
+    # two-phase per-anchor top-k (operators/topk.py); the vote and
+    # majority windows below run over <= _LC_K rows per anchor (bounded)
+    top = topk_per_group(
+        scored,
+        ["anchor_id"],
+        [F.col("cos_sim").desc(), F.col("neighbor_id")],
+        _LC_K,
     )
     votes = top.groupBy("anchor_id", "own_label", "nlabel").agg(
         F.count(F.lit(1)).alias("votes")
@@ -3031,31 +3043,29 @@ def q_emb_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", "vec_id")
         .agg(ofold_sum("sub", "qd").alias("adist"))
     )
-    wq = Window.partitionBy("query_id").orderBy("adist", "vec_id")
-    wc = Window.partitionBy("query_id")
-    ranked = approx.withColumn("rk", F.row_number().over(wq)).withColumn(
-        "nc", F.count(F.lit(1)).over(wc)
-    )
-    topa = ranked.filter(F.col("rk") <= _IVFPQ_K).select("query_id", "vec_id")
+    # two-phase per-query top-k (operators/topk.py); the candidate count
+    # is a plain partition-parallel aggregate, not a count window
+    topa = topk_per_group(
+        approx, ["query_id"], [F.asc("adist"), F.asc("vec_id")],
+        _IVFPQ_K, "rk",
+    ).select("query_id", "vec_id")
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
     )
     exact_d = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
         "query_id", "vec_id", _km_sqdist(F.col("emb"), F.col("qemb")).alias("d")
     )
-    we = Window.partitionBy("query_id").orderBy("d", "vec_id")
-    tope = (
-        exact_d.withColumn("rk", F.row_number().over(we))
-        .filter(F.col("rk") <= _IVFPQ_K)
-        .select("query_id", "vec_id")
-    )
+    tope = topk_per_group(
+        exact_d, ["query_id"], [F.asc("d"), F.asc("vec_id")],
+        _IVFPQ_K, "rk",
+    ).select("query_id", "vec_id")
     hits = (
         topa.join(tope, ["query_id", "vec_id"])
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
-    ncand = ranked.filter(F.col("rk") == 1).select(
-        "query_id", F.col("nc").cast("bigint").alias("n_cand")
+    ncand = approx.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cand")
     )
     ntot = e.agg((F.count(F.lit(1)) - 1).cast("bigint").alias("n_other"))
     return (

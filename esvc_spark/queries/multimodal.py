@@ -704,12 +704,19 @@ def q_mm_audio_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("votes"))
     )
-    wr = Window.partitionBy("query_id").orderBy(
-        F.desc("votes"), F.col("doc_id"), F.col("offset")
-    )
+    # two-phase per-query argmax (operators/topk.py, k=1): the vote
+    # table is one row per matching (doc, offset) pair — corpus-
+    # proportional for a common constellation
+    from ..operators.topk import topk_per_group
+
     return (
-        votes.withColumn("rnk", F.row_number().over(wr))
-        .filter(F.col("rnk") == 1)
+        topk_per_group(
+            votes,
+            ["query_id"],
+            [F.desc("votes"), F.asc("doc_id"), F.asc("offset")],
+            1,
+            "rnk",
+        )
         .select(
             "query_id",
             F.col("doc_id").alias("matched_doc"),

@@ -438,3 +438,39 @@ def test_grouped_rank_helpers_match_grouped_window(spark):
         ).collect()
     }
     assert got_s == want_s
+
+
+def test_topk_per_group_matches_single_window(spark):
+    """topk_per_group equals the single per-group rank window on a
+    random frame, for several k and partitionings."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from esvc_spark.operators.topk import topk_per_group
+
+    rng = random.Random(3)
+    rows = [
+        (i, rng.randint(0, 7), rng.random(), rng.randint(0, 5))
+        for i in range(600)
+    ]
+    for parts in (3, 13):
+        df = spark.createDataFrame(
+            rows, "id BIGINT, g BIGINT, s DOUBLE, t BIGINT"
+        ).repartition(parts)
+        for k in (1, 5, 40):
+            got = sorted(
+                (r["g"], r["rank"], r["id"])
+                for r in topk_per_group(
+                    df, ["g"], [F.desc("s"), F.asc("id")], k
+                ).collect()
+            )
+            w = Window.partitionBy("g").orderBy(F.desc("s"), F.asc("id"))
+            want = sorted(
+                (r["g"], r["rank"], r["id"])
+                for r in df.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .collect()
+            )
+            assert got == want, (parts, k)
