@@ -70,6 +70,8 @@ _FRONT = (
     "q_doc_bm25",
     "q_doc_rrf_fusion",
     "q_mm_audio_match",
+    "q_zonemap_skipping",
+    "q_zorder_layout",
     # changed this round: NULL-label majority tiebreak pin /
     # degenerate-label ood convention / uuid bucket tables
     "q_emb_label_consistency",

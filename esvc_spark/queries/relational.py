@@ -1450,10 +1450,21 @@ def q_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # (l_orderkey, l_linenumber) is NOT unique in the synthetic data, so
     # (k1, k2) has ties; day as the last sort key makes tied rows fully
-    # interchangeable — chunk aggregates are then order-independent
-    wt = Window.partitionBy("layout").orderBy("k1", "k2", "day")
+    # interchangeable — chunk aggregates are then order-independent.
+    # Chunking is partition-parallel (round 7): grouped_row_number +
+    # exact integer NTILE-from-rank, never a per-layout window that
+    # funnels each layout's full table through one task.
+    from esvc_spark.core.spark_engine import grouped_row_number
+
+    from ._util import ntile_from_rank
+
+    nl = rows.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n")
+    )
     zones = (
-        rows.withColumn("chunk", F.ntile(_ZM_CHUNKS).over(wt))
+        grouped_row_number(spark, rows, ["layout"], ["k1", "k2", "day"], "_rk")
+        .join(F.broadcast(nl), "layout")
+        .withColumn("chunk", ntile_from_rank("_rk", "_n", _ZM_CHUNKS))
         .groupBy("layout", "chunk")
         .agg(F.min("day").alias("zmin"), F.max("day").alias("zmax"))
     )
@@ -2371,9 +2382,20 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.col("z").alias("k1"), "akey", "day", "ckey")
         )
     )
-    wt = Window.partitionBy("layout").orderBy("k1", "akey")
+    # partition-parallel chunking (round 7, the zonemap shape):
+    # grouped_row_number + exact NTILE-from-rank instead of a per-layout
+    # window over the whole orders copy
+    from esvc_spark.core.spark_engine import grouped_row_number
+
+    from ._util import ntile_from_rank
+
+    nl = rows.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n")
+    )
     zones = (
-        rows.withColumn("chunk", F.ntile(_ZO_CHUNKS).over(wt))
+        grouped_row_number(spark, rows, ["layout"], ["k1", "akey"], "_rk")
+        .join(F.broadcast(nl), "layout")
+        .withColumn("chunk", ntile_from_rank("_rk", "_n", _ZO_CHUNKS))
         .groupBy("layout", "chunk")
         .agg(
             F.min("day").alias("dlo"), F.max("day").alias("dhi"),

@@ -130,6 +130,18 @@ _IMPERATIVE = {
         "+ exact integer NTILE(3) from (rank, n_lang); returned plan "
         "embeds the rank checkpoint scan + broadcast lang-count join"
     ),
+    "q_zonemap_skipping": (
+        "partition-parallel per-layout chunking (grouped_row_number + "
+        "exact NTILE from (rank, n)); returned plan embeds the rank "
+        "checkpoint scan; zone-vs-predicate overlap joins are tiny "
+        "broadcasts (~85-row predicate side vs 720 zone rows)"
+    ),
+    "q_zorder_layout": (
+        "partition-parallel per-layout chunking (grouped_row_number + "
+        "exact NTILE from (rank, n), zonemap shape); returned plan "
+        "embeds the rank checkpoint scan + bounded predicate-lattice "
+        "broadcast joins"
+    ),
     "q_esvc_replay": "event-log orchestration (many fingerprint jobs)",
     "q_esvc_merge": "event-log orchestration (many fingerprint jobs)",
     "q_esvc_editor": "event-log orchestration (many fingerprint jobs)",
