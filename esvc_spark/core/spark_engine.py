@@ -72,6 +72,12 @@ class SparkDat:
         return hash(self.fingerprint)
 
 
+def _DISK_ONLY():
+    from pyspark import StorageLevel
+
+    return StorageLevel.DISK_ONLY
+
+
 def exclusive_prefix_sum(
     spark: SparkSession,
     df: DataFrame,
@@ -117,7 +123,12 @@ def exclusive_prefix_sum(
     part = (
         df.repartitionByRange(p, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
+        # DISK_ONLY: checkpoint blocks live outside the CacheManager and
+        # survive clearCache(), so a long session running many prefix-sum
+        # queries would otherwise accumulate them in the heap (observed:
+        # OOM halfway through the 224-query sf0.1 attestation); the block
+        # is scanned twice, disk read is fine
+        .localCheckpoint(storageLevel=_DISK_ONLY())
     )
     sums = part.groupBy("_pid").agg(F.sum(value_col).alias("_s")).collect()
     offs, acc = [], 0
@@ -165,7 +176,7 @@ def grouped_exclusive_prefix_sum(
     part = (
         df.repartitionByRange(p, *group_cols, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=_DISK_ONLY())  # heap-safe, see above
     )
     sums = part.groupBy("_pid", *group_cols).agg(
         F.sum(value_col).alias("_s")
@@ -250,7 +261,7 @@ def global_running_max(
     part = (
         df.repartitionByRange(p, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=_DISK_ONLY())  # heap-safe, see above
     )
     maxima = part.groupBy("_pid").agg(F.max(value_col).alias("_m")).collect()
     offs, run = [], None

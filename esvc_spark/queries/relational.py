@@ -2832,6 +2832,12 @@ FROM stats
 _ENC_COLS = ("o_orderstatus", "o_orderpriority", "o_custkey")
 
 
+def _de_disk():
+    from pyspark import StorageLevel
+
+    return StorageLevel.DISK_ONLY
+
+
 def _ordered_runs(spark: SparkSession, base: DataFrame, key: str):
     """Two-phase run detection (round 7): range-partition on the
     ordering key (pinned by localCheckpoint), count run starts WITHIN
@@ -2845,7 +2851,9 @@ def _ordered_runs(spark: SparkSession, base: DataFrame, key: str):
     part = (
         base.repartitionByRange(p, F.col(key), F.col("ak"))
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
+        # DISK_ONLY keeps the six per-ordering checkpoints out of the
+        # heap (core.spark_engine._DISK_ONLY rationale)
+        .localCheckpoint(storageLevel=_de_disk())
     )
     wp = Window.partitionBy("_pid").orderBy(key, "ak")
     within = part.select(

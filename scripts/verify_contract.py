@@ -139,6 +139,16 @@ def main() -> int:
             for v in spark.catalog.listTables():
                 if v.name.startswith("stream_"):
                     spark.catalog.dropTempView(v.name)
+            # localCheckpoint blocks live OUTSIDE the CacheManager —
+            # clearCache() cannot drop them; they are freed only when
+            # the ContextCleaner collects the orphaned RDDs. Nudge both
+            # collectors so checkpoint-heavy queries (two-phase
+            # ranks/prefix sums, cc rounds, editor states) do not
+            # accumulate across a 224-query session.
+            import gc
+
+            gc.collect()
+            spark._jvm.System.gc()
         except Exception:  # noqa: BLE001 - hygiene must never fail a run
             pass
 
