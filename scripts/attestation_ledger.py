@@ -64,9 +64,15 @@ query hash-matched its oracle; the round-7 run also surfaced and fixed
 a long-session heap leak in the harness itself, see verify_contract's
 release_between_queries) and probed every query bit-identical across
 local[4]/shuffle=3 vs local[32]/shuffle=64 — in round 7 AFTER the
-partition-parallel ranking rewrites (gini/rfm/textrank/rake), the
-skyline prefilter, the ingest-contract gate, and the NULL-tiebreak /
-degenerate-label fixes landed.
+full single-task-stage sweep landed: the global ranking rewrites
+(gini/rfm/textrank/rake/deciles/watermark-plan/histogram/encoding),
+the grouped low-cardinality-key rewrites (mad_outliers, pack, neyman,
+ccnet, zonemap, zorder), the two-phase per-query top-k across the
+ANN/retrieval family (operators/topk.py, 16 queries), the skyline
+prefilter, the ingest-contract gate, and the NULL-tiebreak /
+degenerate-label fixes. Every round-7 rewrite is OUTPUT-IDENTICAL:
+the final full-surface probe hashes match the pre-rewrite probe
+bit for bit on all 224 queries.
 
 Maintenance: regenerate after each round's CORRECTNESS file lands
 (`python scripts/attestation_ledger.py`).
