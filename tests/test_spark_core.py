@@ -474,3 +474,63 @@ def test_topk_per_group_matches_single_window(spark):
                 .collect()
             )
             assert got == want, (parts, k)
+
+
+def test_rank_helpers_empty_input(spark):
+    """The two-phase helpers must not blow up on an empty frame (a
+    filter upstream can legitimately produce one)."""
+    from pyspark.sql import functions as F
+
+    from esvc_spark.core.spark_engine import (
+        exclusive_prefix_sum,
+        global_row_number,
+        global_running_max,
+        grouped_exclusive_prefix_sum,
+        grouped_row_number,
+    )
+
+    df = spark.createDataFrame([], "id BIGINT, g STRING, x BIGINT")
+    assert global_row_number(spark, df, ["id"], "rn").count() == 0
+    assert (
+        exclusive_prefix_sum(spark, df, ["id"], "x", "ps").count() == 0
+    )
+    assert (
+        global_running_max(spark, df, ["id"], "x", "m").count() == 0
+    )
+    assert (
+        grouped_row_number(spark, df, ["g"], ["id"], "rn").count() == 0
+    )
+    assert (
+        grouped_exclusive_prefix_sum(
+            spark, df, ["g"], ["id"], "x", "ps"
+        ).count() == 0
+    )
+
+
+def test_ntile_from_rank_matches_real_ntile(spark):
+    """_util.ntile_from_rank is exactly Spark's (and DuckDB's) NTILE for
+    every (n, k) on a small lattice — including n < k."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from esvc_spark.queries._util import ntile_from_rank
+
+    for n in (1, 2, 3, 4, 7, 10, 23):
+        for k in (2, 3, 4, 10):
+            df = spark.range(1, n + 1).select(
+                F.col("id").alias("i"), F.lit(n).cast("bigint").alias("n")
+            )
+            got = {
+                r["i"]: r["t"]
+                for r in df.select(
+                    "i", ntile_from_rank("i", "n", k).alias("t")
+                ).collect()
+            }
+            w = Window.orderBy("i")
+            want = {
+                r["i"]: r["t"]
+                for r in df.select(
+                    "i", F.ntile(k).over(w).alias("t")
+                ).collect()
+            }
+            assert got == want, (n, k)
