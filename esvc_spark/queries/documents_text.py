@@ -407,17 +407,20 @@ def q_doc_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ._util import ntile_from_rank
 
-    # null-safe count join: lang is nullable and the NULL-lang stratum
+    # per-lang counts come from the rank frame itself (max rank = group
+    # size — the input is already checkpointed by grouped_row_number, so
+    # this avoids re-evaluating the whole tokenize+score pipeline);
+    # null-safe join because lang is nullable and the NULL-lang stratum
     # terciles like any other (the previous partitionBy window kept it)
-    nl = perdoc.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("bigint").alias("_nl")
-    ).withColumnRenamed("lang", "_lang")
+    rk = grouped_row_number(
+        spark, perdoc, ["lang"], [F.desc("lm_score"), F.asc("doc_id")],
+        "_rk",
+    )
+    nl = rk.groupBy("lang").agg(F.max("_rk").alias("_nl")).withColumnRenamed(
+        "lang", "_lang"
+    )
     ranked = (
-        grouped_row_number(
-            spark, perdoc, ["lang"], [F.desc("lm_score"), F.asc("doc_id")],
-            "_rk",
-        )
-        .join(F.broadcast(nl), F.col("lang").eqNullSafe(F.col("_lang")))
+        rk.join(F.broadcast(nl), F.col("lang").eqNullSafe(F.col("_lang")))
         .drop("_lang")
         .withColumn("tercile", ntile_from_rank("_rk", "_nl", _CCNET_TILES))
     )

@@ -429,7 +429,9 @@ def q_ev_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("last_ts", "_ri"), ("n_events", "_fi"), ("monetary", "_mi")
     ):
         ranked = global_row_number(spark, ranked, [metric, "user_id"], out)
-    n = per_user.agg(F.count(F.lit(1)).alias("_n_users"))
+    # n from the checkpointed rank frame (max rank = row count) — no
+    # second evaluation of the per-user aggregate
+    n = ranked.agg(F.max("_mi").alias("_n_users"))
     return ranked.crossJoin(F.broadcast(n)).select(
         "user_id",
         "last_ts",

@@ -800,7 +800,9 @@ def q_window_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = global_row_number(
         spark, spend, [F.desc("spend"), F.asc("o_custkey")], "_i"
     )
-    n = spend.agg(F.count(F.lit(1)).alias("_n"))
+    # n from the checkpointed rank frame (max rank = row count) — no
+    # second evaluation of the per-customer aggregate
+    n = ranked.agg(F.max("_i").alias("_n"))
     return (
         ranked.crossJoin(F.broadcast(n))
         .withColumn("decile", ntile_from_rank("_i", "_n", 10))
@@ -1458,12 +1460,12 @@ def q_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ._util import ntile_from_rank
 
-    nl = rows.groupBy("layout").agg(
-        F.count(F.lit(1)).cast("bigint").alias("_n")
-    )
+    rk = grouped_row_number(spark, rows, ["layout"], ["k1", "k2", "day"], "_rk")
+    # per-layout counts from the checkpointed rank frame (max rank =
+    # layout size) — no second evaluation of the 3x-union
+    nl = rk.groupBy("layout").agg(F.max("_rk").alias("_n"))
     zones = (
-        grouped_row_number(spark, rows, ["layout"], ["k1", "k2", "day"], "_rk")
-        .join(F.broadcast(nl), "layout")
+        rk.join(F.broadcast(nl), "layout")
         .withColumn("chunk", ntile_from_rank("_rk", "_n", _ZM_CHUNKS))
         .groupBy("layout", "chunk")
         .agg(F.min("day").alias("zmin"), F.max("day").alias("zmax"))
@@ -2389,12 +2391,11 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ._util import ntile_from_rank
 
-    nl = rows.groupBy("layout").agg(
-        F.count(F.lit(1)).cast("bigint").alias("_n")
-    )
+    rk = grouped_row_number(spark, rows, ["layout"], ["k1", "akey"], "_rk")
+    # per-layout counts from the checkpointed rank frame (zonemap shape)
+    nl = rk.groupBy("layout").agg(F.max("_rk").alias("_n"))
     zones = (
-        grouped_row_number(spark, rows, ["layout"], ["k1", "akey"], "_rk")
-        .join(F.broadcast(nl), "layout")
+        rk.join(F.broadcast(nl), "layout")
         .withColumn("chunk", ntile_from_rank("_rk", "_n", _ZO_CHUNKS))
         .groupBy("layout", "chunk")
         .agg(
@@ -2562,14 +2563,15 @@ def q_histogram_selectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = T(spark, sf_dir, "orders").select(
         "o_orderkey", F.col("o_totalprice").alias("v")
     )
-    n_tot = orders.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     # partition-parallel global rank (round 7, the q_ev_rfm machinery):
     # the previous unpartitioned row_number funnelled |orders| through
     # one task; the boundary picks only need exact ranks, which the
-    # two-phase prefix sum provides at any scale
+    # two-phase prefix sum provides at any scale. n comes from the
+    # checkpointed rank frame (max rank = row count) — no second scan.
     from esvc_spark.core.spark_engine import global_row_number
 
     ranked = global_row_number(spark, orders, ["v", "o_orderkey"], "rn")
+    n_tot = ranked.agg(F.max("rn").alias("n"))
     # boundary rows: rn = (n*k) div B for k = 1..B (positional picks)
     ks = spark.range(1, _HS_BUCKETS + 1).select(F.col("id").alias("k"))
     marks = (
