@@ -68,6 +68,24 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+_ROW_COUNTS: dict[tuple[str, str], int] = {}
+
+
+def table_rows(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Row count of one testdata table — a COUNT over the plain parquet
+    scan (answered from footer metadata, no data read), cached per
+    (sf_dir, table) for the session lifetime since testdata is
+    immutable. Queries use this as the cheap UPPER BOUND they thread
+    into the rank/prefix helpers' `n_rows` size gate: any frame derived
+    from one table (per-user aggregates, per-layout chunk rows, …) has
+    at most the base table's rows, so the bound is safe — small bound →
+    local window, big or unknown → two-phase partition-parallel plan."""
+    key = (sf_dir, name)
+    if key not in _ROW_COUNTS:
+        _ROW_COUNTS[key] = table(spark, sf_dir, name).count()
+    return _ROW_COUNTS[key]
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLES}
 

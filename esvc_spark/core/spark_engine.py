@@ -78,6 +78,36 @@ def _DISK_ONLY():
     return StorageLevel.DISK_ONLY
 
 
+# Below this many ranked rows the single-window plan beats the two-phase
+# machinery (repartitionByRange sampling pass + shuffle + DISK_ONLY
+# checkpoint + offsets collect+join: a fixed ~0.3-0.5 s per invocation
+# on this host, vs one small sort). Crossover measured in-process,
+# min-of-5 interleaved, `scripts/ab_offset_path.py --helpers` (round 8):
+#   1e4 rows  global 0.12 vs 0.39 s  grouped 0.17 vs 0.38 s  (local wins)
+#   1e5 rows  global 0.14 vs 0.35 s  grouped 0.23 vs 0.37 s  (local wins)
+#   1e6 rows  global 0.43 vs 0.41 s  grouped 0.24 vs 0.51 s  (parity/local)
+#   4e6 rows  global 1.74 vs 0.60 s  grouped 0.50 vs 0.96 s  (two-phase
+#                                                             wins global)
+# The global crossover sits at ~1e6; the grouped local window
+# parallelizes over groups so it stays ahead longer, but n_rows bounds
+# TOTAL rows (not the largest group), so one conservative constant
+# serves both: 1<<20, the bound the editor's renumber gate has proven
+# since r5 (_RENUMBER_LOCAL_ROWS). Callers thread `n_rows` (any cheap
+# UPPER BOUND, e.g. the parquet-metadata base-table count via
+# catalog.table_rows) and the helper picks the path; an unknown bound
+# keeps the distributed plan, so scale safety is the default.
+TWO_PHASE_MIN_ROWS = 1 << 20
+
+
+def _use_local(local: bool | None, n_rows: int | None) -> bool:
+    """Resolve the path switch: an explicit `local` wins; otherwise go
+    local only when the caller PROVED the input small (n_rows is an
+    upper bound ≤ TWO_PHASE_MIN_ROWS). Unknown size → distributed."""
+    if local is not None:
+        return local
+    return n_rows is not None and n_rows <= TWO_PHASE_MIN_ROWS
+
+
 def exclusive_prefix_sum(
     spark: SparkSession,
     df: DataFrame,
@@ -85,7 +115,8 @@ def exclusive_prefix_sum(
     value_col: str,
     out_col: str,
     *,
-    local: bool = False,
+    local: bool | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """`df` plus `out_col` = exclusive prefix sum of `value_col` in
     `order_cols` order (row i gets the sum of values strictly before it).
@@ -104,7 +135,12 @@ def exclusive_prefix_sum(
        exploded corpus) share it.
 
     `local=True` keeps the single-window plan — cheapest when the CALLER
-    knows the input is small (one tiny sort beats three jobs).
+    knows the input is small (one tiny sort beats three jobs). With
+    `local=None` (default) the path is derived from `n_rows`, any cheap
+    upper bound on df's rows (parquet-metadata base-table count at the
+    query call sites): ≤ TWO_PHASE_MIN_ROWS → local window, else (or
+    unknown) the two-phase plan. Both paths are bit-identical
+    (tests/test_spark_core.py differential suite).
 
     NULL `value_col` rows count as 0 in BOTH paths (coalesced below, to
     match the driver-side offset coalescing `_s or 0`), so a nullable
@@ -113,7 +149,7 @@ def exclusive_prefix_sum(
     from pyspark.sql import Window
 
     val = F.coalesce(F.col(value_col), F.lit(0))
-    if local:
+    if _use_local(local, n_rows):
         w = (
             Window.orderBy(*order_cols)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -155,6 +191,10 @@ def grouped_exclusive_prefix_sum(
     order_cols: list,  # str names or Column sort orders (F.desc(...))
     value_col: str,
     out_col: str,
+    *,
+    local: bool | None = None,
+    n_rows: int | None = None,
+    max_group_rows: int | None = None,
 ) -> DataFrame:
     """Per-GROUP exclusive prefix sum of `value_col` in `order_cols`
     order — the grouped twin of exclusive_prefix_sum, for the plan shape
@@ -168,10 +208,27 @@ def grouped_exclusive_prefix_sum(
     window instead when |groups| is high-cardinality, since then each
     group is small and the window already parallelizes), fold them into
     per-group offsets, and add the within-partition running sum.
-    NULL `value_col` counts as 0 (matching exclusive_prefix_sum)."""
+    NULL `value_col` counts as 0 (matching exclusive_prefix_sum).
+    `local`/`n_rows` switch to a plain per-group window below
+    TWO_PHASE_MIN_ROWS (see exclusive_prefix_sum) — at that size even
+    the largest group is one small task. The per-group window's real
+    single-task cost is the LARGEST GROUP's sort, so a caller whose
+    groups are bounded by construction (e.g. a per-layout union of G
+    copies of one table — every group is exactly that table) may pass
+    `max_group_rows` instead of / alongside `n_rows`; either bound
+    landing under the threshold selects the local plan."""
     from pyspark.sql import Window
 
     val = F.coalesce(F.col(value_col), F.lit(0))
+    if _use_local(local, n_rows) or (
+        local is None and _use_local(None, max_group_rows)
+    ):
+        w = (
+            Window.partitionBy(*group_cols)
+            .orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return df.withColumn(out_col, F.sum(val).over(w) - val)
     p = max(spark.sparkContext.defaultParallelism, 2)
     part = (
         df.repartitionByRange(p, *group_cols, *order_cols)
@@ -181,17 +238,29 @@ def grouped_exclusive_prefix_sum(
     sums = part.groupBy("_pid", *group_cols).agg(
         F.sum(value_col).alias("_s")
     ).collect()
-    acc: dict = {}
-    offs = []
-    for r in sorted(sums, key=lambda r: r["_pid"]):
-        g = tuple(r[c] for c in group_cols)
-        offs.append((r["_pid"], *g, acc.get(g, 0)))
-        acc[g] = acc.get(g, 0) + (r["_s"] or 0)
     gtypes = dict(part.dtypes)
     vt = gtypes[value_col]
     off_type = (
         "BIGINT" if vt in ("tinyint", "smallint", "int", "bigint") else vt
     )
+    # the accumulator seed must carry the off_type's Python type —
+    # createDataFrame's verifier accepts only float for DOUBLE and
+    # Decimal for DECIMAL (ADVICE r7; integer callers saw int 0, fine)
+    if off_type == "BIGINT":
+        zero: object = 0
+    elif vt.startswith("decimal"):
+        from decimal import Decimal
+
+        zero = Decimal(0)
+    else:
+        zero = 0.0
+    acc: dict = {}
+    offs = []
+    for r in sorted(sums, key=lambda r: r["_pid"]):
+        g = tuple(r[c] for c in group_cols)
+        offs.append((r["_pid"], *g, acc.get(g, zero)))
+        s = r["_s"]
+        acc[g] = acc.get(g, zero) + (s if s is not None else zero)
     schema = ", ".join(
         ["_pid INT"]
         + [f"{c} {gtypes[c]}" for c in group_cols]
@@ -224,16 +293,22 @@ def grouped_row_number(
     group_cols: list,
     order_cols: list,
     out_col: str,
+    *,
+    local: bool | None = None,
+    n_rows: int | None = None,
+    max_group_rows: int | None = None,
 ) -> DataFrame:
     """1-based per-group ROW_NUMBER in `order_cols` order, computed
     partition-parallel via grouped_exclusive_prefix_sum of a constant 1
     — the scale replacement for `row_number().over(Window.partitionBy(
     low_cardinality_key).orderBy(...))`. Deterministic iff (group,
-    order) is a total order."""
+    order) is a total order. `local`/`n_rows`/`max_group_rows`: see
+    grouped_exclusive_prefix_sum (threaded through)."""
     tmp = "_grn_one"
     out = grouped_exclusive_prefix_sum(
         spark, df.withColumn(tmp, F.lit(1)), group_cols, order_cols,
-        tmp, out_col,
+        tmp, out_col, local=local, n_rows=n_rows,
+        max_group_rows=max_group_rows,
     )
     return out.withColumn(
         out_col, (F.col(out_col) + F.lit(1)).cast("bigint")
@@ -246,6 +321,9 @@ def global_running_max(
     order_cols: list,  # str names or Column sort orders (F.desc(...))
     value_col: str,
     out_col: str,
+    *,
+    local: bool | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """`df` plus `out_col` = running MAX of `value_col` over the rows at
     or before this one in `order_cols` order (inclusive prefix max) —
@@ -254,9 +332,17 @@ def global_running_max(
     collect the P per-partition maxima, turn them into exclusive prefix
     maxima on the driver, then greatest(within-partition running max,
     broadcast offset). Partition-parallel at any scale; NULL values are
-    ignored by max in both phases."""
+    ignored by max in both phases. `local`/`n_rows` switch to one small
+    single-task window below TWO_PHASE_MIN_ROWS (see
+    exclusive_prefix_sum)."""
     from pyspark.sql import Window
 
+    if _use_local(local, n_rows):
+        w = (
+            Window.orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return df.withColumn(out_col, F.max(value_col).over(w))
     p = max(spark.sparkContext.defaultParallelism, 2)
     part = (
         df.repartitionByRange(p, *order_cols)
@@ -289,6 +375,9 @@ def global_row_number(
     df: DataFrame,
     order_cols: list,  # str names or Column sort orders (F.desc(...))
     out_col: str,
+    *,
+    local: bool | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """`df` plus `out_col` = 1-based global ROW_NUMBER() in `order_cols`
     order, computed partition-parallel as exclusive_prefix_sum of a
@@ -298,11 +387,13 @@ def global_row_number(
     full key); ties would land on whichever side of a sampled range
     boundary they fall. Spark's ASC default (NULLS FIRST) applies to
     both the range partitioning and the within-partition window, so a
-    DuckDB oracle twin must pin NULLS FIRST explicitly.
+    DuckDB oracle twin must pin NULLS FIRST explicitly. `local`/`n_rows`:
+    see exclusive_prefix_sum (threaded through).
     """
     tmp = "_grn_one"
     out = exclusive_prefix_sum(
-        spark, df.withColumn(tmp, F.lit(1)), order_cols, tmp, out_col
+        spark, df.withColumn(tmp, F.lit(1)), order_cols, tmp, out_col,
+        local=local, n_rows=n_rows,
     )
     return out.withColumn(
         out_col, (F.col(out_col) + F.lit(1)).cast("bigint")

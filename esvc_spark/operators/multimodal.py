@@ -117,8 +117,15 @@ def _decode_png(payload: bytes):
         raise ValueError("not a PNG: bad signature")
     pos, ihdr, idat = 8, None, b""
     while pos < len(payload):
+        # bounds-check BEFORE unpacking: a payload truncated mid-chunk
+        # must raise the documented ValueError family, not struct.error
+        # (callers and tests only anticipate ValueError — ADVICE r7)
+        if pos + 8 > len(payload):
+            raise ValueError("truncated PNG: chunk header cut short")
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
         ctype = payload[pos + 4 : pos + 8]
+        if pos + 12 + length > len(payload):
+            raise ValueError("truncated PNG: chunk body cut short")
         data = payload[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack(
             ">I", payload[pos + 8 + length : pos + 12 + length]

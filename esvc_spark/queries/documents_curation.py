@@ -175,10 +175,14 @@ def q_doc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     # running-sum window put each language's whole corpus in one task;
     # grouped_exclusive_prefix_sum keeps the packing scan parallel with
     # only a P×|langs| offset table on the driver.
+    from ..catalog import table_rows
     from ..core.spark_engine import grouped_exclusive_prefix_sum
 
+    # n_rows: one row per document — metadata-count gate picks one small
+    # window below TWO_PHASE_MIN_ROWS, the two-phase plan above
     binned = grouped_exclusive_prefix_sum(
-        spark, d, ["lang"], ["doc_id"], "n_tokens", "_pre"
+        spark, d, ["lang"], ["doc_id"], "n_tokens", "_pre",
+        n_rows=table_rows(spark, sf_dir, "documents"),
     ).withColumn(
         "bin", F.expr(f"CAST(_pre div {_PACK_BUDGET} AS BIGINT)")
     ).drop("_pre")
@@ -1195,6 +1199,7 @@ def q_doc_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-lang hash-ordered draw rank, partition-parallel (round 7 —
     # the q_ev_mad_outliers grouped_row_number shape; a partitionBy(lang)
     # window would funnel each stratum through one task)
+    from ..catalog import table_rows
     from ..core.spark_engine import grouped_row_number
 
     ranked = grouped_row_number(
@@ -1203,6 +1208,7 @@ def q_doc_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["lang"],
         ["_hk", "doc_id"],
         "rk",
+        n_rows=table_rows(spark, sf_dir, "documents"),
     ).drop("_hk")
     sampled = (
         ranked.join(

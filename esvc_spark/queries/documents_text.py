@@ -412,9 +412,14 @@ def q_doc_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # this avoids re-evaluating the whole tokenize+score pipeline);
     # null-safe join because lang is nullable and the NULL-lang stratum
     # terciles like any other (the previous partitionBy window kept it)
+    # n_rows: perdoc is one row per document, so the parquet-metadata
+    # documents count bounds it — below TWO_PHASE_MIN_ROWS the helper
+    # takes one small window instead of the checkpointed two-phase plan
+    from ..catalog import table_rows
+
     rk = grouped_row_number(
         spark, perdoc, ["lang"], [F.desc("lm_score"), F.asc("doc_id")],
-        "_rk",
+        "_rk", n_rows=table_rows(spark, sf_dir, "documents"),
     )
     nl = rk.groupBy("lang").agg(F.max("_rk").alias("_nl")).withColumnRenamed(
         "lang", "_lang"

@@ -248,20 +248,28 @@ def _word_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     offsets table (~1.6 GB of (id, off)) no longer
     fits a broadcast, and both sides already hash-partition on doc_id
     so the swap adds one bounded exchange, never a driver-sized one."""
+    from ..catalog import table_rows
     from ..core.spark_engine import SparkExEngine, exclusive_prefix_sum
 
-    docs = (
-        T(spark, sf_dir, "documents")
-        .select("doc_id", F.split("text", " ").alias("w"))
-        .repartition(8, "doc_id")
-    )
     # size-conditional offset plan, same policy as the engine's renumber
     # (_RENUMBER_LOCAL_ROWS): the offsets table is |documents| rows, so
     # below the threshold one tiny window beats the two-phase prefix
     # sum's three jobs (measured: 0.28 vs 1.08 s at sf0.1 — see
     # scripts/ab_offset_path.py); above it the two-phase path keeps the
     # plan free of single-task stages. The count is parquet-metadata-only.
-    n_docs = T(spark, sf_dir, "documents").count()
+    n_docs = table_rows(spark, sf_dir, "documents")
+    # partition count scales with the corpus (~1e6 docs per task bounds
+    # the exploded lines table's task size at any scale), floor 8 — the
+    # measured toy-scale optimum, where fewer fatter tasks beat per-task
+    # overhead in the editor's 21 fingerprint aggregates. A literal 8
+    # above the broadcast cap would funnel a >1e8-doc corpus into 8
+    # tasks (ADVICE r7).
+    p_docs = max(8, -(-n_docs // 1_000_000))
+    docs = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .repartition(p_docs, "doc_id")
+    )
     offs = exclusive_prefix_sum(
         spark,
         docs.select("doc_id", F.size("w").cast("bigint").alias("nw")),
@@ -273,7 +281,7 @@ def _word_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = (
         docs.join(F.broadcast(offs), "doc_id")
         if n_docs <= _ED_OFFS_BROADCAST_DOCS
-        else docs.join(offs.repartition(8, "doc_id"), "doc_id")
+        else docs.join(offs.repartition(p_docs, "doc_id"), "doc_id")
     )
     return joined.select(
         "off", F.posexplode("w").alias("wi", "text")

@@ -411,9 +411,12 @@ def _ntile4(rank_col: str) -> "F.Column":
 
 
 def q_ev_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from esvc_spark.catalog import table_rows
     from esvc_spark.core.spark_engine import global_row_number
 
     ev = T(spark, sf_dir, "events")
+    # |users| ≤ |events|: the metadata count gates the three rank passes
+    n_bound = table_rows(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
         F.max("ts").alias("last_ts"),
         F.count(F.lit(1)).alias("n_events"),
@@ -428,7 +431,9 @@ def q_ev_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     for metric, out in (
         ("last_ts", "_ri"), ("n_events", "_fi"), ("monetary", "_mi")
     ):
-        ranked = global_row_number(spark, ranked, [metric, "user_id"], out)
+        ranked = global_row_number(
+            spark, ranked, [metric, "user_id"], out, n_rows=n_bound
+        )
     # n from the checkpointed rank frame (max rank = row count) — no
     # second evaluation of the per-user aggregate
     n = ranked.agg(F.max("_mi").alias("_n_users"))

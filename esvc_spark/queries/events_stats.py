@@ -1056,12 +1056,15 @@ def q_ev_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # event set through one task; grouped_row_number (range-partition on
     # (type, value, id), per-partition ranks, broadcast per-(partition,
     # type) offsets) keeps every stage parallel at any |events|.
+    from ..catalog import table_rows
     from ..core.spark_engine import grouped_row_number
 
+    n_ev = table_rows(spark, sf_dir, "events")
     n = ev.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     med = (
         grouped_row_number(
-            spark, ev, ["event_type"], ["value", "event_id"], "rn"
+            spark, ev, ["event_type"], ["value", "event_id"], "rn",
+            n_rows=n_ev,
         )
         .join(F.broadcast(n), "event_type")
         .filter(F.expr("rn = (n + 1) div 2"))
@@ -1074,7 +1077,8 @@ def q_ev_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).transform(_tp)
     mad = (
         grouped_row_number(
-            spark, dev, ["event_type"], ["d", "event_id"], "rn"
+            spark, dev, ["event_type"], ["d", "event_id"], "rn",
+            n_rows=n_ev,
         )
         .join(F.broadcast(n), "event_type")
         .filter(F.expr("rn = (n + 1) div 2"))

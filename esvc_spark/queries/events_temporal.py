@@ -1384,10 +1384,12 @@ def q_ev_watermark_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             % _WM_JITTER_US
         ).alias("a_us"),
     )
+    from ..catalog import table_rows
     from ..core.spark_engine import global_running_max
 
     late = global_running_max(
-        spark, arr, ["a_us", "event_id"], "t_us", "_runmax"
+        spark, arr, ["a_us", "event_id"], "t_us", "_runmax",
+        n_rows=table_rows(spark, sf_dir, "events"),
     ).select((F.col("_runmax") - F.col("t_us")).alias("late_us"))
     aggs = late.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),

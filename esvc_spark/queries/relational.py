@@ -797,8 +797,12 @@ def q_window_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(dsum("o_totalprice", 2).alias("spend"))
     )
+    # |spend| = distinct custkeys ≤ |orders|: metadata-count size gate
+    from esvc_spark.catalog import table_rows
+
     ranked = global_row_number(
-        spark, spend, [F.desc("spend"), F.asc("o_custkey")], "_i"
+        spark, spend, [F.desc("spend"), F.asc("o_custkey")], "_i",
+        n_rows=table_rows(spark, sf_dir, "orders"),
     )
     # n from the checkpointed rank frame (max rank = row count) — no
     # second evaluation of the per-customer aggregate
@@ -1460,7 +1464,16 @@ def q_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ._util import ntile_from_rank
 
-    rk = grouped_row_number(spark, rows, ["layout"], ["k1", "k2", "day"], "_rk")
+    # groups are balanced by construction (each layout = one lineitem
+    # copy), so the largest group — the local path's one-task cost — is
+    # exactly |lineitem|; below TWO_PHASE_MIN_ROWS the helper takes the
+    # per-layout window (3 parallel tasks), above it the two-phase plan
+    from esvc_spark.catalog import table_rows
+
+    rk = grouped_row_number(
+        spark, rows, ["layout"], ["k1", "k2", "day"], "_rk",
+        max_group_rows=table_rows(spark, sf_dir, "lineitem"),
+    )
     # per-layout counts from the checkpointed rank frame (max rank =
     # layout size) — no second evaluation of the 3x-union
     nl = rk.groupBy("layout").agg(F.max("_rk").alias("_n"))
@@ -1826,8 +1839,11 @@ def q_dq_ingest_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     inf = F.lit(float("inf"))
 
     def b(cond) -> F.Column:
-        # NULL predicate results count as bad via the caller's coalesce
-        return F.sum(cond.cast("int")).cast("bigint")
+        # NULL predicate results count as bad via the caller's coalesce;
+        # the outer coalesce makes SUM over ZERO rows report 0 bad (a
+        # zero-row delivery must gate passed=1 like DuckDB's
+        # COUNT(*) FILTER, not NULL — ADVICE r7)
+        return F.coalesce(F.sum(cond.cast("int")), F.lit(0)).cast("bigint")
 
     def uniq(key: str) -> F.Column:
         # COUNT(key) (not COUNT(*)) so a NULL id is charged only to the
@@ -1897,7 +1913,12 @@ def q_dq_ingest_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "check_name",
         "n_rows",
         "n_bad",
-        (F.col("n_bad").cast("double") / F.col("n_rows").cast("double"))
+        # n_rows = 0 → bad_fraction 0.0 (not NaN): an empty delivery has
+        # zero violations by definition, and both dialects must agree
+        F.when(F.col("n_rows") == 0, F.lit(0.0))
+        .otherwise(
+            F.col("n_bad").cast("double") / F.col("n_rows").cast("double")
+        )
         .alias("bad_fraction"),
         F.when(F.col("n_bad") == 0, 1).otherwise(0).alias("passed"),
     )
@@ -1947,7 +1968,9 @@ def _dqic_sql() -> str:
     return (
         "WITH " + ",\n".join(ctes) + ",\nrows_ AS (\n" + body + "\n)\n"
         "SELECT tbl, check_name, n_rows, n_bad,\n"
-        "       CAST(n_bad AS DOUBLE) / CAST(n_rows AS DOUBLE) AS bad_fraction,\n"
+        "       CASE WHEN n_rows = 0 THEN CAST(0 AS DOUBLE)\n"
+        "            ELSE CAST(n_bad AS DOUBLE) / CAST(n_rows AS DOUBLE)\n"
+        "       END AS bad_fraction,\n"
         "       CASE WHEN n_bad = 0 THEN 1 ELSE 0 END AS passed\nFROM rows_"
     )
 
@@ -2391,7 +2414,14 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ._util import ntile_from_rank
 
-    rk = grouped_row_number(spark, rows, ["layout"], ["k1", "akey"], "_rk")
+    # balanced groups (each layout = one orders copy): largest group =
+    # |orders|, the local path's one-task bound (zonemap rationale)
+    from esvc_spark.catalog import table_rows
+
+    rk = grouped_row_number(
+        spark, rows, ["layout"], ["k1", "akey"], "_rk",
+        max_group_rows=table_rows(spark, sf_dir, "orders"),
+    )
     # per-layout counts from the checkpointed rank frame (zonemap shape)
     nl = rk.groupBy("layout").agg(F.max("_rk").alias("_n"))
     zones = (
@@ -2570,7 +2600,12 @@ def q_histogram_selectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpointed rank frame (max rank = row count) — no second scan.
     from esvc_spark.core.spark_engine import global_row_number
 
-    ranked = global_row_number(spark, orders, ["v", "o_orderkey"], "rn")
+    from esvc_spark.catalog import table_rows
+
+    ranked = global_row_number(
+        spark, orders, ["v", "o_orderkey"], "rn",
+        n_rows=table_rows(spark, sf_dir, "orders"),
+    )
     n_tot = ranked.agg(F.max("rn").alias("n"))
     # boundary rows: rn = (n*k) div B for k = 1..B (positional picks)
     ks = spark.range(1, _HS_BUCKETS + 1).select(F.col("id").alias("k"))
@@ -2840,7 +2875,10 @@ def _de_disk():
     return StorageLevel.DISK_ONLY
 
 
-def _ordered_runs(spark: SparkSession, base: DataFrame, key: str):
+def _ordered_runs(
+    spark: SparkSession, base: DataFrame, key: str,
+    n_rows: int | None = None,
+):
     """Two-phase run detection (round 7): range-partition on the
     ordering key (pinned by localCheckpoint), count run starts WITHIN
     each partition (every partition's first row counts as a start),
@@ -2848,7 +2886,26 @@ def _ordered_runs(spark: SparkSession, base: DataFrame, key: str):
     values are equal — a P-row driver-side correction, exactly the
     exclusive_prefix_sum offset pattern. Replaces the unpartitioned lag
     window that funnelled the whole table through one task. Returns
-    (per-row frame with new_run/width, boundary correction count)."""
+    (per-row frame with new_run/width, boundary correction count).
+
+    `n_rows` (round 8): a cheap upper bound on |base|; at or below
+    core.spark_engine.TWO_PHASE_MIN_ROWS one small lag window beats the
+    six per-ordering checkpoint+collect cycles (the r7 cost:
+    q_encoding_advisor 0.61 → 3.55 s at sf0.1), correction = 0."""
+    from esvc_spark.core.spark_engine import TWO_PHASE_MIN_ROWS
+
+    if n_rows is not None and n_rows <= TWO_PHASE_MIN_ROWS:
+        w = Window.orderBy(key, "ak")
+        within = base.select(
+            "v",
+            F.when(
+                F.lag("v").over(w).isNull()
+                | (F.lag("v").over(w) != F.col("v")),
+                1,
+            ).otherwise(0).alias("new_run"),
+            F.length("v").alias("width"),
+        )
+        return within, 0
     p = max(spark.sparkContext.defaultParallelism, 2)
     part = (
         base.repartitionByRange(p, F.col(key), F.col("ak"))
@@ -2884,14 +2941,17 @@ def _ordered_runs(spark: SparkSession, base: DataFrame, key: str):
 
 
 def q_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from esvc_spark.catalog import table_rows
+
     orders = T(spark, sf_dir, "orders")
+    n_ord = table_rows(spark, sf_dir, "orders")
     out = None
     for col in _ENC_COLS:
         base = orders.select(
             F.col("o_orderkey").alias("ak"), F.col(col).cast("string").alias("v")
         )
         for ordering, key in (("arrival", "ak"), ("sorted", "v")):
-            within, correction = _ordered_runs(spark, base, key)
+            within, correction = _ordered_runs(spark, base, key, n_rows=n_ord)
             runs = within.agg(
                 F.count(F.lit(1)).cast("bigint").alias("n"),
                 F.count_distinct("v").cast("bigint").alias("d"),

@@ -13,7 +13,16 @@ measurement behind `_ED_OFFS_BROADCAST_DOCS` (the size-conditional
 swap that closes the r6 "~10⁸-doc broadcast cap" seam in
 queries/esvc.py:_word_lines).
 
-Usage: python scripts/ab_offset_path.py [--join] [sf_dir] [n_rounds]
+Round 8 adds `--helpers`: the measurement behind
+core.spark_engine.TWO_PHASE_MIN_ROWS — local single-window vs two-phase
+for global_row_number AND grouped_row_number over synthetic frames of
+1e4 / 1e5 / 1e6 / 4e6 rows, interleaved min-of-N in one process. The
+gate exists because the two-phase machinery pays a fixed
+repartitionByRange + DISK_ONLY checkpoint + offsets-collect cost that a
+few-thousand-row ranked frame never amortizes (VERDICT r7 #1: the 15
+round-7 rewrites cost 18.6 → 34.5 s at sf0.1).
+
+Usage: python scripts/ab_offset_path.py [--join|--helpers] [sf_dir] [n_rounds]
 """
 
 import os
@@ -24,9 +33,68 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+def _helpers_ab(spark, n_rounds: int) -> None:
+    import time
+
+    from pyspark.sql import functions as F
+
+    from esvc_spark.core.spark_engine import (
+        global_row_number,
+        grouped_row_number,
+    )
+
+    def frame(n: int):
+        # unique scrambled order key (odd multiplier mod 2^63 is a
+        # bijection) + a 16-ary group key
+        return spark.range(n).select(
+            (F.col("id") * F.lit(2654435761) % F.lit(1 << 62)).alias("k"),
+            (F.col("id") % 16).cast("int").alias("g"),
+        )
+
+    def force(df, out: str) -> float:
+        t0 = time.perf_counter()
+        # aggregate OVER the rank column so Catalyst cannot prune the
+        # window (a bare count() would)
+        df.agg(F.sum(out)).collect()
+        return time.perf_counter() - t0
+
+    for n in (10_000, 100_000, 1_000_000, 4_000_000):
+        for name, run in (
+            (
+                "global",
+                lambda loc: force(
+                    global_row_number(spark, frame(n), ["k"], "rn", local=loc),
+                    "rn",
+                ),
+            ),
+            (
+                "grouped",
+                lambda loc: force(
+                    grouped_row_number(
+                        spark, frame(n), ["g"], ["k"], "rn", local=loc
+                    ),
+                    "rn",
+                ),
+            ),
+        ):
+            run(True)
+            run(False)  # warm both paths
+            loc, two = [], []
+            for _ in range(n_rounds):
+                loc.append(run(True))
+                two.append(run(False))
+            print(
+                f"n={n:>9,} {name:7s} local min={min(loc):.3f}s "
+                f"two_phase min={min(two):.3f}s "
+                f"(all local={[round(x, 2) for x in loc]} "
+                f"two={[round(x, 2) for x in two]})"
+            )
+
+
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--join"]
+    args = [a for a in sys.argv[1:] if a not in ("--join", "--helpers")]
     join_mode = "--join" in sys.argv[1:]
+    helpers_mode = "--helpers" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
     n = int(args[1]) if len(args) > 1 else 5
 
@@ -43,6 +111,11 @@ def main() -> None:
 
     from esvc_spark.catalog import table as T
     from esvc_spark.core.spark_engine import exclusive_prefix_sum
+
+    if helpers_mode:
+        _helpers_ab(spark, n)
+        spark.stop()
+        return
 
     def counts():
         return (

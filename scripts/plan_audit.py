@@ -76,72 +76,6 @@ _IMPERATIVE = {
         "candidate/sim pools, q_emb_shard_plan precedent; corpus touched "
         "once by the knn-shape candidate scoring)"
     ),
-    "q_ev_rfm": (
-        "three partition-parallel global ranks (global_row_number: "
-        "range-partition + per-partition row_number + broadcast "
-        "partition offsets, exclusive_prefix_sum machinery); returned "
-        "plan embeds the prefix-sum localCheckpoint scans + the "
-        "broadcast n_users cross join; exact NTILE(4) is integer "
-        "arithmetic on (rank, n)"
-    ),
-    "q_window_deciles": (
-        "partition-parallel global rank (global_row_number, the q_ev_rfm "
-        "machinery) + exact integer NTILE(10) from (rank, n); returned "
-        "plan embeds the prefix-sum localCheckpoint scan + the broadcast "
-        "n cross join"
-    ),
-    "q_ev_watermark_plan": (
-        "partition-parallel arrival-order running max "
-        "(global_running_max: range-partition + per-partition running "
-        "max + broadcast prefix maxima); returned plan embeds the "
-        "prefix-max localCheckpoint scan; delay lattice is a constant "
-        "stack unpivot"
-    ),
-    "q_histogram_selectivity": (
-        "partition-parallel global rank (global_row_number) for the "
-        "equi-depth boundary picks; returned plan embeds the prefix-sum "
-        "localCheckpoint scan; bucket lattice and truth arm are tiny "
-        "broadcast joins (zonemap shape)"
-    ),
-    "q_encoding_advisor": (
-        "six two-phase run counts (_ordered_runs: within-range-partition "
-        "lag + P-row boundary correction, one per column x ordering); "
-        "returned plan embeds the six checkpoint scans"
-    ),
-    "q_ev_mad_outliers": (
-        "two partition-parallel grouped ranks (grouped_row_number: "
-        "range-partition on (type, value, id) + per-partition ranks + "
-        "broadcast P x |types| offsets) for the positional medians; "
-        "returned plan embeds the two checkpoint scans + broadcast "
-        "median/MAD joins"
-    ),
-    "q_doc_pack": (
-        "partition-parallel per-lang exclusive prefix token sum "
-        "(grouped_exclusive_prefix_sum); returned plan embeds the "
-        "prefix-sum checkpoint scan + the bin aggregate"
-    ),
-    "q_doc_neyman_sample": (
-        "partition-parallel per-lang draw rank (grouped_row_number); "
-        "returned plan embeds the rank checkpoint scan + the "
-        "|langs|-row allocation joins"
-    ),
-    "q_doc_ccnet_buckets": (
-        "partition-parallel per-lang fluency rank (grouped_row_number) "
-        "+ exact integer NTILE(3) from (rank, n_lang); returned plan "
-        "embeds the rank checkpoint scan + broadcast lang-count join"
-    ),
-    "q_zonemap_skipping": (
-        "partition-parallel per-layout chunking (grouped_row_number + "
-        "exact NTILE from (rank, n)); returned plan embeds the rank "
-        "checkpoint scan; zone-vs-predicate overlap joins are tiny "
-        "broadcasts (~85-row predicate side vs 720 zone rows)"
-    ),
-    "q_zorder_layout": (
-        "partition-parallel per-layout chunking (grouped_row_number + "
-        "exact NTILE from (rank, n), zonemap shape); returned plan "
-        "embeds the rank checkpoint scan + bounded predicate-lattice "
-        "broadcast joins"
-    ),
     "q_esvc_replay": "event-log orchestration (many fingerprint jobs)",
     "q_esvc_merge": "event-log orchestration (many fingerprint jobs)",
     "q_esvc_editor": "event-log orchestration (many fingerprint jobs)",
@@ -168,8 +102,33 @@ _IMPERATIVE = {
     ),
 }
 
+# Size-gated two-phase plans (round 8): these queries rank/scan a
+# corpus-proportional frame through core.spark_engine's rank/prefix
+# helpers (or relational._ordered_runs), which switch on a
+# parquet-metadata row-count bound — at or below TWO_PHASE_MIN_ROWS
+# (1<<20, measured crossover: scripts/ab_offset_path.py --helpers) the
+# plan is ONE small window (the 1p exchange the profile shows at
+# sf0.001 — bounded BY THE GATE, never corpus-proportional), above it
+# the two-phase partition-parallel checkpoint plan r7 shipped
+# (differentially proven identical in tests/test_spark_core.py).
+_SIZE_GATED = {
+    "q_ev_rfm": "3 global ranks, size-gated (two-phase above 1<<20 rows)",
+    "q_window_deciles": "global rank + integer NTILE(10), size-gated",
+    "q_ev_watermark_plan": "arrival running max, size-gated",
+    "q_histogram_selectivity": "global rank boundary picks, size-gated",
+    "q_encoding_advisor": "6 run counts (_ordered_runs), size-gated",
+    "q_ev_mad_outliers": "2 grouped ranks (positional medians), size-gated",
+    "q_doc_pack": "per-lang prefix token sum, size-gated",
+    "q_doc_neyman_sample": "per-lang draw rank, size-gated",
+    "q_doc_ccnet_buckets": "per-lang fluency rank + NTILE(3), size-gated",
+    "q_zonemap_skipping": "per-layout chunk rank, size-gated (max-group bound)",
+    "q_zorder_layout": "per-layout chunk rank, size-gated (max-group bound)",
+}
+
 # NLJs that are by-construction safe: scalar subquery or tiny broadcast side
 _NLJ_OK = {
+    "q_ev_rfm": "single-row n_users cross join (max rank)",
+    "q_window_deciles": "single-row n cross join (max rank)",
     "q_emb_knn_cosine": "20-row query side broadcast",
     "q_emb_hard_negatives": "20-row anchor side broadcast (knn shape)",
     "q_emb_neardup_cosine": "documented exact all-pairs baseline",
@@ -297,7 +256,9 @@ def main() -> None:
         "sf-independent). `sh` = shuffle exchanges, `1p` = SinglePartition",
         "exchanges (whole input through ONE task — must only ever sit over",
         "BOUNDED frames: value histograms, top-k survivors, single-row",
-        "reductions; round 7 removed the last corpus-proportional ones),",
+        "reductions; round 7 removed the last corpus-proportional ones,",
+        "and round 8's size-gated rank helpers re-admit a 1p window ONLY",
+        "under a metadata-proven row bound — see _SIZE_GATED notes),",
         "`bhj`/`smj`/`nlj` = broadcast-hash / sort-merge / nested-loop",
         "joins, `pushed` = # predicates reaching a parquet scan. Every",
         "`nlj` is annotated — unannotated nested loops are treated as",
@@ -317,6 +278,8 @@ def main() -> None:
         note = _NLJ_OK.get(name, "") if nlj else ""
         if nlj and not note:
             note = "UNEXPECTED NESTED LOOP"
+        if name in _SIZE_GATED:
+            note = "; ".join(filter(None, [note, _SIZE_GATED[name]]))
         lines.append(
             f"| {name} | {st['shuffles']} | {st.get('single_partition', 0)} "
             f"| {st.get('broadcast_hash_joins', 0)} "

@@ -233,6 +233,13 @@ def test_decode_png_rejects_corruption():
         _decode_png(bytes(bad))
     with pytest.raises(ValueError, match="signature"):
         _decode_png(b"JUNK" + good)
+    # truncation mid-chunk must raise the documented ValueError family,
+    # never struct.error (ADVICE r7): cut inside a chunk header and
+    # inside a chunk body
+    with pytest.raises(ValueError, match="truncated"):
+        _decode_png(good[: len(good) - 6])  # inside IEND's CRC
+    with pytest.raises(ValueError, match="truncated"):
+        _decode_png(good[:14])  # inside the IHDR chunk header/body
 
 
 def test_decode_real_png_through_spark_plumbing(spark):

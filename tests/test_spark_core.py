@@ -476,6 +476,108 @@ def test_topk_per_group_matches_single_window(spark):
             assert got == want, (parts, k)
 
 
+def test_rank_helpers_local_gate_both_paths_identical(spark):
+    """Round 8's size-conditional fast path: every helper must return
+    IDENTICAL rows on both sides of the TWO_PHASE_MIN_ROWS gate, and
+    the gate must actually switch the physical plan — n_rows under the
+    threshold compiles to one window (no checkpoint scan), over it (or
+    unknown) to the two-phase checkpointed plan."""
+    from pyspark.sql import functions as F
+
+    from esvc_spark.core.spark_engine import (
+        TWO_PHASE_MIN_ROWS,
+        global_row_number,
+        global_running_max,
+        grouped_exclusive_prefix_sum,
+        grouped_row_number,
+    )
+
+    # built from range (NOT createDataFrame) so "ExistingRDD" appears in
+    # the physical plan ONLY via the two-phase path's localCheckpoint —
+    # the plan-switch assertions below depend on that
+    df = spark.range(300).select(
+        "id",
+        F.when(F.col("id") % 3 == 0, "a")
+        .when(F.col("id") % 3 == 1, "b")
+        .otherwise(F.lit(None).cast("string"))
+        .alias("g"),
+        (F.col("id") * 7 % 31).alias("k"),
+        (F.col("id") * 13 % 101 - 50).alias("x"),
+    ).repartition(6)
+
+    def rows_of(out, cols):
+        return sorted(tuple(r[c] for c in cols) for r in out.collect())
+
+    for helper, cols in (
+        (lambda **kw: global_row_number(spark, df, ["k", "id"], "rn", **kw),
+         ("id", "rn")),
+        (lambda **kw: global_running_max(spark, df, ["k", "id"], "x", "m", **kw),
+         ("id", "m")),
+        (lambda **kw: grouped_row_number(spark, df, ["g"], ["k", "id"], "rn", **kw),
+         ("id", "rn")),
+        (lambda **kw: grouped_exclusive_prefix_sum(
+            spark, df, ["g"], ["k", "id"], "x", "ps", **kw), ("id", "ps")),
+    ):
+        local = rows_of(helper(n_rows=300), cols)
+        two_phase = rows_of(helper(n_rows=TWO_PHASE_MIN_ROWS + 1), cols)
+        default = rows_of(helper(), cols)
+        assert local == two_phase == default
+        # the gate must switch the PLAN, not just agree on values: the
+        # two-phase path scans a checkpointed RDD, the local path is a
+        # plain window over the parallelized input
+        assert "ExistingRDD" not in helper(n_rows=300)._jdf.queryExecution().executedPlan().toString()
+        assert "ExistingRDD" in helper(n_rows=TWO_PHASE_MIN_ROWS + 1)._jdf.queryExecution().executedPlan().toString()
+
+    # max_group_rows: balanced-group callers may bound the largest group
+    # instead of the total — under the threshold it selects the local plan
+    g_local = grouped_row_number(
+        spark, df, ["g"], ["k", "id"], "rn",
+        n_rows=TWO_PHASE_MIN_ROWS + 1, max_group_rows=200,
+    )
+    assert "ExistingRDD" not in g_local._jdf.queryExecution().executedPlan().toString()
+    assert rows_of(g_local, ("id", "rn")) == rows_of(
+        grouped_row_number(spark, df, ["g"], ["k", "id"], "rn"), ("id", "rn")
+    )
+
+
+def test_grouped_prefix_sum_non_integer_value_types(spark):
+    """The two-phase grouped prefix sum must handle DOUBLE and DECIMAL
+    value columns (ADVICE r7: the Python accumulator seed must carry the
+    off-column's type or createDataFrame rejects it). Values sit on the
+    binary half-grid so every summation order is exact — both paths
+    bit-identical."""
+    import random
+    from decimal import Decimal
+
+    from esvc_spark.core.spark_engine import grouped_exclusive_prefix_sum
+
+    rng = random.Random(5)
+    base = [(i, rng.choice(["a", "b"]), rng.randint(0, 20)) for i in range(120)]
+
+    ddf = spark.createDataFrame(
+        [(i, g, k, k / 2.0) for (i, g, k) in base],
+        "id BIGINT, g STRING, k BIGINT, x DOUBLE",
+    ).repartition(4)
+    dec_df = spark.createDataFrame(
+        [(i, g, k, Decimal(k)) for (i, g, k) in base],
+        "id BIGINT, g STRING, k BIGINT, x DECIMAL(10,2)",
+    ).repartition(4)
+    for df in (ddf, dec_df):
+        two = {
+            r["id"]: r["ps"]
+            for r in grouped_exclusive_prefix_sum(
+                spark, df, ["g"], ["k", "id"], "x", "ps"
+            ).collect()
+        }
+        loc = {
+            r["id"]: r["ps"]
+            for r in grouped_exclusive_prefix_sum(
+                spark, df, ["g"], ["k", "id"], "x", "ps", local=True
+            ).collect()
+        }
+        assert two == loc
+
+
 def test_rank_helpers_empty_input(spark):
     """The two-phase helpers must not blow up on an empty frame (a
     filter upstream can legitimately produce one)."""
