@@ -411,6 +411,41 @@ class SparkEngineBase(BaseEngine):
         if isinstance(dat, SparkDat):
             dat.df.unpersist()
 
+    # -- snapshot spill seam (store.SnapshotStore) -------------------------
+    # The reference memoizes every prefix state in RAM forever
+    # (workcache.rs:14,100 — its documented flaw); the Spark engine can do
+    # better because a dataset value is a DataFrame: spill = one parquet
+    # write, reload = one scan, and the content fingerprint travels in a
+    # sidecar file so equality checks after a reload cost NO job.
+
+    def save_snapshot(self, dat: SparkDat, path: str) -> None:
+        """Spill a dataset value to `path` (parquet + fingerprint sidecar).
+        The sidecar is written LAST — its presence marks a complete spill."""
+        import json
+
+        dat.df.write.mode("overwrite").option("compression", "zstd").parquet(
+            path + ".parquet"
+        )
+        with open(path + ".json", "w") as f:
+            json.dump({"fingerprint": list(dat.fingerprint)}, f)
+
+    def load_snapshot(self, path: str) -> SparkDat:
+        """Reload a spilled dataset value. The DataFrame is persisted (the
+        WorkCache compares states constantly) but the fingerprint comes
+        from the sidecar — no recompute job."""
+        import json
+
+        with open(path + ".json") as f:
+            fp = tuple(json.load(f)["fingerprint"])
+        df = self.spark.read.parquet(path + ".parquet").persist()
+        return SparkDat(df=df, fingerprint=fp)
+
+    @staticmethod
+    def snapshot_exists(path: str) -> bool:
+        import os
+
+        return os.path.exists(path + ".json")
+
 
 class SparkReplaceEngine(SparkEngineBase):
     """Distributed literal search-and-replace: cmd 0, arg = {"search",

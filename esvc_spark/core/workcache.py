@@ -17,9 +17,12 @@ engine, exactly matching the reference's architecture where the core is
 pure orchestration (SURVEY.md §3.4).
 
 States are frozensets of event hashes; the memo table `sts` maps every
-materialized prefix state to its dataset value (workcache.rs:12-15);
-entries are never evicted (BASELINE.md), but `prune()` is provided for
-long driver sessions.
+materialized prefix state to its dataset value (workcache.rs:12-15).
+The reference never evicts (its documented unbounded-cache flaw); here
+`prune()` drops entries manually, and passing a `store.SnapshotStore`
+as `sts` bounds the persisted footprint automatically — LRU evictions
+spill to parquet by canonical state key and reload on miss, across
+sessions.
 """
 
 from __future__ import annotations
@@ -58,10 +61,16 @@ class NoopAtMerge(WorkCacheError):
 
 
 class WorkCache:
-    def __init__(self, engine: Engine, init_data: Any):
+    def __init__(self, engine: Engine, init_data: Any, sts=None):
         self.engine = engine
-        # state (frozenset of event hashes) -> materialized dataset value
-        self.sts: dict[frozenset[bytes], Any] = {frozenset(): init_data}
+        # state (frozenset of event hashes) -> materialized dataset value.
+        # Default: the reference's unbounded in-RAM memo (workcache.rs:
+        # 12-15). Pass a store.SnapshotStore to bound the persisted
+        # footprint instead: evictions spill to parquet by canonical
+        # state key and reload on miss — including in a NEW session over
+        # the same spill dir, which replays nothing ever spilled.
+        self.sts = sts if sts is not None else {}
+        self.sts[frozenset()] = init_data
 
     # -- replay ≙ workcache.rs:68-108 -------------------------------------
     def run_deps(

@@ -25,27 +25,24 @@ from pyspark.sql import DataFrame, SparkSession
 # round last graded each query — update it when CORRECTNESS_r{N}.json
 # lands.
 #
-# Round-7 rotation (the plan the r6 registry comment promised): front
-# (a) the round-7 new/changed queries — the ingest-contract gate, the
-# four partition-parallel ranking rewrites, the NULL-tiebreak and
-# degenerate-label fixes, the uuid-table bucket audit; (b) ALL 42
-# remaining r1/r2-vintage rows, whose latest driver grade predates the
-# r2 numeric-helper rewrite and the r6 NULL convention. 50 slots
-# exactly; everything else holds a green r3+ row and absorbs the
-# truncation. (q_window_deciles joined mid-round — the same NTILE class,
-# found by the new PLANS.md 1p column — pushing the front to 51; the
-# driver budget truncates the last backlog row, which stays covered by
-# the full verify.)
+# Round-8 rotation: front (a) the round-8 new query (the streamed
+# event-log loop), (b) every query whose plan or output path changed
+# this round — the 11 size-gated rank/prefix rewrites plus
+# q_ev_watermark_plan's running max, the ingest-contract empty-table
+# guard, and the two distributed-editor queries whose corpus partition
+# count now scales with |documents| — and (c) the 24 r2-vintage
+# backlog rows the r7 driver budget truncated (VERDICT r7 #2: the r7
+# front held 74 candidates for a 50-row budget; this front holds 40,
+# so every row is graded this round). Everything else holds a green
+# r3+ driver row and absorbs any truncation.
 _MODULE_ORDER = ("esvc", "multimodal", "embeddings", "documents", "events", "relational")
 
 _FRONT = (
-    # NEW this round: the executable ingest contract
-    "q_dq_ingest_contract",
-    # changed this round: partition-parallel global ranking
-    "q_ev_gini",
+    # NEW this round: streamed event-log append/head/compaction loop
+    "q_stream_event_log",
+    # changed this round: size-gated rank/prefix helpers (local window
+    # at or below TWO_PHASE_MIN_ROWS, two-phase checkpoint plan above)
     "q_ev_rfm",
-    "q_doc_textrank",
-    "q_doc_rake",
     "q_window_deciles",
     "q_ev_watermark_plan",
     "q_histogram_selectivity",
@@ -54,48 +51,14 @@ _FRONT = (
     "q_doc_pack",
     "q_doc_neyman_sample",
     "q_doc_ccnet_buckets",
-    # changed this round: two-phase per-group top-k (operators/topk.py)
-    "q_emb_knn_cosine",
-    "q_emb_ivf_knn",
-    "q_rag_retrieval",
-    "q_emb_pq_search",
-    "q_emb_binary_hamming",
-    "q_emb_recall_curve",
-    "q_emb_mmr",
-    "q_emb_filtered_ann",
-    "q_emb_hard_negatives",
-    "q_emb_ivfpq_search",
-    "q_emb_cluster_sample",
-    "q_emb_ann_recall",
-    "q_doc_bm25",
-    "q_doc_rrf_fusion",
-    "q_mm_audio_match",
     "q_zonemap_skipping",
     "q_zorder_layout",
-    # changed this round: NULL-label majority tiebreak pin /
-    # degenerate-label ood convention / uuid bucket tables
-    "q_emb_label_consistency",
-    "q_emb_ood",
-    "q_bucket_join_audit",
-    # r1/r2-vintage attestation backlog (latest driver rows predate the
-    # r2 dsum/decimal rewrite and the r6 NULL convention)
-    "q16_parts_supplier",
-    "q_window_running_spend",
-    "q_window_top_orders",
-    "q_dataset_card",
-    "q_doc_bigrams",
-    "q_doc_bpe_tokens",
-    "q_doc_canonical",
-    "q_doc_contamination",
-    "q_doc_curation",
-    "q_doc_dup_clusters",
-    "q_doc_exact_dedup",
-    "q_doc_fingerprint",
-    "q_doc_incremental_dedup",
-    "q_doc_lang_id",
-    "q_doc_length_hist",
-    "q_doc_lm_score",
-    "q_doc_minhash_lsh",
+    # changed this round: empty-table guard (coalesced badness sums)
+    "q_dq_ingest_contract",
+    # changed this round: corpus-scaled partition count in _word_lines
+    "q_esvc_editor_large",
+    "q_esvc_merge_large",
+    # r2-vintage attestation backlog, truncated from the r7 front
     "q_doc_negatives",
     "q_doc_ngram_jaccard",
     "q_doc_normalize",

@@ -1004,6 +1004,104 @@ def q_stream_ingest_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+# ------------------------------------------------ streamed event-log loop
+# The full REPL loop from a STREAM (VERDICT r7 #4, ref main.rs:217-250):
+# each source event becomes a content-addressed graph event (blake2b-512
+# over Event.encode, dependency on its 16-chain predecessor except every
+# third generation), appended MERGE-shaped (anti-join on the content
+# address) into the events_log table, with per-batch append_head and
+# >100-head compaction into the heads table. The whole pipeline runs
+# TWICE (fresh checkpoint — full redelivery): if the idempotent append
+# ever regressed, n_events doubles and the hash gate fails. The final
+# row set folds the MAINTAINED heads table through one last minimize
+# (compaction is threshold-triggered, so when it last fired depends on
+# batch boundaries; the final fold is the deterministic quantity — the
+# same closed form q_stream_heads' oracle states).
+
+
+def q_stream_event_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..streaming.pipelines import (
+        _superseded,
+        event_log_stream_pipeline,
+    )
+
+    work = tempfile.mkdtemp(prefix="esvc_evlog_")
+    try:
+        with _bounded_stream_confs(spark):
+            for attempt in ("first", "redelivery"):
+                event_log_stream_pipeline(
+                    _event_stream(spark, sf_dir),
+                    work_dir=work,
+                    checkpoint_dir=os.path.join(work, f"ckpt_{attempt}"),
+                )
+            log = spark.read.parquet(os.path.join(work, "events_log"))
+            heads = _superseded(
+                spark.read.parquet(os.path.join(work, "heads")), log
+            ).withColumn("graph_key", F.col("head_src") % 16)
+            per_log = log.groupBy("graph_key").agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.bit_xor("src_id").alias("src_xor"),
+                F.count("dep_src").alias("n_dep_edges"),
+            )
+            per_heads = heads.groupBy("graph_key").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_heads"),
+                F.bit_xor("head_src").alias("head_xor"),
+                F.max("head_src").alias("head_max"),
+            )
+            out = (
+                per_log.join(per_heads, "graph_key")
+                .select(
+                    "graph_key", "n_events", "src_xor", "n_dep_edges",
+                    "n_heads", "head_xor", "head_max",
+                )
+                # materialize before the temp dir is removed
+                .localCheckpoint()
+            )
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# closed form: the log ≡ distinct source events; a dependency edge exists
+# for src >= 16 with (src div 16) % 3 != 0; a head is a src whose chain
+# successor never names it (successor absent OR fresh-chain) — presence
+# tested via NOT EXISTS, never a density assumption (q_stream_heads rule).
+_STREAM_EVENT_LOG_SQL = """
+WITH e AS (SELECT DISTINCT event_id AS src FROM events),
+log_ AS (
+  SELECT src, src % 16 AS graph_key,
+         CASE WHEN src >= 16 AND (src // 16) % 3 <> 0
+              THEN src - 16 END AS dep_src
+  FROM e
+),
+heads AS (
+  SELECT src, src % 16 AS graph_key FROM e h
+  WHERE NOT EXISTS (
+    SELECT 1 FROM e s
+    WHERE s.src = h.src + 16 AND ((h.src + 16) // 16) % 3 <> 0
+  )
+),
+pl AS (
+  SELECT graph_key, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(bit_xor(src) AS BIGINT) AS src_xor,
+         CAST(COUNT(dep_src) AS BIGINT) AS n_dep_edges
+  FROM log_ GROUP BY graph_key
+),
+ph AS (
+  SELECT graph_key, CAST(COUNT(*) AS BIGINT) AS n_heads,
+         CAST(bit_xor(src) AS BIGINT) AS head_xor,
+         CAST(MAX(src) AS BIGINT) AS head_max
+  FROM heads GROUP BY graph_key
+)
+SELECT pl.graph_key, pl.n_events, pl.src_xor, pl.n_dep_edges,
+       ph.n_heads, ph.head_xor, ph.head_max
+FROM pl JOIN ph ON pl.graph_key = ph.graph_key
+"""
+
+
 # the log holds each DISTINCT event exactly once regardless of how many
 # times the stream delivered it; event_id is the content address and is
 # unique in the source, so the log ≡ the batch events table

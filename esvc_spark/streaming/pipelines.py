@@ -163,3 +163,165 @@ def ingest_into_event_log(
         .start()
     )
     q.awaitTermination()
+
+
+# ------------------------------------------------ streamed event-log loop
+# The full REPL loop (ref crates/exvc/src/main.rs:217-250: shelve →
+# append_head → compact when >100 heads) driven from a STREAM instead of
+# stdin. Each source event becomes one graph event: cmd 0, a canonical
+# JSON arg, and a dependency on its 16-chain predecessor except every
+# third generation (the q_stream_heads dependency rule — so the final
+# head set has a closed-form oracle).
+#
+# Scale decisions, stated:
+#   * event_id is the real blake2b-512 content address
+#     (core.hashing.calculate_hash over core.graph.Event.encode), but a
+#     dependency is ADDRESSED by the digest of its source identity, not
+#     by the dependency's own recursive event hash: recursive chain
+#     hashes need the entire prefix to be materialized in causal order —
+#     O(chain depth) work per late/out-of-order event, which a stream
+#     cannot afford (the REPL can: stdin is causal). Documented
+#     divergence, same family as SURVEY §2's versioned-encoding note.
+#   * The append is MERGE-shaped and idempotent: dropDuplicates within
+#     the batch + left-anti join against the log on the content address
+#     (ensure_event's get-or-insert, ref graph.rs:132-155) — replayed
+#     micro-batches cannot duplicate events (proven by running the whole
+#     pipeline twice in q_stream_event_log).
+#   * append_head/compaction per batch: the head set gets every new
+#     event id appended; when it exceeds `head_threshold` it is
+#     re-minimized against the log (an event is superseded once its
+#     chain successor EXISTS in the log — presence-tested, exactly the
+#     pending-supersession rule streaming_head_tracker uses, so sparse
+#     ids and out-of-order arrival are handled). The head table is
+#     bounded (≤ threshold + batch ids), swapped atomically per batch;
+#     a production deployment writes it through a transactional table
+#     format instead of a directory swap.
+
+
+def _graph_event_rows(batch: DataFrame) -> DataFrame:
+    """Raw events micro-batch → graph-event rows with the real content
+    address. Hashing runs in an Arrow-batched mapInPandas (blake2b is
+    Python-side; whole-batch, never per-row UDF)."""
+
+    rows = batch.select(
+        F.col("event_id").cast("bigint").alias("src_id"),
+        (F.col("event_id") % 16).cast("bigint").alias("graph_key"),
+        F.when(
+            (F.col("event_id") >= 16)
+            & (F.expr("(event_id div 16) % 3") != 0),
+            F.col("event_id") - 16,
+        ).alias("dep_src"),
+        F.col("event_type"),
+    ).dropDuplicates(["src_id"])
+
+    out_schema = (
+        "event_id BINARY, cmd INT, arg STRING, "
+        "deps MAP<BINARY, BOOLEAN>, src_id BIGINT, graph_key BIGINT, "
+        "dep_src BIGINT"
+    )
+
+    def add_hash(batches):
+        import json as _json
+
+        import pandas as pd
+
+        from ..core.graph import Event
+        from ..core.hashing import calculate_hash
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "event_id", "cmd", "arg", "deps", "src_id", "graph_key",
+                "dep_src",
+            )}
+            for src, gk, dep, et in zip(
+                pdf["src_id"], pdf["graph_key"], pdf["dep_src"],
+                pdf["event_type"],
+            ):
+                arg = {
+                    "src": int(src),
+                    "et": None if et is None or pd.isna(et) else str(et),
+                }
+                deps = (
+                    {}
+                    if pd.isna(dep)
+                    else {calculate_hash(b"esvc-spark:addr:v1\x00%d" % int(dep)): True}
+                )
+                ev = Event(cmd=0, arg=arg, deps=deps)
+                out["event_id"].append(calculate_hash(ev.encode()))
+                out["cmd"].append(0)
+                out["arg"].append(_json.dumps(arg, sort_keys=True))
+                out["deps"].append(deps)
+                out["src_id"].append(int(src))
+                out["graph_key"].append(int(gk))
+                out["dep_src"].append(None if pd.isna(dep) else int(dep))
+            yield pd.DataFrame(out)
+
+    return rows.mapInPandas(add_hash, out_schema)
+
+
+def _superseded(heads: DataFrame, log: DataFrame) -> DataFrame:
+    """Head-set minimization (fold_state role): drop every head whose
+    chain successor exists in the log and names it as a dependency —
+    presence-tested, order-independent."""
+    succ = log.filter(F.col("dep_src").isNotNull()).select(
+        F.col("dep_src").alias("head_src")
+    )
+    return heads.join(succ, "head_src", "left_anti")
+
+
+def event_log_stream_pipeline(
+    stream: DataFrame,
+    work_dir: str,
+    checkpoint_dir: str,
+    head_threshold: int = 100,
+) -> None:
+    """Drive the events stream through the full event-log loop:
+    content-addressed idempotent append into `work_dir`/events_log +
+    per-batch append_head and >threshold compaction into
+    `work_dir`/heads."""
+    import shutil
+
+    log_dir = os.path.join(work_dir, "events_log")
+    heads_dir = os.path.join(work_dir, "heads")
+
+    def _batch(batch: DataFrame, batch_id: int) -> None:
+        from pyspark import StorageLevel
+
+        spark = batch.sparkSession
+        ev = _graph_event_rows(batch)
+        try:
+            existing = spark.read.parquet(log_dir)
+        except AnalysisException:
+            existing = None
+        if existing is not None:
+            ev = ev.join(
+                existing.select("event_id"), "event_id", "left_anti"
+            )
+        # pin once: the append AND the head update both consume ev
+        # (DISK_ONLY, the repo's checkpoint convention — blocks stay out
+        # of the heap across many micro-batches)
+        ev = ev.localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
+        ev.write.mode("append").option("compression", "zstd").parquet(log_dir)
+
+        # append_head ≙ main.rs:217-231: only the batch's NEW ids join
+        # the head set (a superseded-and-compacted head never re-enters)
+        new_ids = ev.select(F.col("src_id").alias("head_src")).distinct()
+        try:
+            heads = spark.read.parquet(heads_dir).union(new_ids).distinct()
+        except AnalysisException:
+            heads = new_ids
+        # compact_heads ≙ main.rs:232-249: only when past the threshold
+        if heads.count() > head_threshold:
+            heads = _superseded(heads, spark.read.parquet(log_dir))
+        stage = heads_dir + "_stage"
+        heads.write.mode("overwrite").parquet(stage)
+        shutil.rmtree(heads_dir, ignore_errors=True)
+        os.replace(stage, heads_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

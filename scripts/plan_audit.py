@@ -94,6 +94,12 @@ _IMPERATIVE = {
         "streaming foreachBatch parquet append run twice (redelivery "
         "proof); returned frame is the checkpointed final aggregate"
     ),
+    "q_stream_event_log": (
+        "streaming foreachBatch event-log loop run twice (redelivery "
+        "proof): content-addressed MERGE append + per-batch append_head "
+        "and >100-head compaction; returned frame is the checkpointed "
+        "per-graph-key log/head aggregate"
+    ),
     "q_esvc_merge_large": (
         "try_merge orchestration over the DISTRIBUTED SparkExEngine "
         "(hard-dep chain re-discovery + independence proof, each "

@@ -1,0 +1,121 @@
+"""SnapshotStore: the spillable WorkCache memo (VERDICT r7 #3).
+
+The reference memoizes every materialized prefix state in RAM for the
+process lifetime (ref workcache.rs:12-15,100 — its documented unbounded
+cache). store.SnapshotStore bounds the persisted footprint: LRU
+evictions spill to parquet keyed by the canonical state key, misses
+reload from disk — in the same session or a brand-new one. Proven here:
+
+  (a) a full shelve session under a persist budget smaller than its
+      state count produces IDENTICAL event hashes to the unbounded run
+      (spills actually happen along the way);
+  (b) a NEW session over the same spill dir materializes a spilled
+      state WITHOUT replaying a single event (run_event_bare counter);
+  (c) the canonical state key is insertion-order independent, so the
+      same logical state hits the same spill file.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from esvc_spark.core import Event, Graph, WorkCache
+from esvc_spark.core.engines import sear
+from esvc_spark.core.spark_engine import SparkReplaceEngine
+from esvc_spark.core.store import SnapshotStore
+
+
+@pytest.fixture(scope="module")
+def replace_engine(spark):
+    return SparkReplaceEngine(spark)
+
+
+class _CountingEngine:
+    """Delegating wrapper that counts dataset transforms (= replays)."""
+
+    def __init__(self, inner):
+        self._inner = inner
+        self.runs = 0
+
+    def run_event_bare(self, cmd, arg, dat):
+        self.runs += 1
+        return self._inner.run_event_bare(cmd, arg, dat)
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+
+_TEXTS = ["Hi, what's up??", "nothing up here", "Hi again", "what now"]
+_EVENTS = [
+    sear("Hi", "Hello"),
+    sear("up", "down"),
+    sear("Hello", "Hey"),
+    sear("what", "which"),
+]
+
+
+def _shelve_chain(eng, sts=None):
+    g = Graph()
+    w = WorkCache(eng, eng.from_texts(_TEXTS), sts=sts)
+    heads: set[bytes] = set()
+    hashes = []
+    for arg in _EVENTS:
+        h = w.shelve_event(g, set(heads), Event(cmd=0, arg=arg))
+        assert h is not None
+        heads.add(h)
+        hashes.append(h)
+    return g, w, hashes
+
+
+def test_budgeted_session_matches_unbounded(spark, replace_engine, tmp_path):
+    """(a) persist_budget=1 (far below the session's prefix-state count)
+    must not change a single inferred hash — and must actually spill."""
+    _, w_free, hashes_free = _shelve_chain(replace_engine)
+    assert len(w_free.sts) > 3  # the unbounded run really holds many states
+
+    store = SnapshotStore(
+        replace_engine, str(tmp_path / "spill"), persist_budget=1
+    )
+    _, w_tight, hashes_tight = _shelve_chain(replace_engine, sts=store)
+    assert hashes_tight == hashes_free
+    assert store.spills > 0  # the budget bound was actually enforced
+    assert len(store) - 1 <= store.persist_budget  # base state is pinned
+    w_free.prune()
+
+
+def test_new_session_reuses_snapshot_without_replay(spark, tmp_path):
+    """(b) a brand-new WorkCache over the same spill dir materializes a
+    spilled state with ZERO engine transforms — the reference restarts
+    from scratch; we restart from parquet."""
+    spill = str(tmp_path / "spill")
+
+    eng1 = _CountingEngine(SparkReplaceEngine(spark))
+    store1 = SnapshotStore(eng1, spill, persist_budget=2)
+    g, w1, hashes = _shelve_chain(eng1, sts=store1)
+    final_state = frozenset(hashes)
+    final_dat = w1.materialize(g, set(hashes))
+    final_fp = final_dat.fingerprint
+    assert store1.flush() > 0  # everything in-memory goes to disk
+
+    eng2 = _CountingEngine(SparkReplaceEngine(spark))
+    store2 = SnapshotStore(eng2, spill, persist_budget=2)
+    w2 = WorkCache(eng2, eng2.from_texts(_TEXTS), sts=store2)
+    dat2 = w2.materialize(g, set(hashes))
+    assert eng2.runs == 0  # not one event replayed
+    assert store2.loads >= 1
+    assert dat2.fingerprint == final_fp
+    # the reloaded frame carries the same rows, not just the same sidecar
+    got = sorted(r["text"] for r in dat2.df.collect())
+    want = sorted(r["text"] for r in final_dat.df.collect())
+    assert got == want
+    assert final_state in store2  # membership answered from disk
+
+
+def test_state_key_is_order_insensitive():
+    """(c) the canonical key hashes the SORTED hash set — the same
+    logical state reuses the same spill file whatever the walk order."""
+    a, b, c = b"\x01" * 64, b"\x02" * 64, b"\x03" * 64
+    k1 = SnapshotStore.state_key(frozenset([a, b, c]))
+    k2 = SnapshotStore.state_key(frozenset([c, a, b]))
+    assert k1 == k2
+    assert k1 != SnapshotStore.state_key(frozenset([a, b]))

@@ -276,3 +276,67 @@ def test_head_tracker_recover_from_checkpoint(spark, tmp_path, state_provider):
     assert len(out2) == 1
     assert sorted(out2.iloc[0]["heads"]) == ["e3"]
     assert out2.iloc[0]["n_events"] == 3
+
+
+def test_event_log_pipeline_recover_from_checkpoint(
+    spark, tmp_path, state_provider
+):
+    """The streamed event-log loop (pipelines.event_log_stream_pipeline:
+    content-addressed MERGE append + per-batch append_head/compaction)
+    survives a full query STOP + RESTART from the same checkpoint under
+    both state-store providers: phase 2 processes ONLY the new file
+    (checkpoint offsets recovered, no duplicate appends), and the final
+    log + minimized head set equal the closed form over all events."""
+    from esvc_spark.streaming.pipelines import (
+        _superseded,
+        event_log_stream_pipeline,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt")
+    work = str(tmp_path / "work")
+    t = pq.read_table(EVENTS)
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), os.path.join(src, "a.parquet"))
+
+    old = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        event_log_stream_pipeline(
+            read_events_stream(spark, src), work_dir=work,
+            checkpoint_dir=ckpt,
+        )
+        n1 = spark.read.parquet(os.path.join(work, "events_log")).count()
+        # phase 2: new file, NEW query, SAME checkpoint — resumes offsets
+        pq.write_table(t.slice(half), os.path.join(src, "b.parquet"))
+        event_log_stream_pipeline(
+            read_events_stream(spark, src), work_dir=work,
+            checkpoint_dir=ckpt,
+        )
+        log = spark.read.parquet(os.path.join(work, "events_log"))
+        src_ids = {r["src_id"] for r in log.select("src_id").collect()}
+        want_ids = {
+            r["event_id"]
+            for r in T(spark, SF_DIR, "events").select("event_id").collect()
+        }
+        # no duplicates (content-address idempotence held across the
+        # restart) and nothing lost
+        assert log.count() == len(src_ids) == len(want_ids)
+        assert src_ids == want_ids
+        assert log.count() > n1  # phase 2 really appended the new file
+
+        heads = _superseded(
+            spark.read.parquet(os.path.join(work, "heads")), log
+        )
+        got_heads = {r["head_src"] for r in heads.collect()}
+        want_heads = {
+            i for i in want_ids
+            if (i + 16) not in want_ids or ((i + 16) // 16) % 3 == 0
+        }
+        assert got_heads == want_heads
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
