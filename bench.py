@@ -52,6 +52,118 @@ _R1_QUERIES = frozenset({
 })
 
 
+def _git(*args: str) -> str:
+    import subprocess
+
+    return subprocess.run(
+        ["git", *args],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+        timeout=30,
+    ).stdout.strip()
+
+
+def _round_delta(timings: dict, queries: dict, prior: dict) -> dict | None:
+    """Touched-vs-untouched timing delta against the prior recorded run
+    (VERDICT r7 #5: a rewrite's sf0.1 cost must be visible in the bench
+    JSON, not only in the judge's cross-round audit). Classification is
+    git-based: a query is `touched` when the module that DEFINES it
+    changed since the prior run's commit (prior BENCH_FULL.json's
+    git_head, falling back to the driver's last "round N" commit).
+    Shared modules (core/operators/streaming/...) that changed are
+    listed in `shared_changed` — an untouched-bucket shift with a
+    non-empty shared list means shared code moved it.
+
+    Granularity: a query counts as touched only when the diff hunks
+    intersect the query FUNCTION's own line span (module-level
+    classification marked every sibling of one edited query). Same-file
+    helper edits land in the untouched bucket — read it together with
+    shared_changed."""
+    import inspect
+
+    try:
+        prior_head = prior.get("git_head")
+        if prior_head:
+            prior_t = prior.get("queries", {}) or {}
+        else:
+            # pre-round-8 files carry no git_head: anchor on the
+            # driver's last "round N" commit and read the timings THAT
+            # commit recorded (the on-disk file may be a newer rerun)
+            prior_head = _git("log", "-1", "--format=%H", "--grep", "^round ")
+            if not prior_head:
+                return None
+            prior_t = (
+                json.loads(_git("show", f"{prior_head}:BENCH_FULL.json"))
+                .get("queries", {})
+                or {}
+            )
+        changed = set(
+            _git("diff", "--name-only", f"{prior_head}", "HEAD").splitlines()
+        )
+    except Exception:
+        return None
+    repo = os.path.dirname(os.path.abspath(__file__))
+
+    # changed line ranges per file, in NEW-file coordinates (same
+    # coordinate system inspect reports current function spans in)
+    hunks: dict[str, list[tuple[int, int]]] = {}
+
+    def _ranges(path: str) -> list[tuple[int, int]]:
+        if path not in hunks:
+            rs = []
+            try:
+                for ln in _git(
+                    "diff", "-U0", f"{prior_head}", "HEAD", "--", path
+                ).splitlines():
+                    m = re.match(r"@@ .* \+(\d+)(?:,(\d+))? @@", ln)
+                    if m:
+                        start = int(m.group(1))
+                        n = int(m.group(2)) if m.group(2) is not None else 1
+                        rs.append((start, start + max(n, 1)))
+            except Exception:
+                rs = [(1, 1 << 30)]  # unknown: treat whole file changed
+            hunks[path] = rs
+        return hunks[path]
+
+    touched_d = untouched_d = 0.0
+    touched: list[str] = []
+    new_queries: list[str] = []
+    for name, t in timings.items():
+        if name not in prior_t:
+            new_queries.append(name)
+            continue
+        is_touched = False
+        try:
+            fn = queries[name]
+            src = os.path.relpath(inspect.getsourcefile(fn), repo)
+            if src in changed:
+                _, start = inspect.getsourcelines(fn)
+                end = start + len(inspect.getsourcelines(fn)[0])
+                is_touched = any(
+                    a < end and start < b for a, b in _ranges(src)
+                )
+        except Exception:
+            is_touched = True  # unclassifiable: charge to touched
+        if is_touched:
+            touched.append(name)
+            touched_d += t - prior_t[name]
+        else:
+            untouched_d += t - prior_t[name]
+    shared = sorted(
+        f for f in changed
+        if f.startswith("esvc_spark/") and not f.startswith("esvc_spark/queries/")
+    )
+    return {
+        "prior_head": prior_head[:12],
+        "n_touched": len(touched),
+        "touched_delta_sec": round(touched_d, 2),
+        "untouched_delta_sec": round(untouched_d, 2),
+        "new_queries": sorted(new_queries),
+        "shared_changed": shared,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -111,13 +223,16 @@ def main() -> None:
     # prior round's recorded one) — the reference for the ratio-based
     # re-measurement pass below.
     prior_timings: dict[str, float] = {}
+    prior_head_recorded: str | None = None
     try:
         with open(
             os.path.join(
                 os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
             )
         ) as fh:
-            prior_timings = json.load(fh).get("queries", {}) or {}
+            _prior_full = json.load(fh)
+        prior_timings = _prior_full.get("queries", {}) or {}
+        prior_head_recorded = _prior_full.get("git_head")
     except (OSError, ValueError):
         pass
 
@@ -212,6 +327,13 @@ def main() -> None:
     r1_subset = round(
         sum(t for name, t in timings.items() if name in _R1_QUERIES), 4
     )
+    try:
+        head = _git("rev-parse", "HEAD")
+    except Exception:
+        head = ""
+    delta = _round_delta(
+        timings, queries, {"queries": prior_timings, "git_head": prior_head_recorded}
+    )
     full = {
         "metric": "total_query_wall_time",
         "value": total,
@@ -220,6 +342,8 @@ def main() -> None:
         "r1_subset_total": r1_subset,
         "n_queries": len(timings),
         "sf": sf,
+        "git_head": head,
+        "delta": delta,
     }
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
@@ -239,6 +363,7 @@ def main() -> None:
                 "r1_subset_total": r1_subset,
                 "n_queries": len(timings),
                 "sf": sf,
+                "delta": delta,
             }
         )
     )
