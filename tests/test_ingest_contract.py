@@ -164,3 +164,39 @@ def test_gate_differential_on_violations(spark, violating_dir):
     pdf = run_oracle(all_oracles()[GATE], violating_dir)
     problems = compare(sdf, pdf, exact=True)
     assert not problems, problems
+
+
+@pytest.fixture(scope="module")
+def empty_dir(tmp_path_factory) -> str:
+    """A delivery whose three pipeline tables are EMPTY (schema kept)."""
+    base = str(tmp_path_factory.mktemp("empty_sf"))
+    for t in _COPY_TABLES:
+        shutil.copyfile(
+            os.path.join(SF_DIR, f"{t}.parquet"),
+            os.path.join(base, f"{t}.parquet"),
+        )
+    con = duckdb.connect()
+    for t in ("documents", "embeddings", "events"):
+        con.sql(
+            f"COPY (SELECT * FROM '{SF_DIR}/{t}.parquet' WHERE 1 = 0) "
+            f"TO '{base}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    con.close()
+    return base
+
+
+def test_gate_on_empty_delivery(spark, empty_dir):
+    """A zero-row delivery reports 0 bad / passed = 1 / bad_fraction 0.0
+    on every check in BOTH engines (ADVICE r7: Spark's SUM over zero rows
+    is NULL — the gate must not report an empty table as indeterminate)."""
+    rows = all_queries()[GATE](spark, empty_dir).collect()
+    assert len(rows) == 13
+    for r in rows:
+        assert r["n_rows"] == 0 and r["n_bad"] == 0, r
+        assert r["passed"] == 1 and r["bad_fraction"] == 0.0, r
+    problems = compare(
+        all_queries()[GATE](spark, empty_dir),
+        run_oracle(all_oracles()[GATE], empty_dir),
+        exact=True,
+    )
+    assert not problems, problems
