@@ -64,7 +64,9 @@ def _git(*args: str) -> str:
     ).stdout.strip()
 
 
-def _round_delta(timings: dict, queries: dict, prior: dict) -> dict | None:
+def _round_delta(
+    timings: dict, queries: dict, prior: dict, sf: float
+) -> dict | None:
     """Touched-vs-untouched timing delta against the prior recorded run
     (VERDICT r7 #5: a rewrite's sf0.1 cost must be visible in the bench
     JSON, not only in the judge's cross-round audit). Classification is
@@ -86,6 +88,7 @@ def _round_delta(timings: dict, queries: dict, prior: dict) -> dict | None:
         prior_head = prior.get("git_head")
         if prior_head:
             prior_t = prior.get("queries", {}) or {}
+            prior_sf = prior.get("sf")
         else:
             # pre-round-8 files carry no git_head: anchor on the
             # driver's last "round N" commit and read the timings THAT
@@ -93,11 +96,14 @@ def _round_delta(timings: dict, queries: dict, prior: dict) -> dict | None:
             prior_head = _git("log", "-1", "--format=%H", "--grep", "^round ")
             if not prior_head:
                 return None
-            prior_t = (
-                json.loads(_git("show", f"{prior_head}:BENCH_FULL.json"))
-                .get("queries", {})
-                or {}
-            )
+            _pf = json.loads(_git("show", f"{prior_head}:BENCH_FULL.json"))
+            prior_t = _pf.get("queries", {}) or {}
+            prior_sf = _pf.get("sf")
+        # deltas only make sense at the SAME scale factor: a prior sf0.1
+        # file vs a current sf0.01 run would report a spurious fleet-wide
+        # "speedup"
+        if prior_sf is not None and prior_sf != sf:
+            return None
         changed = set(
             _git("diff", "--name-only", f"{prior_head}", "HEAD").splitlines()
         )
@@ -224,6 +230,7 @@ def main() -> None:
     # re-measurement pass below.
     prior_timings: dict[str, float] = {}
     prior_head_recorded: str | None = None
+    prior_sf_recorded: float | None = None
     try:
         with open(
             os.path.join(
@@ -233,6 +240,7 @@ def main() -> None:
             _prior_full = json.load(fh)
         prior_timings = _prior_full.get("queries", {}) or {}
         prior_head_recorded = _prior_full.get("git_head")
+        prior_sf_recorded = _prior_full.get("sf")
     except (OSError, ValueError):
         pass
 
@@ -332,7 +340,14 @@ def main() -> None:
     except Exception:
         head = ""
     delta = _round_delta(
-        timings, queries, {"queries": prior_timings, "git_head": prior_head_recorded}
+        timings,
+        queries,
+        {
+            "queries": prior_timings,
+            "git_head": prior_head_recorded,
+            "sf": prior_sf_recorded,
+        },
+        sf,
     )
     full = {
         "metric": "total_query_wall_time",

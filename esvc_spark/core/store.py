@@ -166,6 +166,7 @@ class SnapshotStore:
         self.spill_dir = spill_dir
         self.persist_budget = max(1, int(persist_budget))
         self._mem: "OrderedDict[frozenset, Any]" = OrderedDict()
+        self._ns = ""  # base-state namespace, set when init_data arrives
         self.spills = 0
         self.loads = 0
         os.makedirs(spill_dir, exist_ok=True)
@@ -180,7 +181,13 @@ class SnapshotStore:
         return h.hexdigest()
 
     def _path(self, st: frozenset) -> str:
-        return os.path.join(self.spill_dir, f"st_{self.state_key(st)}")
+        # spill files are namespaced by the BASE state's content
+        # fingerprint: event hashes cover only (cmd, arg, deps), so two
+        # sessions sharing a spill dir over DIFFERENT init_data must not
+        # resolve the same logical state to each other's snapshots
+        return os.path.join(
+            self.spill_dir, f"st_{self._ns}{self.state_key(st)}"
+        )
 
     # -- mapping protocol (exactly what WorkCache uses: in / [] / get /
     #    pop / iteration over keys) ---------------------------------------
@@ -202,6 +209,20 @@ class SnapshotStore:
         return dat
 
     def __setitem__(self, st: frozenset, dat) -> None:
+        if not st and not self._ns:
+            # the empty state IS the session's init_data: derive the
+            # namespace from its content fingerprint (engine-opaque
+            # datasets without one fall back to the shared namespace)
+            import hashlib
+
+            fp = getattr(dat, "fingerprint", None)
+            if fp is not None:
+                self._ns = (
+                    hashlib.blake2b(
+                        repr(fp).encode(), digest_size=8
+                    ).hexdigest()
+                    + "_"
+                )
         self._insert(st, dat)
 
     def get(self, st: frozenset, default=None):
@@ -211,8 +232,13 @@ class SnapshotStore:
             return default
 
     def pop(self, st: frozenset):
-        dat = self._mem.pop(st)
-        return dat
+        if st not in self._mem:
+            # honor the mapping contract for spilled-but-present states:
+            # load (so the caller gets a releasable value), then drop
+            # from memory; the spill file stays — it is a cache, and a
+            # later miss may still reuse it
+            self[st]
+        return self._mem.pop(st)
 
     def __iter__(self):
         return iter(list(self._mem))

@@ -408,8 +408,9 @@ def q_doc_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ._util import ntile_from_rank
 
     # per-lang counts come from the rank frame itself (max rank = group
-    # size — the input is already checkpointed by grouped_row_number, so
-    # this avoids re-evaluating the whole tokenize+score pipeline);
+    # size — checkpoint-pinned on the two-phase path, so this avoids
+    # re-evaluating the whole tokenize+score pipeline; the size-gated
+    # local path re-derives the deterministic perdoc subtree instead);
     # null-safe join because lang is nullable and the NULL-lang stratum
     # terciles like any other (the previous partitionBy window kept it)
     # n_rows: perdoc is one row per document, so the parquet-metadata

@@ -434,8 +434,10 @@ def q_ev_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked = global_row_number(
             spark, ranked, [metric, "user_id"], out, n_rows=n_bound
         )
-    # n from the checkpointed rank frame (max rank = row count) — no
-    # second evaluation of the per-user aggregate
+    # n from the rank frame (max rank = row count). On the two-phase
+    # path the frame is checkpoint-pinned (no second evaluation); on the
+    # size-gated local path the agg re-derives the (deterministic,
+    # unique-tiebreak) per-user subtree — small by the gate's bound
     n = ranked.agg(F.max("_mi").alias("_n_users"))
     return ranked.crossJoin(F.broadcast(n)).select(
         "user_id",

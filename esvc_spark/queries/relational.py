@@ -804,8 +804,9 @@ def q_window_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, spend, [F.desc("spend"), F.asc("o_custkey")], "_i",
         n_rows=table_rows(spark, sf_dir, "orders"),
     )
-    # n from the checkpointed rank frame (max rank = row count) — no
-    # second evaluation of the per-customer aggregate
+    # n from the rank frame (max rank = row count; checkpoint-pinned on
+    # the two-phase path, a re-derived — deterministic — subtree on the
+    # size-gated local path)
     n = ranked.agg(F.max("_i").alias("_n"))
     return (
         ranked.crossJoin(F.broadcast(n))
@@ -1474,8 +1475,9 @@ def q_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, rows, ["layout"], ["k1", "k2", "day"], "_rk",
         max_group_rows=table_rows(spark, sf_dir, "lineitem"),
     )
-    # per-layout counts from the checkpointed rank frame (max rank =
-    # layout size) — no second evaluation of the 3x-union
+    # per-layout counts from the rank frame (max rank = layout size;
+    # checkpoint-pinned on the two-phase path, a re-derived deterministic
+    # subtree on the size-gated local path)
     nl = rk.groupBy("layout").agg(F.max("_rk").alias("_n"))
     zones = (
         rk.join(F.broadcast(nl), "layout")
@@ -2422,7 +2424,8 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, rows, ["layout"], ["k1", "akey"], "_rk",
         max_group_rows=table_rows(spark, sf_dir, "orders"),
     )
-    # per-layout counts from the checkpointed rank frame (zonemap shape)
+    # per-layout counts from the rank frame (zonemap shape; pinned on
+    # the two-phase path, re-derived deterministically on the local path)
     nl = rk.groupBy("layout").agg(F.max("_rk").alias("_n"))
     zones = (
         rk.join(F.broadcast(nl), "layout")
@@ -2596,8 +2599,10 @@ def q_histogram_selectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partition-parallel global rank (round 7, the q_ev_rfm machinery):
     # the previous unpartitioned row_number funnelled |orders| through
     # one task; the boundary picks only need exact ranks, which the
-    # two-phase prefix sum provides at any scale. n comes from the
-    # checkpointed rank frame (max rank = row count) — no second scan.
+    # two-phase prefix sum provides at any scale; below the size gate
+    # one small window does. n comes from the rank frame (max rank =
+    # row count; pinned on the two-phase path, re-derived
+    # deterministically on the local path).
     from esvc_spark.core.spark_engine import global_row_number
 
     from esvc_spark.catalog import table_rows
@@ -2892,11 +2897,12 @@ def _ordered_runs(
     core.spark_engine.TWO_PHASE_MIN_ROWS one small lag window beats the
     six per-ordering checkpoint+collect cycles (the r7 cost:
     q_encoding_advisor 0.61 → 3.55 s at sf0.1), correction = 0."""
-    from esvc_spark.core.spark_engine import TWO_PHASE_MIN_ROWS
+    from esvc_spark.core.spark_engine import _use_local
 
-    if n_rows is not None and n_rows <= TWO_PHASE_MIN_ROWS:
-        w = Window.orderBy(key, "ak")
-        within = base.select(
+    def within_runs(frame: DataFrame, w) -> DataFrame:
+        # one run-start predicate for BOTH paths — the gate must never
+        # let the two formulations drift
+        return frame.select(
             "v",
             F.when(
                 F.lag("v").over(w).isNull()
@@ -2905,7 +2911,9 @@ def _ordered_runs(
             ).otherwise(0).alias("new_run"),
             F.length("v").alias("width"),
         )
-        return within, 0
+
+    if _use_local(None, n_rows):
+        return within_runs(base, Window.orderBy(key, "ak")), 0
     p = max(spark.sparkContext.defaultParallelism, 2)
     part = (
         base.repartitionByRange(p, F.col(key), F.col("ak"))
@@ -2914,16 +2922,7 @@ def _ordered_runs(
         # heap (core.spark_engine._DISK_ONLY rationale)
         .localCheckpoint(storageLevel=_de_disk())
     )
-    wp = Window.partitionBy("_pid").orderBy(key, "ak")
-    within = part.select(
-        "v",
-        F.when(
-            F.lag("v").over(wp).isNull()
-            | (F.lag("v").over(wp) != F.col("v")),
-            1,
-        ).otherwise(0).alias("new_run"),
-        F.length("v").alias("width"),
-    )
+    within = within_runs(part, Window.partitionBy("_pid").orderBy(key, "ak"))
     okey = F.struct(F.col(key).alias("k1"), F.col("ak").alias("k2"))
     edges = sorted(
         part.groupBy("_pid")

@@ -303,9 +303,17 @@ def event_log_stream_pipeline(
         ev = ev.localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
         ev.write.mode("append").option("compression", "zstd").parquet(log_dir)
 
-        # append_head ≙ main.rs:217-231: only the batch's NEW ids join
-        # the head set (a superseded-and-compacted head never re-enters)
-        new_ids = ev.select(F.col("src_id").alias("head_src")).distinct()
+        # append_head ≙ main.rs:217-231: every id the BATCH carries joins
+        # the head set — from the batch's deduped rows, NOT the
+        # anti-joined ev: a batch redelivered after the log append landed
+        # but before the heads write committed arrives with an empty
+        # anti-join, and its head ids would be lost forever (the final
+        # minimize can only REMOVE heads). Re-adding an already-compacted
+        # id is harmless — supersession is monotone, so the next
+        # compaction (or the reader's final fold) drops it again.
+        new_ids = batch.select(
+            F.col("event_id").cast("bigint").alias("head_src")
+        ).distinct()
         try:
             heads = spark.read.parquet(heads_dir).union(new_ids).distinct()
         except AnalysisException:

@@ -119,3 +119,28 @@ def test_state_key_is_order_insensitive():
     k2 = SnapshotStore.state_key(frozenset([c, a, b]))
     assert k1 == k2
     assert k1 != SnapshotStore.state_key(frozenset([a, b]))
+
+
+def test_spill_dir_not_shared_across_different_base_data(spark, tmp_path):
+    """(d) spill files are namespaced by the BASE state's fingerprint:
+    event hashes cover only (cmd, arg, deps), so a second session over
+    DIFFERENT init_data sharing the spill dir must REPLAY, never load
+    the first corpus's snapshots (code-review r8 finding)."""
+    spill = str(tmp_path / "spill")
+
+    eng1 = _CountingEngine(SparkReplaceEngine(spark))
+    store1 = SnapshotStore(eng1, spill, persist_budget=2)
+    g, w1, hashes = _shelve_chain(eng1, sts=store1)
+    store1.flush()
+
+    other_texts = ["Hi there", "up and up", "Hello what"]
+    eng2 = _CountingEngine(SparkReplaceEngine(spark))
+    store2 = SnapshotStore(eng2, spill, persist_budget=2)
+    w2 = WorkCache(eng2, eng2.from_texts(other_texts), sts=store2)
+    dat2 = w2.materialize(g, set(hashes))
+    assert eng2.runs > 0  # replayed — no cross-corpus snapshot reuse
+    assert store2.loads == 0
+    # and the result is the fold over corpus B, not corpus A's snapshot
+    want = ["Hey there", "down and down", "Hey which"]
+    got = sorted(r["text"] for r in dat2.df.collect())
+    assert got == sorted(want)
