@@ -1915,3 +1915,137 @@ FROM pairs WHERE max_run_shingles >= {_RUN_MIN_SH}
 """
 
 
+
+
+# ------------------------------------------- duplicated-substring audit
+# The ExactSubstr corpus audit (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better") re-expressed relationally: a token
+# position is DUPLICATED when any _SHINGLE-gram covering it occurs >= 2
+# times corpus-wide; consecutive duplicated positions merge into spans
+# (the substrings ExactSubstr would cut). Rolled up per lang: how much
+# of each stratum is corpus-duplicated text, and in how many spans.
+#
+# Scale shape: tokens explode once; gram construction, coverage and
+# span detection are all windows over the SAME (doc_id, pos) spec — one
+# doc-partitioned sort serves every window step, and doc_id is
+# high-cardinality so the windows parallelize; the gram count and the
+# join-back both hash-partition on the gram. At web scale the gram
+# string becomes a 64-bit hash with a df-cap on the count side (the
+# _DF_CAP precedent above); exact strings keep the toy oracle exact.
+
+
+def q_doc_dup_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    toks = (
+        _docs_par(spark, sf_dir)
+        .select("doc_id", "lang", F.posexplode(_TOKENS()).alias("pos", "w"))
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    # g is NULL unless a FULL K-gram starts here (|| would propagate the
+    # NULL in SQL; gating on the last lead keeps both dialects identical)
+    grams = toks.select(
+        "doc_id",
+        "lang",
+        "pos",
+        F.when(
+            F.lead("w", _SHINGLE - 1).over(wd).isNotNull(),
+            F.concat_ws(
+                " ", "w",
+                *[F.lead("w", i).over(wd) for i in range(1, _SHINGLE)],
+            ),
+        ).alias("g"),
+    ).transform(_tp)
+    dup_g = (
+        grams.filter(F.col("g").isNotNull())
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("g", F.lit(1).alias("ds"))
+    )
+    flagged = grams.join(dup_g, "g", "left").select(
+        "doc_id", "lang", "pos", F.coalesce("ds", F.lit(0)).alias("ds")
+    )
+    cov_w = wd.rowsBetween(-(_SHINGLE - 1), Window.currentRow)
+    covered = flagged.select(
+        "doc_id",
+        "lang",
+        "pos",
+        F.max("ds").over(cov_w).alias("cov"),
+    )
+    spans = covered.select(
+        "doc_id",
+        "lang",
+        "cov",
+        F.when(
+            (F.col("cov") == 1)
+            & (F.coalesce(F.lag("cov").over(wd), F.lit(0)) == 0),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_span"),
+    )
+    return spans.groupBy("lang").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("cov").cast("bigint").alias("dup_tokens"),
+        F.count_distinct(
+            F.when(F.col("cov") == 1, F.col("doc_id"))
+        ).alias("docs_with_dup"),
+        F.sum("new_span").cast("bigint").alias("n_spans"),
+        F.when(F.count(F.lit(1)) == 0, F.lit(0.0))
+        .otherwise(
+            F.sum("cov").cast("double") / F.count(F.lit(1)).cast("double")
+        )
+        .alias("dup_fraction"),
+    )
+
+
+_DUP_ISLANDS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(w) AS w, generate_subscripts(w, 1) AS pos
+  FROM (SELECT doc_id, lang, {SQL_TOKENS} AS w FROM documents)
+),
+grams AS (
+  SELECT doc_id, lang, pos,
+         CASE WHEN LEAD(w, {_SHINGLE - 1}) OVER wd IS NOT NULL THEN
+           w || ' ' || {" || ' ' || ".join(f"LEAD(w, {i}) OVER wd" for i in range(1, _SHINGLE))}
+         END AS g
+  FROM toks
+  WINDOW wd AS (PARTITION BY doc_id ORDER BY pos)
+),
+dup_g AS (
+  SELECT g FROM grams WHERE g IS NOT NULL GROUP BY g HAVING COUNT(*) >= 2
+),
+flagged AS (
+  SELECT doc_id, lang, pos,
+         CASE WHEN g IN (SELECT g FROM dup_g) THEN 1 ELSE 0 END AS ds
+  FROM grams
+),
+covered AS (
+  SELECT doc_id, lang, pos,
+         MAX(ds) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN {_SHINGLE - 1} PRECEDING AND CURRENT ROW)
+           AS cov
+  FROM flagged
+),
+spans AS (
+  SELECT doc_id, lang, cov,
+         CASE WHEN cov = 1 AND COALESCE(
+                LAG(cov) OVER (PARTITION BY doc_id ORDER BY pos), 0) = 0
+              THEN 1 ELSE 0 END AS new_span
+  FROM covered
+)
+SELECT lang,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(cov) AS BIGINT) AS dup_tokens,
+       CAST(COUNT(DISTINCT CASE WHEN cov = 1 THEN doc_id END) AS BIGINT)
+         AS docs_with_dup,
+       CAST(SUM(new_span) AS BIGINT) AS n_spans,
+       CASE WHEN COUNT(*) = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(SUM(cov) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+       END AS dup_fraction
+FROM spans
+GROUP BY lang
+"""
