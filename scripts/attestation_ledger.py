@@ -83,16 +83,23 @@ sf0.001 / sf0.01 / sf0.1), and the full-surface determinism probe is
 green after the change — so the outputs are pinned output-identical
 through the unchanged oracle hashes. Measured recovery (bench delta
 section, now emitted per run): the gated set 28.6 -> 15.5 s at sf0.1;
-r1-subset 42.90 -> 36.81 s, UNDER the 41.54 s round-1 baseline.
+r1-subset 42.90 -> 36.99 s, UNDER the 41.54 s round-1 baseline.
 (2) q_stream_event_log closes the streamed event-log loop (append ->
 head update -> >100 compaction, redelivery-proof, recovery green under
 both HDFS and RocksDB state stores). (3) core.store.SnapshotStore
-bounds the WorkCache memo with parquet spill by canonical state key —
-a budget-1 shelve session infers identical hashes and a NEW session
-materializes a spilled state with zero replays (tests/
-test_snapshot_store.py). Full round-8 evidence: 225/225 sf0.01 verify,
-225/225 sf0.1 verify (chunked), 225/225 determinism probe, pytest
-669 passed / 0 failed.
+bounds the WorkCache memo with parquet spill by canonical state key
+(namespaced by the base state's fingerprint) — a budget-1 shelve
+session infers identical hashes and a NEW session materializes a
+spilled state with zero replays (tests/test_snapshot_store.py).
+(4) q_doc_dup_islands adds the positional ExactSubstr duplicated-span
+audit. A same-session adversarial code review of the round-8 diff ran
+before close; all six findings (heads-table redelivery window,
+snapshot cross-corpus namespace, pop contract, bench sf guard, stale
+comments, _ordered_runs duplication) are fixed with pinned tests.
+Full round-8 evidence at close: 226/226 sf0.01 verify; full-surface
+sf0.1 verify (225/225 chunked mid-round + every query changed after
+re-verified at sf0.1); 226/226 determinism probe coverage (225
+mid-round + the new query); pytest 672 passed / 0 failed.
 
 Maintenance: regenerate after each round's CORRECTNESS file lands
 (`python scripts/attestation_ledger.py`).
