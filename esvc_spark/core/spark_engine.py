@@ -446,6 +446,19 @@ class SparkEngineBase(BaseEngine):
 
         return os.path.exists(path + ".json")
 
+    @staticmethod
+    def drop_snapshot(path: str) -> None:
+        """Delete a spilled snapshot. The sidecar goes FIRST — it is the
+        presence marker, so a partial delete fails safe (absent)."""
+        import os
+        import shutil
+
+        try:
+            os.remove(path + ".json")
+        except OSError:
+            pass
+        shutil.rmtree(path + ".parquet", ignore_errors=True)
+
 
 class SparkReplaceEngine(SparkEngineBase):
     """Distributed literal search-and-replace: cmd 0, arg = {"search",

@@ -232,13 +232,18 @@ class SnapshotStore:
             return default
 
     def pop(self, st: frozenset):
+        """Strict mapping semantics: after pop the state is GONE — from
+        memory AND from disk (WorkCache.prune means 'forget this state';
+        a presence probe answering True afterwards would un-forget it).
+        A spilled-but-present state is loaded first so the caller gets a
+        releasable value."""
         if st not in self._mem:
-            # honor the mapping contract for spilled-but-present states:
-            # load (so the caller gets a releasable value), then drop
-            # from memory; the spill file stays — it is a cache, and a
-            # later miss may still reuse it
             self[st]
-        return self._mem.pop(st)
+        dat = self._mem.pop(st)
+        drop = getattr(self.engine, "drop_snapshot", None)
+        if drop is not None:
+            drop(self._path(st))
+        return dat
 
     def __iter__(self):
         return iter(list(self._mem))

@@ -144,3 +144,120 @@ def test_spill_dir_not_shared_across_different_base_data(spark, tmp_path):
     want = ["Hey there", "down and down", "Hey which"]
     got = sorted(r["text"] for r in dat2.df.collect())
     assert got == sorted(want)
+
+
+def test_store_matches_dict_semantics_property():
+    """(e) Hypothesis: under any interleaving of set / get / contains /
+    pop against random state keys, SnapshotStore observationally equals
+    a plain dict — whatever the LRU budget spilled in between. Runs on a
+    fake engine (no Spark): values are ints, 'spill' is a pickle file."""
+    import os
+    import pickle
+    import tempfile
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    class FakeEngine:
+        def save_snapshot(self, dat, path):
+            with open(path + ".pkl", "wb") as f:
+                pickle.dump(dat, f)
+            with open(path + ".json", "w") as f:
+                f.write("{}")
+
+        def load_snapshot(self, path):
+            with open(path + ".pkl", "rb") as f:
+                return pickle.load(f)
+
+        @staticmethod
+        def snapshot_exists(path):
+            return os.path.exists(path + ".json")
+
+        @staticmethod
+        def drop_snapshot(path):
+            for suffix in (".json", ".pkl"):
+                try:
+                    os.remove(path + suffix)
+                except OSError:
+                    pass
+
+        def release(self, dat):
+            pass
+
+    keys = [frozenset(), *(frozenset([bytes([i])]) for i in range(5)),
+            frozenset([b"\x01", b"\x02"])]
+    ops = st.lists(
+        st.tuples(
+            st.sampled_from(["set", "get", "contains", "pop"]),
+            st.integers(0, len(keys) - 1),
+            st.integers(0, 99),
+        ),
+        max_size=40,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(ops=ops, budget=st.integers(1, 3))
+    def run(ops, budget):
+        with tempfile.TemporaryDirectory() as d:
+            store = SnapshotStore(FakeEngine(), d, persist_budget=budget)
+            model: dict = {}
+            for op, ki, val in ops:
+                k = keys[ki]
+                if op == "set":
+                    store[k] = val
+                    model[k] = val
+                elif op == "contains":
+                    assert (k in store) == (k in model)
+                elif op == "get":
+                    assert store.get(k, None) == model.get(k, None)
+                elif op == "pop":
+                    if k in model:
+                        assert store.pop(k) == model.pop(k)
+            # closing sweep: every surviving key readable with its value
+            for k, v in model.items():
+                assert store[k] == v
+
+    run()
+
+
+def test_pop_of_spilled_state_forgets_it():
+    """Directed regression for the sequence the property may not reach:
+    set -> evict (spill) -> pop must FORGET the state — a presence probe
+    answering True afterwards would un-forget a pruned state."""
+    import os
+    import pickle
+    import tempfile
+
+    class FakeEngine:
+        def save_snapshot(self, dat, path):
+            with open(path + ".pkl", "wb") as f:
+                pickle.dump(dat, f)
+            with open(path + ".json", "w") as f:
+                f.write("{}")
+
+        def load_snapshot(self, path):
+            with open(path + ".pkl", "rb") as f:
+                return pickle.load(f)
+
+        @staticmethod
+        def snapshot_exists(path):
+            return os.path.exists(path + ".json")
+
+        @staticmethod
+        def drop_snapshot(path):
+            for suffix in (".json", ".pkl"):
+                try:
+                    os.remove(path + suffix)
+                except OSError:
+                    pass
+
+        def release(self, dat):
+            pass
+
+    with tempfile.TemporaryDirectory() as d:
+        store = SnapshotStore(FakeEngine(), d, persist_budget=1)
+        k0, k1, k2 = (frozenset([bytes([i])]) for i in range(3))
+        store[k0], store[k1], store[k2] = 1, 2, 3  # k0 evicted + spilled
+        assert store.spills >= 1 and k0 in store
+        assert store.pop(k0) == 1
+        assert k0 not in store  # gone from memory AND disk
