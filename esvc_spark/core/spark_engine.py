@@ -447,6 +447,14 @@ class SparkEngineBase(BaseEngine):
         return os.path.exists(path + ".json")
 
     @staticmethod
+    def pin_snapshot(dat: SparkDat) -> None:
+        """Materialize a freshly-loaded snapshot into the block manager
+        so it survives its backing files being deleted (SnapshotStore.pop
+        deletes the spill right after loading; the persisted scan is lazy
+        until the first action)."""
+        dat.df.count()
+
+    @staticmethod
     def drop_snapshot(path: str) -> None:
         """Delete a spilled snapshot. The sidecar goes FIRST — it is the
         presence marker, so a partial delete fails safe (absent)."""

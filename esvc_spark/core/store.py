@@ -223,6 +223,14 @@ class SnapshotStore:
                     ).hexdigest()
                     + "_"
                 )
+        # OVERWRITE must invalidate a stale spill: _spill skips the save
+        # when a file already exists (re-evicting an unchanged reloaded
+        # state must not rewrite parquet), so a file predating this new
+        # value would silently resurrect the old one on the next
+        # evict/reload cycle (found by the dict-semantics property:
+        # set k / evict k / set k again)
+        if self.engine.snapshot_exists(self._path(st)):
+            self._drop(st)
         self._insert(st, dat)
 
     def get(self, st: frozenset, default=None):
@@ -235,15 +243,56 @@ class SnapshotStore:
         """Strict mapping semantics: after pop the state is GONE — from
         memory AND from disk (WorkCache.prune means 'forget this state';
         a presence probe answering True afterwards would un-forget it).
-        A spilled-but-present state is loaded first so the caller gets a
-        releasable value."""
-        if st not in self._mem:
-            self[st]
-        dat = self._mem.pop(st)
+
+        A spilled-only state is loaded DIRECTLY (no LRU re-admission —
+        re-admitting could evict and parquet-write an unrelated hot
+        entry for a value that is about to be forgotten) and PINNED off
+        its files via the engine's pin_snapshot hook before they are
+        deleted — a lazily-persisted scan would otherwise dangle."""
+        if st in self._mem:
+            dat = self._mem.pop(st)
+            self._drop(st)
+            return dat
+        path = self._path(st)
+        if not self.engine.snapshot_exists(path):
+            raise KeyError(st)
+        dat = self.engine.load_snapshot(path)
+        pin = getattr(self.engine, "pin_snapshot", None)
+        if pin is not None:
+            pin(dat)
+        self.loads += 1
+        self._drop(st)
+        return dat
+
+    def _drop(self, st: frozenset) -> None:
         drop = getattr(self.engine, "drop_snapshot", None)
         if drop is not None:
             drop(self._path(st))
-        return dat
+
+    def clear_spill(self) -> int:
+        """Delete every spill file in THIS store's namespace — the disk
+        side of a full forget (in-memory entries are untouched). Needed
+        because spilled-only states cannot be enumerated (their keys are
+        one-way digests), so a targeted prune/pop can only reach states
+        it knows by name; this is the wholesale complement. Returns the
+        number of snapshots deleted."""
+        import glob as _glob
+
+        n = 0
+        for side in _glob.glob(
+            os.path.join(self.spill_dir, f"st_{self._ns}*.json")
+        ):
+            base = side[: -len(".json")]
+            drop = getattr(self.engine, "drop_snapshot", None)
+            if drop is not None:
+                drop(base)
+            else:
+                try:
+                    os.remove(side)
+                except OSError:
+                    pass
+            n += 1
+        return n
 
     def __iter__(self):
         return iter(list(self._mem))

@@ -45,6 +45,46 @@ class _CountingEngine:
         return getattr(self._inner, name)
 
 
+class FakeEngine:
+    """No-Spark spill seam: values are picklable ints, presence marker
+    is the .json sidecar (written last, deleted first) — shared by the
+    dict-semantics property and the directed regressions."""
+
+    def save_snapshot(self, dat, path):
+        import os
+        import pickle
+
+        with open(path + ".pkl", "wb") as f:
+            pickle.dump(dat, f)
+        with open(path + ".json", "w") as f:
+            f.write("{}")
+
+    def load_snapshot(self, path):
+        import pickle
+
+        with open(path + ".pkl", "rb") as f:
+            return pickle.load(f)
+
+    @staticmethod
+    def snapshot_exists(path):
+        import os
+
+        return os.path.exists(path + ".json")
+
+    @staticmethod
+    def drop_snapshot(path):
+        import os
+
+        for suffix in (".json", ".pkl"):
+            try:
+                os.remove(path + suffix)
+            except OSError:
+                pass
+
+    def release(self, dat):
+        pass
+
+
 _TEXTS = ["Hi, what's up??", "nothing up here", "Hi again", "what now"]
 _EVENTS = [
     sear("Hi", "Hello"),
@@ -158,31 +198,6 @@ def test_store_matches_dict_semantics_property():
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
-    class FakeEngine:
-        def save_snapshot(self, dat, path):
-            with open(path + ".pkl", "wb") as f:
-                pickle.dump(dat, f)
-            with open(path + ".json", "w") as f:
-                f.write("{}")
-
-        def load_snapshot(self, path):
-            with open(path + ".pkl", "rb") as f:
-                return pickle.load(f)
-
-        @staticmethod
-        def snapshot_exists(path):
-            return os.path.exists(path + ".json")
-
-        @staticmethod
-        def drop_snapshot(path):
-            for suffix in (".json", ".pkl"):
-                try:
-                    os.remove(path + suffix)
-                except OSError:
-                    pass
-
-        def release(self, dat):
-            pass
 
     keys = [frozenset(), *(frozenset([bytes([i])]) for i in range(5)),
             frozenset([b"\x01", b"\x02"])]
@@ -228,31 +243,6 @@ def test_pop_of_spilled_state_forgets_it():
     import pickle
     import tempfile
 
-    class FakeEngine:
-        def save_snapshot(self, dat, path):
-            with open(path + ".pkl", "wb") as f:
-                pickle.dump(dat, f)
-            with open(path + ".json", "w") as f:
-                f.write("{}")
-
-        def load_snapshot(self, path):
-            with open(path + ".pkl", "rb") as f:
-                return pickle.load(f)
-
-        @staticmethod
-        def snapshot_exists(path):
-            return os.path.exists(path + ".json")
-
-        @staticmethod
-        def drop_snapshot(path):
-            for suffix in (".json", ".pkl"):
-                try:
-                    os.remove(path + suffix)
-                except OSError:
-                    pass
-
-        def release(self, dat):
-            pass
 
     with tempfile.TemporaryDirectory() as d:
         store = SnapshotStore(FakeEngine(), d, persist_budget=1)
@@ -261,3 +251,34 @@ def test_pop_of_spilled_state_forgets_it():
         assert store.spills >= 1 and k0 in store
         assert store.pop(k0) == 1
         assert k0 not in store  # gone from memory AND disk
+
+
+def test_overwrite_invalidates_stale_spill(tmp_path):
+    """Directed regression for the property's flaky counterexample
+    (code-review r8 #1): set k -> evict (spill) -> set k with a NEW
+    value; the next eviction must not 'skip save' into the stale file
+    and resurrect the old value."""
+    store = SnapshotStore(FakeEngine(), str(tmp_path), persist_budget=1)
+    k0, k1 = frozenset([b"\x00"]), frozenset([b"\x01"])
+    store[k0] = 1
+    store[k1] = 2  # k0 evicted, spilled as 1
+    store[k0] = 99  # overwrite must invalidate the stale spill
+    store[k1] = 2  # k0 evicted again — must SAVE 99, not skip
+    assert store[k0] == 99
+
+
+def test_pop_of_spilled_state_survives_file_deletion(spark, tmp_path):
+    """Real-engine twin of the pop contract (code-review r8 #2): popping
+    a SPILLED state deletes its backing parquet, so the returned frame
+    must be pinned off the files first (pin_snapshot) — collecting it
+    afterwards must work, not FileNotFoundException."""
+    eng = SparkReplaceEngine(spark)
+    store = SnapshotStore(eng, str(tmp_path / "spill"), persist_budget=1)
+    k1, k2 = frozenset([b"\x01" * 64]), frozenset([b"\x02" * 64])
+    store[frozenset()] = eng.from_texts(["base"])
+    store[k1] = eng.from_texts(["hello world"])
+    store[k2] = eng.from_texts(["other"])  # k1 evicted + spilled
+    assert store.spills == 1
+    dat = store.pop(k1)
+    assert k1 not in store  # forgotten: memory AND disk
+    assert [r["text"] for r in dat.df.collect()] == ["hello world"]
