@@ -31,7 +31,13 @@ _BODY_CMDS = {"append", "change", "insert"}
 
 
 class Repl:
-    def __init__(self, init_lines: tuple[str, ...] = (), engine=None):
+    def __init__(
+        self,
+        init_lines: tuple[str, ...] = (),
+        engine=None,
+        spill_dir: str | None = None,
+        persist_budget: int = 8,
+    ):
         self.engine = engine or ExEngine()
         # Engine-agnostic bootstrapping (the reference's whole point): the
         # in-memory ExEngine's Dat IS the line tuple; the Spark-backed
@@ -42,7 +48,18 @@ class Repl:
             else tuple(init_lines)
         )
         self.graph = Graph()
-        self.wc = WorkCache(self.engine, init)
+        # spill_dir opts into the bounded SnapshotStore memo (parquet
+        # spill by state key, reload across sessions) — the reference's
+        # REPL holds every state in RAM forever; a long session here
+        # doesn't have to.
+        sts = None
+        if spill_dir is not None:
+            from .core.store import SnapshotStore
+
+            sts = SnapshotStore(
+                self.engine, spill_dir, persist_budget=persist_budget
+            )
+        self.wc = WorkCache(self.engine, init, sts=sts)
 
     @property
     def heads(self) -> set[bytes]:

@@ -45,6 +45,43 @@ class BaseEngine:
     def release(self, dat: Any) -> None:
         pass
 
+    # -- snapshot spill seam (store.SnapshotStore) -------------------------
+    # Local engines hold plain picklable values (line tuples, text
+    # lists), so the default spill is one pickle file with a .json
+    # sidecar as the presence marker (written last / deleted first, so a
+    # partial write or delete fails safe). SparkEngineBase overrides the
+    # whole seam with parquet + a fingerprint sidecar.
+
+    def save_snapshot(self, dat: Any, path: str) -> None:
+        import pickle
+
+        with open(path + ".pkl", "wb") as f:
+            pickle.dump(dat, f)
+        with open(path + ".json", "w") as f:
+            f.write("{}")
+
+    def load_snapshot(self, path: str) -> Any:
+        import pickle
+
+        with open(path + ".pkl", "rb") as f:
+            return pickle.load(f)
+
+    @staticmethod
+    def snapshot_exists(path: str) -> bool:
+        import os
+
+        return os.path.exists(path + ".json")
+
+    @staticmethod
+    def drop_snapshot(path: str) -> None:
+        import os
+
+        for suffix in (".json", ".pkl"):
+            try:
+                os.remove(path + suffix)
+            except OSError:
+                pass
+
 
 class CommandNotFound(Exception):
     def __init__(self, cmd: int):

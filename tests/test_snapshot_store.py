@@ -282,3 +282,19 @@ def test_pop_of_spilled_state_survives_file_deletion(spark, tmp_path):
     dat = store.pop(k1)
     assert k1 not in store  # forgotten: memory AND disk
     assert [r["text"] for r in dat.df.collect()] == ["hello world"]
+
+
+def test_repl_opts_into_snapshot_store(tmp_path):
+    """The REPL's spill_dir option wires the bounded memo end-to-end:
+    editing commands work, and the session's state memo IS a
+    SnapshotStore with the requested budget."""
+    import io
+
+    from esvc_spark.cli import Repl
+
+    r = Repl(("hello", "world"), spill_dir=str(tmp_path), persist_budget=2)
+    out = io.StringIO()
+    assert r.handle_line("0,i", out, lambda: ["first"]) is True
+    assert r.materialize()[0] == "first"
+    assert isinstance(r.wc.sts, SnapshotStore)
+    assert r.wc.sts.persist_budget == 2
