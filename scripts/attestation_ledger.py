@@ -92,14 +92,19 @@ bounds the WorkCache memo with parquet spill by canonical state key
 session infers identical hashes and a NEW session materializes a
 spilled state with zero replays (tests/test_snapshot_store.py).
 (4) q_doc_dup_islands adds the positional ExactSubstr duplicated-span
-audit. A same-session adversarial code review of the round-8 diff ran
-before close; all six findings (heads-table redelivery window,
-snapshot cross-corpus namespace, pop contract, bench sf guard, stale
-comments, _ordered_runs duplication) are fixed with pinned tests.
-Full round-8 evidence at close: 226/226 sf0.01 verify; full-surface
-sf0.1 verify (225/225 chunked mid-round + every query changed after
-re-verified at sf0.1); 226/226 determinism probe coverage (225
-mid-round + the new query); pytest 672 passed / 0 failed.
+audit. TWO same-session adversarial code-review rounds ran before
+close; all eleven findings (heads-table redelivery window, snapshot
+cross-corpus namespace, stale-spill overwrite resurrection — the
+dict-semantics property's flaky counterexample — pop pin-then-forget
+with the real engine, prune's spilled-only reach, bench sf guard,
+stale comments, _ordered_runs duplication, test-fake dedup) are fixed
+with pinned directed regressions plus a Hypothesis store-vs-dict
+property; the REPL now opts into the spill store (spill_dir=) and
+local engines got a generic pickle spill seam. Full round-8 evidence
+at close: 226/226 sf0.01 verify; full-surface sf0.1 verify (225/225
+chunked mid-round + every query changed after re-verified at sf0.1);
+226/226 determinism probe coverage (225 mid-round + the new query);
+pytest 677 passed / 0 failed.
 
 Maintenance: regenerate after each round's CORRECTNESS file lands
 (`python scripts/attestation_ledger.py`).
