@@ -92,7 +92,12 @@ def _DISK_ONLY():
 # parallelizes over groups so it stays ahead longer, but n_rows bounds
 # TOTAL rows (not the largest group), so one conservative constant
 # serves both: 1<<20, the bound the editor's renumber gate has proven
-# since r5 (_RENUMBER_LOCAL_ROWS). Callers thread `n_rows` (any cheap
+# since r5 (_RENUMBER_LOCAL_ROWS). The probe's grouped3 arm (3 balanced
+# groups — the zonemap/zorder max_group_rows shape, its worst case
+# short of one group) backs the per-group bound: at 1e6 rows / 333k per
+# group local wins 0.21 vs 0.44 s, and even at 4e6 / 1.33M per group
+# (past the bound) it still edges the two-phase plan 0.62 vs 0.85 s —
+# the gate flips conservatively before the crossover, never after. Callers thread `n_rows` (any cheap
 # UPPER BOUND, e.g. the parquet-metadata base-table count via
 # catalog.table_rows) and the helper picks the path; an unknown bound
 # keeps the distributed plan, so scale safety is the default.

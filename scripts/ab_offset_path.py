@@ -43,12 +43,12 @@ def _helpers_ab(spark, n_rounds: int) -> None:
         grouped_row_number,
     )
 
-    def frame(n: int):
+    def frame(n: int, groups: int = 16):
         # unique scrambled order key (odd multiplier mod 2^63 is a
-        # bijection) + a 16-ary group key
+        # bijection) + a `groups`-ary group key
         return spark.range(n).select(
             (F.col("id") * F.lit(2654435761) % F.lit(1 << 62)).alias("k"),
-            (F.col("id") % 16).cast("int").alias("g"),
+            (F.col("id") % groups).cast("int").alias("g"),
         )
 
     def force(df, out: str) -> float:
@@ -72,6 +72,20 @@ def _helpers_ab(spark, n_rounds: int) -> None:
                 lambda loc: force(
                     grouped_row_number(
                         spark, frame(n), ["g"], ["k"], "rn", local=loc
+                    ),
+                    "rn",
+                ),
+            ),
+            (
+                # the max_group_rows policy's shape: FEW balanced groups
+                # (zonemap/zorder are 3 layout copies of one table) — the
+                # local window's task count collapses to |groups|, so
+                # this is its worst case short of a single group
+                "grouped3",
+                lambda loc: force(
+                    grouped_row_number(
+                        spark, frame(n, groups=3), ["g"], ["k"], "rn",
+                        local=loc,
                     ),
                     "rn",
                 ),
