@@ -402,6 +402,11 @@ def q_doc_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "lang", "n_bigrams",
             (F.col("psum") / F.col("n_bigrams")).alias("lm_score"),
         )
+        # perdoc feeds BOTH the rank and the per-lang count branch; on
+        # the size-gated LOCAL rank path nothing checkpoints it, so an
+        # unpersisted frame would run the whole 18-shuffle tokenize+
+        # score pipeline twice (round 8; |documents| rows, cheap to hold)
+        .transform(_tp)
     )
     from ..core.spark_engine import grouped_row_number
 
