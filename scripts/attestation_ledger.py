@@ -83,7 +83,8 @@ sf0.001 / sf0.01 / sf0.1), and the full-surface determinism probe is
 green after the change — so the outputs are pinned output-identical
 through the unchanged oracle hashes. Measured recovery (bench delta
 section, now emitted per run): the gated set 28.6 -> 15.5 s at sf0.1;
-r1-subset 42.90 -> 36.99 s, UNDER the 41.54 s round-1 baseline.
+r1-subset 42.90 -> 32.90 s at round close — 0.79x of the 41.54 s
+round-1 baseline — and the 226-query grand total 255.9 -> 207.6 s.
 (2) q_stream_event_log closes the streamed event-log loop (append ->
 head update -> >100 compaction, redelivery-proof, recovery green under
 both HDFS and RocksDB state stores). (3) core.store.SnapshotStore
