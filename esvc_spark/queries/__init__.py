@@ -43,6 +43,7 @@ _FRONT = (
     # the ExactSubstr duplicated-substring audit
     "q_stream_event_log",
     "q_doc_dup_islands",
+    "q_doc_line_dedup",
     # changed this round: size-gated rank/prefix helpers (local window
     # at or below TWO_PHASE_MIN_ROWS, two-phase checkpoint plan above)
     "q_ev_rfm",

@@ -1064,6 +1064,143 @@ SELECT doc_id, n_shingles, n_dup_shingles,
 FROM per_doc
 """
 
+# ------------------------------------------------------------ line dedup
+# RefinedWeb/CCNet-style BOILERPLATE SEGMENT REMOVAL: the corpus has no
+# newline structure, so a "line" is a fixed non-overlapping 8-token
+# segment (last segment ragged). Any segment whose text appears verbatim
+# in >= 2 DISTINCT documents is removed everywhere it occurs, and the
+# query materializes the CLEANED corpus deterministically — per doc the
+# ordered concat of retained segments, fingerprinted by md5 — so two
+# engines must agree on the actual rebuilt text, not just the removal
+# counts. Differs from q_doc_dup_spans (overlapping-shingle coverage
+# *audit*) in that this is the cleaning *transform*: token-removal
+# accounting plus the reconstructed output.
+#
+# Scale shape: one narrow explode (segments travel as md5 keys into the
+# df aggregate — the 8-token text itself never shuffles into the
+# frequency table), one seg_h groupBy, one seg_h join back, one doc_id
+# aggregate whose collect_list state is bounded by the document's own
+# length. No self-join, no window over the corpus.
+
+_LINE_SEG = 8  # tokens per segment ("line") — the dedup unit
+
+
+def q_doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_par(spark, sf_dir)
+    k = _LINE_SEG
+    segs = (
+        docs.withColumn("w", _TOKENS())
+        .filter(F.size("w") > 0)  # sequence(0,-1) would step backwards
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, CAST(ceil(size(w)/{k}.0) AS INT) - 1), "
+                    f"i -> struct(array_join(slice(w, i*{k}+1, {k}), ' ') AS seg, "
+                    f"CAST(size(slice(w, i*{k}+1, {k})) AS BIGINT) AS ntok))"
+                )
+            ).alias("i", "s"),
+        )
+        .select(
+            "doc_id",
+            "i",
+            F.col("s.seg").alias("seg"),
+            F.col("s.ntok").alias("ntok"),
+            F.md5(F.col("s.seg")).alias("seg_h"),
+        )
+        .transform(_tp)
+    )
+    dfs = segs.groupBy("seg_h").agg(
+        F.count_distinct("doc_id").alias("df_docs")
+    )
+    per = (
+        segs.join(dfs, "seg_h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.when(F.col("df_docs") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_segments"),
+            F.sum("ntok").alias("n_tokens"),
+            F.sum(F.when(F.col("df_docs") >= 2, F.col("ntok")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("tokens_removed"),
+            # retained segments, rebuilt in position order (i is unique
+            # per doc, so the struct sort is a total order); collect_list
+            # drops the NULLs the removed segments map to
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(F.col("df_docs") < 2, F.struct("i", "seg"))
+                            )
+                        ),
+                        lambda x: x["seg"],
+                    ),
+                    " ",
+                )
+            ).alias("clean_md5"),
+        )
+    )
+    return docs.select("doc_id").join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_segments", F.lit(0)).cast("bigint").alias("n_segments"),
+        F.coalesce("n_dup_segments", F.lit(0))
+        .cast("bigint")
+        .alias("n_dup_segments"),
+        F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+        F.coalesce("tokens_removed", F.lit(0))
+        .cast("bigint")
+        .alias("tokens_removed"),
+        F.when(F.coalesce("n_tokens", F.lit(0)) == 0, F.lit(1.0))
+        .otherwise(
+            (F.col("n_tokens") - F.col("tokens_removed")).cast("double")
+            / F.col("n_tokens")
+        )
+        .alias("retained_frac"),
+        F.coalesce("clean_md5", F.md5(F.lit(""))).alias("clean_md5"),
+    )
+
+
+_LINE_DEDUP_SQL = f"""
+WITH w AS (SELECT doc_id, {SQL_TOKENS} AS w FROM documents),
+seg AS (
+  SELECT doc_id, i,
+         array_to_string(w[{_LINE_SEG}*i+1 : {_LINE_SEG}*i+{_LINE_SEG}], ' ') AS seg,
+         CAST(len(w[{_LINE_SEG}*i+1 : {_LINE_SEG}*i+{_LINE_SEG}]) AS BIGINT) AS ntok
+  FROM w, unnest(range(0, CAST(ceil(len(w)/{_LINE_SEG}.0) AS BIGINT))) t(i)
+),
+dfs AS (
+  SELECT md5(seg) AS seg_h, COUNT(DISTINCT doc_id) AS df_docs
+  FROM seg GROUP BY md5(seg)
+),
+per AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_segments,
+         CAST(SUM(CASE WHEN df_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_segments,
+         CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN df_docs >= 2 THEN ntok ELSE 0 END) AS BIGINT)
+           AS tokens_removed,
+         md5(COALESCE(
+           string_agg(seg, ' ' ORDER BY i) FILTER (WHERE df_docs < 2), ''))
+           AS clean_md5
+  FROM seg JOIN dfs ON md5(seg.seg) = dfs.seg_h
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_segments, 0) AS BIGINT) AS n_segments,
+       CAST(COALESCE(p.n_dup_segments, 0) AS BIGINT) AS n_dup_segments,
+       CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(p.tokens_removed, 0) AS BIGINT) AS tokens_removed,
+       CASE WHEN COALESCE(p.n_tokens, 0) = 0 THEN CAST(1 AS DOUBLE)
+            ELSE CAST(p.n_tokens - p.tokens_removed AS DOUBLE) / p.n_tokens
+       END AS retained_frac,
+       COALESCE(p.clean_md5, md5('')) AS clean_md5
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
 # ---------------------------------------------------------- minhash audit
 # Sketch-fidelity audit: for every LSH band candidate pair, the MinHash
 # signature estimate (matches/16) next to the TRUE shingle Jaccard —
