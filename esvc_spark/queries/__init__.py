@@ -44,6 +44,8 @@ _FRONT = (
     "q_stream_event_log",
     "q_doc_dup_islands",
     "q_doc_line_dedup",
+    "q_doc_host_caps",
+    "q_ev_l_diversity",
     # changed this round: size-gated rank/prefix helpers (local window
     # at or below TWO_PHASE_MIN_ROWS, two-phase checkpoint plan above)
     "q_ev_rfm",

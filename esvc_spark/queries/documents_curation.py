@@ -1379,3 +1379,97 @@ FROM top
 """
 
 
+
+
+# ------------------------------------------------------- host/source caps
+# C4/RefinedWeb-style HOST CAP applied per `source` (the corpus's
+# host/domain analog): each source contributes at most _HOST_CAP
+# documents, admission ranked by the fixed-point quality score (q20 =
+# floor(qscore * 2^20), the jackknife convention — BIGINT ranks are
+# cross-engine exact) with doc_id as the deterministic tiebreak. Where
+# q_doc_domain_reweight computes target WEIGHTS, this applies the hard
+# CAP and reports the realized yield: kept/dropped docs, token yield,
+# and the admission threshold (the lowest kept q20) per source.
+#
+# Scale shape: ranking goes through topk_per_group (two-phase: local
+# top-k per (source, partition), exact rank over the bounded survivor
+# set) — no source's whole corpus slice ever funnels through one task.
+# NULL sources fold onto '' (COALESCE convention, CLAUDE.md) so the
+# group survives the join in both engines.
+
+_HOST_CAP = 20
+_HC_Q = 1 << 20
+
+
+def q_doc_host_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.topk import topk_per_group
+
+    scored = (
+        _qscored(_docs_par(spark, sf_dir))
+        .select(
+            F.coalesce("source", F.lit("")).alias("src"),
+            "doc_id",
+            "n_tokens",
+            F.floor(F.col("qscore") * _HC_Q).cast("bigint").alias("q20"),
+        )
+        .transform(_tp)
+    )
+    tot = scored.groupBy("src").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_total"),
+    )
+    kept = topk_per_group(
+        scored,
+        ["src"],
+        [F.col("q20").desc(), F.col("doc_id").asc()],
+        _HOST_CAP,
+    )
+    ka = kept.groupBy("src").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_kept"),
+        F.min("q20").alias("cut_q20"),
+    )
+    return tot.join(ka, "src").select(
+        F.col("src").alias("source"),
+        "n_docs",
+        "n_kept",
+        (F.col("n_docs") - F.col("n_kept")).alias("n_dropped"),
+        "tokens_total",
+        "tokens_kept",
+        (F.col("n_kept").cast("double") / F.col("n_docs")).alias("kept_frac"),
+        "cut_q20",
+    )
+
+
+def _host_caps_sql() -> str:
+    return f"""
+WITH scored AS (
+  SELECT COALESCE(source, '') AS src, doc_id, n_tokens,
+         CAST(FLOOR(qscore * {_HC_Q}) AS BIGINT) AS q20
+  FROM ({_qscored_sql()}) s
+),
+tot AS (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS tokens_total
+  FROM scored GROUP BY src
+),
+rk AS (
+  SELECT src, q20, n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY q20 DESC, doc_id)
+           AS rn
+  FROM scored
+),
+ka AS (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept,
+         MIN(q20) AS cut_q20
+  FROM rk WHERE rn <= {_HOST_CAP} GROUP BY src
+)
+SELECT t.src AS source, n_docs, n_kept, n_docs - n_kept AS n_dropped,
+       tokens_total, tokens_kept,
+       CAST(n_kept AS DOUBLE) / n_docs AS kept_frac, cut_q20
+FROM tot t JOIN ka USING (src)
+"""
+
+
+_HOST_CAPS_SQL = _host_caps_sql()

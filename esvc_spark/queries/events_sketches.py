@@ -1899,3 +1899,81 @@ tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS n_total FROM hist)
 SELECT k_band, n_classes, n_rows, n_rows * 10000 // n_total AS rows_bp
 FROM hist CROSS JOIN tot
 """
+
+
+# --------------------------------------------------------- l-diversity
+# l-diversity release audit (Machanavajjhala et al. 2007) — the
+# k-anonymity companion: a QI class can be large (k-anonymous) yet still
+# leak if every row shares the SAME sensitive value. Same QI tuple
+# (event_type, day, hour); sensitive attribute = user_id; a class's l is
+# its count of DISTINCT non-NULL users (NULL sensitive values are
+# excluded, agreeing with COUNT(DISTINCT) in both engines — an all-NULL
+# class lands in the l=0 band). Output: the l-histogram with class/row
+# counts and each band's share of released rows in basis points.
+#
+# Scale shape: one groupBy on the QI tuple (the distinct-user count is a
+# hash aggregate over (QI, user) then QI — two map-side-combinable
+# shuffles of the small class table), a 5-row histogram, and the
+# single-row totals cross join (annotated). Same 100 TB story as
+# q_ev_k_anonymity: QI cardinality is types x days x 24.
+
+
+def q_ev_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    classes = (
+        ev.select(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+            .cast("bigint")
+            .alias("day_idx"),
+            F.hour("ts").cast("bigint").alias("hr"),
+            "user_id",
+        )
+        .groupBy("event_type", "day_idx", "hr")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+            F.count_distinct("user_id").cast("bigint").alias("l"),
+        )
+    )
+    band = (
+        F.when(F.col("l") == 0, "l=0")
+        .when(F.col("l") == 1, "l=1")
+        .when(F.col("l") <= 4, "l=2-4")
+        .when(F.col("l") <= 9, "l=5-9")
+        .otherwise("l>=10")
+    )
+    hist = classes.select(band.alias("l_band"), "k").groupBy("l_band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.sum("k").cast("bigint").alias("n_rows"),
+    )
+    tot = hist.agg(F.sum("n_rows").cast("bigint").alias("n_total"))
+    return hist.join(tot).select(
+        "l_band",
+        "n_classes",
+        "n_rows",
+        F.expr("n_rows * 10000 div n_total").alias("rows_bp"),
+    )
+
+
+_L_DIVERSITY_SQL = """
+WITH classes AS (
+  SELECT event_type,
+         CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+           AS day_idx,
+         CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS l
+  FROM events GROUP BY 1, 2, 3
+),
+hist AS (
+  SELECT CASE WHEN l = 0 THEN 'l=0' WHEN l = 1 THEN 'l=1'
+              WHEN l <= 4 THEN 'l=2-4' WHEN l <= 9 THEN 'l=5-9'
+              ELSE 'l>=10' END AS l_band,
+         CAST(COUNT(*) AS BIGINT) AS n_classes,
+         CAST(SUM(k) AS BIGINT) AS n_rows
+  FROM classes GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS n_total FROM hist)
+SELECT l_band, n_classes, n_rows, n_rows * 10000 // n_total AS rows_bp
+FROM hist CROSS JOIN tot
+"""

@@ -215,6 +215,7 @@ _NLJ_OK = {
         "single-row totals cross join over the K-cell table"
     ),
     "q_ev_k_anonymity": "single-row totals cross join over the 4-band histogram",
+    "q_ev_l_diversity": "single-row totals cross join over the 5-band histogram",
     "q_emb_ivfpq_search": (
         "8-centroid broadcast assignment (IVF shape), 20-row query "
         "broadcast on the exact-recall audit arm (knn shape), single-row "

@@ -482,3 +482,46 @@ def test_dsir_fixed_point_log2_cross_engine_and_accuracy(spark):
     for (tc, rc, t, r), w in zip(cases, duck):
         true = 16 * math.log2(((tc + 1) * (r + _DSIR_B)) / ((rc + 1) * (t + _DSIR_B)))
         assert abs(w - true) <= 3, (tc, rc, t, r, w, true)
+
+
+def test_line_dedup_rebuilds_cleaned_text(spark, tmp_path):
+    """Planted-boilerplate corpus: the shared 8-token block (segment 0 of
+    docs 0 and 1) must be removed from BOTH docs and the cleaned text
+    rebuilt in position order — clean_md5 must equal the md5 of the
+    doc's unique remainder. Doc 2 (unique, ragged 11-token tail) must
+    pass through untouched with its segments rejoined losslessly."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    boiler = " ".join(f"b{i}" for i in range(8))
+    u0 = " ".join(f"u0x{i}" for i in range(8))
+    u1 = " ".join(f"u1x{i}" for i in range(8))
+    u2 = " ".join(f"u2x{i}" for i in range(11))
+    texts = [f"{boiler} {u0}", f"{boiler} {u1}", u2]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": texts,
+                "lang": ["en"] * 3,
+                "source": ["src0"] * 3,
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = {
+        r["doc_id"]: r
+        for r in DOC_QUERIES["q_doc_line_dedup"](spark, str(tmp_path)).collect()
+    }
+    for did, clean in ((0, u0), (1, u1)):
+        assert out[did]["n_segments"] == 2
+        assert out[did]["n_dup_segments"] == 1
+        assert out[did]["tokens_removed"] == 8
+        assert out[did]["clean_md5"] == hashlib.md5(clean.encode()).hexdigest()
+    assert out[2]["n_segments"] == 2  # 8 + ragged 3
+    assert out[2]["n_dup_segments"] == 0
+    assert out[2]["retained_frac"] == 1.0
+    assert out[2]["clean_md5"] == hashlib.md5(u2.encode()).hexdigest()
