@@ -46,6 +46,7 @@ _FRONT = (
     "q_doc_line_dedup",
     "q_doc_host_caps",
     "q_ev_l_diversity",
+    "q_doc_shuffle_shards",
     # changed this round: size-gated rank/prefix helpers (local window
     # at or below TWO_PHASE_MIN_ROWS, two-phase checkpoint plan above)
     "q_ev_rfm",

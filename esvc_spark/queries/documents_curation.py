@@ -1473,3 +1473,54 @@ FROM tot t JOIN ka USING (src)
 
 
 _HOST_CAPS_SQL = _host_caps_sql()
+
+
+# ------------------------------------------------- training-order shuffle
+# Deterministic EPOCH SHUFFLE: the manifest a training data-loader
+# consumes — every doc assigned a shard (hash mod _SHUF_SHARDS, salted
+# so the permutation is independent of the other md5-keyed operators)
+# and a within-shard position by (hash, doc_id). Reproducible across
+# runs and engines (md5-derived 60-bit integer hash, the
+# documents_shared convention), yet uncorrelated with doc_id order — the
+# property a global ORDER BY rand() cannot give you.
+#
+# Scale shape: the hash and shard are narrow maps; the within-shard
+# position goes through grouped_row_number (size-gated: one small window
+# at or below TWO_PHASE_MIN_ROWS, the two-phase checkpoint plan above) —
+# no shard's slice ever funnels through one task at corpus scale. Shards
+# are hash-balanced, but that is a probabilistic bound, not a provable
+# one, so max_group_rows stays unset (CLAUDE.md rule).
+
+_SHUF_SHARDS = 8
+
+
+def q_doc_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import table_rows
+    from ..core.spark_engine import grouped_row_number
+
+    hashed = _docs_par(spark, sf_dir).select(
+        "doc_id",
+        _h(F.concat(F.lit("shuf|"), F.col("doc_id").cast("string"))).alias("h"),
+    ).withColumn("shard", F.col("h") % _SHUF_SHARDS)
+    return grouped_row_number(
+        spark,
+        hashed,
+        ["shard"],
+        ["h", "doc_id"],
+        "pos",
+        n_rows=table_rows(spark, sf_dir, "documents"),
+    ).select("doc_id", "shard", "pos", "h")
+
+
+_SHUFFLE_SHARDS_SQL = f"""
+WITH h AS (
+  SELECT doc_id,
+         {_sql_h("'shuf|' || CAST(doc_id AS VARCHAR)")} AS h
+  FROM documents
+)
+SELECT doc_id, h % {_SHUF_SHARDS} AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY h % {_SHUF_SHARDS}
+                               ORDER BY h, doc_id) AS BIGINT) AS pos,
+       h
+FROM h
+"""
