@@ -1,0 +1,171 @@
+"""Persisted IVF ANN index: the index IS a parquet layout.
+
+The query-family IVF (queries/embeddings.py q_emb_ivf_knn) rebuilds its
+inverted lists every run — right for an oracle-checked contract query,
+wrong for the production shape, where an index over 100 TB of vectors
+is built ONCE and served many times. This operator persists the index
+the Spark-idiomatic way:
+
+- ``cells/`` — every vector with its assigned cell, written
+  ``partitionBy("cell")``: the inverted lists are parquet PARTITIONS,
+  so a query probing ``nprobe`` of ``k`` cells scans only those
+  directories. Partition pruning does the inverted-list lookup at the
+  FILE level — no shuffle, no index service, and the pruned fraction
+  (k - nprobe)/k of the corpus is never opened.
+- ``centroids/`` — the k-row codebook; always broadcast at query time.
+
+Query cost: |batch| x k centroid scores (broadcast), a driver-side
+collect of the <= |batch| x nprobe DISTINCT probed cells (bounded by
+the query batch, never by the corpus), one partition-pruned scan, and
+a two-phase per-query top-k (operators/topk.py) — no stage anywhere is
+corpus-proportional-per-task.
+
+"Training" is the pinned-centroid convention of the query family (the
+k lowest vec_ids), so a store built on the same table reproduces
+q_emb_ivf_knn bit-for-bit (tests/test_ann_store.py). Swap in trained
+centroids by writing any k-row (cent_id, cemb, cnrm) frame.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_prenorm, norm
+from .topk import topk_per_group
+
+
+class IVFIndexStore:
+    """A built (or loaded) IVF index rooted at ``path``."""
+
+    def __init__(self, spark: SparkSession, path: str, k: int):
+        self.spark = spark
+        self.path = path
+        self.k = k
+
+    # ------------------------------------------------------------ build
+    @staticmethod
+    def build(
+        spark: SparkSession,
+        emb: DataFrame,
+        path: str,
+        k: int = 8,
+    ) -> "IVFIndexStore":
+        """Assign every row of ``emb`` (vec_id, emb: array<double>) to
+        its nearest of k pinned centroids (cosine, ties to the lower
+        cent_id) and persist centroids + cell-partitioned vectors."""
+        e = emb.select("vec_id", "emb").withColumn("nrm", norm(F.col("emb")))
+        # pinned codebook: the k lowest vec_ids (bounded orderBy-limit)
+        cents = (
+            e.orderBy("vec_id")
+            .limit(k)
+            .select(
+                F.col("vec_id").alias("cent_id"),
+                F.col("emb").alias("cemb"),
+                F.col("nrm").alias("cnrm"),
+            )
+        )
+        cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+        cdf = spark.read.parquet(os.path.join(path, "centroids"))
+        scored = e.join(F.broadcast(cdf)).select(
+            "vec_id",
+            "emb",
+            "nrm",
+            F.col("cent_id").alias("cell"),
+            cosine_prenorm(
+                F.col("emb"), F.col("cemb"), F.col("nrm"), F.col("cnrm")
+            ).alias("csim"),
+        )
+        # nearest cell per vector: the window key is vec_id (corpus-
+        # cardinality — k rows per key, never a fat partition)
+        w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cell")
+        assigned = (
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .select("vec_id", "emb", "nrm", "cell")
+        )
+        assigned.write.mode("overwrite").partitionBy("cell").parquet(
+            os.path.join(path, "cells")
+        )
+        return IVFIndexStore(spark, path, k)
+
+    # ------------------------------------------------------------- load
+    @staticmethod
+    def load(spark: SparkSession, path: str) -> "IVFIndexStore":
+        k = spark.read.parquet(os.path.join(path, "centroids")).count()
+        return IVFIndexStore(spark, path, k)
+
+    def centroids(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "centroids"))
+
+    def cells(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "cells"))
+
+    # ------------------------------------------------------------ search
+    def search(
+        self,
+        queries: DataFrame,
+        nprobe: int = 2,
+        topk: int = 3,
+        exclude_self: bool = True,
+    ) -> DataFrame:
+        """Top-``topk`` cosine neighbors per query (query_id, emb),
+        probing each query's ``nprobe`` nearest cells. Returns
+        (query_id, neighbor_id, cos_sim, rank)."""
+        q = (
+            queries.select(
+                F.col("query_id"),
+                F.col("emb").alias("qemb"),
+            )
+            .withColumn("qnrm", norm(F.col("qemb")))
+        )
+        probes = (
+            q.join(F.broadcast(self.centroids()))
+            .select(
+                "query_id",
+                "qemb",
+                "qnrm",
+                F.col("cent_id").alias("cell"),
+                cosine_prenorm(
+                    F.col("qemb"), F.col("cemb"), F.col("qnrm"), F.col("cnrm")
+                ).alias("csim"),
+            )
+            .withColumn(
+                "_r",
+                F.row_number().over(
+                    Window.partitionBy("query_id").orderBy(
+                        F.col("csim").desc(), "cell"
+                    )
+                ),
+            )
+            .filter(F.col("_r") <= nprobe)
+            .drop("csim", "_r")
+        )
+        # bounded driver-side step: the DISTINCT probed cells — at most
+        # |batch| x nprobe values, independent of corpus size. Collecting
+        # them turns the probe into scan-level PARTITION PRUNING below.
+        probe_cells = [
+            r["cell"] for r in probes.select("cell").distinct().collect()
+        ]
+        cand = self.cells().filter(F.col("cell").isin(probe_cells))
+        scored = cand.join(F.broadcast(probes), "cell").select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_prenorm(
+                F.col("qemb"), F.col("emb"), F.col("qnrm"), F.col("nrm")
+            ).alias("cos_sim"),
+        )
+        if exclude_self:
+            scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
+        return (
+            topk_per_group(
+                scored,
+                ["query_id"],
+                [F.col("cos_sim").desc(), F.col("neighbor_id")],
+                topk,
+            )
+            .withColumn("rank", F.col("rank").cast("bigint"))
+            .select("query_id", "neighbor_id", "cos_sim", "rank")
+        )
