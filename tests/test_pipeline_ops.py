@@ -525,3 +525,106 @@ def test_line_dedup_rebuilds_cleaned_text(spark, tmp_path):
     assert out[2]["n_dup_segments"] == 0
     assert out[2]["retained_frac"] == 1.0
     assert out[2]["clean_md5"] == hashlib.md5(u2.encode()).hexdigest()
+
+
+def test_line_dedup_matches_python_reference_model(spark, tmp_path):
+    """Differential test against an independent pure-Python model on a
+    seeded random corpus with planted cross-doc duplicate blocks —
+    conservation (n_tokens = removed + retained) plus the exact rebuilt
+    clean_md5 per doc."""
+    import hashlib
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = random.Random(88)
+    planted = [
+        " ".join(f"p{b}w{i}" for i in range(8)) for b in range(3)
+    ]
+    texts = []
+    for d in range(40):
+        toks = []
+        for _ in range(rng.randrange(0, 5)):
+            if rng.random() < 0.4:
+                toks.extend(planted[rng.randrange(3)].split())
+            else:
+                toks.extend(
+                    f"d{d}r{rng.randrange(1000)}" for _ in range(rng.randrange(1, 12))
+                )
+        texts.append(" ".join(toks))  # some docs end up empty
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(40), pa.int64()),
+                "text": texts,
+                "lang": ["en"] * 40,
+                "source": ["src0"] * 40,
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+
+    # independent model: 8-token non-overlapping segments, remove any
+    # segment string present in >= 2 distinct docs
+    segs = {
+        d: [t.split()[i : i + 8] for i in range(0, len(t.split()), 8)]
+        for d, t in enumerate(texts)
+    }
+    seg_docs: dict[str, set[int]] = {}
+    for d, ss in segs.items():
+        for s in ss:
+            seg_docs.setdefault(" ".join(s), set()).add(d)
+    expect = {}
+    for d, ss in segs.items():
+        keep = [s for s in ss if len(seg_docs[" ".join(s)]) < 2]
+        n_tok = sum(len(s) for s in ss)
+        removed = n_tok - sum(len(s) for s in keep)
+        clean = " ".join(" ".join(s) for s in keep)
+        expect[d] = (
+            len(ss),
+            sum(1 for s in ss if len(seg_docs[" ".join(s)]) >= 2),
+            n_tok,
+            removed,
+            hashlib.md5(clean.encode()).hexdigest(),
+        )
+
+    out = DOC_QUERIES["q_doc_line_dedup"](spark, str(tmp_path)).collect()
+    assert len(out) == 40
+    for r in out:
+        n_seg, n_dup, n_tok, removed, clean_md5 = expect[r["doc_id"]]
+        assert r["n_segments"] == n_seg
+        assert r["n_dup_segments"] == n_dup
+        assert r["n_tokens"] == n_tok
+        assert r["tokens_removed"] == removed
+        assert r["clean_md5"] == clean_md5
+        assert r["n_tokens"] == r["tokens_removed"] + round(
+            r["retained_frac"] * r["n_tokens"]
+        ) or r["n_tokens"] == 0
+
+
+def test_host_caps_and_shuffle_shards_invariants(spark, sf_dir):
+    """Structural invariants at sf0.001: host_caps keeps exactly
+    min(cap, n_docs) per source and never more tokens than exist;
+    shuffle_shards emits a 1..n permutation per shard covering every
+    doc exactly once."""
+    from esvc_spark.queries.documents_curation import _HOST_CAP, _SHUF_SHARDS
+
+    caps = DOC_QUERIES["q_doc_host_caps"](spark, sf_dir).collect()
+    assert caps, "at least one source"
+    for r in caps:
+        assert r["n_kept"] == min(_HOST_CAP, r["n_docs"])
+        assert r["n_dropped"] == r["n_docs"] - r["n_kept"]
+        assert 0 < r["tokens_kept"] <= r["tokens_total"]
+
+    rows = DOC_QUERIES["q_doc_shuffle_shards"](spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == n_docs
+    assert len({r["doc_id"] for r in rows}) == n_docs
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        assert 0 <= r["shard"] < _SHUF_SHARDS
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
