@@ -20,10 +20,14 @@ the query batch, never by the corpus), one partition-pruned scan, and
 a two-phase per-query top-k (operators/topk.py) — no stage anywhere is
 corpus-proportional-per-task.
 
-"Training" is the pinned-centroid convention of the query family (the
-k lowest vec_ids), so a store built on the same table reproduces
-q_emb_ivf_knn bit-for-bit (tests/test_ann_store.py). Swap in trained
-centroids by writing any k-row (cent_id, cemb, cnrm) frame.
+"Training" defaults to the pinned-centroid convention of the query
+family: the k LOWEST vec_ids (a total, corpus-agnostic rule). On an
+id-dense table (the testdata convention, ids 0..N-1) that coincides
+with q_emb_ivf_knn's ``vec_id < k`` pin, and the store reproduces the
+contract query bit-for-bit (tests/test_ann_store.py); on a sparse or
+offset id space the two rules differ — pass ``centroids=`` (any k-row
+(cent_id, cemb) frame, e.g. trained k-means centers) to pin the
+codebook explicitly.
 """
 
 from __future__ import annotations
@@ -52,23 +56,33 @@ class IVFIndexStore:
         emb: DataFrame,
         path: str,
         k: int = 8,
+        centroids: DataFrame | None = None,
     ) -> "IVFIndexStore":
         """Assign every row of ``emb`` (vec_id, emb: array<double>) to
         its nearest of k pinned centroids (cosine, ties to the lower
-        cent_id) and persist centroids + cell-partitioned vectors."""
+        cent_id) and persist centroids + cell-partitioned vectors.
+        ``centroids`` (cent_id, cemb) overrides the default lowest-k-ids
+        codebook; the handle's k is the PERSISTED centroid count, which
+        can be below the requested k on a sub-k corpus."""
         e = emb.select("vec_id", "emb").withColumn("nrm", norm(F.col("emb")))
-        # pinned codebook: the k lowest vec_ids (bounded orderBy-limit)
-        cents = (
-            e.orderBy("vec_id")
-            .limit(k)
-            .select(
-                F.col("vec_id").alias("cent_id"),
-                F.col("emb").alias("cemb"),
-                F.col("nrm").alias("cnrm"),
+        if centroids is None:
+            # pinned codebook: the k lowest vec_ids (bounded orderBy-limit)
+            cents = (
+                e.orderBy("vec_id")
+                .limit(k)
+                .select(
+                    F.col("vec_id").alias("cent_id"),
+                    F.col("emb").alias("cemb"),
+                    F.col("nrm").alias("cnrm"),
+                )
             )
-        )
+        else:
+            cents = centroids.select(
+                "cent_id", "cemb", norm(F.col("cemb")).alias("cnrm")
+            )
         cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
         cdf = spark.read.parquet(os.path.join(path, "centroids"))
+        k = cdf.count()  # the persisted truth — limit(k) may return fewer
         scored = e.join(F.broadcast(cdf)).select(
             "vec_id",
             "emb",
@@ -143,6 +157,11 @@ class IVFIndexStore:
             .filter(F.col("_r") <= nprobe)
             .drop("csim", "_r")
         )
+        # probes is consumed twice (the cell collect below + the
+        # candidate join): checkpoint so the caller's query plan runs
+        # ONCE, and so a replay-unstable input (sample/limit upstream)
+        # cannot make the pruned cells disagree with the joined probes
+        probes = probes.localCheckpoint()
         # bounded driver-side step: the DISTINCT probed cells — at most
         # |batch| x nprobe values, independent of corpus size. Collecting
         # them turns the probe into scan-level PARTITION PRUNING below.

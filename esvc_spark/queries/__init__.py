@@ -48,6 +48,7 @@ _FRONT = (
     "q_doc_line_dedup",
     "q_doc_host_caps",
     "q_ev_l_diversity",
+    "q_ev_k_anonymity",  # shares the release-audit scaffolding since r8
     "q_doc_shuffle_shards",
     # changed this round: size-gated rank/prefix helpers (local window
     # at or below TWO_PHASE_MIN_ROWS, two-phase checkpoint plan above)

@@ -1842,63 +1842,79 @@ LEFT JOIN residual r USING (event_type)
 # (annotated). At 100 TB the QI cardinality (types x days x 24) is tiny
 # vs the corpus — the class table broadcasts anywhere.
 
-_KA_BANDS = (
-    ("k=1", 1, 1),
-    ("k=2-4", 2, 4),
-    ("k=5-9", 5, 9),
-    ("k>=10", 10, None),
-)
+# Shared scaffolding of the two release audits (k-anonymity below,
+# l-diversity after it): QI equivalence classes over the
+# (event_type, day, hour) tuple, a banded histogram over a per-class
+# measure, the single-row totals cross join, and row shares in basis
+# points — identical in both queries and BOTH dialects so the QI tuple
+# and bp convention can never drift between the twins.
 
 
-def q_ev_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = T(spark, sf_dir, "events")
-    classes = (
+def _qi_classes(ev: DataFrame, *extra_aggs) -> DataFrame:
+    return (
         ev.select(
             "event_type",
             F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
             .cast("bigint")
             .alias("day_idx"),
             F.hour("ts").cast("bigint").alias("hr"),
+            "user_id",
         )
         .groupBy("event_type", "day_idx", "hr")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k"), *extra_aggs)
     )
-    band = F.when(F.col("k") == 1, "k=1").when(F.col("k") <= 4, "k=2-4").when(
-        F.col("k") <= 9, "k=5-9"
-    ).otherwise("k>=10")
-    hist = classes.select(band.alias("k_band"), "k").groupBy("k_band").agg(
+
+
+def _band_hist(classes: DataFrame, band: Column, band_name: str) -> DataFrame:
+    hist = classes.select(band.alias(band_name), "k").groupBy(band_name).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_classes"),
         F.sum("k").cast("bigint").alias("n_rows"),
     )
     tot = hist.agg(F.sum("n_rows").cast("bigint").alias("n_total"))
     return hist.join(tot).select(
-        "k_band",
+        band_name,
         "n_classes",
         "n_rows",
         F.expr("n_rows * 10000 div n_total").alias("rows_bp"),
     )
 
 
-_K_ANONYMITY_SQL = """
+def _release_audit_sql(extra_cls: str, band_case: str, band_name: str) -> str:
+    return f"""
 WITH classes AS (
   SELECT event_type,
          CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
            AS day_idx,
          CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,
-         CAST(COUNT(*) AS BIGINT) AS k
+         CAST(COUNT(*) AS BIGINT) AS k{extra_cls}
   FROM events GROUP BY 1, 2, 3
 ),
 hist AS (
-  SELECT CASE WHEN k = 1 THEN 'k=1' WHEN k <= 4 THEN 'k=2-4'
-              WHEN k <= 9 THEN 'k=5-9' ELSE 'k>=10' END AS k_band,
+  SELECT {band_case} AS {band_name},
          CAST(COUNT(*) AS BIGINT) AS n_classes,
          CAST(SUM(k) AS BIGINT) AS n_rows
   FROM classes GROUP BY 1
 ),
 tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS n_total FROM hist)
-SELECT k_band, n_classes, n_rows, n_rows * 10000 // n_total AS rows_bp
+SELECT {band_name}, n_classes, n_rows, n_rows * 10000 // n_total AS rows_bp
 FROM hist CROSS JOIN tot
 """
+
+
+def q_ev_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    classes = _qi_classes(T(spark, sf_dir, "events"))
+    band = F.when(F.col("k") == 1, "k=1").when(F.col("k") <= 4, "k=2-4").when(
+        F.col("k") <= 9, "k=5-9"
+    ).otherwise("k>=10")
+    return _band_hist(classes, band, "k_band")
+
+
+_K_ANONYMITY_SQL = _release_audit_sql(
+    "",
+    "CASE WHEN k = 1 THEN 'k=1' WHEN k <= 4 THEN 'k=2-4'\n"
+    "              WHEN k <= 9 THEN 'k=5-9' ELSE 'k>=10' END",
+    "k_band",
+)
 
 
 # --------------------------------------------------------- l-diversity
@@ -1919,21 +1935,9 @@ FROM hist CROSS JOIN tot
 
 
 def q_ev_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = T(spark, sf_dir, "events")
-    classes = (
-        ev.select(
-            "event_type",
-            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
-            .cast("bigint")
-            .alias("day_idx"),
-            F.hour("ts").cast("bigint").alias("hr"),
-            "user_id",
-        )
-        .groupBy("event_type", "day_idx", "hr")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("k"),
-            F.count_distinct("user_id").cast("bigint").alias("l"),
-        )
+    classes = _qi_classes(
+        T(spark, sf_dir, "events"),
+        F.count_distinct("user_id").cast("bigint").alias("l"),
     )
     band = (
         F.when(F.col("l") == 0, "l=0")
@@ -1942,38 +1946,13 @@ def q_ev_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("l") <= 9, "l=5-9")
         .otherwise("l>=10")
     )
-    hist = classes.select(band.alias("l_band"), "k").groupBy("l_band").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
-        F.sum("k").cast("bigint").alias("n_rows"),
-    )
-    tot = hist.agg(F.sum("n_rows").cast("bigint").alias("n_total"))
-    return hist.join(tot).select(
-        "l_band",
-        "n_classes",
-        "n_rows",
-        F.expr("n_rows * 10000 div n_total").alias("rows_bp"),
-    )
+    return _band_hist(classes, band, "l_band")
 
 
-_L_DIVERSITY_SQL = """
-WITH classes AS (
-  SELECT event_type,
-         CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
-           AS day_idx,
-         CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,
-         CAST(COUNT(*) AS BIGINT) AS k,
-         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS l
-  FROM events GROUP BY 1, 2, 3
-),
-hist AS (
-  SELECT CASE WHEN l = 0 THEN 'l=0' WHEN l = 1 THEN 'l=1'
-              WHEN l <= 4 THEN 'l=2-4' WHEN l <= 9 THEN 'l=5-9'
-              ELSE 'l>=10' END AS l_band,
-         CAST(COUNT(*) AS BIGINT) AS n_classes,
-         CAST(SUM(k) AS BIGINT) AS n_rows
-  FROM classes GROUP BY 1
-),
-tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS n_total FROM hist)
-SELECT l_band, n_classes, n_rows, n_rows * 10000 // n_total AS rows_bp
-FROM hist CROSS JOIN tot
-"""
+_L_DIVERSITY_SQL = _release_audit_sql(
+    ",\n         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS l",
+    "CASE WHEN l = 0 THEN 'l=0' WHEN l = 1 THEN 'l=1'\n"
+    "              WHEN l <= 4 THEN 'l=2-4' WHEN l <= 9 THEN 'l=5-9'\n"
+    "              ELSE 'l>=10' END",
+    "l_band",
+)

@@ -68,3 +68,36 @@ def test_fresh_load_serves_without_rebuild(spark, sf_dir, store):
     a = _rows(store.search(queries, nprobe=2, topk=3))
     b = _rows(reloaded.search(queries, nprobe=2, topk=3))
     assert a == b and len(a) > 0
+
+
+def test_build_k_reflects_persisted_centroids(spark, tmp_path):
+    """A sub-k corpus persists fewer centroids than requested; the
+    build-time handle must report the PERSISTED count (= what load()
+    sees), not the requested k."""
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(5)], "vec_id long, emb array<double>"
+    )
+    st = IVFIndexStore.build(spark, emb, str(tmp_path / "idx"), k=8)
+    assert st.k == 5
+    assert IVFIndexStore.load(spark, st.path).k == 5
+
+
+def test_build_with_explicit_centroids(spark, tmp_path):
+    """An explicit (cent_id, cemb) codebook overrides the lowest-ids
+    pin — the sparse/offset-id and trained-centroid path."""
+    emb = spark.createDataFrame(
+        [(100 + i, [float(i % 2), float(1 - i % 2)]) for i in range(6)],
+        "vec_id long, emb array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cent_id long, cemb array<double>"
+    )
+    st = IVFIndexStore.build(
+        spark, emb, str(tmp_path / "idx2"), centroids=cents
+    )
+    assert st.k == 2
+    got = {
+        (r["vec_id"], r["cell"]) for r in st.cells().select("vec_id", "cell").collect()
+    }
+    # even i -> vector [0,1] -> centroid 1; odd i -> [1,0] -> centroid 0
+    assert got == {(100 + i, 1 - i % 2) for i in range(6)}
