@@ -41,6 +41,29 @@ from ..functions.vectors import cosine_prenorm, norm
 from .topk import topk_per_group
 
 
+
+def _assign_cells(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment (cosine, ties to the lower cent_id):
+    e = (vec_id, emb, nrm), cents = (cent_id, cemb, cnrm). The window
+    key is vec_id — corpus-cardinality, k rows per key, never a fat
+    partition."""
+    scored = e.join(F.broadcast(cents)).select(
+        "vec_id",
+        "emb",
+        "nrm",
+        F.col("cent_id").alias("cell"),
+        cosine_prenorm(
+            F.col("emb"), F.col("cemb"), F.col("nrm"), F.col("cnrm")
+        ).alias("csim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cell")
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("vec_id", "emb", "nrm", "cell")
+    )
+
+
 class IVFIndexStore:
     """A built (or loaded) IVF index rooted at ``path``."""
 
@@ -83,27 +106,29 @@ class IVFIndexStore:
         cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
         cdf = spark.read.parquet(os.path.join(path, "centroids"))
         k = cdf.count()  # the persisted truth — limit(k) may return fewer
-        scored = e.join(F.broadcast(cdf)).select(
-            "vec_id",
-            "emb",
-            "nrm",
-            F.col("cent_id").alias("cell"),
-            cosine_prenorm(
-                F.col("emb"), F.col("cemb"), F.col("nrm"), F.col("cnrm")
-            ).alias("csim"),
-        )
-        # nearest cell per vector: the window key is vec_id (corpus-
-        # cardinality — k rows per key, never a fat partition)
-        w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cell")
-        assigned = (
-            scored.withColumn("_r", F.row_number().over(w))
-            .filter(F.col("_r") == 1)
-            .select("vec_id", "emb", "nrm", "cell")
-        )
-        assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        _assign_cells(e, cdf).write.mode("overwrite").partitionBy("cell").parquet(
             os.path.join(path, "cells")
         )
         return IVFIndexStore(spark, path, k)
+
+    # -------------------------------------------------------------- add
+    def add(self, emb: DataFrame) -> "IVFIndexStore":
+        """Incrementally index a new batch (vec_id, emb) against the
+        PERSISTED codebook — the maintenance path of a production index
+        (append, don't rebuild): assignment is the same broadcast
+        centroid join as build, and append mode only ADDS files inside
+        the target cell partitions, never rewriting existing data.
+        Assignment is per-vector, so add(b) after build(a) equals
+        build(a ∪ b) (tests/test_ann_store.py). vec_ids must be NEW —
+        the store is append-only and does not dedup; route updates
+        through an upsert pass upstream (q_doc_upsert shape)."""
+        e = emb.select("vec_id", "emb").withColumn("nrm", norm(F.col("emb")))
+        _assign_cells(e, self.centroids()).write.mode("append").partitionBy(
+            "cell"
+        ).parquet(
+            os.path.join(self.path, "cells")
+        )
+        return self
 
     # ------------------------------------------------------------- load
     @staticmethod

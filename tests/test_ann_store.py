@@ -101,3 +101,30 @@ def test_build_with_explicit_centroids(spark, tmp_path):
     }
     # even i -> vector [0,1] -> centroid 1; odd i -> [1,0] -> centroid 0
     assert got == {(100 + i, 1 - i % 2) for i in range(6)}
+
+
+def test_add_equals_build_on_union(spark, sf_dir, tmp_path):
+    """Incremental maintenance: build on the first half then add() the
+    second half — cells and search results must equal the all-at-once
+    build."""
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    )
+    mid = 25
+    inc = IVFIndexStore.build(
+        spark, emb.filter(F.col("vec_id") < mid), str(tmp_path / "inc"), k=8
+    ).add(emb.filter(F.col("vec_id") >= mid))
+    full = IVFIndexStore.build(spark, emb, str(tmp_path / "full"), k=8)
+
+    def cells_of(st):
+        return sorted(
+            (r["vec_id"], r["cell"])
+            for r in st.cells().select("vec_id", "cell").collect()
+        )
+
+    assert cells_of(inc) == cells_of(full)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "emb"
+    )
+    assert _rows(inc.search(queries)) == _rows(full.search(queries))
