@@ -18,7 +18,13 @@ Query cost: |batch| x k centroid scores (broadcast), a driver-side
 collect of the <= |batch| x nprobe DISTINCT probed cells (bounded by
 the query batch, never by the corpus), one partition-pruned scan, and
 a two-phase per-query top-k (operators/topk.py) — no stage anywhere is
-corpus-proportional-per-task.
+corpus-proportional-per-task. Measured receipt
+(scripts/ab_ann_store.py, sf0.1, min-of-5 in one process): the pruned
+probe opens 2 of 8 cell files (PartitionFilters live in the plan);
+wall-clock 1.10 s vs 0.99 s for a flat layout's post-scan filter —
+parity at 5000 toy rows, where listing k directories costs more than
+the skipped bytes save; the structural claim is the 6/8 files never
+opened, which is what scales.
 
 "Training" defaults to the pinned-centroid convention of the query
 family: the k LOWEST vec_ids (a total, corpus-agnostic rule). On an
