@@ -333,3 +333,42 @@ def event_log_stream_pipeline(
         .start()
     )
     q.awaitTermination()
+
+
+def index_embeddings_stream(
+    stream: DataFrame,
+    store,
+    checkpoint_dir: str,
+) -> None:
+    """foreachBatch maintenance of a persisted IVF index
+    (operators/ann_store.py) from an embeddings STREAM — the production
+    shape where vectors arrive continuously and the index must serve
+    while it grows. Each micro-batch is assigned against the persisted
+    codebook and appended into its cell partitions, idempotently: a
+    redelivered batch's vec_ids are anti-joined away against the cells
+    already on disk (the ingest_into_event_log convention — content
+    identity wins, not arrival count). Assignment is per-vector, so the
+    streamed index equals the all-at-once build
+    (tests/test_ann_store.py::test_stream_maintained_index...).
+
+    `stream` must carry (vec_id, emb: array<double>).
+    """
+
+    def _append(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        out = batch.dropDuplicates(["vec_id"])
+        try:
+            existing = store.cells().select("vec_id")
+        except AnalysisException:
+            existing = None
+        if existing is not None:
+            out = out.join(existing, "vec_id", "left_anti")
+        store.add(out)
+
+    q = (
+        stream.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -128,3 +128,41 @@ def test_add_equals_build_on_union(spark, sf_dir, tmp_path):
         F.col("vec_id").alias("query_id"), "emb"
     )
     assert _rows(inc.search(queries)) == _rows(full.search(queries))
+
+
+def test_stream_maintained_index_is_idempotent_and_complete(
+    spark, sf_dir, tmp_path
+):
+    """Maintain the index FROM a stream (foreachBatch add): build on the
+    first half, stream the WHOLE table (an at-least-once source —
+    already-indexed ids must anti-join away), then redeliver everything
+    under a fresh checkpoint. Both passes must leave the index equal to
+    the all-at-once build."""
+    from esvc_spark.streaming.pipelines import index_embeddings_stream
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    )
+    st = IVFIndexStore.build(
+        spark, emb.filter(F.col("vec_id") < 25), str(tmp_path / "sidx"), k=8
+    )
+    schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(f"{sf_dir}/embeddings.parque*")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    )
+    full = IVFIndexStore.build(spark, emb, str(tmp_path / "fidx"), k=8)
+
+    def cells_of(s):
+        return sorted(
+            (r["vec_id"], r["cell"])
+            for r in s.cells().select("vec_id", "cell").collect()
+        )
+
+    for attempt in ("first", "redelivery"):
+        index_embeddings_stream(
+            stream, st, str(tmp_path / f"ckpt_{attempt}")
+        )
+        assert cells_of(st) == cells_of(full), attempt
