@@ -50,6 +50,7 @@ _FRONT = (
     "q_ev_l_diversity",
     "q_ev_k_anonymity",  # shares the release-audit scaffolding since r8
     "q_doc_shuffle_shards",
+    "q_stream_emb_index",
     # changed this round: size-gated rank/prefix helpers (local window
     # at or below TWO_PHASE_MIN_ROWS, two-phase checkpoint plan above)
     "q_ev_rfm",

@@ -3184,6 +3184,96 @@ CROSS JOIN ntot
 """
 
 
+# --------------------------------------------- streamed index maintenance
+# The ANN index maintained FROM A STREAM, under the oracle hash gate:
+# an IVFIndexStore (operators/ann_store.py — cell-partitioned parquet,
+# the build-once/serve-many layout) is seeded with the FIRST HALF of the
+# corpus, then the WHOLE embeddings table arrives as a file stream and
+# is folded in by streaming.pipelines.index_embeddings_stream
+# (foreachBatch: assign against the persisted codebook, vec_id anti-join
+# idempotence, append into cell partitions). The pipeline runs TWICE
+# (fresh checkpoint — full redelivery): if the anti-join ever regressed,
+# every count/xor below doubles and the hash gate fails. The final
+# per-cell inventory equals the pinned-centroid assignment of the full
+# table — the same closed form as _IVF_SQL's lists CTE, which is the
+# oracle. Codebook = the vec_id < _IVF_K pin (passed EXPLICITLY so the
+# store agrees with the oracle on any id space).
+
+def q_stream_emb_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.ann_store import IVFIndexStore
+    from ..streaming.pipelines import index_embeddings_stream
+    from .events_temporal import _bounded_stream_confs
+
+    raw = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = raw.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    cents = emb.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb")
+    )
+    half = emb.agg((F.max("vec_id") / 2).cast("bigint").alias("h")).collect()[0]["h"]
+    work = tempfile.mkdtemp(prefix="esvc_embidx_")
+    try:
+        with _bounded_stream_confs(spark):
+            store = IVFIndexStore.build(
+                spark,
+                emb.filter(F.col("vec_id") <= half),
+                f"{work}/idx",
+                centroids=cents,
+            )
+            stream = (
+                spark.readStream.schema(raw.schema)
+                .parquet(f"{sf_dir}/embeddings.parque*")
+                .select(
+                    "vec_id",
+                    F.col("embedding").cast("array<double>").alias("emb"),
+                )
+            )
+            for attempt in ("first", "redelivery"):
+                index_embeddings_stream(
+                    stream, store, f"{work}/ckpt_{attempt}"
+                )
+            out = (
+                store.cells()
+                .groupBy(F.col("cell").cast("bigint").alias("cell"))
+                .agg(
+                    F.count(F.lit(1)).alias("n_vecs"),
+                    F.bit_xor("vec_id").alias("id_xor"),
+                    F.min("vec_id").alias("min_id"),
+                    F.max("vec_id").alias("max_id"),
+                )
+                # materialize before the temp index dir is removed
+                .localCheckpoint()
+            )
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+_STREAM_EMB_INDEX_SQL = f"""
+WITH e AS ({_SQL_EMB_NORMED}),
+cents AS (
+  SELECT vec_id AS cent_id, emb AS cemb, nrm AS cnrm FROM e
+  WHERE vec_id < {_IVF_K}
+),
+assign AS (
+  SELECT vec_id, cent_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+           {sql_cosine_prenorm('emb', 'cemb', 'nrm', 'cnrm')} DESC, cent_id)
+           AS crank
+  FROM e CROSS JOIN cents
+),
+lists AS (SELECT vec_id, cent_id AS cell FROM assign WHERE crank = 1)
+SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(bit_xor(vec_id) AS BIGINT) AS id_xor,
+       MIN(vec_id) AS min_id, MAX(vec_id) AS max_id
+FROM lists GROUP BY cell
+"""
+
+
 QUERIES = {
     "q_emb_ivfpq_search": q_emb_ivfpq_search,
     "q_emb_ivf_balance": q_emb_ivf_balance,
@@ -3215,6 +3305,7 @@ QUERIES = {
     "q_emb_mmr": q_emb_mmr,
     "q_emb_kcenter": q_emb_kcenter,
     "q_emb_cluster_agreement": q_emb_cluster_agreement,
+    "q_stream_emb_index": q_stream_emb_index,
 }
 
 ORACLES = {
@@ -3248,4 +3339,5 @@ ORACLES = {
     "q_emb_mmr": _mmr_sql(),
     "q_emb_kcenter": _kcenter_sql(),
     "q_emb_cluster_agreement": _cluster_agreement_sql(),
+    "q_stream_emb_index": _STREAM_EMB_INDEX_SQL,
 }

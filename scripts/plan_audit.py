@@ -90,6 +90,11 @@ _IMPERATIVE = {
         "partition-parallel above 1M rows — spark_engine._global_index); "
         "returned frame is the checkpointed final state"
     ),
+    "q_stream_emb_index": (
+        "streamed IVF-index maintenance (foreachBatch add into the "
+        "cell-partitioned store, redelivery-proof); returned frame is "
+        "the checkpointed per-cell inventory"
+    ),
     "q_stream_ingest_log": (
         "streaming foreachBatch parquet append run twice (redelivery "
         "proof); returned frame is the checkpointed final aggregate"
