@@ -19,11 +19,12 @@ collect of the <= |batch| x nprobe DISTINCT probed cells (bounded by
 the query batch, never by the corpus), one partition-pruned scan, and
 a two-phase per-query top-k (operators/topk.py) — no stage anywhere is
 corpus-proportional-per-task. Measured receipt
-(scripts/ab_ann_store.py, sf0.1, min-of-5 in one process): the pruned
-probe opens 2 of 8 cell files (PartitionFilters live in the plan);
-wall-clock 1.10 s vs 0.99 s for a flat layout's post-scan filter —
-parity at 5000 toy rows, where listing k directories costs more than
-the skipped bytes save; the structural claim is the 6/8 files never
+(scripts/ab_ann_store.py, sf0.1, min-of-5 in one process, both arms on
+this search() via the cells_df seam): the pruned probe opens 2 of 8
+cell files (PartitionFilters live in the plan); wall-clock 0.81 s vs
+0.87 s for the flat layout's post-scan filter — noise-level parity at
+5000 toy rows, where listing k directories costs about what the
+skipped bytes save; the structural claim is the 6/8 files never
 opened, which is what scales.
 
 "Training" defaults to the pinned-centroid convention of the query
@@ -118,20 +119,40 @@ class IVFIndexStore:
         return IVFIndexStore(spark, path, k)
 
     # -------------------------------------------------------------- add
-    def add(self, emb: DataFrame) -> "IVFIndexStore":
+    def add(self, emb: DataFrame, idempotent: bool = False) -> "IVFIndexStore":
         """Incrementally index a new batch (vec_id, emb) against the
         PERSISTED codebook — the maintenance path of a production index
         (append, don't rebuild): assignment is the same broadcast
         centroid join as build, and append mode only ADDS files inside
         the target cell partitions, never rewriting existing data.
         Assignment is per-vector, so add(b) after build(a) equals
-        build(a ∪ b) (tests/test_ann_store.py). vec_ids must be NEW —
-        the store is append-only and does not dedup; route updates
-        through an upsert pass upstream (q_doc_upsert shape)."""
+        build(a ∪ b) (tests/test_ann_store.py).
+
+        By default vec_ids must be NEW — the store is append-only and
+        does not dedup; route updates through an upsert pass upstream
+        (q_doc_upsert shape). ``idempotent=True`` (the at-least-once
+        stream-delivery mode) anti-joins already-indexed ids away first,
+        scanning ONLY the batch's target cell partitions: assignment is
+        deterministic, so a redelivered vec_id always lands in the same
+        cell, and the existence probe partition-prunes to the <= |batch|
+        cells the batch touches — never an O(index) rescan per batch."""
         e = emb.select("vec_id", "emb").withColumn("nrm", norm(F.col("emb")))
-        _assign_cells(e, self.centroids()).write.mode("append").partitionBy(
-            "cell"
-        ).parquet(
+        assigned = _assign_cells(e, self.centroids())
+        if idempotent:
+            # consumed twice (cell collect + write): checkpoint so the
+            # batch plan runs once and both consumers see the same rows
+            assigned = assigned.localCheckpoint()
+            hit = [
+                r["cell"]
+                for r in assigned.select("cell").distinct().collect()
+            ]
+            existing = (
+                self.cells()
+                .filter(F.col("cell").isin(hit))
+                .select("vec_id")
+            )
+            assigned = assigned.join(existing, "vec_id", "left_anti")
+        assigned.write.mode("append").partitionBy("cell").parquet(
             os.path.join(self.path, "cells")
         )
         return self
@@ -145,8 +166,19 @@ class IVFIndexStore:
     def centroids(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.path, "centroids"))
 
+    # the canonical cells schema — pinned so a zero-row index (e.g. an
+    # empty or fully-out-of-codebook build: only _SUCCESS on disk, which
+    # Spark cannot infer a schema from) reads as an empty frame instead
+    # of raising, keeping the store total on degenerate corpora
+    _CELLS_SCHEMA = "vec_id bigint, emb array<double>, nrm double, cell bigint"
+
     def cells(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.path, "cells"))
+        from pyspark.errors import AnalysisException
+
+        try:
+            return self.spark.read.parquet(os.path.join(self.path, "cells"))
+        except AnalysisException:
+            return self.spark.createDataFrame([], self._CELLS_SCHEMA)
 
     # ------------------------------------------------------------ search
     def search(
@@ -155,10 +187,14 @@ class IVFIndexStore:
         nprobe: int = 2,
         topk: int = 3,
         exclude_self: bool = True,
+        cells_df: DataFrame | None = None,
     ) -> DataFrame:
         """Top-``topk`` cosine neighbors per query (query_id, emb),
         probing each query's ``nprobe`` nearest cells. Returns
-        (query_id, neighbor_id, cos_sim, rank)."""
+        (query_id, neighbor_id, cos_sim, rank). ``cells_df`` overrides
+        the candidate source (same schema as cells()) — the seam
+        scripts/ab_ann_store.py uses to time the identical query over a
+        flat, unpartitioned layout."""
         q = (
             queries.select(
                 F.col("query_id"),
@@ -199,7 +235,9 @@ class IVFIndexStore:
         probe_cells = [
             r["cell"] for r in probes.select("cell").distinct().collect()
         ]
-        cand = self.cells().filter(F.col("cell").isin(probe_cells))
+        cand = (cells_df if cells_df is not None else self.cells()).filter(
+            F.col("cell").isin(probe_cells)
+        )
         scored = cand.join(F.broadcast(probes), "cell").select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),

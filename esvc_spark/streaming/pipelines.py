@@ -351,19 +351,14 @@ def index_embeddings_stream(
     streamed index equals the all-at-once build
     (tests/test_ann_store.py::test_stream_maintained_index...).
 
-    `stream` must carry (vec_id, emb: array<double>).
+    `stream` must carry (vec_id, emb: array<double>). The existence
+    probe inside add(idempotent=True) partition-prunes to the batch's
+    own target cells — per-batch cost scales with the batch, not the
+    index.
     """
 
     def _append(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        out = batch.dropDuplicates(["vec_id"])
-        try:
-            existing = store.cells().select("vec_id")
-        except AnalysisException:
-            existing = None
-        if existing is not None:
-            out = out.join(existing, "vec_id", "left_anti")
-        store.add(out)
+        store.add(batch.dropDuplicates(["vec_id"]), idempotent=True)
 
     q = (
         stream.writeStream.foreachBatch(_append)

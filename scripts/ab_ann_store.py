@@ -30,8 +30,6 @@ from pyspark.sql import SparkSession  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 from esvc_spark.operators.ann_store import IVFIndexStore  # noqa: E402
-from esvc_spark.operators.topk import topk_per_group  # noqa: E402
-from esvc_spark.functions.vectors import cosine_prenorm, norm  # noqa: E402
 
 
 def main() -> None:
@@ -60,41 +58,10 @@ def main() -> None:
         )
 
         def flat_search() -> int:
-            q = queries.select(
-                "query_id", F.col("emb").alias("qemb")
-            ).withColumn("qnrm", norm(F.col("qemb")))
-            probes = (
-                q.join(F.broadcast(store.centroids()))
-                .select(
-                    "query_id", "qemb", "qnrm",
-                    F.col("cent_id").alias("cell"),
-                    cosine_prenorm(
-                        F.col("qemb"), F.col("cemb"), F.col("qnrm"), F.col("cnrm")
-                    ).alias("csim"),
-                )
-                .withColumn(
-                    "_r",
-                    F.expr(
-                        "row_number() over (partition by query_id "
-                        "order by csim desc, cell)"
-                    ),
-                )
-                .filter(F.col("_r") <= 2)
-                .drop("csim", "_r")
-            ).localCheckpoint()
-            cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
-            cand = flat().filter(F.col("cell").isin(cells))  # post-scan filter
-            scored = cand.join(F.broadcast(probes), "cell").select(
-                "query_id",
-                F.col("vec_id").alias("neighbor_id"),
-                cosine_prenorm(
-                    F.col("qemb"), F.col("emb"), F.col("qnrm"), F.col("nrm")
-                ).alias("cos_sim"),
-            ).filter(F.col("neighbor_id") != F.col("query_id"))
-            return topk_per_group(
-                scored, ["query_id"],
-                [F.col("cos_sim").desc(), F.col("neighbor_id")], 3,
-            ).count()
+            # identical query, flat candidate source: the cells_df seam
+            # keeps both arms on the OPERATOR's own search logic so the
+            # twins cannot drift (review finding, round 8)
+            return store.search(queries, nprobe=2, topk=3, cells_df=flat()).count()
 
         # file-count evidence: which files does the pruned probe open?
         # (df.inputFiles() lists the UNPRUNED index; input_file_name()
