@@ -101,11 +101,49 @@ with the real engine, prune's spilled-only reach, bench sf guard,
 stale comments, _ordered_runs duplication, test-fake dedup) are fixed
 with pinned directed regressions plus a Hypothesis store-vs-dict
 property; the REPL now opts into the spill store (spill_dir=) and
-local engines got a generic pickle spill seam. Full round-8 evidence
-at close: 226/226 sf0.01 verify; full-surface sf0.1 verify (225/225
-chunked mid-round + every query changed after re-verified at sf0.1);
-226/226 determinism probe coverage (225 mid-round + the new query);
-pytest 677 passed / 0 failed.
+local engines got a generic pickle spill seam. Mid-round evidence:
+226/226 sf0.01 verify; full-surface sf0.1 verify (225/225 chunked
+mid-round + every query changed after re-verified at sf0.1); 226/226
+determinism probe coverage (225 mid-round + the new query); pytest 677
+passed / 0 failed.
+
+A second round-8 session continued the build: (5) five more queries —
+q_doc_line_dedup (RefinedWeb-style boilerplate segment removal that
+REBUILDS the cleaned corpus deterministically, md5-pinned in both
+engines, plus a planted-boilerplate directed test and a pure-Python
+reference-model differential), q_doc_host_caps (C4-style per-source
+cap via two-phase topk_per_group), q_ev_l_diversity (the k-anonymity
+companion over the same QI classes — the two audits share one
+release-audit scaffolding in both dialects), q_doc_shuffle_shards
+(deterministic epoch-shuffle manifest, per-shard position size-gated
+through grouped_row_number), and q_stream_emb_index (the streamed
+ANN-index loop under the hash gate: store seeded with half the corpus,
+the full table folded in from a file stream TWICE — full redelivery —
+against the pinned-assignment closed form as oracle) — each shipped
+with a DuckDB oracle, sf0.01 verify PASS, sf0.001 parametrized oracle
+test, degenerate-suite row, determinism probe, and plan-audit profile.
+(6) operators/ann_store.py::IVFIndexStore — the build-once/serve-many
+IVF index persisted as a cell-PARTITIONED parquet layout (probing =
+scan-level partition pruning; centroids a k-row broadcast codebook;
+measured receipt in scripts/ab_ann_store.py: 2 of 8 cell files opened,
+both timing arms on the operator's own search via the cells_df seam) —
+proven bit-for-bit equal to q_emb_ivf_knn, partition-pruned (live
+PartitionFilters assertion), fresh-load servable, incrementally
+appendable (add == full rebuild), and stream-maintained
+(streaming/pipelines.index_embeddings_stream: idempotent
+partition-pruned anti-join append, redelivery-proof) —
+tests/test_ann_store.py, 7 tests. (7) TWO same-session adversarial
+code-review rounds ran over the session diff; all nine findings
+(centroid-pin scope vs the contract query on sparse ids, probes
+double-evaluation, build-k vs persisted-k disagreement, release-audit
+scaffolding duplication, zero-row cells() schema-inference crash,
+O(index)-per-batch idempotence rescan, A/B-twin drift risk, a dead
+assignment, streaming-table cell arity) fixed with regressions.
+Session-2 evidence at close: 231/231 sf0.01 contract drive; the five
+new queries ALSO hash-match at sf0.1 (full-surface sf0.1 coverage
+stands at 231/231 across the round) and pass per-query determinism
+probes; plan audit regenerated at 231 plans, 0 unannotated NLJs;
+pytest 697 passed / 0 failed at session close.
 
 Maintenance: regenerate after each round's CORRECTNESS file lands
 (`python scripts/attestation_ledger.py`).
