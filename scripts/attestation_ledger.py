@@ -132,7 +132,7 @@ PartitionFilters assertion), fresh-load servable, incrementally
 appendable (add == full rebuild), and stream-maintained
 (streaming/pipelines.index_embeddings_stream: idempotent
 partition-pruned anti-join append, redelivery-proof) —
-tests/test_ann_store.py, 7 tests. (7) TWO same-session adversarial
+tests/test_ann_store.py, 8 tests. (7) TWO same-session adversarial
 code-review rounds ran over the session diff; all nine findings
 (centroid-pin scope vs the contract query on sparse ids, probes
 double-evaluation, build-k vs persisted-k disagreement, release-audit
@@ -143,7 +143,8 @@ Session-2 evidence at close: 231/231 sf0.01 contract drive; the five
 new queries ALSO hash-match at sf0.1 (full-surface sf0.1 coverage
 stands at 231/231 across the round) and pass per-query determinism
 probes; plan audit regenerated at 231 plans, 0 unannotated NLJs;
-pytest 697 passed / 0 failed at session close.
+pytest 697 passed / 0 failed full-suite at close, plus the
+zero-row-index regression green after that run.
 
 Maintenance: regenerate after each round's CORRECTNESS file lands
 (`python scripts/attestation_ledger.py`).

@@ -166,3 +166,28 @@ def test_stream_maintained_index_is_idempotent_and_complete(
             stream, st, str(tmp_path / f"ckpt_{attempt}")
         )
         assert cells_of(st) == cells_of(full), attempt
+
+
+def test_zero_row_index_is_total(spark, tmp_path):
+    """Review-fix regression: a build whose corpus is empty writes a
+    cells/ directory with no parquet files (only _SUCCESS) — the store
+    must stay total (empty cells(), empty search, no
+    UNABLE_TO_INFER_SCHEMA crash) and become servable after add()."""
+    empty = spark.createDataFrame([], "vec_id long, emb array<double>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cent_id long, cemb array<double>"
+    )
+    st = IVFIndexStore.build(spark, empty, str(tmp_path / "zidx"), centroids=cents)
+    assert st.cells().count() == 0
+    queries = spark.createDataFrame(
+        [(9, [1.0, 0.0])], "query_id long, emb array<double>"
+    )
+    assert st.search(queries).count() == 0
+    st.add(
+        spark.createDataFrame(
+            [(7, [1.0, 0.1])], "vec_id long, emb array<double>"
+        ),
+        idempotent=True,  # exercises the pruned existence probe on empty
+    )
+    got = st.search(queries).collect()
+    assert [(r["query_id"], r["neighbor_id"]) for r in got] == [(9, 7)]
