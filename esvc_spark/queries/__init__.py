@@ -25,19 +25,21 @@ from pyspark.sql import DataFrame, SparkSession
 # round last graded each query — update it when CORRECTNESS_r{N}.json
 # lands.
 #
-# Round-8 rotation: front (a) the six round-8 new queries (the
+# Round-8 rotation: front (a) the seven round-8 new queries (the
 # streamed event-log loop; the ExactSubstr positional duplicated-span
 # audit; and the second-session additions — line-dedup boilerplate
 # removal, per-source host caps, l-diversity, the epoch-shuffle
-# manifest), (b) every query whose plan or output path changed
-# this round — the 11 size-gated rank/prefix rewrites plus
-# q_ev_watermark_plan's running max, the ingest-contract empty-table
-# guard, and the two distributed-editor queries whose corpus partition
-# count now scales with |documents| — and (c) the 24 r2-vintage
-# backlog rows the r7 driver budget truncated (VERDICT r7 #2: the r7
-# front held 74 candidates for a 50-row budget; this front holds 44,
-# so every row is graded this round). Everything else holds a green
-# r3+ driver row and absorbs any truncation.
+# manifest, the streamed ANN-index loop), (b) every query whose plan
+# or output path changed this round — the 11 size-gated rank/prefix
+# rewrites plus q_ev_watermark_plan's running max, the ingest-contract
+# empty-table guard, the two distributed-editor queries whose corpus
+# partition count now scales with |documents|, and q_ev_k_anonymity
+# (shares the release-audit scaffolding since the session-2 refactor)
+# — and (c) the 24 r2-vintage backlog rows the r7 driver budget
+# truncated (VERDICT r7 #2: the r7 front held 74 candidates for a
+# 50-row budget; this front holds 46, so every row is graded this
+# round). Everything else holds a green r3+ driver row and absorbs any
+# truncation.
 _MODULE_ORDER = ("esvc", "multimodal", "embeddings", "documents", "events", "relational")
 
 _FRONT = (
