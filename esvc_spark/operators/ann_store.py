@@ -113,6 +113,18 @@ class IVFIndexStore:
         cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
         cdf = spark.read.parquet(os.path.join(path, "centroids"))
         k = cdf.count()  # the persisted truth — limit(k) may return fewer
+        if k == 0:
+            # a zero-row codebook is a permanently dead index: every
+            # later add() cross-joins against nothing and silently drops
+            # its batch, and search() silently returns empty — fail the
+            # build instead of persisting the trap
+            raise ValueError(
+                "IVFIndexStore.build: empty codebook (k=0) — the corpus "
+                "is empty and no explicit centroids= were provided"
+                if centroids is None
+                else "IVFIndexStore.build: explicit centroids= frame is "
+                "empty — a zero-row codebook can never index anything"
+            )
         _assign_cells(e, cdf).write.mode("overwrite").partitionBy("cell").parquet(
             os.path.join(path, "cells")
         )
@@ -137,6 +149,11 @@ class IVFIndexStore:
         cell, and the existence probe partition-prunes to the <= |batch|
         cells the batch touches — never an O(index) rescan per batch."""
         e = emb.select("vec_id", "emb").withColumn("nrm", norm(F.col("emb")))
+        if idempotent:
+            # the at-least-once contract must hold WITHIN a batch too: a
+            # redelivered id arriving twice in one batch would pass the
+            # on-disk anti-join below and be written twice
+            e = e.dropDuplicates(["vec_id"])
         assigned = _assign_cells(e, self.centroids())
         if idempotent:
             # consumed twice (cell collect + write): checkpoint so the
@@ -176,9 +193,15 @@ class IVFIndexStore:
         from pyspark.errors import AnalysisException
 
         try:
-            return self.spark.read.parquet(os.path.join(self.path, "cells"))
+            df = self.spark.read.parquet(os.path.join(self.path, "cells"))
         except AnalysisException:
             return self.spark.createDataFrame([], self._CELLS_SCHEMA)
+        # partition discovery infers the cell directory column as INT;
+        # the pinned empty-index schema says BIGINT — normalize so both
+        # branches return an identical schema (cast is a no-op upcast on
+        # the data, and the partition filter still prunes: pruning keys
+        # off the discovered partition values, not the projected dtype)
+        return df.withColumn("cell", F.col("cell").cast("bigint"))
 
     # ------------------------------------------------------------ search
     def search(

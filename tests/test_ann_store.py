@@ -168,6 +168,63 @@ def test_stream_maintained_index_is_idempotent_and_complete(
         assert cells_of(st) == cells_of(full), attempt
 
 
+def test_build_refuses_empty_codebook(spark, tmp_path):
+    """Advice-fix regression: an empty corpus with no explicit
+    centroids (and an explicitly empty centroids= frame) must FAIL the
+    build — a zero-row codebook silently drops every later add() and
+    returns empty from every search, with no error signal."""
+    empty = spark.createDataFrame([], "vec_id long, emb array<double>")
+    with pytest.raises(ValueError, match="empty codebook"):
+        IVFIndexStore.build(spark, empty, str(tmp_path / "dead1"), k=8)
+    no_cents = spark.createDataFrame([], "cent_id long, cemb array<double>")
+    with pytest.raises(ValueError, match="centroids= frame is empty"):
+        IVFIndexStore.build(
+            spark, empty, str(tmp_path / "dead2"), centroids=no_cents
+        )
+
+
+def test_add_idempotent_dedups_within_batch(spark, tmp_path):
+    """Advice-fix regression: add(idempotent=True) must hold its
+    at-least-once contract for a batch that contains the SAME vec_id
+    twice — the on-disk anti-join alone cannot see intra-batch dups."""
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(4)], "vec_id long, emb array<double>"
+    )
+    st = IVFIndexStore.build(spark, emb, str(tmp_path / "dupidx"), k=2)
+    batch = spark.createDataFrame(
+        [(9, [1.0, 2.0]), (9, [1.0, 2.0]), (10, [2.0, 1.0])],
+        "vec_id long, emb array<double>",
+    )
+    st.add(batch, idempotent=True)
+    ids = [r["vec_id"] for r in st.cells().select("vec_id").collect()]
+    assert sorted(ids) == [0, 1, 2, 3, 9, 10]  # 9 written exactly once
+
+
+def test_cells_schema_identical_empty_and_nonempty(spark, tmp_path):
+    """Advice-fix regression: cells() must return the SAME schema from
+    the partition-discovery read (which infers the cell directory
+    column as int) as from the pinned empty-index schema (bigint)."""
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(3)], "vec_id long, emb array<double>"
+    )
+    st = IVFIndexStore.build(spark, emb, str(tmp_path / "schidx"), k=2)
+    got = {f.name: f.dataType.simpleString() for f in st.cells().schema.fields}
+    want = {
+        f.name: f.dataType.simpleString()
+        for f in spark.createDataFrame([], st._CELLS_SCHEMA).schema.fields
+    }
+    assert got == want
+    # and the normalized column still partition-prunes at the scan
+    plan = (
+        st.cells()
+        .filter(F.col("cell").isin([0]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
+
+
 def test_zero_row_index_is_total(spark, tmp_path):
     """Review-fix regression: a build whose corpus is empty writes a
     cells/ directory with no parquet files (only _SUCCESS) — the store
