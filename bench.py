@@ -305,21 +305,45 @@ def main() -> None:
     # threshold above never re-measures the sub-2 s population — exactly
     # where r6's apparent "regressions" lived (0.56 -> 1.43 s on
     # untouched logic, on a host with 25x swings). Compare against the
-    # previous run's full map (BENCH_FULL.json as it stood when this run
-    # started) and give anything >1.5x its prior reading up to TWO
-    # re-measures (min kept), worst-ratio-first inside the same budget.
-    # A swing that survives both is reported as real.
-    if prior_timings:
+    # BEST reading each query has EVER recorded at this sf
+    # (BENCH_ANCHOR.json, a monotone per-query floor), falling back to
+    # the previous run's map for queries too new to have an anchor —
+    # comparing only to the PREVIOUS round let a noisy reading inflate
+    # the reference and ratchet upward across rounds without ever being
+    # re-measured against the longitudinal baseline (VERDICT r8 #1:
+    # q09/q10 read 2.4x/2.2x of round 1 while their anchors said 1.0x).
+    # Anything >1.5x its reference gets up to TWO re-measures (min
+    # kept), worst-ratio-first inside the same budget. A swing that
+    # survives both is reported as real (delta.anchor_outliers).
+    anchor_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_ANCHOR.json"
+    )
+    anchor: dict[str, float] = {}
+    try:
+        with open(anchor_path) as fh:
+            _anchor_doc = json.load(fh)
+        if _anchor_doc.get("sf") == sf:
+            anchor = _anchor_doc.get("queries", {}) or {}
+    except (OSError, ValueError):
+        _anchor_doc = None
+    ref_t = {
+        name: min(
+            anchor.get(name, float("inf")),
+            prior_timings.get(name, float("inf")),
+        )
+        for name in timings
+    }
+    if any(v != float("inf") for v in ref_t.values()):
         for _pass in range(2):
             ratio_outliers = sorted(
                 (
                     (name, fn)
                     for name, fn in ordered
-                    if name in prior_timings
-                    and prior_timings[name] > 0
-                    and timings[name] > 1.5 * prior_timings[name]
+                    if ref_t[name] != float("inf")
+                    and ref_t[name] > 0
+                    and timings[name] > 1.5 * ref_t[name]
                 ),
-                key=lambda kv: -(timings[kv[0]] / prior_timings[kv[0]]),
+                key=lambda kv: -(timings[kv[0]] / ref_t[kv[0]]),
             )
             if not ratio_outliers:
                 break
@@ -327,6 +351,31 @@ def main() -> None:
                 if time.perf_counter() - rerun_start >= _RERUN_BUDGET:
                     break
                 timings[name] = round(min(timings[name], run_once(fn)), 4)
+    # Receipts: what still reads >1.5x its longitudinal anchor after all
+    # re-measures (worst 5 by ratio) — real regressions and unresolved
+    # noise land here instead of hiding in a 231-key map.
+    anchor_outliers = sorted(
+        (
+            (round(timings[n] / anchor[n], 2), n)
+            for n in timings
+            if n in anchor and anchor[n] > 0 and timings[n] > 1.5 * anchor[n]
+        ),
+        reverse=True,
+    )[:5]
+    # Lower the anchor wherever this run beat it (monotone floor); new
+    # queries enter at their first reading.
+    if _anchor_doc is not None and _anchor_doc.get("sf") == sf:
+        for name, t in timings.items():
+            if t > 0 and t < anchor.get(name, float("inf")):
+                anchor[name] = t
+        _anchor_doc["queries"] = {
+            k: round(v, 4) for k, v in sorted(anchor.items())
+        }
+        try:
+            with open(anchor_path, "w") as fh:
+                json.dump(_anchor_doc, fh, indent=1, sort_keys=True)
+        except OSError:
+            pass
 
     total = round(sum(timings.values()), 4)
     # Like-for-like round comparison: the surface grows every round, so
@@ -349,6 +398,9 @@ def main() -> None:
         },
         sf,
     )
+    anchor_receipt = [
+        {"query": n, "x_anchor": r} for r, n in anchor_outliers
+    ]
     full = {
         "metric": "total_query_wall_time",
         "value": total,
@@ -359,6 +411,7 @@ def main() -> None:
         "sf": sf,
         "git_head": head,
         "delta": delta,
+        "anchor_outliers": anchor_receipt,
     }
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
@@ -379,6 +432,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "sf": sf,
                 "delta": delta,
+                "anchor_outliers": anchor_receipt,
             }
         )
     )

@@ -143,7 +143,7 @@ _NLJ_OK = {
     "q_window_deciles": "single-row n cross join (max rank)",
     "q_emb_knn_cosine": "20-row query side broadcast",
     "q_emb_hard_negatives": "20-row anchor side broadcast (knn shape)",
-    "q_emb_neardup_cosine": "documented exact all-pairs baseline",
+    "q_emb_neardup_cosine": "bounded-input-only exact baseline (hard gate _NEARDUP_MAX_VECS=100k, fail-fast past it)",
     "q_emb_ivf_knn": "8-centroid broadcast assignment",
     "q_rag_retrieval": "centroid assignment (inherited from IVF)",
     "q_emb_ann_recall": "inherits knn + IVF sides",
