@@ -92,7 +92,19 @@ class Repl:
             append_head(self.graph, evid)
         return evid
 
-    def merge_from(self, path: str, spark) -> None:
+    def merge_from(self, path: str, spark=None) -> None:
+        """`m<` accepts both on-disk graph forms: a parquet DIRECTORY
+        written by store.save_graph, or a reference-format FILE
+        (bincode+zstd, as the Rust exvc writes — ref main.rs:54-111);
+        the latter is decoded, hash-verified, and rehashed to the
+        native id scheme before the standard import/merge."""
+        import os
+
+        if os.path.isfile(path):
+            from .core.bincode_io import import_reference_file
+
+            import_reference_file(self.wc, self.graph, path)
+            return
         from .core.store import import_merge, load_graph
 
         other = load_graph(spark, path)
@@ -123,9 +135,15 @@ class Repl:
 
             save_graph(spark, self.graph, line[2:].strip())
             return True
-        if line.startswith("m< ") and spark is not None:
-            self.merge_from(line[3:].strip(), spark)
-            return True
+        if line.startswith("m< "):
+            import os
+
+            target = line[3:].strip()
+            # a reference-format FILE needs no Spark session; the parquet
+            # directory form still does
+            if spark is not None or os.path.isfile(target):
+                self.merge_from(target, spark)
+                return True
         if not line.strip():
             return True
         try:
