@@ -131,13 +131,21 @@ class WorkCache:
         become soft deps and the walk stops (workcache.rs:343-393).
         """
         eng = self.engine
+        # transient states (expected, safety-net, commutation tests) are
+        # only ever compared, never replayed from — engines that can
+        # compute a compare-only value cheaper (SparkEngineBase: lazy
+        # plan + one fingerprint job, no persist) expose
+        # run_event_transient; others fall back to run_event_bare
+        run_t = getattr(eng, "run_event_transient", eng.run_event_bare)
         ev = Event(cmd=ev.cmd, arg=ev.arg, deps={})  # deps are inferred, not trusted
         cur_deps: dict[bytes, int] = {}
         seed_deps = set(seed_deps)
 
         base_st, _ = self.run_foreach_recursively(graph, {h: _ALL for h in seed_deps})
-        cur_st = eng.run_event_bare(ev.cmd, ev.arg, base_st)
+        cur_st = run_t(ev.cmd, ev.arg, base_st)
         if not cur_deps and eng.dat_eq(base_st, cur_st):
+            if cur_st is not base_st:
+                eng.release(cur_st)
             return None  # no-op event (workcache.rs:159-162)
 
         while seed_deps:
@@ -147,9 +155,24 @@ class WorkCache:
             # current expected state: live seeds (minus denied) + used deps
             incl = {h: _ALL for h in seed_deps if cur_deps.get(h) != _DENY}
             incl.update({h: _ALL for h, s in cur_deps.items() if s == _USE})
+            prev_cur, prev_base = cur_st, base_st
             base_st, _ = self.run_foreach_recursively(graph, incl)
-            cur_st = eng.run_event_bare(ev.cmd, ev.arg, base_st)
+            if base_st is prev_base:
+                # identical base VALUE (memo returned the same object) →
+                # the deterministic transform yields the identical
+                # expected state; reuse instead of recomputing (the
+                # round-1 incl always equals the pre-loop state, so this
+                # saves one engine job per shelve)
+                cur_st = prev_cur
+            else:
+                cur_st = run_t(ev.cmd, ev.arg, base_st)
+                # the previous round's expected state is transient now
+                # (bases are memoized; never release those)
+                if prev_cur is not prev_base and prev_cur is not base_st:
+                    eng.release(prev_cur)
             if not cur_deps and eng.dat_eq(base_st, cur_st):
+                if cur_st is not base_st:
+                    eng.release(cur_st)
                 return None  # no-op (workcache.rs:208-211)
 
             # materialize each candidate's complement state (cur − conc)
@@ -169,23 +192,52 @@ class WorkCache:
                 else:
                     complements[conc] = tmptt
 
+            # Phase 1: resolve the free verdicts (revert / equal-arg need
+            # no replay) and collect the candidates that need the real
+            # commutation test. The test is a pure function of
+            # (ev, conc_base, conc_ev, cur_st) — no cross-candidate state
+            # — so an engine exposing `commute_batch` (the Spark engines:
+            # two tagged aggregate jobs for ALL candidates instead of two
+            # eager fingerprint jobs EACH) computes every verdict at once;
+            # other engines run the reference's sequential replay.
+            verdicts: dict[bytes, bool] = {}
+            pending: list[tuple[bytes, Any, Event]] = []
             for conc in sorted(complements):
-                tmptt = complements[conc]
-                conc_base = self.sts[tmptt]
+                conc_base = self.sts[complements[conc]]
                 conc_ev = graph.events[conc]
                 if eng.dat_eq(cur_st, conc_base):
-                    is_indep = False  # revert (workcache.rs:275-279)
+                    verdicts[conc] = False  # revert (workcache.rs:275-279)
                 elif ev.cmd == conc_ev.cmd and ev.arg == conc_ev.arg:
-                    is_indep = False  # equal-but-non-idempotent (rs:280-286)
+                    # equal-but-non-idempotent (rs:280-286)
+                    verdicts[conc] = False
                 else:
-                    ev_first = eng.run_event_bare(ev.cmd, ev.arg, conc_base)
-                    ev_first_then = eng.run_event_bare(
+                    pending.append((conc, conc_base, conc_ev))
+            batch = getattr(eng, "commute_batch", None)
+            if batch is not None and len(pending) > 1:
+                verdicts.update(batch(ev, pending, cur_st))
+            else:
+                for conc, conc_base, conc_ev in pending:
+                    ev_first = run_t(ev.cmd, ev.arg, conc_base)
+                    ev_first_then = run_t(
                         conc_ev.cmd, conc_ev.arg, ev_first
                     )
-                    is_indep = (not eng.dat_eq(ev_first, ev_first_then)) and eng.dat_eq(
-                        ev_first_then, cur_st
-                    )
-                if is_indep:
+                    verdicts[conc] = (
+                        not eng.dat_eq(ev_first, ev_first_then)
+                    ) and eng.dat_eq(ev_first_then, cur_st)
+                    # both states are transient (only their equality
+                    # mattered) — release unless the no-op shortcut
+                    # returned a memoized value itself
+                    if ev_first_then is not ev_first and ev_first_then is not conc_base:
+                        eng.release(ev_first_then)
+                    if ev_first is not conc_base:
+                        eng.release(ev_first)
+
+            # Phase 2: fold the verdicts in the reference's candidate
+            # order (Deny marks must land exactly as the sequential walk
+            # would place them).
+            for conc in sorted(complements):
+                conc_ev = graph.events[conc]
+                if verdicts[conc]:
                     # move backward through the DAG
                     new_seed_deps.update(conc_ev.deps.keys())
                 else:
@@ -204,12 +256,29 @@ class WorkCache:
             incl = {h: _ALL for h in new_seed_deps if cur_deps.get(h) != _DENY}
             incl.update({h: _ALL for h, s in cur_deps.items() if s == _USE})
             bare_st, bare_tt = self.run_foreach_recursively(graph, incl)
-            tmp_st = eng.run_event_bare(ev.cmd, ev.arg, bare_st)
             seed_deps -= bare_tt
-            for conc in sorted(seed_deps):
-                cev = graph.events[conc]
-                tmp_st = eng.run_event_bare(cev.cmd, cev.arg, tmp_st)
-            if not eng.dat_eq(cur_st, tmp_st):
+            if bare_st is base_st and not seed_deps:
+                # the reduced seed set resolved to the SAME memoized base
+                # value cur_st was computed from and there is nothing
+                # left to fold on top: tmp_st would be the deterministic
+                # transform of an identical value — equal by
+                # construction, no engine job needed (the common case on
+                # linear histories, where every candidate turns out
+                # dependent)
+                eq = True
+            else:
+                tmp_st = run_t(ev.cmd, ev.arg, bare_st)
+                for conc in sorted(seed_deps):
+                    cev = graph.events[conc]
+                    prev = tmp_st
+                    tmp_st = run_t(cev.cmd, cev.arg, prev)
+                    # intermediate fold states are transient
+                    if prev is not bare_st and prev is not tmp_st:
+                        eng.release(prev)
+                eq = eng.dat_eq(cur_st, tmp_st)
+                if tmp_st is not bare_st:
+                    eng.release(tmp_st)
+            if not eq:
                 # a necessary dependency got lost: degrade to soft deps on
                 # every remaining seed rather than a wrong answer
                 for h in seed_deps:
@@ -217,6 +286,11 @@ class WorkCache:
                 break
             seed_deps = new_seed_deps
 
+        # the inferred event is recorded; its expected state will be
+        # re-materialized through the memo path on demand — cur_st is
+        # transient from here
+        if cur_st is not base_st:
+            eng.release(cur_st)
         final = Event(
             cmd=ev.cmd,
             arg=ev.arg,

@@ -636,3 +636,60 @@ def test_ntile_from_rank_matches_real_ntile(spark):
                 ).collect()
             }
             assert got == want, (n, k)
+
+
+def test_commute_batch_matches_sequential_shelve(spark, monkeypatch):
+    """VERDICT r8 #6 differential: shelving through the batched
+    commutation path (two tagged aggregate jobs per round) must infer
+    EXACTLY the event hashes and dep maps the sequential per-candidate
+    replay infers — on a script engineered to hit multi-candidate
+    rounds, independence, dependence, and soft-dep cases on both Spark
+    engines."""
+    from esvc_spark.core import spark_engine as se
+
+    def run_chain(eng, dat0, events):
+        g = Graph()
+        w = WorkCache(eng, dat0)
+        xs: set[bytes] = set()
+        for arg in events:
+            h = w.shelve_event(g, set(xs), Event(cmd=0, arg=arg))
+            if h is not None:
+                xs.add(h)
+        return g, w, xs
+
+    # replace engine: branches that commute (disjoint) and ones that don't
+    texts = ["Hi, what's up??", "nothing up here", "Hi again", "zebra"]
+    sears = [
+        sear("Hi", "Hello"),
+        sear("zebra", "quagga"),   # independent of the first
+        sear("up", "down"),
+        sear("Hello", "Hey"),      # depends on the first
+        sear("down here", "below"),
+    ]
+    # editor engine: mixed line and regex commands
+    lines = [f"line {i} alpha" for i in range(12)] + ["needle row"]
+    script = [
+        make_command({"type": "rng", "start": 0, "end": 2}, "substitute",
+                     ["alpha", "beta"]),
+        make_command({"type": "rgx", "pattern": "needle"}, "append",
+                     ["added after needle"]),
+        make_command({"type": "last"}, "append", ["tail"]),
+        make_command({"type": "rng", "start": 3, "end": 5}, "delete"),
+    ]
+
+    results = {}
+    for mode in ("batched", "sequential"):
+        if mode == "sequential":
+            monkeypatch.setattr(se.SparkEngineBase, "commute_batch", None)
+        else:
+            monkeypatch.undo()
+        r_eng = SparkReplaceEngine(spark)
+        g1, _, xs1 = run_chain(r_eng, r_eng.from_texts(texts), sears)
+        e_eng = SparkExEngine(spark)
+        g2, _, xs2 = run_chain(e_eng, e_eng.init_data(lines), script)
+        results[mode] = (
+            xs1, {h: ev.deps for h, ev in g1.events.items()},
+            xs2, {h: ev.deps for h, ev in g2.events.items()},
+        )
+        spark.catalog.clearCache()
+    assert results["batched"] == results["sequential"]
