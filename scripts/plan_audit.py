@@ -134,7 +134,7 @@ _SIZE_GATED = {
     "q_doc_ccnet_buckets": "per-lang fluency rank + NTILE(3), size-gated",
     "q_zonemap_skipping": "per-layout chunk rank, size-gated (max-group bound)",
     "q_zorder_layout": "per-layout chunk rank, size-gated (max-group bound)",
-    "q_doc_shuffle_shards": "per-shard position rank, size-gated",
+    "q_doc_shuffle_shards": "per-shard position rank, size-gated (Chernoff max-group bound: largest mod-8 hash shard ~ n/8)",
 }
 
 # NLJs that are by-construction safe: scalar subquery or tiny broadcast side

@@ -628,3 +628,38 @@ def test_host_caps_and_shuffle_shards_invariants(spark, sf_dir):
         by_shard.setdefault(r["shard"], []).append(r["pos"])
     for poss in by_shard.values():
         assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+def test_shard_balance_bound_gates_local_plan():
+    """VERDICT r8 #3: the Chernoff bound on the largest mod-8 hash shard
+    must (a) hold its derivation shape — ~n/8 times a shrinking (1+d)
+    factor, (b) keep the cheap per-group window valid to ~8x the global
+    row threshold, and (c) stay an upper bound on real shard sizes for
+    the md5-derived hash at test scale."""
+    from esvc_spark.core.spark_engine import TWO_PHASE_MIN_ROWS
+    from esvc_spark.queries.documents_curation import (
+        _SHUF_SHARDS,
+        _shard_balance_bound,
+    )
+
+    # shape: monotone-ish n/8 scaling, vanishing slack
+    assert _shard_balance_bound(0) == 1
+    b_1m = _shard_balance_bound(1 << 20)
+    assert (1 << 20) // 8 < b_1m < (1 << 20) // 8 * 1.2
+    b_8m = _shard_balance_bound(8 << 20)
+    assert (8 << 20) // 8 < b_8m < (8 << 20) // 8 * 1.05
+    # the gate extends the local window ~8x past the global threshold
+    assert b_8m <= TWO_PHASE_MIN_ROWS * 1.05
+    assert _shard_balance_bound(100 << 20) > TWO_PHASE_MIN_ROWS
+
+    # the bound really bounds: empirical max shard at a few sizes,
+    # using the exact engine hash (first 15 md5 hex digits as an int —
+    # documents_shared._h)
+    import hashlib
+
+    for n in (1000, 20_000):
+        counts = [0] * _SHUF_SHARDS
+        for i in range(n):
+            h = int(hashlib.md5(f"shuf|{i}".encode()).hexdigest()[:15], 16)
+            counts[h % _SHUF_SHARDS] += 1
+        assert max(counts) <= _shard_balance_bound(n), (n, max(counts))
