@@ -25,79 +25,76 @@ from pyspark.sql import DataFrame, SparkSession
 # round last graded each query — update it when CORRECTNESS_r{N}.json
 # lands.
 #
-# Round-8 rotation: front (a) the seven round-8 new queries (the
-# streamed event-log loop; the ExactSubstr positional duplicated-span
-# audit; and the second-session additions — line-dedup boilerplate
-# removal, per-source host caps, l-diversity, the epoch-shuffle
-# manifest, the streamed ANN-index loop), (b) every query whose plan
-# or output path changed this round — the 11 size-gated rank/prefix
-# rewrites plus q_ev_watermark_plan's running max, the ingest-contract
-# empty-table guard, the two distributed-editor queries whose corpus
-# partition count now scales with |documents|, and q_ev_k_anonymity
-# (shares the release-audit scaffolding since the session-2 refactor)
-# — and (c) the 24 r2-vintage backlog rows the r7 driver budget
-# truncated (VERDICT r7 #2: the r7 front held 74 candidates for a
-# 50-row budget; this front holds 46, so every row is graded this
-# round). Everything else holds a green r3+ driver row and absorbs any
-# truncation.
+# Round-9 rotation: front (a) every query whose execution path changed
+# this round — the five esvc queries plus q_stream_event_log (the
+# shelve commutation tests are now batched/persist-free with
+# identical-state job skips, proven output-identical by differential
+# test), q_stream_emb_index (IVFIndexStore: narrow centroid
+# assignment, cell-clustered build layout, empty-codebook guard,
+# intra-batch idempotent dedup, bigint cells schema), and
+# q_doc_shuffle_shards (Chernoff-proved max_group_rows bound threaded
+# into the rank gate) — (b) the round-9 NEW query
+# q_esvc_import_file (reference bincode+zstd graph-file round-trip
+# under the oracle gate) — and (c) the entire r3-vintage backlog (38
+# rows, the oldest green attestations per ATTESTATION.md). 47 names,
+# inside the driver's ~50-row budget. Everything else holds a green
+# r4+ driver row and absorbs any truncation.
 _MODULE_ORDER = ("esvc", "multimodal", "embeddings", "documents", "events", "relational")
 
 _FRONT = (
-    # NEW this round: streamed event-log append/head/compaction loop +
-    # the ExactSubstr duplicated-substring audit
-    "q_stream_event_log",
-    "q_doc_dup_islands",
-    "q_doc_line_dedup",
-    "q_doc_host_caps",
-    "q_ev_l_diversity",
-    "q_ev_k_anonymity",  # shares the release-audit scaffolding since r8
-    "q_doc_shuffle_shards",
-    "q_stream_emb_index",
-    # changed this round: size-gated rank/prefix helpers (local window
-    # at or below TWO_PHASE_MIN_ROWS, two-phase checkpoint plan above)
-    "q_ev_rfm",
-    "q_window_deciles",
-    "q_ev_watermark_plan",
-    "q_histogram_selectivity",
-    "q_encoding_advisor",
-    "q_ev_mad_outliers",
-    "q_doc_pack",
-    "q_doc_neyman_sample",
-    "q_doc_ccnet_buckets",
-    "q_zonemap_skipping",
-    "q_zorder_layout",
-    # changed this round: empty-table guard (coalesced badness sums)
-    "q_dq_ingest_contract",
-    # changed this round: corpus-scaled partition count in _word_lines
+    # changed this round: batched/persist-free shelve commutation path
+    "q_esvc_editor",
     "q_esvc_editor_large",
-    "q_esvc_merge_large",
-    # r2-vintage attestation backlog, truncated from the r7 front
-    "q_doc_negatives",
-    "q_doc_ngram_jaccard",
-    "q_doc_normalize",
-    "q_doc_quality",
-    "q_doc_sample_mixture",
-    "q_doc_simhash",
-    "q_doc_simhash_pairs",
-    "q_doc_split",
-    "q_doc_tfidf_top",
-    "q_doc_token_stats",
-    "q_doc_upsample",
-    "q_doc_vocab",
-    "q_emb_kmeans",
-    "q_emb_label_centroids",
-    "q_emb_pq",
-    "q_emb_quantize_int8",
     "q_esvc_merge",
+    "q_esvc_merge_large",
     "q_esvc_replay",
-    "q_ev_asof_purchase",
-    "q_ev_range_pairs",
-    "q_ev_tumbling_hourly",
-    "q_mm_decode_stats",
-    "q_mm_frame_sample",
-    "q_mm_resize",
+    # NEW this round: reference graph-file round-trip under the gate
+    "q_esvc_import_file",
+    "q_stream_event_log",
+    # changed this round: IVFIndexStore build/assignment/schema fixes
+    "q_stream_emb_index",
+    # changed this round: proven shard-balance bound in the rank gate
+    "q_doc_shuffle_shards",
+    # r3-vintage attestation backlog (oldest green rows)
+    "q_doc_bpe_encode",
+    "q_doc_bpe_merges",
+    "q_doc_chunk",
+    "q_doc_containment",
+    "q_doc_dup_spans",
+    "q_doc_minhash_audit",
+    "q_doc_pii_redact",
+    "q_doc_repetition",
+    "q_doc_upsert",
+    "q_ev_anomaly",
+    "q_ev_attribution",
+    "q_ev_audience_overlap",
+    "q_ev_bloom",
+    "q_ev_changepoints",
+    "q_ev_cms_heavy",
+    "q_ev_cohort_retention",
+    "q_ev_funnel",
+    "q_ev_hll_distinct",
+    "q_ev_kmv_distinct",
+    "q_ev_kmv_windows",
+    "q_ev_lift",
+    "q_ev_pagerank",
+    "q_ev_resample",
+    "q_ev_salted_distinct",
+    "q_ev_sliding_counts",
+    "q_ev_top_paths",
+    "q_fullouter_daily",
+    "q_fuzzy_match",
+    "q_mm_audio_windows",
+    "q_mm_silence",
+    "q_pivot_returns",
+    "q_stream_dedup",
+    "q_stream_enrich",
+    "q_stream_join",
+    "q_stream_sessionize",
+    "q_stream_topk",
+    "q_stream_tumbling_hourly",
+    "q_unpivot_orders",
 )
-
 
 def _modules():
     from . import documents, embeddings, esvc, events, multimodal, relational

@@ -261,7 +261,7 @@ def _word_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partition count scales with the corpus (~1e6 docs per task bounds
     # the exploded lines table's task size at any scale), floor 8 — the
     # measured toy-scale optimum, where fewer fatter tasks beat per-task
-    # overhead in the editor's 21 fingerprint aggregates. A literal 8
+    # overhead in the editor's ~22 shelve/replay jobs. A literal 8
     # above the broadcast cap would funnel a >1e8-doc corpus into 8
     # tasks (ADVICE r7).
     p_docs = max(8, -(-n_docs // 1_000_000))
@@ -312,7 +312,9 @@ def q_esvc_editor_large(spark: SparkSession, sf_dir: str) -> DataFrame:
     # are scoped down — editor states are line-table-sized, and a plain
     # 200-partition driver session would pay pure task-scheduling latency
     # on each of the ~15 per-event replays. AQE is scoped OFF for the
-    # same reason: the ~21 state materializations are tiny bounded jobs
+    # same reason: the ~22 shelve jobs (4 persisted memo states since r9;
+    # expected/safety-net/commutation values are persist-free transient
+    # fingerprints, see core/workcache.py) are tiny bounded jobs
     # whose runtime re-planning adds a scheduling round-trip each and can
     # never improve an 8-partition plan (measured ~15% of the query).
     with _scoped_conf(spark, "spark.sql.adaptive.enabled", "false"), \
@@ -423,12 +425,101 @@ FROM fin
 """
 
 
+# ---------------------------------------------------------- file interop
+# Reference graph-file round-trip under the driver gate (ref
+# crates/exvc/src/main.rs:44-53 `w`, 54-111 `m<`; encoding frozen per
+# graph.rs:5-7): an editor session seeded from the documents table is
+# exported to the Rust exvc's on-disk format (bincode 1.3.3 + zstd,
+# core/bincode_io.py — every event re-keyed under the reference's
+# blake2b-of-bincode id scheme), then imported into a FRESH session via
+# the full m< path (decode, per-event hash verification, rehash to
+# native ids in dependency order, import_merge + head minimize) and
+# materialized. The oracle folds the same commands directly — so a
+# hash-match proves the byte format, both id translations, and the
+# import/merge semantics in one row. Bounded driver-side work: the
+# _ED_SLICE-row session is the same local-editor shape as
+# q_esvc_editor's small branch.
+
+_IMP_CHANGE = "IMPORTED LINE"
+_IMP_TRAILER = "-- via reference file"
+
+
+def q_esvc_import_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..cli import Repl
+    from ..core.bincode_io import export_reference_file, import_reference_file
+    from ..core.exparse import make_command
+
+    rows = (
+        T(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _ED_SLICE)
+        .select("doc_id", "text")
+        .collect()  # bounded by _ED_SLICE (40 rows) at any sf
+    )
+    init = tuple(r["text"] for r in sorted(rows, key=lambda r: r["doc_id"]))
+    src = Repl(init)
+    for addr, cmd, body in (
+        ({"type": "rngf", "start": 0}, "substitute", ["a", "A"]),
+        ({"type": "rgx", "pattern": "ee"}, "delete", None),
+        ({"type": "rng", "start": 2, "end": 4}, "change", [_IMP_CHANGE]),
+        ({"type": "last"}, "append", [_IMP_TRAILER]),
+    ):
+        src.submit(make_command(addr, cmd, body))
+    work = tempfile.mkdtemp(prefix="esvc_import_")
+    try:
+        path = os.path.join(work, "session.exvc.zst")
+        export_reference_file(src.graph, path, state="")
+        dst = Repl(init)
+        import_reference_file(dst.wc, dst.graph, path)
+        final = dst.materialize()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        list(enumerate(final)), "line_no BIGINT, text STRING"
+    ).select("line_no", F.md5("text").alias("text_md5"))
+
+
+_IMPORT_FILE_SQL = f"""
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS ln, text FROM documents
+  WHERE doc_id < {_ED_SLICE}
+),
+s1 AS (SELECT ln, regexp_replace(text, 'a', 'A', 'g') AS text FROM base),
+d2 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY ln) - 1 AS BIGINT) AS ln, text
+  FROM s1 WHERE NOT regexp_matches(text, 'ee')
+),
+-- change 2,4: rows [2,4) replaced by one line inserted at the segment
+-- start; a start past the end (n <= 2) is a no-op (en.rs:117-121)
+c3 AS (
+  SELECT ln * 1.0 AS k, 0 AS sub, text FROM d2 WHERE ln < 2 OR ln >= 4
+  UNION ALL
+  SELECT 1.5 AS k, 1 AS sub, '{_IMP_CHANGE}' AS text
+  WHERE (SELECT COUNT(*) FROM d2) > 2
+),
+r3 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY k, sub) - 1 AS BIGINT) AS ln, text
+  FROM c3
+),
+ap AS (
+  SELECT ln, text FROM r3
+  UNION ALL
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM r3), '{_IMP_TRAILER}'
+)
+SELECT ln AS line_no, md5(text) AS text_md5 FROM ap
+"""
+
+
 QUERIES = {
     "q_esvc_replay": q_esvc_replay,
     "q_esvc_merge": q_esvc_merge,
     "q_esvc_editor": q_esvc_editor,
     "q_esvc_editor_large": q_esvc_editor_large,
     "q_esvc_merge_large": q_esvc_merge_large,
+    "q_esvc_import_file": q_esvc_import_file,
 }
 
 ORACLES = {
@@ -437,4 +528,5 @@ ORACLES = {
     "q_esvc_editor": _EDITOR_SQL,
     "q_esvc_editor_large": _EDITOR_LARGE_SQL,
     "q_esvc_merge_large": _MERGE_LARGE_SQL,
+    "q_esvc_import_file": _IMPORT_FILE_SQL,
 }

@@ -30,6 +30,12 @@ _IMPERATIVE = {
         "lists 1 of 30 day dirs — asserted live in tests/test_plans.py); "
         "returned frame is the checkpointed per-type day aggregate"
     ),
+    "q_esvc_import_file": (
+        "driver-side REPL round-trip over a bounded 40-row slice: export "
+        "to the reference's bincode+zstd file format, hash-verified "
+        "reimport + rehash + merge (core/bincode_io.py); returned frame "
+        "is a local createDataFrame of the materialized document"
+    ),
     "q_stream_tumbling_hourly": "streaming (micro-batch plans)",
     "q_stream_sessionize": "streaming (micro-batch plans)",
     "q_stream_running_totals": "streaming (stateful micro-batch plans)",
@@ -86,7 +92,7 @@ _IMPERATIVE = {
     ),
     "q_esvc_editor_large": (
         "event-log orchestration over the DISTRIBUTED SparkExEngine "
-        "(21 persisted states, each one fingerprint agg; renumber is "
+        "(4 persisted memo states + persist-free transient fingerprints; renumber is "
         "partition-parallel above 1M rows — spark_engine._global_index); "
         "returned frame is the checkpointed final state"
     ),
