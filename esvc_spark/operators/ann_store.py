@@ -18,14 +18,26 @@ Query cost: |batch| x k centroid scores (broadcast), a driver-side
 collect of the <= |batch| x nprobe DISTINCT probed cells (bounded by
 the query batch, never by the corpus), one partition-pruned scan, and
 a two-phase per-query top-k (operators/topk.py) — no stage anywhere is
-corpus-proportional-per-task. Measured receipt
-(scripts/ab_ann_store.py, sf0.1, min-of-5 in one process, both arms on
-this search() via the cells_df seam): the pruned probe opens 2 of 8
-cell files (PartitionFilters live in the plan); wall-clock 0.81 s vs
-0.87 s for the flat layout's post-scan filter — noise-level parity at
-5000 toy rows, where listing k directories costs about what the
-skipped bytes save; the structural claim is the 6/8 files never
-opened, which is what scales.
+corpus-proportional-per-task.
+
+Measured receipts (scripts/ab_ann_store.py, min-of-N in one process,
+both arms on this search() via the cells_df seam; flat twin shuffled by
+vec_id so it cannot inherit the clustering):
+- toy (sf0.1, 2000 rows, k=8): the pruned probe opens 2 of 8 cell
+  files (PartitionFilters live in the plan); wall-clock parity —
+  listing k directories costs about what the skipped bytes save.
+- scale (--scale: 16M vectors x 64 dims, 2.3 GB parquet, k=64, one
+  file per inverted list, 5 queries): the candidate SCAN — the stage
+  pruning accelerates, and the one that grows with corpus bytes — runs
+  1.67-1.89x faster reading 5 of 64 cells; end-to-end search is parity
+  (0.99-1.07x) because both arms filter to the SAME candidates before
+  the cosine stage that dominates at 2.3 GB. At 100 TB the flat arm's
+  full-corpus decode grows ~40,000x while the pruned side grows only
+  with the probed cells, so end-to-end converges to the scan ratio.
+  Receipt-scale caveats handled: a one-file 36 MB cell sits under the
+  128 MB split size, so the receipt session lowers
+  spark.sql.files.maxPartitionBytes to restore the at-scale task
+  fan-out (real cells are thousands of splits).
 
 "Training" defaults to the pinned-centroid convention of the query
 family: the k LOWEST vec_ids (a total, corpus-agnostic rule). On an
@@ -51,24 +63,36 @@ from .topk import topk_per_group
 
 def _assign_cells(e: DataFrame, cents: DataFrame) -> DataFrame:
     """Nearest-centroid assignment (cosine, ties to the lower cent_id):
-    e = (vec_id, emb, nrm), cents = (cent_id, cemb, cnrm). The window
-    key is vec_id — corpus-cardinality, k rows per key, never a fat
-    partition."""
+    e = (vec_id, emb, nrm), cents = (cent_id, cemb, cnrm).
+
+    The k-way score expansion stays NARROW: csim is computed map-side
+    against the broadcast codebook and only (vec_id, csim, cell) rows
+    flow into the winner aggregation — carrying emb through the
+    expansion would shuffle k copies of every vector (measured: GC
+    death at 1M x 64-dim x k=64 under a default heap; narrow rows are
+    ~24 bytes each and partial aggregation collapses them map-side).
+    The winner is min(struct(-csim, cell)) — exactly the (csim DESC,
+    cell ASC) row_number()=1 rule, since double negation is
+    order-exact — and emb rejoins by vec_id afterwards."""
     scored = e.join(F.broadcast(cents)).select(
         "vec_id",
-        "emb",
-        "nrm",
         F.col("cent_id").alias("cell"),
         cosine_prenorm(
             F.col("emb"), F.col("cemb"), F.col("nrm"), F.col("cnrm")
         ).alias("csim"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cell")
-    return (
-        scored.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") == 1)
-        .select("vec_id", "emb", "nrm", "cell")
+    best = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("csim")).alias("_neg"), F.col("cell").alias("cell")
+                )
+            ).alias("_b")
+        )
+        .select("vec_id", F.col("_b.cell").alias("cell"))
     )
+    return e.join(best, "vec_id").select("vec_id", "emb", "nrm", "cell")
 
 
 class IVFIndexStore:
@@ -125,9 +149,17 @@ class IVFIndexStore:
                 else "IVFIndexStore.build: explicit centroids= frame is "
                 "empty — a zero-row codebook can never index anything"
             )
-        _assign_cells(e, cdf).write.mode("overwrite").partitionBy("cell").parquet(
-            os.path.join(path, "cells")
-        )
+        # Cluster by cell before the partitioned write: without it every
+        # scan task writes a sliver into every cell directory (tasks x k
+        # files), and the probe's file-open overhead eats the pruning win
+        # (measured at 1M x 64 cells: 2048 slivers made the pruned probe
+        # 0.75x the flat scan; one file per inverted list flipped it).
+        # Hash-on-cell bounds write parallelism by k — acceptable for a
+        # build-once index; a skewed (untrained) codebook shows up here
+        # as one fat task, which is the signal to retrain, not a failure.
+        _assign_cells(e, cdf).repartition(F.col("cell")).write.mode(
+            "overwrite"
+        ).partitionBy("cell").parquet(os.path.join(path, "cells"))
         return IVFIndexStore(spark, path, k)
 
     # -------------------------------------------------------------- add
