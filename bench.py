@@ -326,10 +326,19 @@ def main() -> None:
             anchor = _anchor_doc.get("queries", {}) or {}
     except (OSError, ValueError):
         _anchor_doc = None
+    # prior-run timings are a valid reference only at the SAME sf (the
+    # anchor is already sf-guarded above; an sf0.01 BENCH_FULL would
+    # read ~10x fast and flag every query as an outlier, burning the
+    # whole rerun budget — the same guard the delta section applies)
+    prior_ref = (
+        prior_timings
+        if prior_sf_recorded is None or prior_sf_recorded == sf
+        else {}
+    )
     ref_t = {
         name: min(
             anchor.get(name, float("inf")),
-            prior_timings.get(name, float("inf")),
+            prior_ref.get(name, float("inf")),
         )
         for name in timings
     }

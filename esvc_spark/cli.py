@@ -140,10 +140,17 @@ class Repl:
 
             target = line[3:].strip()
             # a reference-format FILE needs no Spark session; the parquet
-            # directory form still does
+            # directory form still does. Never fall through to the editor
+            # parser — a typo'd path would masquerade as a syntax error.
             if spark is not None or os.path.isfile(target):
                 self.merge_from(target, spark)
-                return True
+            elif os.path.isdir(target):
+                out.write(
+                    "?m<: directory import needs a Spark session\n"
+                )
+            else:
+                out.write(f"?m<: no such file {target!r}\n")
+            return True
         if not line.strip():
             return True
         try:

@@ -267,11 +267,18 @@ class WorkCache:
                 # dependent)
                 eq = True
             else:
-                tmp_st = run_t(ev.cmd, ev.arg, bare_st)
+                # a lazy transient is right only for the common 0-step
+                # fold: chaining transients would make step k's
+                # fingerprint job re-execute steps 1..k-1 from bare_st
+                # (quadratic in remaining seeds on wide merge frontiers)
+                # — with steps remaining, materialize each intermediate
+                # eagerly and release it after the next step consumes it
+                run_s = run_t if not seed_deps else eng.run_event_bare
+                tmp_st = run_s(ev.cmd, ev.arg, bare_st)
                 for conc in sorted(seed_deps):
                     cev = graph.events[conc]
                     prev = tmp_st
-                    tmp_st = run_t(cev.cmd, cev.arg, prev)
+                    tmp_st = run_s(cev.cmd, cev.arg, prev)
                     # intermediate fold states are transient
                     if prev is not bare_st and prev is not tmp_st:
                         eng.release(prev)

@@ -27,13 +27,15 @@ vec_id so it cannot inherit the clustering):
   files (PartitionFilters live in the plan); wall-clock parity —
   listing k directories costs about what the skipped bytes save.
 - scale (--scale: 16M vectors x 64 dims, 2.3 GB parquet, k=64, one
-  file per inverted list, 5 queries): the candidate SCAN — the stage
-  pruning accelerates, and the one that grows with corpus bytes — runs
-  1.67-1.89x faster reading 5 of 64 cells; end-to-end search is parity
-  (0.99-1.07x) because both arms filter to the SAME candidates before
-  the cosine stage that dominates at 2.3 GB. At 100 TB the flat arm's
-  full-corpus decode grows ~40,000x while the pruned side grows only
-  with the probed cells, so end-to-end converges to the scan ratio.
+  file per inverted list, 5 queries, real nprobe=2 probe set = 10 of
+  64 cells): the candidate SCAN — the stage pruning accelerates, and
+  the one that grows with corpus bytes — runs 1.7-3.7x faster across
+  repeat runs (min-of-3 each; this host swings); end-to-end search is
+  noise-bound parity (0.76-1.07x across runs) because both arms filter
+  to the SAME candidates before the cosine stage that dominates at
+  2.3 GB. At 100 TB the flat arm's full-corpus decode grows ~40,000x
+  while the pruned side grows only with the probed cells, so
+  end-to-end converges to the scan ratio.
   Receipt-scale caveats handled: a one-file 36 MB cell sits under the
   128 MB split size, so the receipt session lowers
   spark.sql.files.maxPartitionBytes to restore the at-scale task
@@ -73,7 +75,14 @@ def _assign_cells(e: DataFrame, cents: DataFrame) -> DataFrame:
     ~24 bytes each and partial aggregation collapses them map-side).
     The winner is min(struct(-csim, cell)) — exactly the (csim DESC,
     cell ASC) row_number()=1 rule, since double negation is
-    order-exact — and emb rejoins by vec_id afterwards."""
+    order-exact — and emb rejoins by vec_id afterwards.
+
+    Duplicate vec_ids (a caller contract violation — see add()) are
+    PRESERVED verbatim: every copy lands in the id's single best cell.
+    This is deterministic and keeps add-then-build == build-on-union
+    even for bad input (the pre-r9 window dedup'd to an arbitrary copy
+    when duplicate ids carried different vectors); dedup belongs
+    upstream or to add(idempotent=True)."""
     scored = e.join(F.broadcast(cents)).select(
         "vec_id",
         F.col("cent_id").alias("cell"),

@@ -43,7 +43,42 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
+from esvc_spark.functions.vectors import cosine_prenorm, norm  # noqa: E402
 from esvc_spark.operators.ann_store import IVFIndexStore  # noqa: E402
+
+
+def _probe_cells(store, queries, nprobe: int) -> list:
+    """The EXACT probe set search() collects: each query's nprobe
+    nearest centroids (csim DESC, cell ASC), distinct. Deriving the
+    set from returned neighbors instead understates it (top-k hits can
+    cluster in fewer cells than the probes touch) and would flatter
+    the pruned arm."""
+    from pyspark.sql import Window
+
+    q = (
+        queries.select("query_id", F.col("emb").alias("qemb"))
+        .withColumn("qnrm", norm(F.col("qemb")))
+    )
+    probes = (
+        q.join(F.broadcast(store.centroids()))
+        .select(
+            "query_id",
+            F.col("cent_id").alias("cell"),
+            cosine_prenorm(
+                F.col("qemb"), F.col("cemb"), F.col("qnrm"), F.col("cnrm")
+            ).alias("csim"),
+        )
+        .withColumn(
+            "_r",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("csim").desc(), "cell"
+                )
+            ),
+        )
+        .filter(F.col("_r") <= nprobe)
+    )
+    return sorted(r["cell"] for r in probes.select("cell").distinct().collect())
 
 
 def scale_mode() -> None:
@@ -137,13 +172,7 @@ def scale_mode() -> None:
         # scheduling on this host that hides the scan delta; the scan is
         # the part pruning accelerates and the part that scales with
         # corpus bytes.
-        probe_cells_fixed = sorted(
-            r["cell"]
-            for r in store.search(queries, nprobe=2, topk=3)
-            .select(F.col("neighbor_id").alias("vec_id"))
-            .join(store.cells(), "vec_id")
-            .select("cell").distinct().collect()
-        )
+        probe_cells_fixed = _probe_cells(store, queries, nprobe=2)
 
         def scan_time(src) -> float:
             t0 = time.monotonic()
@@ -174,15 +203,9 @@ def scale_mode() -> None:
                 t_flat.append(time.monotonic() - t0)
                 assert n1 == n2, (n1, n2)
             n_all = store.cells().select(F.input_file_name()).distinct().count()
-            # file evidence for THIS batch: rebuild the probe set the
-            # operator collects and count files its pruned scan opens
-            probed = store.search(queries, nprobe=nprobe, topk=3)
-            probe_cells = sorted(
-                r["cell"]
-                for r in store.cells()
-                .join(probed.select(F.col("neighbor_id").alias("vec_id")), "vec_id")
-                .select("cell").distinct().collect()
-            )
+            # file evidence for THIS batch: the probe set the operator
+            # collects (not the neighbors' cells, which can be fewer)
+            probe_cells = _probe_cells(store, queries, nprobe=nprobe)
             n_opened = (
                 store.cells()
                 .filter(F.col("cell").isin(probe_cells))
@@ -192,7 +215,7 @@ def scale_mode() -> None:
                 f"nprobe={nprobe}: partitioned(pruned) min="
                 f"{min(t_part):.2f}s  flat(post-scan filter) min="
                 f"{min(t_flat):.2f}s  speedup {min(t_flat) / min(t_part):.2f}x"
-                f"  (>= {len(probe_cells)} cells hit, ~{n_opened} of "
+                f"  ({len(probe_cells)} cells probed, {n_opened} of "
                 f"{n_all} index files opened)"
             )
     finally:

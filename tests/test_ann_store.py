@@ -49,9 +49,14 @@ def test_search_matches_contract_query(spark, sf_dir, store):
 
 
 def test_probe_is_partition_pruned(store):
+    import re
+
     pruned = store.cells().filter(F.col("cell").isin([0, 3]))
     plan = pruned._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan and "cell" in plan
+    # the filter LIST must be non-empty — 'PartitionFilters: []' prints
+    # in every FileSourceScan, so a bare substring check is vacuous
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m is not None and "cell" in m.group(1), plan
 
 
 def test_fresh_load_serves_without_rebuild(spark, sf_dir, store):
@@ -214,7 +219,12 @@ def test_cells_schema_identical_empty_and_nonempty(spark, tmp_path):
         for f in spark.createDataFrame([], st._CELLS_SCHEMA).schema.fields
     }
     assert got == want
-    # and the normalized column still partition-prunes at the scan
+    # and the normalized column still partition-prunes at the scan —
+    # assert a NON-EMPTY filter list ('PartitionFilters: []' prints in
+    # every FileSourceScan, so the bare substring check is vacuous) and
+    # back it with the file-level evidence
+    import re
+
     plan = (
         st.cells()
         .filter(F.col("cell").isin([0]))
@@ -222,7 +232,17 @@ def test_cells_schema_identical_empty_and_nonempty(spark, tmp_path):
         .executedPlan()
         .toString()
     )
-    assert "PartitionFilters" in plan
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m is not None and "cell" in m.group(1), plan
+    n_opened = (
+        st.cells()
+        .filter(F.col("cell").isin([0]))
+        .select(F.input_file_name())
+        .distinct()
+        .count()
+    )
+    n_all = st.cells().select(F.input_file_name()).distinct().count()
+    assert n_opened < n_all
 
 
 def test_zero_row_index_is_total(spark, tmp_path):
@@ -248,3 +268,36 @@ def test_zero_row_index_is_total(spark, tmp_path):
     )
     got = st.search(queries).collect()
     assert [(r["query_id"], r["neighbor_id"]) for r in got] == [(9, 7)]
+
+
+def test_duplicate_vec_ids_preserved_deterministically(spark, tmp_path):
+    """Review-fix pin (round 9): duplicate vec_ids are a caller
+    contract violation, but their behavior must be DETERMINISTIC and
+    consistent between build and incremental add — every copy lands in
+    the id's single best cell (the pre-r9 window instead dedup'd to an
+    arbitrary copy when duplicates carried different vectors)."""
+    base = [(i, [float(i), 1.0]) for i in range(4)]
+    dup = [(2, [0.9, 1.1]), (2, [0.9, 1.1])]  # id 2 appears 3x total
+    full = IVFIndexStore.build(
+        spark,
+        spark.createDataFrame(base + dup, "vec_id long, emb array<double>"),
+        str(tmp_path / "dupfull"),
+        k=2,
+    )
+    inc = IVFIndexStore.build(
+        spark,
+        spark.createDataFrame(base, "vec_id long, emb array<double>"),
+        str(tmp_path / "dupinc"),
+        k=2,
+    ).add(spark.createDataFrame(dup, "vec_id long, emb array<double>"))
+
+    def rows(st):
+        return sorted(
+            (r["vec_id"], r["cell"], tuple(r["emb"]))
+            for r in st.cells().collect()
+        )
+
+    assert rows(full) == rows(inc)
+    assert sum(1 for v, _, _ in rows(full) if v == 2) == 3
+    # all copies of id 2 share one (deterministic) cell
+    assert len({c for v, c, _ in rows(full) if v == 2}) == 1

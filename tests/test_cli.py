@@ -107,3 +107,20 @@ def test_repl_spark_engine_save_merge(spark, tmp_path):
     # print path works through engine.lines on the Spark engine too
     b.handle_line("1,", out, lambda: [])
     assert "beta" in out.getvalue()
+
+
+def test_m_import_bad_path_reports_not_editor_error():
+    """Review-fix regression (round 9): a Spark-less `m<` with a typo'd
+    path must report the import failure, not fall through to the editor
+    parser and print an address-syntax error."""
+    import io
+
+    from esvc_spark.cli import Repl
+
+    r = Repl(("hello",))
+    out = io.StringIO()
+    assert r.handle_line("m< /no/such/file.exvc.zst", out, lambda: [])
+    assert "no such file" in out.getvalue()
+    out2 = io.StringIO()
+    assert r.handle_line("m< /tmp", out2, lambda: [])
+    assert "needs a Spark session" in out2.getvalue()
