@@ -130,10 +130,24 @@ class Repl:
             for h in sorted(self.heads):
                 out.write(format_hash(h) + "\n")
             return True
-        if line.startswith("w ") and spark is not None:
-            from .core.store import save_graph
+        if line.startswith("w "):
+            target = line[2:].strip()
+            # `.zst`/`.exvc` target = the reference's own on-disk format
+            # (bincode+zstd, exactly what the Rust exvc's `w` writes —
+            # main.rs:44-53); no Spark needed. Anything else is the
+            # parquet directory store.
+            if target.endswith((".zst", ".exvc")):
+                from .core.bincode_io import export_reference_file
 
-            save_graph(spark, self.graph, line[2:].strip())
+                export_reference_file(self.graph, target, state="")
+                return True
+            if spark is not None:
+                from .core.store import save_graph
+
+                save_graph(spark, self.graph, target)
+                return True
+            out.write("?w: parquet store needs a Spark session "
+                      "(use a .zst path for the reference file format)\n")
             return True
         if line.startswith("m< "):
             import os

@@ -215,6 +215,82 @@ class IVFIndexStore:
         )
         return self
 
+    # ------------------------------------------------------- split_cell
+    def split_cell(self, cell: int, n_sub: int = 2) -> "IVFIndexStore":
+        """Split one oversized inverted list in place — the maintenance
+        move for a hot/skewed cell (the q_emb_ivf_balance audit names
+        the candidates), rewriting ONLY that cell's partition while the
+        rest of a 100 TB index is untouched.
+
+        Mechanics: read the cell (partition-pruned), pin ``n_sub``
+        sub-centroids deterministically as the cell's lowest vec_ids
+        (the store's codebook convention), reassign the CELL'S vectors
+        to their nearest sub-centroid (first sub-centroid keeps the old
+        cell id, the rest get fresh ids past max(cent_id)), and write
+        with dynamic partition overwrite — Spark replaces exactly the
+        partitions present in the written frame, so the job touches
+        the split cell's rows and nothing else (asserted file-level in
+        tests/test_ann_store.py).
+
+        Honest scope: the split is LOCAL, the standard IVF trade — other
+        cells' vectors are NOT reconsidered against the enlarged
+        codebook, so the result is not byte-equal to a full rebuild
+        with the new codebook; queries whose probes ranked the old
+        centroid now rank both sub-centroids instead."""
+        rows = self.cells().filter(F.col("cell") == cell)
+        subs = (
+            rows.orderBy("vec_id")
+            .limit(n_sub)
+            .select("vec_id", F.col("emb").alias("cemb"), F.col("nrm").alias("cnrm"))
+            .collect()
+        )
+        if len(subs) < 2:
+            raise ValueError(
+                f"split_cell({cell}): cell has {len(subs)} rows — nothing to split"
+            )
+        old = self.centroids()
+        max_id = old.agg(F.max("cent_id").alias("m")).collect()[0]["m"]
+        new_ids = [cell] + [max_id + 1 + i for i in range(len(subs) - 1)]
+        sub_cents = self.spark.createDataFrame(
+            [
+                (int(new_ids[i]), list(r["cemb"]), float(r["cnrm"]))
+                for i, r in enumerate(subs)
+            ],
+            "cent_id bigint, cemb array<double>, cnrm double",
+        )
+        reassigned = _assign_cells(
+            rows.select("vec_id", "emb", "nrm"), sub_cents
+        )
+        from ..operators.cc import _scoped_conf
+
+        with _scoped_conf(
+            self.spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        ):
+            reassigned.repartition(F.col("cell")).write.mode(
+                "overwrite"
+            ).partitionBy("cell").parquet(os.path.join(self.path, "cells"))
+        # codebook: drop the split centroid, add the sub-centroids
+        new_cents = (
+            old.filter(F.col("cent_id") != cell)
+            .select(
+                F.col("cent_id").cast("bigint").alias("cent_id"),
+                "cemb",
+                "cnrm",
+            )
+            .unionByName(sub_cents)
+        )
+        # two-phase rewrite: centroids/ is being read by the plan above
+        tmp = os.path.join(self.path, "centroids_next")
+        new_cents.write.mode("overwrite").parquet(tmp)
+        final = os.path.join(self.path, "centroids")
+        reloaded = self.spark.read.parquet(tmp)
+        reloaded.write.mode("overwrite").parquet(final)
+        import shutil as _sh
+
+        _sh.rmtree(tmp, ignore_errors=True)
+        self.k = self.spark.read.parquet(final).count()
+        return self
+
     # ------------------------------------------------------------- load
     @staticmethod
     def load(spark: SparkSession, path: str) -> "IVFIndexStore":

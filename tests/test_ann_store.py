@@ -301,3 +301,77 @@ def test_duplicate_vec_ids_preserved_deterministically(spark, tmp_path):
     assert sum(1 for v, _, _ in rows(full) if v == 2) == 3
     # all copies of id 2 share one (deterministic) cell
     assert len({c for v, c, _ in rows(full) if v == 2}) == 1
+
+
+def test_split_cell_rewrites_only_that_partition(spark, tmp_path):
+    """split_cell must (a) preserve every vector, (b) move only the
+    split cell's rows (other partitions' FILES byte-untouched — the
+    dynamic-partition-overwrite locality claim), (c) reassign each
+    split-cell vector to its nearest sub-centroid, and (d) leave a
+    servable store with an updated codebook."""
+    import glob
+    import os
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 3) + 0.5]) for i in range(40)],
+        "vec_id long, emb array<double>",
+    )
+    st = IVFIndexStore.build(spark, emb, str(tmp_path / "sidx"), k=4)
+    before = sorted(
+        (r["vec_id"], tuple(r["emb"])) for r in st.cells().collect()
+    )
+    sizes = {
+        r["cell"]: r["n"]
+        for r in st.cells().groupBy("cell").agg(F.count("*").alias("n")).collect()
+    }
+    target = max(sizes, key=lambda c: sizes[c])
+    other_files = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(str(tmp_path / "sidx" / "cells" / "*" / "*.parquet"))
+        if f"cell={target}" not in f
+    }
+    k_before = st.k
+    st.split_cell(int(target))
+    assert st.k == k_before + 1
+    # (a) integrity
+    after = sorted(
+        (r["vec_id"], tuple(r["emb"])) for r in st.cells().collect()
+    )
+    assert after == before
+    # (b) locality: untouched partitions keep their exact files
+    for f, mtime in other_files.items():
+        assert os.path.exists(f) and os.path.getmtime(f) == mtime, f
+    # (c) each split-row sits in its nearest sub-centroid's cell
+    cents = {
+        r["cent_id"]: r["cemb"] for r in st.centroids().collect()
+    }
+    new_id = max(cents)
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return 0.0 if na * nb == 0 else d / (na * nb)
+
+    for r in st.cells().filter(F.col("cell").isin([int(target), int(new_id)])).collect():
+        sims = {c: cos(r["emb"], cents[c]) for c in (target, new_id)}
+        best = max(sorted(sims), key=lambda c: (sims[c], -c))
+        assert r["cell"] == best, (r["vec_id"], sims, r["cell"])
+    # (d) still serves: probe the split cells, get non-empty exact top-k
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "emb"
+    )
+    got = st.search(queries, nprobe=2, topk=3)
+    assert got.count() > 0
+    # reload from disk sees the updated codebook
+    assert IVFIndexStore.load(spark, st.path).k == k_before + 1
+
+
+def test_split_cell_refuses_singleton(spark, tmp_path):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, emb array<double>"
+    )
+    st = IVFIndexStore.build(spark, emb, str(tmp_path / "tiny"), k=2)
+    with pytest.raises(ValueError, match="nothing to split"):
+        st.split_cell(0)

@@ -265,3 +265,107 @@ def test_export_rejects_non_editor_args(tmp_path):
     g.ensure_event(Event(cmd=0, arg={"free": "form"}))
     with pytest.raises(BincodeError):
         export_reference_file(g, str(tmp_path / "bad.zst"))
+
+
+# ------------------------------------------------------------ properties
+# Random exvc-shaped graphs: the codec must round-trip byte-exactly and
+# the reference identity invariant (key == blake2b-512 of the event's
+# bincode bytes) must hold for every generated event — pure Python, no
+# Spark.
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_text = st.text(max_size=12)
+_addr = st.one_of(
+    st.builds(lambda p: {"type": "rgx", "pattern": p}, _text),
+    st.builds(
+        lambda a, b: {"type": "rng", "start": min(a, b), "end": max(a, b)},
+        st.integers(0, 1 << 40),
+        st.integers(0, 1 << 40),
+    ),
+    st.builds(lambda s: {"type": "rngf", "start": s}, st.integers(0, 1 << 40)),
+    st.just({"type": "last"}),
+)
+_kind = st.one_of(
+    st.builds(
+        lambda k, ls: {"kind": k, "lines": ls},
+        st.sampled_from(["append", "change", "insert"]),
+        st.lists(_text, max_size=4),
+    ),
+    st.just({"kind": "delete"}),
+    st.builds(
+        lambda p, r: {"kind": "substitute", "pat": p, "repl": r}, _text, _text
+    ),
+)
+_command = st.builds(lambda a, k: {"addr": a, "kind": k}, _addr, _kind)
+
+
+@st.composite
+def _graphs(draw):
+    from esvc_spark.core.graph import Graph
+
+    g = Graph()
+    n = draw(st.integers(0, 6))
+    ids: list[bytes] = []
+    for _ in range(n):
+        cmd = draw(st.integers(0, 1 << 31))
+        arg = draw(_command)
+        deps: dict[bytes, bool] = {}
+        for d in draw(
+            st.lists(st.integers(0, max(0, len(ids) - 1)), max_size=3)
+        ):
+            if ids:
+                deps[ids[d]] = draw(st.booleans())
+        ev = Event(cmd=cmd, arg=arg, deps=deps)
+        h = reference_event_hash(ev)
+        g.events[h] = ev
+        ids.append(h)
+    n_states = draw(st.integers(0, 2))
+    for i in range(n_states):
+        name = draw(st.text(max_size=6)) + str(i)  # unique map keys
+        g.nstates[name] = {
+            ids[j]
+            for j in draw(
+                st.lists(st.integers(0, max(0, len(ids) - 1)), max_size=3)
+            )
+            if ids
+        }
+    return g
+
+
+@given(_graphs())
+@settings(max_examples=150, deadline=None)
+def test_codec_roundtrip_property(g):
+    raw = encode_graph(g)
+    back = decode_graph(raw)  # hash verification ON — the invariant holds
+    assert encode_graph(back) == raw
+    assert set(back.events) == set(g.events)
+    assert back.nstates == g.nstates
+    for h, ev in back.events.items():
+        assert back.events[h] == g.events[h]
+        assert reference_event_hash(ev) == h
+
+
+def test_repl_w_writes_reference_format(tmp_path):
+    """REPL `w` parity with the Rust exvc: a .zst target writes the
+    reference's bincode+zstd format (no Spark), and a fresh session can
+    m< it back to the same document."""
+    import io
+
+    from esvc_spark.core.exparse import make_command
+
+    src = Repl(("alpha", "beta"))
+    src.submit(make_command({"type": "last"}, "append", ["gamma"]))
+    p = str(tmp_path / "session.exvc.zst")
+    out = io.StringIO()
+    assert src.handle_line(f"w {p}", out, lambda: [])
+    g = read_graph_file(p)  # hash-verified decode
+    assert len(g.events) == 1 and set(g.nstates) == {""}
+    dst = Repl(("alpha", "beta"))
+    assert dst.handle_line(f"m< {p}", out, lambda: [])
+    assert dst.materialize() == ("alpha", "beta", "gamma")
+    # parquet form without Spark reports, not crashes
+    out2 = io.StringIO()
+    assert src.handle_line(f"w {tmp_path}/pq_dir", out2, lambda: [])
+    assert "needs a Spark session" in out2.getvalue()
