@@ -137,9 +137,16 @@ class Repl:
             # main.rs:44-53); no Spark needed. Anything else is the
             # parquet directory store.
             if target.endswith((".zst", ".exvc")):
-                from .core.bincode_io import export_reference_file
+                from .core.bincode_io import BincodeError, export_reference_file
 
-                export_reference_file(self.graph, target, state="")
+                # user errors (non-editor args from a merged-in registry
+                # session, missing zstd binary, unwritable path) must
+                # report like every other bad REPL input — an escaped
+                # exception would kill the session and its unsaved events
+                try:
+                    export_reference_file(self.graph, target, state="")
+                except (BincodeError, RuntimeError, OSError) as e:
+                    out.write(f"?w: {e}\n")
                 return True
             if spark is not None:
                 from .core.store import save_graph

@@ -222,46 +222,114 @@ class IVFIndexStore:
         the candidates), rewriting ONLY that cell's partition while the
         rest of a 100 TB index is untouched.
 
-        Mechanics: read the cell (partition-pruned), pin ``n_sub``
-        sub-centroids deterministically as the cell's lowest vec_ids
-        (the store's codebook convention), reassign the CELL'S vectors
-        to their nearest sub-centroid (first sub-centroid keeps the old
-        cell id, the rest get fresh ids past max(cent_id)), and write
-        with dynamic partition overwrite — Spark replaces exactly the
-        partitions present in the written frame, so the job touches
-        the split cell's rows and nothing else (asserted file-level in
-        tests/test_ann_store.py).
+        Sub-centroids are chosen FARTHEST-FIRST (k-center seeding): the
+        cell's first row in (vec_id, xxhash64(emb)) order, then
+        repeatedly the row least similar to every chosen seed — a
+        duplicate-heavy hot cell (the common skew) gets genuinely
+        diverse seeds, never two copies of one vector (two identical
+        seeds would leave a dead twin centroid that eats a probe slot
+        and silently degrades recall), and the xxhash tie-break keeps
+        the choice deterministic even among duplicate vec_ids carrying
+        different embeddings. A cell whose vectors are ALL pairwise
+        parallel cannot be balanced by any codebook and raises instead
+        of writing a dead centroid.
+
+        Write order is crash-safe for a live index: the codebook swaps
+        FIRST (write-sibling-tmp + rename, the compact_table pattern —
+        a crash after it leaves a new centroid probing a still-complete
+        old cell, which is benign), then the cell rows move under
+        dynamic partition overwrite, which replaces exactly the
+        partitions present in the written frame — sibling partitions'
+        files stay byte-untouched (mtime-asserted in
+        tests/test_ann_store.py). The reverse order would strand
+        vectors in a cell id absent from the codebook: silently
+        unsearchable.
 
         Honest scope: the split is LOCAL, the standard IVF trade — other
         cells' vectors are NOT reconsidered against the enlarged
         codebook, so the result is not byte-equal to a full rebuild
         with the new codebook; queries whose probes ranked the old
-        centroid now rank both sub-centroids instead."""
-        rows = self.cells().filter(F.col("cell") == cell)
-        subs = (
-            rows.orderBy("vec_id")
-            .limit(n_sub)
-            .select("vec_id", F.col("emb").alias("cemb"), F.col("nrm").alias("cnrm"))
-            .collect()
+        centroid now rank the sub-centroids instead."""
+        import shutil as _sh
+
+        if n_sub < 2:
+            raise ValueError(f"split_cell: n_sub must be >= 2, got {n_sub}")
+        rows = (
+            self.cells()
+            .filter(F.col("cell") == cell)
+            .select("vec_id", "emb", "nrm")
+            # seed selection, reassignment, and the overwrite all consume
+            # this; pinning it also decouples every later job from the
+            # cells/ files about to be rewritten
+            .localCheckpoint()
         )
-        if len(subs) < 2:
+        n_cell = rows.count()
+        if n_cell < 2:
             raise ValueError(
-                f"split_cell({cell}): cell has {len(subs)} rows — nothing to split"
+                f"split_cell({cell}): cell has {n_cell} rows — nothing to split"
             )
-        old = self.centroids()
-        max_id = old.agg(F.max("cent_id").alias("m")).collect()[0]["m"]
-        new_ids = [cell] + [max_id + 1 + i for i in range(len(subs) - 1)]
+        tie = F.xxhash64(F.col("emb"))
+        seeds = [rows.orderBy("vec_id", tie).limit(1).collect()[0]]
+        for _ in range(n_sub - 1):
+            # farthest-first: the row with the LOWEST max-similarity to
+            # any chosen seed; total order on ties keeps it deterministic
+            sims = [
+                cosine_prenorm(
+                    F.col("emb"),
+                    F.array(*[F.lit(float(x)) for x in s["emb"]]),
+                    F.col("nrm"),
+                    F.lit(float(s["nrm"])),
+                )
+                for s in seeds
+            ]
+            worst = F.greatest(*sims) if len(sims) > 1 else sims[0]
+            nxt = (
+                rows.withColumn("_maxsim", worst)
+                .orderBy("_maxsim", "vec_id", tie)
+                .limit(1)
+                .collect()[0]
+            )
+            if nxt["_maxsim"] >= 1.0:
+                raise ValueError(
+                    f"split_cell({cell}): every vector in the cell is "
+                    f"parallel to the chosen seeds — a codebook split "
+                    f"cannot balance it (found only {len(seeds)} "
+                    f"distinct directions)"
+                )
+            seeds.append(nxt)
+        old_cents = self.centroids().collect()  # k rows, driver-cheap
+        max_id = max(r["cent_id"] for r in old_cents)
+        new_ids = [cell] + [max_id + 1 + i for i in range(len(seeds) - 1)]
+        sub_rows = [
+            (int(new_ids[i]), list(s["emb"]), float(s["nrm"]))
+            for i, s in enumerate(seeds)
+        ]
         sub_cents = self.spark.createDataFrame(
-            [
-                (int(new_ids[i]), list(r["cemb"]), float(r["cnrm"]))
-                for i, r in enumerate(subs)
-            ],
-            "cent_id bigint, cemb array<double>, cnrm double",
+            sub_rows, "cent_id bigint, cemb array<double>, cnrm double"
         )
-        reassigned = _assign_cells(
-            rows.select("vec_id", "emb", "nrm"), sub_cents
-        )
-        from ..operators.cc import _scoped_conf
+        # every seed assigns to itself (its similarity to every OTHER
+        # seed is < 1.0 by the guard above), so each sub-cell is
+        # non-empty by construction
+        reassigned = _assign_cells(rows, sub_cents).localCheckpoint()
+
+        # codebook first, atomically (write sibling tmp + rename — one
+        # write job on a k-row table, no delete-then-write window)
+        cents_rows = [
+            (int(r["cent_id"]), list(r["cemb"]), float(r["cnrm"]))
+            for r in old_cents
+            if r["cent_id"] != cell
+        ] + sub_rows
+        final = os.path.join(self.path, "centroids")
+        tmp = final + "._split_tmp"
+        self.spark.createDataFrame(
+            cents_rows, "cent_id bigint, cemb array<double>, cnrm double"
+        ).write.mode("overwrite").parquet(tmp)
+        old_dir = final + "._split_old"
+        os.rename(final, old_dir)
+        os.rename(tmp, final)
+        _sh.rmtree(old_dir, ignore_errors=True)
+
+        from .cc import _scoped_conf
 
         with _scoped_conf(
             self.spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"
@@ -269,26 +337,7 @@ class IVFIndexStore:
             reassigned.repartition(F.col("cell")).write.mode(
                 "overwrite"
             ).partitionBy("cell").parquet(os.path.join(self.path, "cells"))
-        # codebook: drop the split centroid, add the sub-centroids
-        new_cents = (
-            old.filter(F.col("cent_id") != cell)
-            .select(
-                F.col("cent_id").cast("bigint").alias("cent_id"),
-                "cemb",
-                "cnrm",
-            )
-            .unionByName(sub_cents)
-        )
-        # two-phase rewrite: centroids/ is being read by the plan above
-        tmp = os.path.join(self.path, "centroids_next")
-        new_cents.write.mode("overwrite").parquet(tmp)
-        final = os.path.join(self.path, "centroids")
-        reloaded = self.spark.read.parquet(tmp)
-        reloaded.write.mode("overwrite").parquet(final)
-        import shutil as _sh
-
-        _sh.rmtree(tmp, ignore_errors=True)
-        self.k = self.spark.read.parquet(final).count()
+        self.k = len(cents_rows)
         return self
 
     # ------------------------------------------------------------- load

@@ -375,3 +375,65 @@ def test_split_cell_refuses_singleton(spark, tmp_path):
     st = IVFIndexStore.build(spark, emb, str(tmp_path / "tiny"), k=2)
     with pytest.raises(ValueError, match="nothing to split"):
         st.split_cell(0)
+
+
+def test_split_cell_duplicate_heavy_cell_gets_diverse_seeds(spark, tmp_path):
+    """Review-fix regression (round 9, reproduced recall bug): a hot
+    cell dominated by copies of ONE vector must split on genuinely
+    diverse seeds — the old lowest-ids rule picked two identical seeds,
+    leaving a dead twin centroid that ate a probe slot and dropped
+    previously-returned neighbors."""
+    # cell 0 attracts 19 copies of [1,0] plus one [0.9, 0.1]-ish
+    # stray; cell 1 holds [0,1]
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+        + [(i, [1.0, 0.0]) for i in range(2, 20)]
+        + [(20, [0.9, 0.1])],
+        "vec_id long, emb array<double>",
+    )
+    st = IVFIndexStore.build(spark, emb, str(tmp_path / "hot"), k=2)
+    st.split_cell(0)
+    sizes = {
+        r["cell"]: r["n"]
+        for r in st.cells().groupBy("cell").agg(F.count("*").alias("n")).collect()
+    }
+    # every centroid owns rows — no dead twin
+    assert all(n > 0 for n in sizes.values()), sizes
+    assert len(sizes) == 3
+    # the stray split away from the duplicate mass
+    new_id = max(sizes)
+    stray_cell = [
+        r["cell"] for r in st.cells().filter(F.col("vec_id") == 20).collect()
+    ][0]
+    assert stray_cell == new_id
+    # recall is preserved: vec 1 ([0,1]) is still reachable for an
+    # off-axis query at nprobe=2
+    q = spark.createDataFrame(
+        [(99, [0.6, 0.8])], "query_id long, emb array<double>"
+    )
+    hits = {r["neighbor_id"] for r in st.search(q, nprobe=2, topk=3).collect()}
+    assert 1 in hits
+
+
+def test_split_cell_all_parallel_cell_raises(spark, tmp_path):
+    """A cell of pairwise-parallel vectors cannot be balanced by any
+    codebook: split must refuse (the old rule silently added a dead
+    centroid per call, unbounded)."""
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+        + [(i, [2.0, 0.0]) for i in range(2, 8)],  # parallel to vec 0
+        "vec_id long, emb array<double>",
+    )
+    st = IVFIndexStore.build(spark, emb, str(tmp_path / "par"), k=2)
+    with pytest.raises(ValueError, match="parallel to the chosen seeds"):
+        st.split_cell(0)
+    assert st.k == 2  # nothing written
+
+
+def test_split_cell_n_sub_guard(spark, tmp_path):
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(6)], "vec_id long, emb array<double>"
+    )
+    st = IVFIndexStore.build(spark, emb, str(tmp_path / "g"), k=2)
+    with pytest.raises(ValueError, match="n_sub must be >= 2"):
+        st.split_cell(0, n_sub=1)

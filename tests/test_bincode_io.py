@@ -369,3 +369,18 @@ def test_repl_w_writes_reference_format(tmp_path):
     out2 = io.StringIO()
     assert src.handle_line(f"w {tmp_path}/pq_dir", out2, lambda: [])
     assert "needs a Spark session" in out2.getvalue()
+
+
+def test_repl_w_reports_unexportable_graph_instead_of_crashing():
+    """Review-fix regression: `w x.zst` on a session whose graph holds a
+    non-editor arg must print a ?-error and keep the REPL alive, like
+    every other bad input."""
+    import io
+
+    from esvc_spark.core.graph import Event
+
+    r = Repl(("a",))
+    r.graph.ensure_event(Event(cmd=0, arg={"free": "form"}))
+    out = io.StringIO()
+    assert r.handle_line("w /tmp/bad_export.exvc.zst", out, lambda: [])
+    assert out.getvalue().startswith("?w:")
