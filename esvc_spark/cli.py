@@ -137,15 +137,23 @@ class Repl:
             # main.rs:44-53); no Spark needed. Anything else is the
             # parquet directory store.
             if target.endswith((".zst", ".exvc")):
+                import subprocess
+
                 from .core.bincode_io import BincodeError, export_reference_file
 
                 # user errors (non-editor args from a merged-in registry
-                # session, missing zstd binary, unwritable path) must
-                # report like every other bad REPL input — an escaped
-                # exception would kill the session and its unsaved events
+                # session, missing zstd binary, unwritable path, a failing
+                # zstd subprocess) must report like every other bad REPL
+                # input — an escaped exception would kill the session and
+                # its unsaved events
                 try:
                     export_reference_file(self.graph, target, state="")
-                except (BincodeError, RuntimeError, OSError) as e:
+                except (
+                    BincodeError,
+                    RuntimeError,
+                    OSError,
+                    subprocess.CalledProcessError,
+                ) as e:
                     out.write(f"?w: {e}\n")
                 return True
             if spark is not None:
@@ -164,7 +172,27 @@ class Repl:
             # directory form still does. Never fall through to the editor
             # parser — a typo'd path would masquerade as a syntax error.
             if spark is not None or os.path.isfile(target):
-                self.merge_from(target, spark)
+                import subprocess
+
+                from .core.bincode_io import BincodeError
+                from .core.graph import GraphError
+
+                # same containment contract as `w`: a corrupt/truncated
+                # file, a missing zstd binary, or a graph whose heads
+                # reference unknown events (DependencyNotFound et al.)
+                # reports per-line like the reference REPL (main.rs loop)
+                # instead of killing the session with its unsaved events
+                try:
+                    self.merge_from(target, spark)
+                except (
+                    BincodeError,
+                    GraphError,
+                    RuntimeError,
+                    OSError,
+                    KeyError,
+                    subprocess.CalledProcessError,
+                ) as e:
+                    out.write(f"?m<: {e}\n")
             elif os.path.isdir(target):
                 out.write(
                     "?m<: directory import needs a Spark session\n"
@@ -196,20 +224,62 @@ class Repl:
         return True
 
 
-def main() -> None:  # pragma: no cover - interactive entry
+def main(
+    argv: list[str] | None = None,
+    stdin: TextIO | None = None,
+    stdout: TextIO | None = None,
+    spark=None,
+) -> None:
+    """REPL entry. Like the reference binary (main.rs:267-276), an
+    optional argv path is a graph file loaded BEFORE the loop starts —
+    both the reference's bincode+zstd file form and the parquet
+    directory store (the latter needs a Spark session, exactly like
+    `m<` on a directory). A bad startup file reports and starts empty
+    rather than refusing to launch: the session is still useful and the
+    user sees why the graph is empty."""
+    argv = sys.argv[1:] if argv is None else argv
+    stdin = sys.stdin if stdin is None else stdin
+    stdout = sys.stdout if stdout is None else stdout
     repl = Repl()
+
+    if argv:
+        import os
+        import subprocess
+
+        from .core.bincode_io import BincodeError
+        from .core.graph import GraphError
+
+        path = argv[0]
+        try:
+            if not os.path.exists(path):
+                stdout.write(f"?load: no such file {path!r}\n")
+            elif os.path.isdir(path) and spark is None:
+                stdout.write(
+                    "?load: parquet directory store needs a Spark session\n"
+                )
+            else:
+                repl.merge_from(path, spark)
+        except (
+            BincodeError,
+            GraphError,
+            RuntimeError,
+            OSError,
+            KeyError,
+            subprocess.CalledProcessError,
+        ) as e:
+            stdout.write(f"?load: {e}\n")
 
     def read_body() -> list[str]:
         lines = []
-        for raw in sys.stdin:
+        for raw in stdin:
             raw = raw.rstrip("\n")
             if raw == ".":
                 break
             lines.append(raw)
         return lines
 
-    for raw in sys.stdin:
-        if not repl.handle_line(raw, sys.stdout, read_body):
+    for raw in stdin:
+        if not repl.handle_line(raw, stdout, read_body, spark=spark):
             break
 
 

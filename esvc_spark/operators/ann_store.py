@@ -289,7 +289,12 @@ class IVFIndexStore:
                 .limit(1)
                 .collect()[0]
             )
-            if nxt["_maxsim"] >= 1.0:
+            # epsilon, not exact 1.0: seed self-similarity recomputes as
+            # dot(v,v)/(nrm*nrm) with nrm from a sqrt, so it can round a
+            # ulp below 1.0 while a near-parallel non-duplicate rounds at
+            # it — an exact compare would admit a seed pair the
+            # reassignment then collapses into one sub-cell
+            if nxt["_maxsim"] >= 1.0 - 1e-12:
                 raise ValueError(
                     f"split_cell({cell}): every vector in the cell is "
                     f"parallel to the chosen seeds — a codebook split "
@@ -307,10 +312,23 @@ class IVFIndexStore:
         sub_cents = self.spark.createDataFrame(
             sub_rows, "cent_id bigint, cemb array<double>, cnrm double"
         )
-        # every seed assigns to itself (its similarity to every OTHER
-        # seed is < 1.0 by the guard above), so each sub-cell is
-        # non-empty by construction
+        # each seed should assign to itself (its similarity to every
+        # OTHER seed is < 1-1e-12 by the guard above), but that is a
+        # float argument, not a proof — verify every sub-cell is
+        # non-empty BEFORE any on-disk write, because a dead centroid
+        # eats a probe slot and silently degrades recall forever
         reassigned = _assign_cells(rows, sub_cents).localCheckpoint()
+        got_cells = {
+            r["cell"]
+            for r in reassigned.select("cell").distinct().collect()
+        }
+        empty = sorted(set(int(i) for i in new_ids) - got_cells)
+        if empty:
+            raise ValueError(
+                f"split_cell({cell}): reassignment left empty sub-cell(s) "
+                f"{empty} — seeds too close under float rounding; "
+                f"index untouched"
+            )
 
         # codebook first, atomically (write sibling tmp + rename — one
         # write job on a k-row table, no delete-then-write window)
@@ -377,13 +395,26 @@ class IVFIndexStore:
         topk: int = 3,
         exclude_self: bool = True,
         cells_df: DataFrame | None = None,
+        centroids_df: DataFrame | None = None,
+        probe_map: dict[int, tuple[int, ...]] | None = None,
     ) -> DataFrame:
         """Top-``topk`` cosine neighbors per query (query_id, emb),
         probing each query's ``nprobe`` nearest cells. Returns
         (query_id, neighbor_id, cos_sim, rank). ``cells_df`` overrides
         the candidate source (same schema as cells()) — the seam
         scripts/ab_ann_store.py uses to time the identical query over a
-        flat, unpartitioned layout."""
+        flat, unpartitioned layout.
+
+        ``centroids_df`` + ``probe_map`` are the CODEBOOK-VERSIONING
+        seam for split_cell maintenance: a long-lived reader holds a
+        broadcast copy of the codebook it started with; when maintenance
+        splits a hot cell it publishes {old_cell: (sub_cells...)} —
+        the reader ranks probes against its cached codebook version
+        (centroids_df) and expands each ranked cell through the map, so
+        its candidate multiset — and therefore its top-k — is IDENTICAL
+        to the pre-split search until it refreshes (sub-cells partition
+        the old cell exactly; q_emb_ivf_split proves this under the
+        oracle gate). Cells absent from the map probe as themselves."""
         q = (
             queries.select(
                 F.col("query_id"),
@@ -391,8 +422,9 @@ class IVFIndexStore:
             )
             .withColumn("qnrm", norm(F.col("qemb")))
         )
+        cents = centroids_df if centroids_df is not None else self.centroids()
         probes = (
-            q.join(F.broadcast(self.centroids()))
+            q.join(F.broadcast(cents))
             .select(
                 "query_id",
                 "qemb",
@@ -413,6 +445,28 @@ class IVFIndexStore:
             .filter(F.col("_r") <= nprobe)
             .drop("csim", "_r")
         )
+        if probe_map:
+            # expand ranked cells through the split map: a tiny driver
+            # literal (one entry per split since the reader's codebook
+            # version), never corpus-proportional
+            expand = F.create_map(
+                *[
+                    x
+                    for c, subs in sorted(probe_map.items())
+                    for x in (
+                        F.lit(int(c)),
+                        F.array(*[F.lit(int(s)) for s in subs]),
+                    )
+                ]
+            )
+            probes = probes.withColumn(
+                "cell",
+                F.explode(
+                    F.coalesce(
+                        expand.getItem(F.col("cell")), F.array(F.col("cell"))
+                    )
+                ),
+            )
         # probes is consumed twice (the cell collect below + the
         # candidate join): checkpoint so the caller's query plan runs
         # ONCE, and so a replay-unstable input (sample/limit upstream)

@@ -25,75 +25,55 @@ from pyspark.sql import DataFrame, SparkSession
 # round last graded each query — update it when CORRECTNESS_r{N}.json
 # lands.
 #
-# Round-9 rotation: front (a) every query whose execution path changed
-# this round — the five esvc queries plus q_stream_event_log (the
-# shelve commutation tests are now batched/persist-free with
-# identical-state job skips, proven output-identical by differential
-# test), q_stream_emb_index (IVFIndexStore: narrow centroid
-# assignment, cell-clustered build layout, empty-codebook guard,
-# intra-batch idempotent dedup, bigint cells schema), and
-# q_doc_shuffle_shards (Chernoff-proved max_group_rows bound threaded
-# into the rank gate) — (b) the round-9 NEW query
-# q_esvc_import_file (reference bincode+zstd graph-file round-trip
-# under the oracle gate) — and (c) the entire r3-vintage backlog (38
-# rows, the oldest green attestations per ATTESTATION.md). 47 names,
-# inside the driver's ~50-row budget. Everything else holds a green
-# r4+ driver row and absorbs any truncation.
+# Round-10 rotation: front (a) the round-10 NEW query q_emb_ivf_split
+# (split_cell maintenance under the oracle gate: hottest-cell split +
+# codebook-version/probe-map search transparency proof — exercises the
+# r10-changed ann_store.search seams and the split_cell epsilon/
+# non-empty-subcell guards), and (b) the entire r4-vintage attestation
+# backlog (35 rows, now the oldest green rows per ATTESTATION.md).
+# 36 names, inside the driver's ~50-row budget. Everything else holds
+# a green r5+ driver row and absorbs any truncation.
 _MODULE_ORDER = ("esvc", "multimodal", "embeddings", "documents", "events", "relational")
 
 _FRONT = (
-    # changed this round: batched/persist-free shelve commutation path
-    "q_esvc_editor",
-    "q_esvc_editor_large",
-    "q_esvc_merge",
-    "q_esvc_merge_large",
-    "q_esvc_replay",
-    # NEW this round: reference graph-file round-trip under the gate
-    "q_esvc_import_file",
-    "q_stream_event_log",
-    # changed this round: IVFIndexStore build/assignment/schema fixes
-    "q_stream_emb_index",
-    # changed this round: proven shard-balance bound in the rank gate
-    "q_doc_shuffle_shards",
-    # r3-vintage attestation backlog (oldest green rows)
-    "q_doc_bpe_encode",
-    "q_doc_bpe_merges",
-    "q_doc_chunk",
-    "q_doc_containment",
-    "q_doc_dup_spans",
-    "q_doc_minhash_audit",
-    "q_doc_pii_redact",
-    "q_doc_repetition",
-    "q_doc_upsert",
-    "q_ev_anomaly",
-    "q_ev_attribution",
-    "q_ev_audience_overlap",
-    "q_ev_bloom",
-    "q_ev_changepoints",
-    "q_ev_cms_heavy",
-    "q_ev_cohort_retention",
-    "q_ev_funnel",
-    "q_ev_hll_distinct",
-    "q_ev_kmv_distinct",
-    "q_ev_kmv_windows",
-    "q_ev_lift",
-    "q_ev_pagerank",
-    "q_ev_resample",
-    "q_ev_salted_distinct",
-    "q_ev_sliding_counts",
-    "q_ev_top_paths",
-    "q_fullouter_daily",
-    "q_fuzzy_match",
-    "q_mm_audio_windows",
-    "q_mm_silence",
-    "q_pivot_returns",
-    "q_stream_dedup",
-    "q_stream_enrich",
-    "q_stream_join",
-    "q_stream_sessionize",
-    "q_stream_topk",
-    "q_stream_tumbling_hourly",
-    "q_unpivot_orders",
+    # NEW this round: split-cell maintenance transparency proof
+    "q_emb_ivf_split",
+    # r4-vintage attestation backlog (oldest green rows)
+    "q_benford_audit",
+    "q_bloom_join_filter",
+    "q_doc_bbit_minhash",
+    "q_doc_calibration",
+    "q_doc_dsir",
+    "q_doc_dup_runs",
+    "q_doc_heaps",
+    "q_doc_langid_eval",
+    "q_doc_quality_auc",
+    "q_doc_threshold_sweep",
+    "q_doc_weighted_sample",
+    "q_doc_zipf",
+    "q_dq_checks",
+    "q_emb_db_index",
+    "q_emb_pca_power",
+    "q_ev_ab_test",
+    "q_ev_acf",
+    "q_ev_bootstrap_ci",
+    "q_ev_bursts",
+    "q_ev_gdpr_erasure",
+    "q_ev_markov_attribution",
+    "q_ev_power_analysis",
+    "q_ev_psi_drift",
+    "q_ev_scd2",
+    "q_ev_seasonality",
+    "q_ev_slo_burn",
+    "q_ev_stickiness",
+    "q_ev_survival",
+    "q_ivm_join",
+    "q_join_card_audit",
+    "q_mm_phash_dedup",
+    "q_profile_lineitem",
+    "q_skyline_customers",
+    "q_stream_ingest_log",
+    "q_stream_left_join",
 )
 
 def _modules():

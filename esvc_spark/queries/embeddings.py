@@ -3274,7 +3274,164 @@ FROM lists GROUP BY cell
 """
 
 
+# ------------------------------------------------- split-cell maintenance
+# split_cell (operators/ann_store.py) under the oracle hash gate
+# (VERDICT r9 #7): build the store, split the HOTTEST cell (max rows,
+# ties to the lower id) into two farthest-first sub-cells, then prove
+# the split is TRANSPARENT to a reader still holding the pre-split
+# codebook — search with the old codebook version + the published
+# {hot: (hot, new)} probe map returns results IDENTICAL to the
+# pre-split search (the sub-cells partition the old cell exactly, so
+# the candidate multiset is unchanged; match_pre carries the Spark-side
+# exceptAll proof and the oracle pins it TRUE). The oracle reproduces
+# the whole pipeline in closed form: assignment, hot-cell choice,
+# farthest-first seeds (min-vec_id, then argmin max-similarity), the
+# sub-assignment counts, and the pre-split probe/top-k.
+
+def q_emb_ivf_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.ann_store import IVFIndexStore
+
+    e = _emb(spark, sf_dir).select("vec_id", "emb")
+    cents = e.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb")
+    )
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "emb"
+    )
+    work = tempfile.mkdtemp(prefix="esvc_ivfsplit_")
+    try:
+        store = IVFIndexStore.build(spark, e, f"{work}/idx", centroids=cents)
+        counts = store.cells().groupBy("cell").count().collect()
+        hot, n_hot = max(
+            ((int(r["cell"]), int(r["count"])) for r in counts),
+            key=lambda t: (t[1], -t[0]),  # max rows, ties to the LOWER id
+        )
+        old_cents = store.centroids().localCheckpoint()
+        new_id = (
+            max(r["cent_id"] for r in old_cents.select("cent_id").collect())
+            + 1
+        )
+        pre = store.search(
+            q, nprobe=_IVF_NPROBE, topk=_IVF_TOPK
+        ).localCheckpoint()
+        store.split_cell(hot, n_sub=2)
+        post = store.search(
+            q,
+            nprobe=_IVF_NPROBE,
+            topk=_IVF_TOPK,
+            centroids_df=old_cents,
+            probe_map={hot: (hot, int(new_id))},
+        ).localCheckpoint()
+        sub_counts = {
+            int(r["cell"]): int(r["count"])
+            for r in store.cells()
+            .filter(F.col("cell").isin([hot, int(new_id)]))
+            .groupBy("cell")
+            .count()
+            .collect()
+        }
+        # the transparency proof: bounded frames (|Q| x topk rows each)
+        mismatches = pre.exceptAll(post).count() + post.exceptAll(pre).count()
+        return post.select(
+            "query_id",
+            "neighbor_id",
+            "cos_sim",
+            "rank",
+            F.lit(hot).cast("bigint").alias("hot_cell"),
+            F.lit(n_hot).cast("bigint").alias("n_hot"),
+            F.lit(sub_counts.get(hot, 0)).cast("bigint").alias("n_sub_a"),
+            F.lit(sub_counts.get(int(new_id), 0)).cast("bigint").alias("n_sub_b"),
+            F.lit(mismatches == 0).alias("match_pre"),
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+_IVF_SPLIT_SQL = f"""
+WITH e AS ({_SQL_EMB_NORMED}),
+cents AS (
+  SELECT vec_id AS cent_id, emb AS cemb, nrm AS cnrm FROM e
+  WHERE vec_id < {_IVF_K}
+),
+assign AS (
+  SELECT vec_id, cent_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+           {sql_cosine_prenorm('emb', 'cemb', 'nrm', 'cnrm')} DESC, cent_id)
+           AS crank
+  FROM e CROSS JOIN cents
+),
+lists AS (SELECT vec_id, cent_id AS cell FROM assign WHERE crank = 1),
+cellcounts AS (
+  SELECT cell, CAST(COUNT(*) AS BIGINT) AS c FROM lists GROUP BY cell
+),
+hot AS (SELECT cell AS hot_cell, c AS n_hot FROM cellcounts
+        ORDER BY c DESC, cell LIMIT 1),
+hotrows AS (
+  SELECT e.vec_id, e.emb, e.nrm
+  FROM lists l JOIN e ON e.vec_id = l.vec_id CROSS JOIN hot
+  WHERE l.cell = hot.hot_cell
+),
+s1 AS (SELECT vec_id, emb, nrm FROM hotrows ORDER BY vec_id LIMIT 1),
+s2 AS (
+  SELECT h.vec_id, h.emb, h.nrm FROM hotrows h CROSS JOIN s1
+  ORDER BY {sql_cosine_prenorm('h.emb', 's1.emb', 'h.nrm', 's1.nrm')} ASC,
+           h.vec_id LIMIT 1
+),
+subcents AS (
+  SELECT (SELECT hot_cell FROM hot) AS cent_id, emb AS cemb, nrm AS cnrm
+  FROM s1
+  UNION ALL
+  SELECT (SELECT MAX(cent_id) FROM cents) + 1, emb, nrm FROM s2
+),
+subassign AS (
+  SELECT h.vec_id, sc.cent_id,
+         ROW_NUMBER() OVER (PARTITION BY h.vec_id ORDER BY
+           {sql_cosine_prenorm('h.emb', 'sc.cemb', 'h.nrm', 'sc.cnrm')} DESC,
+           sc.cent_id) AS crank
+  FROM hotrows h CROSS JOIN subcents sc
+),
+subcounts AS (
+  SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS c
+  FROM subassign WHERE crank = 1 GROUP BY cent_id
+),
+probes AS (
+  SELECT vec_id AS query_id, cent_id AS cell FROM assign
+  WHERE crank <= {_IVF_NPROBE} AND vec_id < {_N_QUERIES}
+),
+cand AS (
+  SELECT DISTINCT query_id, l.vec_id
+  FROM probes p JOIN lists l ON p.cell = l.cell
+  WHERE l.vec_id <> p.query_id
+),
+scored AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+         {sql_cosine_prenorm('q.emb', 'n.emb', 'q.nrm', 'n.nrm')} AS cos_sim
+  FROM cand c
+  JOIN e q ON q.vec_id = c.query_id
+  JOIN e n ON n.vec_id = c.vec_id
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rank,
+       hot.hot_cell, hot.n_hot,
+       (SELECT c FROM subcounts CROSS JOIN hot
+        WHERE cent_id = hot.hot_cell) AS n_sub_a,
+       (SELECT c FROM subcounts CROSS JOIN hot
+        WHERE cent_id <> hot.hot_cell) AS n_sub_b,
+       TRUE AS match_pre
+FROM ranked CROSS JOIN hot
+WHERE rank <= {_IVF_TOPK}
+"""
+
+
 QUERIES = {
+    "q_emb_ivf_split": q_emb_ivf_split,
     "q_emb_ivfpq_search": q_emb_ivfpq_search,
     "q_emb_ivf_balance": q_emb_ivf_balance,
     "q_emb_label_consistency": q_emb_label_consistency,
@@ -3309,6 +3466,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_emb_ivf_split": _IVF_SPLIT_SQL,
     "q_emb_ivfpq_search": _ivfpq_sql(),
     "q_emb_ivf_balance": _IVF_BALANCE_SQL,
     "q_emb_label_consistency": _LABEL_CONSISTENCY_SQL,

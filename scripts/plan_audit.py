@@ -101,6 +101,12 @@ _IMPERATIVE = {
         "cell-partitioned store, redelivery-proof); returned frame is "
         "the checkpointed per-cell inventory"
     ),
+    "q_emb_ivf_split": (
+        "split_cell maintenance proof: build store, split hottest cell, "
+        "search twice (pre-split vs old-codebook+probe-map) and exceptAll "
+        "them; returned frame is the checkpointed post-split top-k with "
+        "audit constants"
+    ),
     "q_stream_ingest_log": (
         "streaming foreachBatch parquet append run twice (redelivery "
         "proof); returned frame is the checkpointed final aggregate"

@@ -1,0 +1,111 @@
+"""Quiet-host min-of-N recheck of bench anchor outliers (VERDICT r9 #1).
+
+A per-round bench run on a noisy host can leave queries reading several
+times their all-time floor even after its bounded re-run budget (r9
+left five). This script settles each named query with N in-process
+interleaved samples against its BENCH_ANCHOR.json floor — interleaved
+round-robin, not per-query blocks, so a noise burst cannot hit all
+samples of one query — and prints a JSON verdict per query:
+
+    python scripts/recheck_outliers.py [--n 3] [q_name ...]
+
+Default query list: the current BENCH_FULL.json anchor_outliers.
+A query whose min-of-N lands <= 1.5x its anchor is `noise`; anything
+still above is `real` and needs a plan-level look. Mins that beat the
+anchor lower it (same monotone-floor rule bench.py applies).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("queries", nargs="*")
+    ap.add_argument("--n", type=int, default=3)
+    ap.add_argument(
+        "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
+    args = ap.parse_args()
+
+    with open(os.path.join(REPO, "BENCH_ANCHOR.json")) as fh:
+        anchor_doc = json.load(fh)
+    anchor = anchor_doc.get("queries", {})
+
+    names = args.queries
+    if not names:
+        with open(os.path.join(REPO, "BENCH_FULL.json")) as fh:
+            names = [o["query"] for o in json.load(fh).get("anchor_outliers", [])]
+    if not names:
+        print(json.dumps({"verdict": "no outliers to recheck"}))
+        return 0
+
+    from esvc_spark.queries import all_queries
+    from esvc_spark.queries._util import release_cached
+    from esvc_spark.session import get_spark
+
+    spark = get_spark("recheck-outliers")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+
+    def run_once(name: str) -> float:
+        t0 = time.perf_counter()
+        queries[name](spark, args.sf_dir).count()
+        dt = time.perf_counter() - t0
+        release_cached()
+        spark.catalog.clearCache()
+        for v in spark.catalog.listTables():
+            if v.name.startswith("stream_"):
+                spark.catalog.dropTempView(v.name)
+        return dt
+
+    # one untimed warm-up of the first query primes JVM/codegen/footers
+    run_once(names[0])
+
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(args.n):  # interleaved: noise bursts spread across queries
+        for n in names:
+            samples[n].append(run_once(n))
+
+    results = []
+    anchor_lowered = False
+    for n in names:
+        best = round(min(samples[n]), 4)
+        a = anchor.get(n)
+        x = round(best / a, 2) if a else None
+        results.append(
+            {
+                "query": n,
+                "min_of_n": best,
+                "samples": [round(s, 3) for s in samples[n]],
+                "anchor": a,
+                "x_anchor": x,
+                "verdict": (
+                    "noise" if x is not None and x <= 1.5 else
+                    "real" if x is not None else "no-anchor"
+                ),
+            }
+        )
+        if a is not None and best < a:
+            anchor[n] = best
+            anchor_lowered = True
+    if anchor_lowered and anchor_doc.get("sf") is not None:
+        anchor_doc["queries"] = {k: round(v, 4) for k, v in sorted(anchor.items())}
+        with open(os.path.join(REPO, "BENCH_ANCHOR.json"), "w") as fh:
+            json.dump(anchor_doc, fh, indent=1, sort_keys=True)
+    print(json.dumps({"sf_dir": args.sf_dir, "n": args.n, "results": results}))
+    spark.stop()
+    return 0 if all(r["verdict"] != "real" for r in results) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -384,3 +384,88 @@ def test_repl_w_reports_unexportable_graph_instead_of_crashing():
     out = io.StringIO()
     assert r.handle_line("w /tmp/bad_export.exvc.zst", out, lambda: [])
     assert out.getvalue().startswith("?w:")
+
+
+def test_graph_encoding_matches_bincode_spec_golden():
+    """ADVICE r9: Graph-LEVEL framing pinned by hand-assembled golden
+    bytes (events BTreeMap count + (Hash,Event) pairs in ascending raw
+    digest order; nstates BTreeMap<String, BTreeSet<Hash>> in UTF-8 byte
+    order of the names, heads ascending) — previously only EVENT bytes
+    were spec-pinned, so a symmetric encode/decode drift in the map/set
+    framing would have passed every round-trip test. Assembled straight
+    from the bincode 1.3.3 legacy spec (u64 LE collection lengths,
+    nothing else at graph level), independent of encode_graph's code
+    paths (no shared helpers below struct.pack).
+
+    A Rust-exvc-written file would be stronger evidence still; this
+    container has no crate registry access (checked round 10), so the
+    spec-derived vector is the pin.
+    """
+    from esvc_spark.core.graph import Graph
+
+    # event 1: byte string from test_event_encoding_matches_bincode_spec_minimal
+    e1 = (
+        b"\x00\x00\x00\x00"  # cmd u32 0
+        b"\x00\x00\x00\x00"  # Command::Normal
+        b"\x03\x00\x00\x00"  # Address::Last
+        b"\x02\x00\x00\x00"  # CommandKind::Delete
+        + b"\x00" * 8  # deps count 0
+    )
+    h1 = calculate_hash(e1)
+    # event 2: cmd 1, 0,a ["z"], one hard dep on event 1
+    e2 = (
+        struct.pack("<I", 1)
+        + struct.pack("<I", 0)  # Normal
+        + struct.pack("<I", 2)  # Address::RngF
+        + struct.pack("<Q", 0)  # start
+        + struct.pack("<I", 0)  # CommandKind::Append
+        + struct.pack("<Q", 1)  # 1 line
+        + struct.pack("<Q", 1)
+        + b"z"
+        + struct.pack("<Q", 1)  # deps count
+        + struct.pack("<I", 0)  # Hash::Blake2b512
+        + struct.pack("<Q", 64)
+        + h1
+        + b"\x01"  # hard
+    )
+    h2 = calculate_hash(e2)
+
+    def hash_wire(h):
+        return struct.pack("<I", 0) + struct.pack("<Q", 64) + h
+
+    pairs = sorted([(h1, e1), (h2, e2)])  # BTreeMap: ascending digest bytes
+    want = struct.pack("<Q", 2)
+    for h, e in pairs:
+        want += hash_wire(h) + e
+    # nstates: names "", "x", "é" — pins UTF-8 BYTE order ("é" = C3 A9
+    # sorts after "x" = 78, same as Rust String Ord) and empty-name /
+    # multi-head set framing
+    want += struct.pack("<Q", 3)
+    want += struct.pack("<Q", 0)  # name ""
+    want += struct.pack("<Q", 1) + hash_wire(h2)
+    want += struct.pack("<Q", 1) + b"x"
+    want += struct.pack("<Q", 2) + b"".join(hash_wire(h) for h in sorted([h1, h2]))
+    name = "é".encode("utf-8")
+    want += struct.pack("<Q", len(name)) + name
+    want += struct.pack("<Q", 0)  # empty head set
+
+    g = Graph()
+    g.events[h1] = Event(
+        cmd=0, arg={"addr": {"type": "last"}, "kind": {"kind": "delete"}}
+    )
+    g.events[h2] = Event(
+        cmd=1,
+        arg={
+            "addr": {"type": "rngf", "start": 0},
+            "kind": {"kind": "append", "lines": ["z"]},
+        },
+        deps={h1: True},
+    )
+    g.nstates[""] = {h2}
+    g.nstates["x"] = {h1, h2}
+    g.nstates["é"] = set()
+
+    assert encode_graph(g) == want
+    back = decode_graph(want)
+    assert set(back.events) == {h1, h2}
+    assert back.nstates == {"": {h2}, "x": {h1, h2}, "é": set()}

@@ -124,3 +124,55 @@ def test_m_import_bad_path_reports_not_editor_error():
     out2 = io.StringIO()
     assert r.handle_line("m< /tmp", out2, lambda: [])
     assert "needs a Spark session" in out2.getvalue()
+
+
+def test_m_import_corrupt_file_reports_and_survives(tmp_path):
+    """ADVICE r9 (medium): a corrupt/truncated reference file through
+    `m<` must report per-line like the Rust REPL's error loop, never
+    escape handle_line and kill the session with its unsaved events."""
+    bad = tmp_path / "corrupt.exvc.zst"
+    bad.write_bytes(b"\x28\xb5\x2f\xfd garbage not zstd")
+    r = Repl(("keep-me",))
+    _drive(r, [("$a", ["unsaved"])])
+    out = io.StringIO()
+    assert r.handle_line(f"m< {bad}", out, lambda: [])
+    assert out.getvalue().startswith("?m<:")
+    # session state intact: the unsaved event is still there
+    assert list(r.materialize()) == ["keep-me", "unsaved"]
+
+
+def test_main_startup_graph_file_load(tmp_path):
+    """≙ main.rs:267-276: an argv graph-file path loads BEFORE the REPL
+    loop — the first *state already shows the file's heads."""
+    from esvc_spark.cli import main
+
+    a = Repl()
+    _drive(a, [("$a", ["from-file"])])
+    out = io.StringIO()
+    path = f"{tmp_path}/boot.exvc.zst"
+    assert a.handle_line(f"w {path}", out, lambda: [])
+    assert out.getvalue() == ""  # write succeeded silently
+
+    captured = io.StringIO()
+    main(
+        argv=[path],
+        stdin=io.StringIO("*state\n0,\nq!\n"),
+        stdout=captured,
+    )
+    got = captured.getvalue()
+    assert got.count("blake2b512:") == 1  # the file's single head
+    assert "from-file" in got  # and its materialized line
+
+
+def test_main_startup_bad_path_reports_and_starts_empty():
+    from esvc_spark.cli import main
+
+    captured = io.StringIO()
+    main(
+        argv=["/no/such/graph.exvc.zst"],
+        stdin=io.StringIO("*state\nq!\n"),
+        stdout=captured,
+    )
+    got = captured.getvalue()
+    assert got.startswith("?load:")
+    assert "blake2b512:" not in got  # empty graph, no heads
