@@ -22,20 +22,29 @@ corpus-proportional-per-task.
 
 Measured receipts (scripts/ab_ann_store.py, min-of-N in one process,
 both arms on this search() via the cells_df seam; flat twin shuffled by
-vec_id so it cannot inherit the clustering):
+vec_id AND sorted within partitions by an unrelated hash — r10 finding:
+repartition alone leaves same-cell RUNS from map-block fetch order, and
+parquet's page-level column index then hands the "flat" arm most of the
+skipping, UNDERSTATING the pruning win — the r9 receipt's 1.7-3.7x scan
+ratio was measured against that accidentally-clustered twin):
 - toy (sf0.1, 2000 rows, k=8): the pruned probe opens 2 of 8 cell
   files (PartitionFilters live in the plan); wall-clock parity —
   listing k directories costs about what the skipped bytes save.
 - scale (--scale: 16M vectors x 64 dims, 2.3 GB parquet, k=64, one
   file per inverted list, 5 queries, real nprobe=2 probe set = 10 of
-  64 cells): the candidate SCAN — the stage pruning accelerates, and
-  the one that grows with corpus bytes — runs 1.7-3.7x faster across
-  repeat runs (min-of-3 each; this host swings); end-to-end search is
-  noise-bound parity (0.76-1.07x across runs) because both arms filter
-  to the SAME candidates before the cosine stage that dominates at
-  2.3 GB. At 100 TB the flat arm's full-corpus decode grows ~40,000x
-  while the pruned side grows only with the probed cells, so
-  end-to-end converges to the scan ratio.
+  64 cells, honest twin): candidate SCAN 4.0x faster; COLD-CACHE
+  end-to-end search (page caches dropped before every timed round —
+  the honest 100 TB regime, where the corpus can never be RAM-resident
+  and disk bytes are the per-search cost) 2.5x at nprobe=2 (per-round
+  ratios 3.5/3.4/3.6/2.4) and 1.6x at nprobe=8 (probing 31/64 cells,
+  consistent with the ~2x byte ratio). WARM-cache end-to-end stays
+  noise-bound parity at 1M/4M/16M rows and 64/512 dims alike — a
+  RAM-resident 2-4 GB corpus decodes across 32 cores in well under the
+  ~3 s serial job floor of one search, so warm parity is an artifact
+  of the receipt corpus fitting in a 128 GB page cache, not a property
+  of the layout (--fat mode documents the same: widening emb scales
+  both arms' cosine equally, and an unread payload column is free
+  under column pruning in both layouts).
   Receipt-scale caveats handled: a one-file 36 MB cell sits under the
   128 MB split size, so the receipt session lowers
   spark.sql.files.maxPartitionBytes to restore the at-scale task
@@ -357,6 +366,72 @@ class IVFIndexStore:
             ).partitionBy("cell").parquet(os.path.join(self.path, "cells"))
         self.k = len(cents_rows)
         return self
+
+    # ----------------------------------------------------- compact_cells
+    def compact_cells(
+        self, cells: list[int] | None = None, max_files: int = 1
+    ) -> dict[int, tuple[int, int]]:
+        """Rewrite fragmented inverted lists back to ``max_files``
+        file(s) per cell — the other half of index maintenance next to
+        split_cell: every incremental ``add()`` batch APPENDS files into
+        the cell partitions it touches, so a stream-maintained index
+        accumulates per-cell slivers, and the probe's file-open overhead
+        is exactly what cost the pruned scan its win pre-r9 (one file
+        per inverted list was the fix; add() erodes it back).
+
+        Per-cell swap semantics: each targeted cell directory is fully
+        rewritten to a tmp OUTSIDE cells/ and swapped in by two renames,
+        so a reader never sees a half-compacted MIX of old and new
+        files; the honest residual is the instant between the renames,
+        where the cell directory is briefly absent (a crash there
+        leaves the complete old cell in ._compact_old_* for manual
+        recovery — never silent data loss). Every NON-targeted cell's
+        files stay byte-untouched (mtime-asserted in tests). Contents
+        are preserved verbatim (the rows only change file grouping);
+        search results are therefore bit-identical, no probe map
+        needed. Default: every cell above ``max_files`` fragments; pass
+        ``cells`` to target known-hot lists (e.g. the ones
+        q_stream_emb_index's pipeline appends to).
+
+        Returns {cell: (files_before, files_after)} for the rewritten
+        cells. The driver loop is bounded by k (the codebook size),
+        never by corpus rows — same budget class as search's probe
+        collect."""
+        import shutil as _sh
+
+        root = os.path.join(self.path, "cells")
+        if not os.path.isdir(root):
+            return {}
+
+        def _files(d: str) -> list[str]:
+            return [f for f in os.listdir(d) if f.endswith(".parquet")]
+
+        report: dict[int, tuple[int, int]] = {}
+        for entry in sorted(os.listdir(root)):
+            if not entry.startswith("cell="):
+                continue
+            cell = int(entry.split("=", 1)[1])
+            if cells is not None and cell not in cells:
+                continue
+            cdir = os.path.join(root, entry)
+            n_before = len(_files(cdir))
+            if n_before <= max_files:
+                continue
+            # tmp/old live OUTSIDE cells/: a sibling directory named
+            # `cell=3._compact_old` would parse as a partition VALUE
+            # during discovery and poison every read of the table
+            tmp = os.path.join(self.path, f"._compact_tmp_{entry}")
+            old = os.path.join(self.path, f"._compact_old_{entry}")
+            # a per-cell read has no `cell` column (it IS the directory);
+            # coalesce not repartition: no shuffle, just fewer writers
+            self.spark.read.parquet(cdir).coalesce(max_files).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            os.rename(cdir, old)
+            os.rename(tmp, cdir)
+            _sh.rmtree(old, ignore_errors=True)
+            report[cell] = (n_before, len(_files(cdir)))
+        return report
 
     # ------------------------------------------------------------- load
     @staticmethod

@@ -29,15 +29,20 @@ from pyspark.sql import DataFrame, SparkSession
 # (split_cell maintenance under the oracle gate: hottest-cell split +
 # codebook-version/probe-map search transparency proof — exercises the
 # r10-changed ann_store.search seams and the split_cell epsilon/
-# non-empty-subcell guards), and (b) the entire r4-vintage attestation
-# backlog (35 rows, now the oldest green rows per ATTESTATION.md).
-# 36 names, inside the driver's ~50-row budget. Everything else holds
-# a green r5+ driver row and absorbs any truncation.
+# non-empty-subcell guards), (b) q_stream_emb_index, whose execution
+# path changed (compact_cells defragmentation pass after the streamed
+# appends), and (c) the entire r4-vintage attestation backlog (35
+# rows, now the oldest green rows per ATTESTATION.md). 37 names,
+# inside the driver's ~50-row budget. Everything else holds a green
+# r5+ driver row and absorbs any truncation.
 _MODULE_ORDER = ("esvc", "multimodal", "embeddings", "documents", "events", "relational")
 
 _FRONT = (
     # NEW this round: split-cell maintenance transparency proof
     "q_emb_ivf_split",
+    # changed this round: compact_cells maintenance pass after the
+    # streamed appends (inventory oracle doubles as the verbatim proof)
+    "q_stream_emb_index",
     # r4-vintage attestation backlog (oldest green rows)
     "q_benford_audit",
     "q_bloom_join_filter",

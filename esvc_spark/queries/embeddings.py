@@ -3236,6 +3236,13 @@ def q_stream_emb_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                 index_embeddings_stream(
                     stream, store, f"{work}/ckpt_{attempt}"
                 )
+            # r10: the stream's per-batch appends are exactly what
+            # fragments inverted lists — run the compaction maintenance
+            # pass under the same gate. Contents must be verbatim, so
+            # the count/xor/min/max inventory below (already the
+            # redelivery proof) doubles as the compaction proof: any
+            # lost or duplicated row breaks the hash match.
+            store.compact_cells()
             out = (
                 store.cells()
                 .groupBy(F.col("cell").cast("bigint").alias("cell"))

@@ -437,3 +437,133 @@ def test_split_cell_n_sub_guard(spark, tmp_path):
     st = IVFIndexStore.build(spark, emb, str(tmp_path / "g"), k=2)
     with pytest.raises(ValueError, match="n_sub must be >= 2"):
         st.split_cell(0, n_sub=1)
+
+
+def test_split_transparency_probe_map_multi_split_n_sub3(spark, tmp_path):
+    """The codebook-versioning contract generalized past the contract
+    query's single 2-way split: TWO successive splits (one 3-way), a
+    reader holding the ORIGINAL codebook + the composed probe map sees
+    search results IDENTICAL to pre-split — for every nprobe up to
+    all-cells, so the equivalence is not an artifact of one probe set."""
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7) % 13), float((i * 3) % 11) + 0.25, float(i % 5)])
+         for i in range(60)],
+        "vec_id long, emb array<double>",
+    )
+    st = IVFIndexStore.build(spark, emb, str(tmp_path / "midx"), k=4)
+    old_cents = st.centroids().localCheckpoint()
+    k0 = st.k
+    queries = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "emb"
+    )
+    pre = {
+        nprobe: _rows(st.search(queries, nprobe=nprobe, topk=3))
+        for nprobe in (1, 2, k0)
+    }
+    sizes = {
+        r["cell"]: r["n"]
+        for r in st.cells().groupBy("cell").agg(F.count("*").alias("n")).collect()
+    }
+    ranked = sorted(sizes, key=lambda c: (-sizes[c], c))
+    hot1, hot2 = int(ranked[0]), int(ranked[1])
+    st.split_cell(hot1, n_sub=3)  # sub-cells: hot1, k0, k0+1
+    st.split_cell(hot2, n_sub=2)  # sub-cells: hot2, k0+2
+    assert st.k == k0 + 3
+    probe_map = {hot1: (hot1, k0, k0 + 1), hot2: (hot2, k0 + 2)}
+    for nprobe, want in pre.items():
+        got = _rows(
+            st.search(
+                queries,
+                nprobe=nprobe,
+                topk=3,
+                centroids_df=old_cents,
+                probe_map=probe_map,
+            )
+        )
+        assert got == want, f"nprobe={nprobe}"
+    # sanity: a fresh reader on the NEW codebook still serves
+    assert st.search(queries, nprobe=2, topk=3).count() > 0
+
+
+def test_compact_cells_defragments_preserving_content_and_siblings(
+    spark, tmp_path
+):
+    """compact_cells must (a) reduce fragmented cells to max_files,
+    (b) preserve every row verbatim (search bit-identical), (c) leave
+    non-targeted cells' FILES byte-untouched, and (d) never leave
+    tmp/old directories inside cells/ where partition discovery would
+    parse them as values."""
+    import glob
+    import os
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 9), float(i % 4) + 0.5]) for i in range(30)],
+        "vec_id long, emb array<double>",
+    )
+    st = IVFIndexStore.build(spark, emb, str(tmp_path / "cidx"), k=3)
+    # fragment via incremental adds (the stream-maintenance shape)
+    for lo in range(30, 60, 6):
+        batch = spark.createDataFrame(
+            [(i, [float(i % 9), float(i % 4) + 0.5]) for i in range(lo, lo + 6)],
+            "vec_id long, emb array<double>",
+        )
+        st.add(batch)
+    sizes = {
+        r["cell"]: r["n"]
+        for r in st.cells().groupBy("cell").agg(F.count("*").alias("n")).collect()
+    }
+    frag = {
+        int(e.split("=")[1]): len(
+            glob.glob(str(tmp_path / "cidx" / "cells" / e / "*.parquet"))
+        )
+        for e in os.listdir(tmp_path / "cidx" / "cells")
+        if e.startswith("cell=")
+    }
+    target = max(frag, key=lambda c: frag[c])
+    assert frag[target] > 1, frag  # the adds must actually fragment
+    before_rows = sorted(
+        (r["vec_id"], tuple(r["emb"]), r["cell"]) for r in st.cells().collect()
+    )
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "emb"
+    )
+    pre = _rows(st.search(queries, nprobe=2, topk=3))
+    sibling_files = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(str(tmp_path / "cidx" / "cells" / "*" / "*.parquet"))
+        if f"cell={target}" not in f
+    }
+    report = st.compact_cells(cells=[target])
+    assert report[target][0] == frag[target] and report[target][1] == 1
+    # (b) verbatim contents and identical search
+    after_rows = sorted(
+        (r["vec_id"], tuple(r["emb"]), r["cell"]) for r in st.cells().collect()
+    )
+    assert after_rows == before_rows
+    assert _rows(st.search(queries, nprobe=2, topk=3)) == pre
+    # (c) untouched siblings keep their exact files
+    for f, mtime in sibling_files.items():
+        assert os.path.exists(f) and os.path.getmtime(f) == mtime, f
+    # (d) no tmp/old residue anywhere under the store (os.walk, not
+    # glob: the swap dirs are dot-prefixed, which glob skips — and the
+    # pytest tmp dir embeds this test's NAME, so a substring check on
+    # the full path matches everything)
+    residue = [
+        os.path.join(dp, d)
+        for dp, dirs, _ in os.walk(tmp_path / "cidx")
+        for d in dirs
+        if d.startswith("._compact_")
+    ]
+    assert residue == []
+    # default mode compacts every remaining fragmented cell
+    report2 = st.compact_cells()
+    assert target not in report2  # already at 1 file
+    frag_after = {
+        e: len(glob.glob(str(tmp_path / "cidx" / "cells" / e / "*.parquet")))
+        for e in os.listdir(tmp_path / "cidx" / "cells")
+        if e.startswith("cell=")
+    }
+    assert all(n == 1 for n in frag_after.values()), frag_after
+    assert sorted(
+        (r["vec_id"], tuple(r["emb"]), r["cell"]) for r in st.cells().collect()
+    ) == before_rows
