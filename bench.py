@@ -24,7 +24,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from esvc_spark.queries import all_queries  # noqa: E402
-from esvc_spark.queries._util import release_cached  # noqa: E402
+from esvc_spark.queries._util import release_between_queries  # noqa: E402
 from esvc_spark.session import get_spark  # noqa: E402
 
 
@@ -248,22 +248,10 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()
         dt = time.perf_counter() - t0
-        # Several queries persist() intermediates that feed multiple plan
-        # branches; dropping them between queries keeps 60+ queries from
-        # accumulating cached blocks in one driver heap (and keeps each
-        # measurement independent of its predecessors' cache residue).
-        # release_cached() drops exactly the intermediates the query
-        # library registered (the hygiene contract a long-lived host
-        # session relies on); clearCache() stays as a belt-and-braces
-        # guard for anything persisted outside that registry.
-        release_cached()
-        spark.catalog.clearCache()
-        # The q_stream_* queries leave their memory-sink result tables
-        # registered (each run gets a fresh name); drop them so 100+
-        # queries don't accumulate driver-held sink rows across the run.
-        for v in spark.catalog.listTables():
-            if v.name.startswith("stream_"):
-                spark.catalog.dropTempView(v.name)
+        # shared between-query hygiene (_util.release_between_queries —
+        # one implementation across bench/verify/recheck so the timing
+        # harnesses can never drift apart in cache/session conditions)
+        release_between_queries(spark)
         return dt
 
     timings: dict[str, float] = {}

@@ -330,6 +330,20 @@ def encode_graph(g: Graph) -> bytes:
 def _zstd_bin() -> str:
     exe = shutil.which("zstd")
     if exe is None:
+        # PATH is environment-fragile (r10: a login shell that put conda's
+        # condabin but not bin/ on PATH lost the binary and failed 14
+        # tests): probe the well-known sibling locations before giving up.
+        import os
+
+        candidates = [
+            os.path.join(d, "zstd")
+            for p in os.environ.get("PATH", "").split(os.pathsep)
+            if p.rstrip("/").endswith("condabin")
+            for d in (p.rstrip("/")[: -len("condabin")] + "bin",)
+        ] + ["/root/miniconda/bin/zstd", "/usr/local/bin/zstd"]
+        for c in candidates:
+            if os.path.isfile(c) and os.access(c, os.X_OK):
+                return c
         raise RuntimeError(
             "reference graph files are zstd-framed and no `zstd` binary "
             "is on PATH; decompress the file externally and use "

@@ -32,12 +32,13 @@ ratio was measured against that accidentally-clustered twin):
   listing k directories costs about what the skipped bytes save.
 - scale (--scale: 16M vectors x 64 dims, 2.3 GB parquet, k=64, one
   file per inverted list, 5 queries, real nprobe=2 probe set = 10 of
-  64 cells, honest twin): candidate SCAN 4.0x faster; COLD-CACHE
-  end-to-end search (page caches dropped before every timed round —
-  the honest 100 TB regime, where the corpus can never be RAM-resident
-  and disk bytes are the per-search cost) 2.5x at nprobe=2 (per-round
-  ratios 3.5/3.4/3.6/2.4) and 1.6x at nprobe=8 (probing 31/64 cells,
-  consistent with the ~2x byte ratio). WARM-cache end-to-end stays
+  64 cells, honest twin): candidate SCAN 2-4x faster; COLD-CACHE
+  end-to-end search (os.sync + page caches dropped before every timed
+  round — the honest 100 TB regime, where the corpus can never be
+  RAM-resident and disk bytes are the per-search cost) 2.7x at
+  nprobe=2 (per-round ratios 4.9/3.6/2.5/2.7, min-vs-min 2.69x) and
+  1.7x at nprobe=8 (probing 31/64 cells, consistent with the ~2x byte
+  ratio). WARM-cache end-to-end stays
   noise-bound parity at 1M/4M/16M rows and 64/512 dims alike — a
   RAM-resident 2-4 GB corpus decodes across 32 cores in well under the
   ~3 s serial job floor of one search, so warm parity is an artifact
@@ -384,8 +385,11 @@ class IVFIndexStore:
         so a reader never sees a half-compacted MIX of old and new
         files; the honest residual is the instant between the renames,
         where the cell directory is briefly absent (a crash there
-        leaves the complete old cell in ._compact_old_* for manual
-        recovery — never silent data loss). Every NON-targeted cell's
+        leaves the complete old cell in ._compact_old_*, which the
+        NEXT compact_cells call restores automatically before doing
+        any new work — never silent data loss, and stale residue can
+        never wedge later maintenance with ENOTEMPTY). Every
+        NON-targeted cell's
         files stay byte-untouched (mtime-asserted in tests). Contents
         are preserved verbatim (the rows only change file grouping);
         search results are therefore bit-identical, no probe map
@@ -402,6 +406,25 @@ class IVFIndexStore:
         root = os.path.join(self.path, "cells")
         if not os.path.isdir(root):
             return {}
+
+        # Crash-residue recovery BEFORE any new work (review r10): a
+        # kill between the two renames leaves the cell directory absent
+        # with its complete contents in ._compact_old_* — restore it
+        # (otherwise searches silently omit that inverted list); a kill
+        # after the swap leaves a stale old/tmp dir that would fail the
+        # next rename with ENOTEMPTY — delete it. Recovery scans ALL
+        # residue, not just this call's targets, so one interrupted run
+        # can never wedge later maintenance.
+        for name in sorted(os.listdir(self.path)):
+            full = os.path.join(self.path, name)
+            if name.startswith("._compact_old_cell="):
+                cdir = os.path.join(root, name[len("._compact_old_") :])
+                if not os.path.exists(cdir):
+                    os.rename(full, cdir)  # pre-swap crash: restore
+                else:
+                    _sh.rmtree(full, ignore_errors=True)  # post-swap junk
+            elif name.startswith("._compact_tmp_cell="):
+                _sh.rmtree(full, ignore_errors=True)  # tmp is always junk
 
         def _files(d: str) -> list[str]:
             return [f for f in os.listdir(d) if f.endswith(".parquet")]

@@ -156,3 +156,41 @@ def release_cached() -> int:
         _TRACKED.pop().unpersist()
         n += 1
     return n
+
+
+def release_between_queries(spark, full_gc: bool = False) -> None:
+    """The between-query hygiene every long-lived timing/verify harness
+    needs (bench.py, scripts/verify_contract.py,
+    scripts/recheck_outliers.py all import THIS — review r10: three
+    hand-copied versions had already started to drift, and a harness
+    whose hygiene differs from the one that recorded the anchors
+    produces non-comparable timings):
+
+    - unpersist every tracked_persist() intermediate,
+    - clearCache() as the belt-and-braces guard for anything persisted
+      outside that registry,
+    - drop the q_stream_* memory-sink temp views (each run registers a
+      fresh name; 100+ queries would otherwise accumulate driver-held
+      sink rows),
+    - with ``full_gc``, nudge both collectors so localCheckpoint blocks
+      (which live OUTSIDE the CacheManager — clearCache cannot drop
+      them; only the ContextCleaner frees the orphaned RDDs) do not
+      accumulate across a 200+ query session. Timing harnesses skip
+      this by default: a forced JVM System.gc() between measurements
+      adds seconds of pause noise.
+
+    Never raises — hygiene must not fail a run.
+    """
+    try:
+        release_cached()
+        spark.catalog.clearCache()
+        for v in spark.catalog.listTables():
+            if v.name.startswith("stream_"):
+                spark.catalog.dropTempView(v.name)
+        if full_gc:
+            import gc
+
+            gc.collect()
+            spark._jvm.System.gc()
+    except Exception:  # noqa: BLE001 - hygiene must never fail a run
+        pass

@@ -249,6 +249,11 @@ def scale_mode(fat: bool = False) -> None:
         # Root-only; falls back to warm timing with a notice.
         def drop_caches() -> bool:
             try:
+                # drop_caches evicts only CLEAN pages — the twin/index
+                # parquet written moments ago is still dirty, and unsynced
+                # dirty pages would stay RAM-resident through the "cold"
+                # rounds (kernel docs: sync first for a valid measurement)
+                os.sync()
                 with open("/proc/sys/vm/drop_caches", "w") as fh:
                     fh.write("3")
                 return True

@@ -39,6 +39,24 @@ def main() -> int:
 
     with open(os.path.join(REPO, "BENCH_ANCHOR.json")) as fh:
         anchor_doc = json.load(fh)
+    # anchors are per-SF: comparing (or lowering!) the sf0.1 floors with
+    # a run at any other sf would both void the verdicts and permanently
+    # poison the monotone anchor file (same guard bench.py applies)
+    import re
+
+    m = re.search(r"sf([0-9.]+)", args.sf_dir)
+    run_sf = float(m.group(1)) if m else None
+    if anchor_doc.get("sf") != run_sf:
+        print(
+            json.dumps(
+                {
+                    "verdict": "sf mismatch: anchors are for "
+                    f"sf={anchor_doc.get('sf')}, run is sf={run_sf}; "
+                    "refusing to compare or lower anchors"
+                }
+            )
+        )
+        return 2
     anchor = anchor_doc.get("queries", {})
 
     names = args.queries
@@ -50,7 +68,7 @@ def main() -> int:
         return 0
 
     from esvc_spark.queries import all_queries
-    from esvc_spark.queries._util import release_cached
+    from esvc_spark.queries._util import release_between_queries
     from esvc_spark.session import get_spark
 
     spark = get_spark("recheck-outliers")
@@ -61,11 +79,9 @@ def main() -> int:
         t0 = time.perf_counter()
         queries[name](spark, args.sf_dir).count()
         dt = time.perf_counter() - t0
-        release_cached()
-        spark.catalog.clearCache()
-        for v in spark.catalog.listTables():
-            if v.name.startswith("stream_"):
-                spark.catalog.dropTempView(v.name)
+        # the SAME hygiene bench.py applies — the anchors these samples
+        # are judged against were recorded under it
+        release_between_queries(spark)
         return dt
 
     # one untimed warm-up of the first query primes JVM/codegen/footers

@@ -126,31 +126,18 @@ def main() -> int:
     failed = []
     # registry order (the driver runs in this order and may truncate)
     def release_between_queries() -> None:
-        # The same between-query hygiene bench.py applies: without it a
-        # FULL-surface run accumulates every query's persisted
-        # intermediates and streaming memory-sink tables in one driver
-        # heap — fits at sf0.01, OOMs ~halfway through 224 queries at
-        # sf0.1 (the round-7 attestation run found this).
-        try:
-            import esvc_spark
+        # The shared between-query hygiene (one implementation across
+        # bench/verify/recheck — _util.release_between_queries). This
+        # harness keeps full_gc=True: without the collector nudge a
+        # FULL-surface run accumulates every query's localCheckpoint
+        # blocks in one driver heap — fits at sf0.01, OOMs ~halfway
+        # through 224 queries at sf0.1 (the round-7 attestation run
+        # found this). Timing harnesses skip the forced gc (pause noise).
+        from esvc_spark.queries._util import (
+            release_between_queries as _rbq,
+        )
 
-            esvc_spark.release_cached()
-            spark.catalog.clearCache()
-            for v in spark.catalog.listTables():
-                if v.name.startswith("stream_"):
-                    spark.catalog.dropTempView(v.name)
-            # localCheckpoint blocks live OUTSIDE the CacheManager —
-            # clearCache() cannot drop them; they are freed only when
-            # the ContextCleaner collects the orphaned RDDs. Nudge both
-            # collectors so checkpoint-heavy queries (two-phase
-            # ranks/prefix sums, cc rounds, editor states) do not
-            # accumulate across a 224-query session.
-            import gc
-
-            gc.collect()
-            spark._jvm.System.gc()
-        except Exception:  # noqa: BLE001 - hygiene must never fail a run
-            pass
+        _rbq(spark, full_gc=True)
 
     for name in queries:
         if only and name not in only:

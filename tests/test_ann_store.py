@@ -567,3 +567,53 @@ def test_compact_cells_defragments_preserving_content_and_siblings(
     assert sorted(
         (r["vec_id"], tuple(r["emb"]), r["cell"]) for r in st.cells().collect()
     ) == before_rows
+
+
+def test_compact_cells_recovers_crash_residue(spark, tmp_path):
+    """Review r10: a kill between compact's two renames leaves the cell
+    dir ABSENT (its contents complete in ._compact_old_*) — the next
+    compact_cells must restore it before any new work, or searches
+    silently omit an inverted list; post-swap residue (stale old/tmp
+    dirs) must be cleaned, or the next rename dies ENOTEMPTY."""
+    import os
+    import shutil
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 9), float(i % 4) + 0.5]) for i in range(30)],
+        "vec_id long, emb array<double>",
+    )
+    st = IVFIndexStore.build(spark, emb, str(tmp_path / "ridx"), k=3)
+    before = sorted(
+        (r["vec_id"], tuple(r["emb"]), r["cell"]) for r in st.cells().collect()
+    )
+    cells_root = tmp_path / "ridx" / "cells"
+    victims = sorted(
+        int(e.split("=")[1])
+        for e in os.listdir(cells_root)
+        if e.startswith("cell=")
+    )[:2]
+    # pre-swap crash on victim 0: cell dir moved to old, nothing swapped in
+    v0 = victims[0]
+    os.rename(cells_root / f"cell={v0}", tmp_path / "ridx" / f"._compact_old_cell={v0}")
+    # post-swap crash on victim 1: cell dir present, stale old + tmp remain
+    v1 = victims[1]
+    shutil.copytree(
+        cells_root / f"cell={v1}", tmp_path / "ridx" / f"._compact_old_cell={v1}"
+    )
+    os.makedirs(tmp_path / "ridx" / f"._compact_tmp_cell={v1}")
+    (tmp_path / "ridx" / f"._compact_tmp_cell={v1}" / "junk.parquet").write_bytes(b"x")
+
+    st.compact_cells()  # recovery runs first, then normal compaction
+    after = sorted(
+        (r["vec_id"], tuple(r["emb"]), r["cell"]) for r in st.cells().collect()
+    )
+    assert after == before  # victim 0's rows are back; nothing lost
+    residue = [
+        e for e in os.listdir(tmp_path / "ridx") if e.startswith("._compact_")
+    ]
+    assert residue == []
+    # and the recovered store still compacts/serves normally
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "emb"
+    )
+    assert st.search(q, nprobe=2, topk=3).count() > 0

@@ -19,6 +19,7 @@ import pytest
 from esvc_spark.cli import Repl
 from esvc_spark.core.bincode_io import (
     BincodeError,
+    _zstd_bin,
     decode_graph,
     encode_event,
     encode_graph,
@@ -139,7 +140,7 @@ def test_fixture_byte_roundtrip_is_exact():
     import subprocess
 
     raw = subprocess.run(
-        ["zstd", "-d", "-c", "-q", FIXTURE], capture_output=True, check=True
+        [_zstd_bin(), "-d", "-c", "-q", FIXTURE], capture_output=True, check=True
     ).stdout
     g = decode_graph(raw)
     assert encode_graph(g) == raw
@@ -150,7 +151,7 @@ def test_corrupted_payload_fails_hash_verification():
 
     raw = bytearray(
         subprocess.run(
-            ["zstd", "-d", "-c", "-q", FIXTURE], capture_output=True, check=True
+            [_zstd_bin(), "-d", "-c", "-q", FIXTURE], capture_output=True, check=True
         ).stdout
     )
     # flip a byte inside the first event's argument payload (past the
@@ -164,7 +165,7 @@ def test_uncompressed_bincode_file_accepted(tmp_path):
     import subprocess
 
     raw = subprocess.run(
-        ["zstd", "-d", "-c", "-q", FIXTURE], capture_output=True, check=True
+        [_zstd_bin(), "-d", "-c", "-q", FIXTURE], capture_output=True, check=True
     ).stdout
     p = tmp_path / "graph.bin"
     p.write_bytes(raw)
