@@ -43,6 +43,20 @@ def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
 
+def py_norm(v) -> float:
+    """Driver-side twin of `norm` for values already collected to the
+    driver (e.g. a merged centroid built from two collected centroids):
+    the SAME left-to-right fold from 0.0 then sqrt, so a norm computed
+    here is bit-identical to what the Column expression would produce
+    for the same doubles."""
+    import math
+
+    acc = 0.0
+    for x in v:
+        acc += x * x
+    return math.sqrt(acc)
+
+
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity with the zero-norm convention cosine(0, ·) = 0.
 

@@ -368,6 +368,164 @@ class IVFIndexStore:
         self.k = len(cents_rows)
         return self
 
+    # ------------------------------------------------------- merge_cells
+    def merge_cells(self, a: int, b: int) -> "IVFIndexStore":
+        """Merge two cold inverted lists — the third maintenance move
+        next to split_cell (hot skew) and compact_cells (fragmentation):
+        as a 100 TB corpus drifts, some cells decay to slivers that
+        waste probe slots, directory listings, and file handles on
+        every search; merging folds them into one list. The surviving
+        cell keeps the LOWER id; its centroid becomes the row-count-
+        weighted mean of the two old centroids (deterministic, and the
+        natural estimate of the union's direction).
+
+        Honest read-semantics note: a merge is NOT transparent to a
+        stale reader the way a split is. The sub-cells of a split
+        partition the old cell exactly, so probe-map expansion
+        preserves the candidate multiset; a merged cell is the UNION
+        of two old cells, so a stale reader expanding {a: (m,),
+        b: (m,)} scans a SUPERSET of its old candidates — results can
+        only gain candidates, but they are not bit-identical. Readers
+        should refresh their codebook after a merge.
+
+        Write order mirrors split_cell's crash reasoning, inverted for
+        the union direction: (1) codebook first (drop b, re-point a's
+        centroid) — a crash after leaves b's rows on disk but
+        unreachable (no probe ranks b), a TEMPORARY recall loss, never
+        wrong results; (2) rows move into partition a under dynamic
+        partition overwrite; (3) cell=b's directory is renamed out and
+        removed. A crash between (2) and (3) leaves b's rows
+        duplicated on disk but still invisible (b is not in the
+        codebook). Step (0) heals exactly these states: any on-disk
+        cell absent from the codebook is folded into its nearest
+        CURRENT centroid with an anti-join against already-indexed
+        vec_ids — so rerunning merge_cells (or calling it for a new
+        pair) completes an interrupted merge instead of compounding
+        it."""
+        import shutil as _sh
+
+        if a == b:
+            raise ValueError(f"merge_cells: a == b == {a}")
+        a, b = (int(min(a, b)), int(max(a, b)))
+        self._recover_orphan_cells()
+        cents = {
+            int(r["cent_id"]): (list(r["cemb"]), float(r["cnrm"]))
+            for r in self.centroids().collect()  # k rows, driver-cheap
+        }
+        for c in (a, b):
+            if c not in cents:
+                raise ValueError(f"merge_cells: cell {c} not in codebook")
+        counts = {
+            int(r["cell"]): int(r["n"])
+            for r in self.cells()
+            .filter(F.col("cell").isin([a, b]))
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        na, nb = counts.get(a, 0), counts.get(b, 0)
+        if na + nb == 0:
+            raise ValueError(
+                f"merge_cells({a}, {b}): both cells are empty — drop "
+                f"the centroids instead of merging nothing"
+            )
+        ca, cb = cents[a][0], cents[b][0]
+        merged = [
+            (na * x + nb * y) / float(na + nb) for x, y in zip(ca, cb)
+        ]
+        from ..functions.vectors import py_norm
+
+        cents_rows = [
+            (cid, list(v), float(n))
+            for cid, (v, n) in sorted(cents.items())
+            if cid not in (a, b)
+        ] + [(a, merged, py_norm(merged))]
+
+        # (1) codebook first, atomic rename swap (split_cell pattern)
+        final = os.path.join(self.path, "centroids")
+        tmp = final + "._merge_tmp"
+        self.spark.createDataFrame(
+            cents_rows, "cent_id bigint, cemb array<double>, cnrm double"
+        ).write.mode("overwrite").parquet(tmp)
+        old_dir = final + "._merge_old"
+        os.rename(final, old_dir)
+        os.rename(tmp, final)
+        _sh.rmtree(old_dir, ignore_errors=True)
+
+        # (2) move b's rows into partition a (a's rows rewrite in place
+        # with their cell id unchanged; dynamic overwrite touches ONLY
+        # partition a)
+        rows = (
+            self.cells()
+            .filter(F.col("cell").isin([a, b]))
+            .select("vec_id", "emb", "nrm")
+            .localCheckpoint()  # pin before the partition rewrite
+        )
+        from .cc import _scoped_conf
+
+        with _scoped_conf(
+            self.spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        ):
+            rows.withColumn("cell", F.lit(a).cast("bigint")).repartition(
+                F.col("cell")
+            ).write.mode("overwrite").partitionBy("cell").parquet(
+                os.path.join(self.path, "cells")
+            )
+        # (3) drop b's now-redundant directory (rename-out then remove,
+        # so a reader never lists a half-deleted partition)
+        bdir = os.path.join(self.path, "cells", f"cell={b}")
+        if os.path.isdir(bdir):
+            junk = os.path.join(self.path, f"._merge_drop_cell={b}")
+            os.rename(bdir, junk)
+            _sh.rmtree(junk, ignore_errors=True)
+        self.k = len(cents_rows)
+        return self
+
+    def _recover_orphan_cells(self) -> list[int]:
+        """Heal cells present on disk but absent from the codebook (the
+        crash residue class of merge_cells step 1/2): fold each orphan
+        cell's rows into their nearest CURRENT centroid, anti-joining
+        away vec_ids that already landed (a step-2 crash leaves the
+        rows duplicated in the survivor partition), then drop the
+        orphan directory. Returns the healed cell ids."""
+        import shutil as _sh
+
+        root = os.path.join(self.path, "cells")
+        if not os.path.isdir(root):
+            return []
+        on_disk = {
+            int(e.split("=", 1)[1])
+            for e in os.listdir(root)
+            if e.startswith("cell=")
+        }
+        cdf = self.centroids()
+        known = {int(r["cent_id"]) for r in cdf.select("cent_id").collect()}
+        orphans = sorted(on_disk - known)
+        for orph in orphans:
+            odir = os.path.join(root, f"cell={orph}")
+            rows = (
+                self.spark.read.parquet(odir)
+                .select("vec_id", "emb", "nrm")
+                .localCheckpoint()
+            )
+            assigned = _assign_cells(rows, cdf).localCheckpoint()
+            hit = [
+                r["cell"]
+                for r in assigned.select("cell").distinct().collect()
+            ]
+            existing = (
+                self.cells()
+                .filter(F.col("cell").isin(hit))
+                .select("vec_id")
+            )
+            assigned.join(existing, "vec_id", "left_anti").write.mode(
+                "append"
+            ).partitionBy("cell").parquet(root)
+            junk = os.path.join(self.path, f"._merge_drop_cell={orph}")
+            os.rename(odir, junk)
+            _sh.rmtree(junk, ignore_errors=True)
+        return orphans
+
     # ----------------------------------------------------- compact_cells
     def compact_cells(
         self, cells: list[int] | None = None, max_files: int = 1

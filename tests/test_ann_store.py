@@ -617,3 +617,131 @@ def test_compact_cells_recovers_crash_residue(spark, tmp_path):
         F.col("vec_id").alias("query_id"), "emb"
     )
     assert st.search(q, nprobe=2, topk=3).count() > 0
+
+
+def _inventory(st):
+    return sorted(
+        (r["vec_id"], tuple(r["emb"])) for r in st.cells().collect()
+    )
+
+
+def test_merge_cells_folds_cold_pair_preserving_corpus(spark, tmp_path):
+    """merge_cells must (a) preserve every vector, (b) land the union in
+    the surviving (lower-id) cell, (c) leave other partitions' files
+    byte-untouched, (d) shrink the codebook by one with the
+    row-count-weighted mean centroid, and (e) keep exhaustive-probe
+    search identical (layout-independent proof that no row was lost,
+    duplicated, or rescored)."""
+    import glob
+    import math
+    import os
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 9), float(i % 4) + 0.5]) for i in range(40)],
+        "vec_id long, emb array<double>",
+    )
+    st = IVFIndexStore.build(spark, emb, str(tmp_path / "merg"), k=4)
+    k0 = st.k
+    before = _inventory(st)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "emb"
+    )
+    pre = _rows(st.search(queries, nprobe=k0, topk=3))  # exhaustive probe
+    sizes = {
+        r["cell"]: r["n"]
+        for r in st.cells().groupBy("cell").agg(F.count("*").alias("n")).collect()
+    }
+    cold = sorted(sizes, key=lambda c: (sizes[c], c))[:2]
+    a, b = int(min(cold)), int(max(cold))
+    old_cents = {
+        int(r["cent_id"]): list(r["cemb"]) for r in st.centroids().collect()
+    }
+    na, nb = sizes[a], sizes[b]
+    siblings = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(str(tmp_path / "merg" / "cells" / "*" / "*.parquet"))
+        if f"cell={a}" not in f and f"cell={b}" not in f
+    }
+    st.merge_cells(a, b)
+    assert st.k == k0 - 1
+    assert _inventory(st) == before  # (a) nothing lost or duplicated
+    got_cells = {
+        int(r["cell"]) for r in st.cells().select("cell").distinct().collect()
+    }
+    assert b not in got_cells and a in got_cells  # (b)
+    for f, mtime in siblings.items():  # (c)
+        assert os.path.exists(f) and os.path.getmtime(f) == mtime, f
+    cents = {
+        int(r["cent_id"]): (list(r["cemb"]), float(r["cnrm"]))
+        for r in st.centroids().collect()
+    }
+    assert b not in cents and len(cents) == k0 - 1
+    want = [
+        (na * x + nb * y) / float(na + nb)
+        for x, y in zip(old_cents[a], old_cents[b])
+    ]
+    assert cents[a][0] == want  # (d) exact weighted mean
+    assert math.isclose(
+        cents[a][1], math.sqrt(sum(x * x for x in want)), rel_tol=1e-12
+    )
+    # (e) exhaustive probing sees the identical corpus and scores
+    post = _rows(st.search(queries, nprobe=st.k, topk=3))
+    assert post == pre
+    # reload sees the new codebook
+    assert IVFIndexStore.load(spark, st.path).k == k0 - 1
+
+
+def test_merge_cells_heals_orphan_cells_first(spark, tmp_path):
+    """Crash residue: a cell directory absent from the codebook (the
+    merge step-1 crash state) must be folded into current centroids —
+    anti-joined against already-landed vec_ids — before new maintenance
+    work, and the orphan directory removed."""
+    import os
+    import shutil
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 9), float(i % 4) + 0.5]) for i in range(40)],
+        "vec_id long, emb array<double>",
+    )
+    st = IVFIndexStore.build(spark, emb, str(tmp_path / "orph"), k=4)
+    before = _inventory(st)
+    # simulate: drop one centroid from the codebook, leaving its rows
+    # on disk as an orphan cell
+    cents = st.centroids().collect()
+    victim = max(int(r["cent_id"]) for r in cents)
+    kept = [
+        (int(r["cent_id"]), list(r["cemb"]), float(r["cnrm"]))
+        for r in cents
+        if int(r["cent_id"]) != victim
+    ]
+    tmp = str(tmp_path / "orph" / "centroids._test_tmp")
+    spark.createDataFrame(
+        kept, "cent_id bigint, cemb array<double>, cnrm double"
+    ).write.mode("overwrite").parquet(tmp)
+    final = str(tmp_path / "orph" / "centroids")
+    shutil.rmtree(final)
+    os.rename(tmp, final)
+    st.k = len(kept)
+
+    healed = st._recover_orphan_cells()
+    assert healed == [victim]
+    assert sorted(r[0] for r in _inventory(st)) == sorted(
+        r[0] for r in before
+    )  # every vec_id exactly once — no loss, no dup
+    assert not os.path.exists(final.replace("centroids", f"cells/cell={victim}"))
+    # healed rows sit in their nearest CURRENT centroid
+    got = {
+        int(r["cell"]) for r in st.cells().select("cell").distinct().collect()
+    }
+    assert victim not in got
+
+
+def test_merge_cells_argument_guards(spark, tmp_path):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, emb array<double>"
+    )
+    st = IVFIndexStore.build(spark, emb, str(tmp_path / "g"), k=2)
+    with pytest.raises(ValueError, match="a == b"):
+        st.merge_cells(0, 0)
+    with pytest.raises(ValueError, match="not in codebook"):
+        st.merge_cells(0, 99)
