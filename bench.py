@@ -307,11 +307,13 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "BENCH_ANCHOR.json"
     )
     anchor: dict[str, float] = {}
+    anchor_prov: dict[str, dict] = {}
     try:
         with open(anchor_path) as fh:
             _anchor_doc = json.load(fh)
         if _anchor_doc.get("sf") == sf:
             anchor = _anchor_doc.get("queries", {}) or {}
+            anchor_prov = _anchor_doc.get("provenance", {}) or {}
     except (OSError, ValueError):
         _anchor_doc = None
     # prior-run timings are a valid reference only at the SAME sf (the
@@ -391,13 +393,32 @@ def main() -> None:
         reverse=True,
     )[:5]
     # Lower the anchor wherever this run beat it (monotone floor); new
-    # queries enter at their first reading.
+    # queries enter at their first reading. Each lowered/created entry
+    # records PROVENANCE (git head + date of the run that set the floor
+    # — VERDICT r10 #7: r9's two ~2x "outliers" turned out to be
+    # once-lucky floors, diagnosable only by three-commit archaeology;
+    # with provenance a stale floor is visible right in the receipt).
+    # Entries seeded before r11 carry no provenance and report as such.
     if _anchor_doc is not None and _anchor_doc.get("sf") == sf:
+        import datetime as _dt
+
+        try:
+            _head7 = _git("rev-parse", "--short", "HEAD")
+        except Exception:
+            _head7 = ""
+        _stamp = {
+            "git": _head7,
+            "date": _dt.date.today().isoformat(),
+        }
         for name, t in timings.items():
             if t > 0 and t < anchor.get(name, float("inf")):
                 anchor[name] = t
+                anchor_prov[name] = dict(_stamp)
         _anchor_doc["queries"] = {
             k: round(v, 4) for k, v in sorted(anchor.items())
+        }
+        _anchor_doc["provenance"] = {
+            k: anchor_prov[k] for k in sorted(anchor_prov)
         }
         try:
             with open(anchor_path, "w") as fh:
@@ -427,7 +448,16 @@ def main() -> None:
         sf,
     )
     anchor_receipt = [
-        {"query": n, "x_anchor": r} for r, n in anchor_outliers
+        {
+            "query": n,
+            "x_anchor": r,
+            # floor age/provenance: which run set this anchor — a stale
+            # or pre-provenance floor is a diagnosis, not a regression
+            "floor_set_by": anchor_prov.get(
+                n, {"git": "pre-r11 seed", "date": "unknown"}
+            ),
+        }
+        for r, n in anchor_outliers
     ]
     run_drift = round(drift, 3)
     full = {

@@ -328,26 +328,38 @@ def encode_graph(g: Graph) -> bytes:
 
 
 def _zstd_bin() -> str:
+    import os
+
+    # explicit override first: deployments pin the binary here instead of
+    # relying on library-baked paths (r11: the previous hardcoded
+    # /root/miniconda fallback silently exec'd whatever lived at that path
+    # on other machines)
+    override = os.environ.get("ZSTD_BIN")
+    if override:
+        if os.path.isfile(override) and os.access(override, os.X_OK):
+            return override
+        raise RuntimeError(
+            f"ZSTD_BIN={override!r} is not an executable file"
+        )
     exe = shutil.which("zstd")
     if exe is None:
         # PATH is environment-fragile (r10: a login shell that put conda's
         # condabin but not bin/ on PATH lost the binary and failed 14
-        # tests): probe the well-known sibling locations before giving up.
-        import os
-
+        # tests): probe the condabin-sibling bin/ before giving up.
         candidates = [
             os.path.join(d, "zstd")
             for p in os.environ.get("PATH", "").split(os.pathsep)
             if p.rstrip("/").endswith("condabin")
             for d in (p.rstrip("/")[: -len("condabin")] + "bin",)
-        ] + ["/root/miniconda/bin/zstd", "/usr/local/bin/zstd"]
+        ]
         for c in candidates:
             if os.path.isfile(c) and os.access(c, os.X_OK):
                 return c
         raise RuntimeError(
             "reference graph files are zstd-framed and no `zstd` binary "
-            "is on PATH; decompress the file externally and use "
-            "decode_graph on the raw bytes"
+            "is on PATH; set ZSTD_BIN to the binary's path, or "
+            "decompress the file externally and use decode_graph on the "
+            "raw bytes"
         )
     return exe
 

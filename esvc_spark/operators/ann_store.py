@@ -92,8 +92,13 @@ def _assign_cells(e: DataFrame, cents: DataFrame) -> DataFrame:
     This is deterministic and keeps add-then-build == build-on-union
     even for bad input (the pre-r9 window dedup'd to an arbitrary copy
     when duplicate ids carried different vectors); dedup belongs
-    upstream or to add(idempotent=True)."""
-    scored = e.join(F.broadcast(cents)).select(
+    upstream or to add(idempotent=True).
+
+    Extra columns on ``e`` beyond (vec_id, emb, nrm) — e.g. the PQ
+    ``codes`` column — ride along untouched: only the narrow
+    (vec_id, csim, cell) rows enter the winner aggregation, and the
+    full row rejoins by vec_id afterwards."""
+    scored = e.select("vec_id", "emb", "nrm").join(F.broadcast(cents)).select(
         "vec_id",
         F.col("cent_id").alias("cell"),
         cosine_prenorm(
@@ -111,7 +116,83 @@ def _assign_cells(e: DataFrame, cents: DataFrame) -> DataFrame:
         )
         .select("vec_id", F.col("_b.cell").alias("cell"))
     )
-    return e.join(best, "vec_id").select("vec_id", "emb", "nrm", "cell")
+    carry = [c for c in e.columns if c != "vec_id"]
+    return e.join(best, "vec_id").select("vec_id", *carry, "cell")
+
+
+def _sqdist(a, b):
+    """Sequential-fold squared L2 (index order => deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _unit(emb, nrm):
+    """Elementwise emb/nrm with the zero-norm convention: a zero vector
+    (nrm = 0 iff every component is 0) normalizes to itself, never to
+    NaN/ANSI-divide-error."""
+    return F.transform(
+        emb, lambda x: F.when(nrm == F.lit(0.0), x).otherwise(x / nrm)
+    )
+
+
+def _pq_parts_of(df, emb_col, m, subdim, id_cols):
+    """Explode ``emb_col`` into its m subvector slices:
+    (*id_cols, sub, part)."""
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("sub"),
+                F.slice(emb_col, j * subdim + 1, subdim).alias("part"),
+            )
+            for j in range(m)
+        ]
+    )
+    return df.select(*id_cols, F.explode(subs).alias("s")).select(
+        *id_cols, "s.sub", "s.part"
+    )
+
+
+def _pq_encode(e: DataFrame, book: DataFrame, m: int, subdim: int) -> DataFrame:
+    """Append the PQ ``codes`` column to e = (vec_id, emb, nrm, ...):
+    codes[sub] = the book entry minimizing squared L2 to the vector's
+    NORMALIZED subvector (ties to the lower code — min(struct) is the
+    (sqe ASC, code ASC) argmin). Normalized because the store's exact
+    metric is cosine: on unit vectors L2² = 2 - 2·cos, so ADC ordering
+    approximates cosine ordering; raw-magnitude L2 would not.
+
+    The expansion stays narrow: only (vec_id, sub, code, sqe) rows flow
+    into the per-(vec_id, sub) argmin (the _assign_cells reasoning);
+    the full row rejoins by vec_id. One broadcast of the m×n_codes book,
+    one shuffle of N×m narrow rows."""
+    parts = _pq_parts_of(
+        e.select("vec_id", _unit(F.col("emb"), F.col("nrm")).alias("_u")),
+        F.col("_u"),
+        m,
+        subdim,
+        ["vec_id"],
+    )
+    best = (
+        parts.join(F.broadcast(book), "sub")
+        .select(
+            "vec_id",
+            "sub",
+            "code",
+            _sqdist(F.col("part"), F.col("cpart")).alias("sqe"),
+        )
+        .groupBy("vec_id", "sub")
+        .agg(F.min(F.struct("sqe", "code")).alias("_b"))
+        .select("vec_id", "sub", F.col("_b.code").alias("code"))
+    )
+    codes = best.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "code"))),
+            lambda s: s["code"],
+        ).alias("codes")
+    )
+    return e.join(codes, "vec_id")
 
 
 class IVFIndexStore:
@@ -130,14 +211,67 @@ class IVFIndexStore:
         path: str,
         k: int = 8,
         centroids: DataFrame | None = None,
+        pq_codes: int = 0,
+        pq_m: int = 8,
+        pq_book: DataFrame | None = None,
     ) -> "IVFIndexStore":
         """Assign every row of ``emb`` (vec_id, emb: array<double>) to
         its nearest of k pinned centroids (cosine, ties to the lower
         cent_id) and persist centroids + cell-partitioned vectors.
         ``centroids`` (cent_id, cemb) overrides the default lowest-k-ids
         codebook; the handle's k is the PERSISTED centroid count, which
-        can be below the requested k on a sub-k corpus."""
+        can be below the requested k on a sub-k corpus.
+
+        ``pq_codes`` > 0 (or an explicit ``pq_book``) additionally
+        persists a product-quantization codebook (``pq/``: sub, code,
+        cpart over NORMALIZED subvectors — see _pq_encode) and a
+        ``codes`` column on every cell row: at 100 TB the inverted
+        lists themselves are the storage/scan problem, and the ADC path
+        (search_pq) reads pq_m small ints per vector instead of the
+        full embedding — the emb column is only decoded for the top
+        k×rerank re-rank candidates. Default book: the normalized
+        subvectors of the ``pq_codes`` lowest vec_ids (code = that
+        vec_id — the same corpus-agnostic pinned convention as the
+        centroid codebook; pass ``pq_book`` (sub, code, cpart) for
+        trained codebooks)."""
         e = emb.select("vec_id", "emb").withColumn("nrm", norm(F.col("emb")))
+        if pq_book is not None or pq_codes > 0:
+            dim = len(
+                e.select("emb").limit(1).collect()[0]["emb"]
+            )
+            if dim % pq_m != 0:
+                raise ValueError(
+                    f"IVFIndexStore.build: dim {dim} not divisible by "
+                    f"pq_m {pq_m}"
+                )
+            subdim = dim // pq_m
+            if pq_book is None:
+                base = e.orderBy("vec_id").limit(pq_codes)
+                pq_book = _pq_parts_of(
+                    base.select(
+                        "vec_id",
+                        _unit(F.col("emb"), F.col("nrm")).alias("_u"),
+                    ),
+                    F.col("_u"),
+                    pq_m,
+                    subdim,
+                    ["vec_id"],
+                ).select(
+                    F.col("vec_id").cast("int").alias("code"),
+                    "sub",
+                    F.col("part").alias("cpart"),
+                )
+            pq_book.select("sub", "code", "cpart").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(path, "pq"))
+            book = spark.read.parquet(os.path.join(path, "pq"))
+            if book.limit(1).count() == 0:
+                raise ValueError(
+                    "IVFIndexStore.build: empty PQ codebook — the corpus "
+                    "is smaller than pq_codes or the explicit pq_book is "
+                    "empty"
+                )
+            e = _pq_encode(e, book, pq_m, subdim)
         if centroids is None:
             # pinned codebook: the k lowest vec_ids (bounded orderBy-limit)
             cents = (
@@ -205,6 +339,13 @@ class IVFIndexStore:
             # redelivered id arriving twice in one batch would pass the
             # on-disk anti-join below and be written twice
             e = e.dropDuplicates(["vec_id"])
+        book = self.pq_book()
+        if book is not None:
+            # a PQ store's append must carry codes or the cells schema
+            # forks mid-table (Spark would widen with NULL codes and the
+            # ADC scan would silently skip the new rows)
+            m, subdim = self._pq_shape(book)
+            e = _pq_encode(e, book, m, subdim)
         assigned = _assign_cells(e, self.centroids())
         if idempotent:
             # consumed twice (cell collect + write): checkpoint so the
@@ -264,10 +405,14 @@ class IVFIndexStore:
 
         if n_sub < 2:
             raise ValueError(f"split_cell: n_sub must be >= 2, got {n_sub}")
+        # heal crash residue (mid-swap codebook restore, stale tmp/old
+        # dirs, orphan cells) before reading — split's own rename swap
+        # below must never inherit a wedged ._split_old
+        self._recover_orphan_cells()
         rows = (
             self.cells()
             .filter(F.col("cell") == cell)
-            .select("vec_id", "emb", "nrm")
+            .drop("cell")  # keep every payload column (PQ codes ride along)
             # seed selection, reassignment, and the overwrite all consume
             # this; pinning it also decouples every later job from the
             # cells/ files about to be rewritten
@@ -458,7 +603,7 @@ class IVFIndexStore:
         rows = (
             self.cells()
             .filter(F.col("cell").isin([a, b]))
-            .select("vec_id", "emb", "nrm")
+            .drop("cell")  # keep every payload column (PQ codes ride along)
             .localCheckpoint()  # pin before the partition rewrite
         )
         from .cc import _scoped_conf
@@ -476,20 +621,53 @@ class IVFIndexStore:
         bdir = os.path.join(self.path, "cells", f"cell={b}")
         if os.path.isdir(bdir):
             junk = os.path.join(self.path, f"._merge_drop_cell={b}")
+            # clear residue from a prior interrupted run first: renaming
+            # onto a surviving non-empty junk dir raises ENOTEMPTY
+            _sh.rmtree(junk, ignore_errors=True)
             os.rename(bdir, junk)
             _sh.rmtree(junk, ignore_errors=True)
         self.k = len(cents_rows)
         return self
 
+    def _recover_codebook_swap(self) -> None:
+        """Crash-residue recovery for the centroid rename swap shared by
+        split_cell and merge_cells (write ._X_tmp → rename(final, ._X_old)
+        → rename(tmp, final) → rmtree(old)). A kill between the two
+        renames leaves ``centroids/`` ABSENT (store unloadable) with the
+        complete old codebook in ._X_old — restore it: the row move had
+        not started, so the old codebook is the consistent one. A kill
+        after the swap leaves stale ._X_old / ._X_tmp dirs that would
+        wedge the NEXT swap's os.rename with ENOTEMPTY — delete them
+        (the post-swap orphan-cell state, if any, is _recover_orphan_
+        cells' job). Mirrors compact_cells' entry-time recovery block."""
+        import shutil as _sh
+
+        final = os.path.join(self.path, "centroids")
+        for tag in ("._split", "._merge"):
+            old_dir = final + tag + "_old"
+            tmp = final + tag + "_tmp"
+            if os.path.isdir(old_dir) and not os.path.exists(final):
+                os.rename(old_dir, final)  # mid-swap crash: restore
+            else:
+                _sh.rmtree(old_dir, ignore_errors=True)  # post-swap junk
+            _sh.rmtree(tmp, ignore_errors=True)  # tmp is always junk
+
     def _recover_orphan_cells(self) -> list[int]:
         """Heal cells present on disk but absent from the codebook (the
         crash residue class of merge_cells step 1/2): fold each orphan
         cell's rows into their nearest CURRENT centroid, anti-joining
-        away vec_ids that already landed (a step-2 crash leaves the
-        rows duplicated in the survivor partition), then drop the
-        orphan directory. Returns the healed cell ids."""
+        away vec_ids that are already indexed ANYWHERE (a merge step-2
+        crash leaves the orphan's rows duplicated in the SURVIVOR
+        partition, whose id need not be any orphan row's nearest current
+        centroid — r10 review: filtering the probe to the reassignment's
+        target cells missed exactly that state and re-appended
+        duplicates), then drop the orphan directory. The existence probe
+        is a column-pruned vec_id-only scan of the index — acceptable
+        because this is the rare crash-recovery path, never per-search
+        or per-add. Returns the healed cell ids."""
         import shutil as _sh
 
+        self._recover_codebook_swap()
         root = os.path.join(self.path, "cells")
         if not os.path.isdir(root):
             return []
@@ -503,25 +681,28 @@ class IVFIndexStore:
         orphans = sorted(on_disk - known)
         for orph in orphans:
             odir = os.path.join(root, f"cell={orph}")
-            rows = (
-                self.spark.read.parquet(odir)
-                .select("vec_id", "emb", "nrm")
-                .localCheckpoint()
-            )
+            # leaf-dir read: no `cell` partition column; every stored
+            # payload column (incl. PQ codes) is preserved verbatim
+            rows = self.spark.read.parquet(odir).localCheckpoint()
             assigned = _assign_cells(rows, cdf).localCheckpoint()
-            hit = [
-                r["cell"]
-                for r in assigned.select("cell").distinct().collect()
-            ]
+            # all NON-orphan cells: the orphan partitions themselves sit
+            # under cells/, and a bare all-ids probe would see the
+            # orphan's own rows and anti-join the whole heal away (rows
+            # silently lost once the dir drops); other orphans' rows are
+            # excluded too — each gets its own heal iteration
             existing = (
                 self.cells()
-                .filter(F.col("cell").isin(hit))
+                .filter(~F.col("cell").isin([int(o) for o in orphans]))
                 .select("vec_id")
             )
             assigned.join(existing, "vec_id", "left_anti").write.mode(
                 "append"
             ).partitionBy("cell").parquet(root)
             junk = os.path.join(self.path, f"._merge_drop_cell={orph}")
+            # a prior interrupted heal/merge can leave this junk path
+            # half-deleted (the rmtree below is ignore_errors) — clear it
+            # first or os.rename wedges with ENOTEMPTY
+            _sh.rmtree(junk, ignore_errors=True)
             os.rename(odir, junk)
             _sh.rmtree(junk, ignore_errors=True)
         return orphans
@@ -617,11 +798,32 @@ class IVFIndexStore:
     # ------------------------------------------------------------- load
     @staticmethod
     def load(spark: SparkSession, path: str) -> "IVFIndexStore":
-        k = spark.read.parquet(os.path.join(path, "centroids")).count()
-        return IVFIndexStore(spark, path, k)
+        store = IVFIndexStore(spark, path, 0)
+        # a kill between a maintenance swap's two renames leaves
+        # centroids/ absent with the old codebook in ._split_old /
+        # ._merge_old — restore it so a crashed store stays loadable
+        store._recover_codebook_swap()
+        store.k = spark.read.parquet(os.path.join(path, "centroids")).count()
+        return store
 
     def centroids(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.path, "centroids"))
+
+    def pq_book(self) -> DataFrame | None:
+        """The persisted PQ codebook (sub, code, cpart), or None for a
+        plain exact store."""
+        p = os.path.join(self.path, "pq")
+        if not os.path.isdir(p):
+            return None
+        return self.spark.read.parquet(p)
+
+    def _pq_shape(self, book: DataFrame) -> tuple[int, int]:
+        """(m, subdim) from the persisted book — one bounded collect of
+        the m distinct subs + one subvector length."""
+        row = book.select(
+            F.max("sub").alias("mx"), F.min(F.size("cpart")).alias("sd")
+        ).collect()[0]
+        return int(row["mx"]) + 1, int(row["sd"])
 
     # the canonical cells schema — pinned so a zero-row index (e.g. an
     # empty or fully-out-of-codebook build: only _SUCCESS on disk, which
@@ -635,7 +837,14 @@ class IVFIndexStore:
         try:
             df = self.spark.read.parquet(os.path.join(self.path, "cells"))
         except AnalysisException:
-            return self.spark.createDataFrame([], self._CELLS_SCHEMA)
+            schema = self._CELLS_SCHEMA
+            if os.path.isdir(os.path.join(self.path, "pq")):
+                # a PQ store's empty frame carries the codes column too,
+                # so both branches return one schema
+                schema = schema.replace(
+                    ", cell bigint", ", codes array<int>, cell bigint"
+                )
+            return self.spark.createDataFrame([], schema)
         # partition discovery infers the cell directory column as INT;
         # the pinned empty-index schema says BIGINT — normalize so both
         # branches return an identical schema (cast is a no-op upcast on
@@ -749,6 +958,148 @@ class IVFIndexStore:
         return (
             topk_per_group(
                 scored,
+                ["query_id"],
+                [F.col("cos_sim").desc(), F.col("neighbor_id")],
+                topk,
+            )
+            .withColumn("rank", F.col("rank").cast("bigint"))
+            .select("query_id", "neighbor_id", "cos_sim", "rank")
+        )
+
+    # -------------------------------------------------------- search_pq
+    def search_pq(
+        self,
+        queries: DataFrame,
+        nprobe: int = 2,
+        topk: int = 3,
+        rerank: int = 4,
+        exclude_self: bool = True,
+        cells_df: DataFrame | None = None,
+    ) -> DataFrame:
+        """IVFADC search (Jégou et al. 2011, the FAISS billion-scale
+        shape) over the persisted PQ codes: probe nprobe cells exactly
+        like search(), score every candidate by ASYMMETRIC distance —
+        the sum over subspaces of a broadcast (query, sub, code) →
+        distance table, reading ONLY the codes column (pq_m small ints
+        per vector; the emb column is never decoded in this stage,
+        which at 100 TB is the difference between scanning m bytes and
+        dim×8 bytes per candidate) — then exactly re-rank the top
+        topk×rerank by full-precision cosine, decoding emb for just
+        those ≤ |Q|×topk×rerank rows. Returns the search() schema
+        (query_id, neighbor_id, cos_sim, rank): cos_sim is EXACT (from
+        the re-rank); only candidate SELECTION is approximate.
+
+        Deterministic end-to-end: the ADC fold is pinned in sub order,
+        ties break on vec_id, and the re-rank reuses search()'s
+        (cos_sim DESC, neighbor_id) rule. ``cells_df`` is the same
+        receipt seam as search()."""
+        book = self.pq_book()
+        if book is None:
+            raise ValueError(
+                "search_pq: this store has no PQ codebook — build with "
+                "pq_codes/pq_book, or use search()"
+            )
+        m, subdim = self._pq_shape(book)
+        q = queries.select(
+            F.col("query_id"), F.col("emb").alias("qemb")
+        ).withColumn("qnrm", norm(F.col("qemb")))
+        probes = (
+            q.join(F.broadcast(self.centroids()))
+            .select(
+                "query_id",
+                F.col("cent_id").alias("cell"),
+                cosine_prenorm(
+                    F.col("qemb"), F.col("cemb"), F.col("qnrm"), F.col("cnrm")
+                ).alias("csim"),
+            )
+            .withColumn(
+                "_r",
+                F.row_number().over(
+                    Window.partitionBy("query_id").orderBy(
+                        F.col("csim").desc(), "cell"
+                    )
+                ),
+            )
+            .filter(F.col("_r") <= nprobe)
+            .select("query_id", "cell")
+            # consumed twice (cell collect + candidate join) — one run
+            .localCheckpoint()
+        )
+        probe_cells = [
+            r["cell"] for r in probes.select("cell").distinct().collect()
+        ]
+        # distance table: |Q| × m × n_codes rows, broadcast
+        qparts = _pq_parts_of(
+            q.select(
+                "query_id", _unit(F.col("qemb"), F.col("qnrm")).alias("_u")
+            ),
+            F.col("_u"),
+            m,
+            subdim,
+            ["query_id"],
+        )
+        dtab = qparts.join(F.broadcast(book), "sub").select(
+            "query_id",
+            "sub",
+            "code",
+            _sqdist(F.col("part"), F.col("cpart")).alias("qd"),
+        )
+        src = cells_df if cells_df is not None else self.cells()
+        cand = src.filter(F.col("cell").isin(probe_cells)).select(
+            "vec_id", "codes", "cell"
+        )
+        if exclude_self:
+            joined = cand.join(F.broadcast(probes), "cell").filter(
+                F.col("vec_id") != F.col("query_id")
+            )
+        else:
+            joined = cand.join(F.broadcast(probes), "cell")
+        # ADC: explode the code array, look distances up in the
+        # broadcast table, fold back per (query, vector) in PINNED sub
+        # order (raw double sums are shuffle-order unstable)
+        approx = (
+            joined.select(
+                "query_id",
+                "vec_id",
+                F.posexplode("codes").alias("sub", "code"),
+            )
+            .join(F.broadcast(dtab), ["query_id", "sub", "code"])
+            .groupBy("query_id", "vec_id")
+            .agg(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("sub", "qd"))),
+                        lambda s: s["qd"],
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("adist")
+            )
+        )
+        pool = topk_per_group(
+            approx,
+            ["query_id"],
+            [F.asc("adist"), F.asc("vec_id")],
+            topk * rerank,
+        ).select("query_id", "vec_id")
+        # exact re-rank: decode emb for ONLY the pooled candidates —
+        # pruned scan × broadcast pool × broadcast queries
+        full = (
+            src.filter(F.col("cell").isin(probe_cells))
+            .select("vec_id", "emb", "nrm")
+            .join(F.broadcast(pool), "vec_id")
+            .join(F.broadcast(q), "query_id")
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                cosine_prenorm(
+                    F.col("qemb"), F.col("emb"), F.col("qnrm"), F.col("nrm")
+                ).alias("cos_sim"),
+            )
+        )
+        return (
+            topk_per_group(
+                full,
                 ["query_id"],
                 [F.col("cos_sim").desc(), F.col("neighbor_id")],
                 topk,

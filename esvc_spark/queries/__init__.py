@@ -25,60 +25,64 @@ from pyspark.sql import DataFrame, SparkSession
 # round last graded each query — update it when CORRECTNESS_r{N}.json
 # lands.
 #
-# Round-10 rotation: front (a) the round-10 NEW query q_emb_ivf_split
-# (split_cell maintenance under the oracle gate: hottest-cell split +
-# codebook-version/probe-map search transparency proof — exercises the
-# r10-changed ann_store.search seams and the split_cell epsilon/
-# non-empty-subcell guards), (b) q_stream_emb_index, whose execution
-# path changed (compact_cells defragmentation pass after the streamed
-# appends), and (c) the entire r4-vintage attestation backlog (35
-# rows, now the oldest green rows per ATTESTATION.md). 37 names,
-# inside the driver's ~50-row budget. Everything else holds a green
-# r5+ driver row and absorbs any truncation.
+# Round-11 rotation: front (a) the round-11 NEW queries — q_emb_ivf_merge
+# (merge_cells maintenance under the oracle gate, the last pipeline
+# component without a driver row, VERDICT r10 #1), (b) the two queries
+# whose execution paths changed this round — q_emb_ivf_split (split_cell
+# now runs entry-time crash-residue recovery) and q_stream_emb_index
+# (the store's load/heal seams changed) — and (c) the entire r5-vintage
+# attestation backlog (39 rows, now the oldest green rows per
+# ATTESTATION.md). 42 names, inside the driver's ~50-row budget.
+# Everything else holds a green r6+ driver row and absorbs truncation.
 _MODULE_ORDER = ("esvc", "multimodal", "embeddings", "documents", "events", "relational")
 
 _FRONT = (
-    # NEW this round: split-cell maintenance transparency proof
+    # NEW this round: merge-cells maintenance proof + persisted IVF-PQ
+    "q_emb_ivf_merge",
+    "q_emb_ivfpq_store",
+    # changed execution paths this round (ann_store recovery seams)
     "q_emb_ivf_split",
-    # changed this round: compact_cells maintenance pass after the
-    # streamed appends (inventory oracle doubles as the verbatim proof)
     "q_stream_emb_index",
-    # r4-vintage attestation backlog (oldest green rows)
-    "q_benford_audit",
-    "q_bloom_join_filter",
-    "q_doc_bbit_minhash",
-    "q_doc_calibration",
-    "q_doc_dsir",
-    "q_doc_dup_runs",
-    "q_doc_heaps",
-    "q_doc_langid_eval",
-    "q_doc_quality_auc",
-    "q_doc_threshold_sweep",
-    "q_doc_weighted_sample",
-    "q_doc_zipf",
-    "q_dq_checks",
-    "q_emb_db_index",
-    "q_emb_pca_power",
-    "q_ev_ab_test",
-    "q_ev_acf",
-    "q_ev_bootstrap_ci",
-    "q_ev_bursts",
-    "q_ev_gdpr_erasure",
-    "q_ev_markov_attribution",
-    "q_ev_power_analysis",
-    "q_ev_psi_drift",
-    "q_ev_scd2",
-    "q_ev_seasonality",
-    "q_ev_slo_burn",
-    "q_ev_stickiness",
-    "q_ev_survival",
-    "q_ivm_join",
-    "q_join_card_audit",
-    "q_mm_phash_dedup",
-    "q_profile_lineitem",
-    "q_skyline_customers",
-    "q_stream_ingest_log",
-    "q_stream_left_join",
+    # r5-vintage attestation backlog (oldest green rows)
+    "q01_pricing_summary",
+    "q02_min_cost_supplier",
+    "q03_shipping_priority",
+    "q04_order_priority",
+    "q05_local_supplier_volume",
+    "q06_forecast_revenue",
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q09_product_profit",
+    "q10_returned_items",
+    "q_dedup_method_eval",
+    "q_doc_cross_source_dup",
+    "q_doc_dup_transitivity",
+    "q_doc_entropy",
+    "q_doc_jackknife",
+    "q_doc_leakage_split",
+    "q_doc_lsh_tuning",
+    "q_doc_novelty",
+    "q_doc_signal_corr",
+    "q_doc_source_overlap",
+    "q_doc_winnow_pairs",
+    "q_emb_drift",
+    "q_emb_kcenter",
+    "q_ev_asof_nearest",
+    "q_ev_bot_detect",
+    "q_ev_dedup_content",
+    "q_ev_forecast",
+    "q_ev_funnel_latency",
+    "q_ev_incremental_agg",
+    "q_ev_json_props",
+    "q_ev_key_skew",
+    "q_ev_ltv",
+    "q_ev_percentiles",
+    "q_ev_predictability",
+    "q_ev_sessionize",
+    "q_ev_user_journey",
+    "q_mm_scene_cuts",
+    "q_stream_anomaly",
+    "q_window_trailing_spend",
 )
 
 def _modules():

@@ -3437,7 +3437,366 @@ WHERE rank <= {_IVF_TOPK}
 """
 
 
+# ---------------------------------------------- persisted IVF-PQ serving
+# VERDICT r10 #6: q_emb_ivfpq_search proves the IVFADC math but rebuilds
+# per run and serves exact vectors; at 100 TB the inverted lists
+# themselves are the storage/scan problem. This query puts the PERSISTED
+# PQ path under the oracle gate: IVFIndexStore.build(pq_book=...) writes
+# a codes column into every cell row, search_pq scores candidates from
+# ONLY those codes (asymmetric distance, pinned-sub-order fold) and
+# decodes full embeddings for just the topk×rerank re-rank pool. Output:
+# the ADC search result (exact cos_sim from the re-rank) plus per-query
+# recall against the exact store search over the SAME probes — isolating
+# quantization loss from probe loss. The oracle reproduces assignment,
+# the normalized-subvector codebook, encoding, the distance table, the
+# ADC fold, both rankings, and the recall join in closed form.
+
+_IVFPQ_RERANK = 4
+
+
+def q_emb_ivfpq_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.ann_store import IVFIndexStore, _pq_parts_of, _unit
+
+    e = _emb(spark, sf_dir).select("vec_id", "emb")
+    en = e.withColumn("nrm", norm(F.col("emb")))
+    cents = e.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb")
+    )
+    # explicit codebook (the vec_id < _PQ_CODES pin, NORMALIZED parts)
+    # so store and oracle agree on any id space — the q_stream_emb_index
+    # convention
+    book = _pq_parts_of(
+        en.filter(F.col("vec_id") < _PQ_CODES).select(
+            "vec_id", _unit(F.col("emb"), F.col("nrm")).alias("_u")
+        ),
+        F.col("_u"),
+        _PQ_SUBS,
+        _PQ_SUBDIM,
+        ["vec_id"],
+    ).select(
+        F.col("vec_id").cast("int").alias("code"),
+        "sub",
+        F.col("part").alias("cpart"),
+    )
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "emb"
+    )
+    work = tempfile.mkdtemp(prefix="esvc_ivfpqstore_")
+    try:
+        store = IVFIndexStore.build(
+            spark,
+            e,
+            f"{work}/idx",
+            centroids=cents,
+            pq_book=book,
+            pq_m=_PQ_SUBS,
+        )
+        adc = store.search_pq(
+            q, nprobe=_IVF_NPROBE, topk=_IVFPQ_K, rerank=_IVFPQ_RERANK
+        ).localCheckpoint()
+        exact = store.search(q, nprobe=_IVF_NPROBE, topk=_IVFPQ_K)
+        hits = (
+            adc.select("query_id", "neighbor_id")
+            .join(exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+        )
+        return (
+            adc.join(hits, "query_id", "left")
+            .select(
+                "query_id",
+                "neighbor_id",
+                "cos_sim",
+                "rank",
+                F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+                (
+                    F.coalesce("n_hits", F.lit(0)).cast("double")
+                    / float(_IVFPQ_K)
+                ).alias("recall_at_3"),
+            )
+            .localCheckpoint()  # materialize before the temp dir goes
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _ivfpq_store_sql() -> str:
+    dsub = _SQL_KM_SQDIST.format(dim=_PQ_SUBDIM, a="part", b="cpart")
+    dq = _SQL_KM_SQDIST.format(dim=_PQ_SUBDIM, a="qpart", b="cpart")
+    part = (
+        f"SELECT vec_id, CAST(j AS INT) AS sub, "
+        f"u[j * {_PQ_SUBDIM} + 1 : (j + 1) * {_PQ_SUBDIM}] AS part "
+        f"FROM unitv, unnest(range(0, {_PQ_SUBS})) t(j)"
+    )
+    return f"""
+WITH en AS ({_SQL_EMB_NORMED}),
+cents AS (
+  SELECT vec_id AS cent_id, emb AS cemb, nrm AS cnrm FROM en
+  WHERE vec_id < {_IVF_K}
+),
+assign AS (
+  SELECT vec_id, cent_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+           {sql_cosine_prenorm('emb', 'cemb', 'nrm', 'cnrm')} DESC, cent_id)
+           AS crank
+  FROM en CROSS JOIN cents
+),
+lists AS (SELECT vec_id, cent_id AS cell FROM assign WHERE crank = 1),
+probes AS (
+  SELECT vec_id AS query_id, cent_id AS cell FROM assign
+  WHERE crank <= {_IVF_NPROBE} AND vec_id < {_N_QUERIES}
+),
+unitv AS (
+  SELECT vec_id,
+         list_transform(emb, x -> CASE WHEN nrm = CAST(0 AS DOUBLE)
+                                       THEN x ELSE x / nrm END) AS u
+  FROM en
+),
+parts AS ({part}),
+book AS (
+  SELECT CAST(vec_id AS INT) AS code, sub, part AS cpart
+  FROM parts WHERE vec_id < {_PQ_CODES}
+),
+enc AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT parts.vec_id, parts.sub, code,
+           ROW_NUMBER() OVER (PARTITION BY parts.vec_id, parts.sub
+                              ORDER BY {dsub}, code) AS rk
+    FROM parts JOIN book USING (sub)
+  ) WHERE rk = 1
+),
+qparts AS (
+  SELECT vec_id AS query_id, sub, part AS qpart
+  FROM parts WHERE vec_id < {_N_QUERIES}
+),
+dtab AS (
+  SELECT query_id, sub, code, {dq} AS qd
+  FROM qparts JOIN book USING (sub)
+),
+cand AS (
+  SELECT DISTINCT p.query_id, l.vec_id
+  FROM probes p JOIN lists l ON p.cell = l.cell
+  WHERE l.vec_id <> p.query_id
+),
+approx AS (
+  SELECT query_id, vec_id, {sql_ofold_sum('sub', 'qd')} AS adist
+  FROM (
+    SELECT c.query_id, c.vec_id, enc.sub AS sub, dtab.qd AS qd
+    FROM cand c
+    JOIN enc ON enc.vec_id = c.vec_id
+    JOIN dtab ON dtab.query_id = c.query_id AND dtab.sub = enc.sub
+             AND dtab.code = enc.code
+  ) GROUP BY 1, 2
+),
+pool AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY adist, vec_id) AS rk
+    FROM approx
+  ) WHERE rk <= {_IVFPQ_K * _IVFPQ_RERANK}
+),
+q AS (
+  SELECT vec_id AS query_id, emb AS qemb, nrm AS qnrm FROM en
+  WHERE vec_id < {_N_QUERIES}
+),
+adc AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+  FROM (
+    SELECT p.query_id, n.vec_id AS neighbor_id,
+           {sql_cosine_prenorm('q.qemb', 'n.emb', 'q.qnrm', 'n.nrm')} AS cos_sim
+    FROM pool p
+    JOIN en n ON n.vec_id = p.vec_id
+    JOIN q ON q.query_id = p.query_id
+  )
+),
+etop AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT c.query_id, n.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY c.query_id ORDER BY
+             {sql_cosine_prenorm('q.qemb', 'n.emb', 'q.qnrm', 'n.nrm')} DESC,
+             n.vec_id) AS rk
+    FROM cand c
+    JOIN en n ON n.vec_id = c.vec_id
+    JOIN q ON q.query_id = c.query_id
+  ) WHERE rk <= {_IVFPQ_K}
+),
+hits AS (
+  SELECT a.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM (SELECT query_id, neighbor_id FROM adc WHERE rank <= {_IVFPQ_K}) a
+  JOIN etop USING (query_id, neighbor_id)
+  GROUP BY 1
+)
+SELECT adc.query_id, adc.neighbor_id, adc.cos_sim, adc.rank,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / {_IVFPQ_K} AS recall_at_3
+FROM adc LEFT JOIN hits h ON h.query_id = adc.query_id
+WHERE adc.rank <= {_IVFPQ_K}
+"""
+
+
+# ------------------------------------------------- merge-cell maintenance
+# merge_cells (operators/ann_store.py) under the oracle hash gate
+# (VERDICT r10 #1 — the last maintenance move without a driver row):
+# build the store, merge the two COLDEST cells (min rows, ties to the
+# lower id; survivor = lower id, centroid = row-count-weighted mean),
+# then prove two things. (1) Corpus preservation: exhaustive-probe
+# search (nprobe = k, scores every vector) pre- and post-merge is
+# IDENTICAL — any row lost, duplicated, or rescored by the partition
+# rewrite breaks it; match_exhaustive carries the Spark-side exceptAll
+# proof and the oracle pins it TRUE. (2) The merged-codebook serving
+# path: the output rows are the post-merge search at the normal
+# nprobe, which the oracle reproduces in closed form — assignment,
+# cold-pair choice, the weighted-mean centroid (same IEEE op order as
+# merge_cells' driver-side fold), the folded lists, probe ranking
+# against the NEW codebook, and the top-k.
+
+def q_emb_ivf_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.ann_store import IVFIndexStore
+
+    e = _emb(spark, sf_dir).select("vec_id", "emb")
+    cents = e.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb")
+    )
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "emb"
+    )
+    work = tempfile.mkdtemp(prefix="esvc_ivfmerge_")
+    try:
+        store = IVFIndexStore.build(spark, e, f"{work}/idx", centroids=cents)
+        k0 = store.k
+        counts = {
+            int(r["cell"]): int(r["count"])
+            for r in store.cells().groupBy("cell").count().collect()
+        }
+        cold = sorted(counts, key=lambda c: (counts[c], c))[:2]
+        a, b = int(min(cold)), int(max(cold))
+        n_a, n_b = counts[a], counts[b]
+        # (1) exhaustive probes score every vector — layout-independent
+        pre = store.search(q, nprobe=k0, topk=_IVF_TOPK).localCheckpoint()
+        store.merge_cells(a, b)
+        post_x = store.search(q, nprobe=store.k, topk=_IVF_TOPK)
+        mismatches = (
+            pre.exceptAll(post_x).count() + post_x.exceptAll(pre).count()
+        )
+        n_merged = int(
+            store.cells().filter(F.col("cell") == a).count()
+        )
+        # (2) the normal serving path against the merged codebook
+        post = store.search(q, nprobe=_IVF_NPROBE, topk=_IVF_TOPK)
+        return post.select(
+            "query_id",
+            "neighbor_id",
+            "cos_sim",
+            "rank",
+            F.lit(a).cast("bigint").alias("cold_a"),
+            F.lit(b).cast("bigint").alias("cold_b"),
+            F.lit(n_a).cast("bigint").alias("n_a"),
+            F.lit(n_b).cast("bigint").alias("n_b"),
+            F.lit(n_merged).cast("bigint").alias("n_merged"),
+            F.lit(mismatches == 0).alias("match_exhaustive"),
+        ).localCheckpoint()  # materialize before the temp index dir goes
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+_IVF_MERGE_SQL = f"""
+WITH e AS ({_SQL_EMB_NORMED}),
+cents AS (
+  SELECT vec_id AS cent_id, emb AS cemb, nrm AS cnrm FROM e
+  WHERE vec_id < {_IVF_K}
+),
+assign AS (
+  SELECT vec_id, cent_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+           {sql_cosine_prenorm('emb', 'cemb', 'nrm', 'cnrm')} DESC, cent_id)
+           AS crank
+  FROM e CROSS JOIN cents
+),
+lists AS (SELECT vec_id, cent_id AS cell FROM assign WHERE crank = 1),
+cellcounts AS (
+  SELECT cell, CAST(COUNT(*) AS BIGINT) AS c FROM lists GROUP BY cell
+),
+coldpair AS (
+  SELECT cell, c FROM cellcounts ORDER BY c ASC, cell ASC LIMIT 2
+),
+cold AS (
+  SELECT MIN(cell) AS cold_a, MAX(cell) AS cold_b,
+         (SELECT c FROM coldpair WHERE cell = (SELECT MIN(cell) FROM coldpair)) AS n_a,
+         (SELECT c FROM coldpair WHERE cell = (SELECT MAX(cell) FROM coldpair)) AS n_b
+  FROM coldpair
+),
+merged AS (
+  SELECT cold.cold_a AS cent_id,
+         list_transform(range(1, len(ca.cemb) + 1),
+           i -> (cold.n_a * ca.cemb[i] + cold.n_b * cb.cemb[i])
+                / CAST(cold.n_a + cold.n_b AS DOUBLE)) AS cemb
+  FROM cold
+  JOIN cents ca ON ca.cent_id = cold.cold_a
+  JOIN cents cb ON cb.cent_id = cold.cold_b
+),
+newcents AS (
+  SELECT cent_id, cemb, cnrm FROM cents CROSS JOIN cold
+  WHERE cent_id NOT IN (cold.cold_a, cold.cold_b)
+  UNION ALL
+  SELECT cent_id, cemb, sqrt({sql_dot('cemb', 'cemb')}) FROM merged
+),
+newlists AS (
+  SELECT l.vec_id,
+         CASE WHEN l.cell IN (cold.cold_a, cold.cold_b)
+              THEN cold.cold_a ELSE l.cell END AS cell
+  FROM lists l CROSS JOIN cold
+),
+q AS (
+  SELECT vec_id AS query_id, emb AS qemb, nrm AS qnrm FROM e
+  WHERE vec_id < {_N_QUERIES}
+),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, nc.cent_id AS cell,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+             {sql_cosine_prenorm('q.qemb', 'nc.cemb', 'q.qnrm', 'nc.cnrm')}
+             DESC, nc.cent_id) AS pr
+    FROM q CROSS JOIN newcents nc
+  ) WHERE pr <= {_IVF_NPROBE}
+),
+cand AS (
+  SELECT DISTINCT p.query_id, l.vec_id
+  FROM probes p JOIN newlists l ON p.cell = l.cell
+  WHERE l.vec_id <> p.query_id
+),
+scored AS (
+  SELECT c.query_id, c.vec_id AS neighbor_id,
+         {sql_cosine_prenorm('qq.qemb', 'n.emb', 'qq.qnrm', 'n.nrm')} AS cos_sim
+  FROM cand c
+  JOIN q qq ON qq.query_id = c.query_id
+  JOIN e n ON n.vec_id = c.vec_id
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rank,
+       cold.cold_a, cold.cold_b, cold.n_a, cold.n_b,
+       cold.n_a + cold.n_b AS n_merged,
+       TRUE AS match_exhaustive
+FROM ranked CROSS JOIN cold
+WHERE rank <= {_IVF_TOPK}
+"""
+
+
 QUERIES = {
+    "q_emb_ivf_merge": q_emb_ivf_merge,
+    "q_emb_ivfpq_store": q_emb_ivfpq_store,
     "q_emb_ivf_split": q_emb_ivf_split,
     "q_emb_ivfpq_search": q_emb_ivfpq_search,
     "q_emb_ivf_balance": q_emb_ivf_balance,
@@ -3473,6 +3832,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_emb_ivf_merge": _IVF_MERGE_SQL,
+    "q_emb_ivfpq_store": _ivfpq_store_sql(),
     "q_emb_ivf_split": _IVF_SPLIT_SQL,
     "q_emb_ivfpq_search": _ivfpq_sql(),
     "q_emb_ivf_balance": _IVF_BALANCE_SQL,

@@ -107,6 +107,20 @@ _IMPERATIVE = {
         "them; returned frame is the checkpointed post-split top-k with "
         "audit constants"
     ),
+    "q_emb_ivf_merge": (
+        "merge_cells maintenance proof: build store, merge the two "
+        "coldest cells, exceptAll exhaustive-probe searches pre/post "
+        "(corpus preservation), then serve at normal nprobe from the "
+        "merged codebook; returned frame is the checkpointed post-merge "
+        "top-k with audit constants"
+    ),
+    "q_emb_ivfpq_store": (
+        "persisted IVF-PQ serving proof: build the store with a codes "
+        "column + pq codebook, run search_pq (ADC over codes only, "
+        "exact re-rank of topk*rerank) and the exact search over the "
+        "same probes, join for per-query recall; returned frame is the "
+        "checkpointed ADC top-k with recall audit"
+    ),
     "q_stream_ingest_log": (
         "streaming foreachBatch parquet append run twice (redelivery "
         "proof); returned frame is the checkpointed final aggregate"

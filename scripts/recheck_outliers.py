@@ -94,6 +94,7 @@ def main() -> int:
 
     results = []
     anchor_lowered = False
+    lowered_names: list[str] = []
     for n in names:
         best = round(min(samples[n]), 4)
         a = anchor.get(n)
@@ -113,9 +114,29 @@ def main() -> int:
         )
         if a is not None and best < a:
             anchor[n] = best
+            lowered_names.append(n)
             anchor_lowered = True
     if anchor_lowered and anchor_doc.get("sf") is not None:
         anchor_doc["queries"] = {k: round(v, 4) for k, v in sorted(anchor.items())}
+        # stamp provenance on every lowered floor (same schema bench.py
+        # writes): a later outlier receipt shows WHICH run set the floor
+        import datetime
+        import subprocess
+
+        try:
+            head7 = subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                capture_output=True, text=True, cwd=REPO, timeout=30,
+            ).stdout.strip()
+        except Exception:
+            head7 = ""
+        prov = anchor_doc.get("provenance", {}) or {}
+        for n in lowered_names:
+            prov[n] = {
+                "git": head7,
+                "date": datetime.date.today().isoformat(),
+            }
+        anchor_doc["provenance"] = {k: prov[k] for k in sorted(prov)}
         with open(os.path.join(REPO, "BENCH_ANCHOR.json"), "w") as fh:
             json.dump(anchor_doc, fh, indent=1, sort_keys=True)
     print(json.dumps({"sf_dir": args.sf_dir, "n": args.n, "results": results}))

@@ -745,3 +745,360 @@ def test_merge_cells_argument_guards(spark, tmp_path):
         st.merge_cells(0, 0)
     with pytest.raises(ValueError, match="not in codebook"):
         st.merge_cells(0, 99)
+
+def test_orphan_heal_skips_ids_duplicated_in_any_cell(spark, tmp_path):
+    """Review r10 (medium): the merge step-2 crash leaves the orphan
+    cell's rows ALREADY duplicated in the SURVIVOR partition, whose id
+    need not be any orphan row's nearest current centroid. The heal's
+    existence probe must cover ALL indexed vec_ids — filtering it to
+    the reassignment's target cells re-appends the duplicates into a
+    third cell."""
+    import os
+
+    # geometry: orphan rows [0.55, 0.9] originally belonged to the
+    # dropped centroid [0.707, 0.707]; their nearest REMAINING centroid
+    # is c2=[0,1] — NOT the survivor cell 0 that holds their duplicates
+    rows = (
+        [(i, [1.0, 0.05 * i]) for i in range(5)]           # cell 0
+        + [(10 + i, [0.55, 0.9 + 0.01 * i]) for i in range(3)]  # cell 1
+        + [(20 + i, [0.02 * i, 1.0]) for i in range(4)]    # cell 2
+    )
+    emb = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.707, 0.707]), (2, [0.0, 1.0])],
+        "cent_id long, cemb array<double>",
+    )
+    st = IVFIndexStore.build(spark, emb, str(tmp_path / "s2"), centroids=cents)
+    assigned = {
+        int(r["vec_id"]): int(r["cell"]) for r in st.cells().collect()
+    }
+    assert {assigned[10 + i] for i in range(3)} == {1}
+
+    # seed the step-2 crash state: codebook without cell 1, cell 1's
+    # rows duplicated into survivor partition 0, orphan dir still there
+    import shutil
+
+    kept = [
+        (int(r["cent_id"]), list(r["cemb"]), float(r["cnrm"]))
+        for r in st.centroids().collect()
+        if int(r["cent_id"]) != 1
+    ]
+    final = str(tmp_path / "s2" / "centroids")
+    tmpdir = final + "._test_tmp"
+    spark.createDataFrame(
+        kept, "cent_id bigint, cemb array<double>, cnrm double"
+    ).write.mode("overwrite").parquet(tmpdir)
+    shutil.rmtree(final)
+    os.rename(tmpdir, final)
+    st.k = 2
+    dup = (
+        st.cells()
+        .filter(F.col("cell") == 1)
+        .select("vec_id", "emb", "nrm")
+        .withColumn("cell", F.lit(0).cast("bigint"))
+        .localCheckpoint()
+    )
+    dup.write.mode("append").partitionBy("cell").parquet(
+        str(tmp_path / "s2" / "cells")
+    )
+
+    healed = st._recover_orphan_cells()
+    assert healed == [1]
+    # every vec_id exactly once — the buggy hit-cell probe would have
+    # appended ids 10-12 into cell 2 a second time
+    ids = sorted(r["vec_id"] for r in st.cells().collect())
+    assert ids == sorted(r[0] for r in rows)
+    assert not os.path.isdir(str(tmp_path / "s2" / "cells" / "cell=1"))
+
+
+def test_codebook_swap_crash_recovery(spark, tmp_path):
+    """Review r10 (low): a kill between the codebook swap's two renames
+    leaves centroids/ ABSENT (old codebook complete in ._merge_old) —
+    load() must restore it; stale post-swap residue (non-empty old/tmp
+    dirs) must not wedge the next maintenance rename with ENOTEMPTY."""
+    import os
+    import shutil
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 5) + 0.1, float(i % 3) + 0.4]) for i in range(24)],
+        "vec_id long, emb array<double>",
+    )
+    st = IVFIndexStore.build(spark, emb, str(tmp_path / "swap"), k=4)
+    k0 = st.k
+    inv = _inventory(st)
+    final = str(tmp_path / "swap" / "centroids")
+
+    # mid-swap crash: centroids/ gone, old codebook in ._merge_old,
+    # fully-written new codebook stranded in ._merge_tmp
+    shutil.copytree(final, final + "._merge_tmp")
+    os.rename(final, final + "._merge_old")
+    re = IVFIndexStore.load(spark, str(tmp_path / "swap"))
+    assert re.k == k0 and _inventory(re) == inv
+    assert os.path.isdir(final)
+    assert not os.path.exists(final + "._merge_old")
+    assert not os.path.exists(final + "._merge_tmp")
+
+    # post-swap residue: stale non-empty old+tmp dirs for BOTH tags must
+    # be cleared at entry, not crash the swap's os.rename
+    for tag in ("._merge", "._split"):
+        shutil.copytree(final, final + tag + "_old")
+        shutil.copytree(final, final + tag + "_tmp")
+    sizes = {
+        int(r["cell"]): int(r["n"])
+        for r in re.cells().groupBy("cell").agg(F.count("*").alias("n")).collect()
+    }
+    cold = sorted(sizes, key=lambda c: (sizes[c], c))[:2]
+    re.merge_cells(int(min(cold)), int(max(cold)))
+    assert re.k == k0 - 1
+    assert _inventory(re) == inv
+    residue = [
+        e
+        for e in os.listdir(tmp_path / "swap")
+        if "._merge" in e or "._split" in e
+    ]
+    assert residue == []
+
+
+def test_merge_survives_stale_drop_dir_residue(spark, tmp_path):
+    """Review r10 (low): a prior interrupted run can leave a non-empty
+    ._merge_drop_cell={b} junk dir; the next merge's rename-out of b's
+    directory must clear it first instead of dying ENOTEMPTY."""
+    import os
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 5) + 0.1, float(i % 3) + 0.4]) for i in range(24)],
+        "vec_id long, emb array<double>",
+    )
+    st = IVFIndexStore.build(spark, emb, str(tmp_path / "junk"), k=4)
+    inv = _inventory(st)
+    sizes = {
+        int(r["cell"]): int(r["n"])
+        for r in st.cells().groupBy("cell").agg(F.count("*").alias("n")).collect()
+    }
+    cold = sorted(sizes, key=lambda c: (sizes[c], c))[:2]
+    a, b = int(min(cold)), int(max(cold))
+    junk = tmp_path / "junk" / f"._merge_drop_cell={b}"
+    os.makedirs(junk)
+    (junk / "stale.parquet").write_bytes(b"x")
+    st.merge_cells(a, b)
+    assert _inventory(st) == inv
+    assert not os.path.exists(junk)
+
+
+class _Kill(BaseException):
+    """Injected crash — BaseException so no except-Exception cleanup
+    inside the op can swallow it."""
+
+
+def test_maintenance_kill_point_interleaving(spark, tmp_path):
+    """VERDICT r10 #5: randomized kill points over an interleaved
+    add/split/merge/compact schedule. After every kill the store must
+    heal (load + _recover_orphan_cells + compact_cells) to an inventory
+    with every indexed vector exactly once, and at the end its
+    exhaustive-probe search must be IDENTICAL to a fresh build over the
+    same corpus — the search-identical reload invariant the individual
+    crash tests can't cover across op interactions."""
+    import math
+    import os as _os
+    import random
+
+    rng = random.Random(411)
+    # distinct-angle unit-ish vectors: no parallel pair, so split_cell's
+    # diverse-seed guard never trips
+    def vec(i):
+        th = 0.05 + 0.028 * i
+        return [math.cos(th), math.sin(th)]
+
+    next_id = 40
+    corpus = [(i, vec(i)) for i in range(next_id)]
+    emb = spark.createDataFrame(corpus, "vec_id long, emb array<double>")
+    path = str(tmp_path / "kp")
+    st = IVFIndexStore.build(spark, emb, path, k=4)
+
+    real_rename = _os.rename
+
+    def run_with_kill(op, kill_at):
+        """Run op() with os.rename raising on the kill_at-th call
+        (0 = no kill). Returns True if the op completed."""
+        if kill_at == 0:
+            op()
+            return True
+        calls = {"n": 0}
+
+        def killing_rename(src, dst):
+            calls["n"] += 1
+            if calls["n"] == kill_at:
+                raise _Kill(f"kill at rename #{kill_at}: {src} -> {dst}")
+            return real_rename(src, dst)
+
+        _os.rename = killing_rename
+        try:
+            op()
+            return True
+        except _Kill:
+            return False
+        finally:
+            _os.rename = real_rename
+
+    def heal():
+        s = IVFIndexStore.load(spark, path)
+        s._recover_orphan_cells()
+        s.compact_cells()
+        return s
+
+    for step in range(8):
+        op_name = rng.choice(["add", "split", "merge", "compact"])
+        kill_at = rng.choice([0, 1, 2, 3])
+        sizes = {
+            int(r["cell"]): int(r["n"])
+            for r in st.cells()
+            .groupBy("cell")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        if op_name == "add":
+            batch = [(next_id + j, vec(next_id + j)) for j in range(4)]
+            bdf = spark.createDataFrame(batch, "vec_id long, emb array<double>")
+            st.add(bdf)  # append commit is Spark's protocol; no kill
+            corpus += batch
+            next_id += 4
+        elif op_name == "split":
+            hot = max(sizes, key=lambda c: (sizes[c], -c))
+            if sizes[hot] < 2:
+                continue
+            run_with_kill(lambda: st.split_cell(hot), kill_at)
+        elif op_name == "merge":
+            if len(sizes) < 3:
+                continue
+            cold = sorted(sizes, key=lambda c: (sizes[c], c))[:2]
+            run_with_kill(
+                lambda: st.merge_cells(int(min(cold)), int(max(cold))),
+                kill_at,
+            )
+        else:
+            run_with_kill(lambda: st.compact_cells(), kill_at)
+        st = heal()
+        ids = sorted(r["vec_id"] for r in st.cells().collect())
+        assert ids == sorted(c[0] for c in corpus), f"step {step} ({op_name})"
+
+    # end-state search identity vs a fresh build over the same corpus
+    full = spark.createDataFrame(corpus, "vec_id long, emb array<double>")
+    ref = IVFIndexStore.build(spark, full, str(tmp_path / "kpref"), k=st.k)
+    q = full.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "emb"
+    )
+    got = _rows(st.search(q, nprobe=st.k, topk=3))
+    want = _rows(ref.search(q, nprobe=ref.k, topk=3))
+    assert got == want and len(got) == 15
+
+# ---------------------------------------------------------------- IVF-PQ
+
+def _pq_emb(spark, n=60, dim=16):
+    import math
+
+    return spark.createDataFrame(
+        [
+            (
+                i,
+                [
+                    math.cos(0.03 * i + 0.2 * d) + 0.1 * d
+                    for d in range(dim)
+                ],
+            )
+            for i in range(n)
+        ],
+        "vec_id long, emb array<double>",
+    )
+
+
+def test_pq_store_codes_and_search(spark, tmp_path):
+    """A PQ-enabled store persists a codes column (one code per
+    subspace, drawn from the book) + the pq/ codebook; search_pq
+    returns the search() schema with EXACT cos_sim (the re-rank decodes
+    full vectors), and with a rerank pool covering every candidate it
+    must equal the exact search bit-for-bit."""
+    emb = _pq_emb(spark)
+    st = IVFIndexStore.build(
+        spark, emb, str(tmp_path / "pq"), k=4, pq_codes=8, pq_m=4
+    )
+    cells = st.cells()
+    assert "codes" in cells.columns
+    lens = {r["n"] for r in cells.select(F.size("codes").alias("n")).collect()}
+    assert lens == {4}
+    codes = {
+        c for r in cells.select("codes").collect() for c in r["codes"]
+    }
+    book_codes = {
+        int(r["code"]) for r in st.pq_book().select("code").collect()
+    }
+    assert codes <= book_codes and len(book_codes) == 8
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "emb"
+    )
+    # huge rerank pool => candidate selection can't drop a true top-k;
+    # row COUNT follows the probed cells' population (a probed pair can
+    # hold < topk non-self vectors — then BOTH arms return fewer rows)
+    got = _rows(st.search_pq(q, nprobe=2, topk=3, rerank=100))
+    want = _rows(st.search(q, nprobe=2, topk=3))
+    assert got == want and len(got) > 0
+    # a plain store refuses the ADC path with an actionable error
+    plain = IVFIndexStore.build(spark, emb, str(tmp_path / "plain"), k=4)
+    with pytest.raises(ValueError, match="no PQ codebook"):
+        plain.search_pq(q)
+
+
+def test_pq_add_equals_build_on_union(spark, tmp_path):
+    """Incremental add() must encode the batch against the PERSISTED pq
+    book: cells incl. the codes column equal the all-at-once build."""
+    emb = _pq_emb(spark)
+    lo, hi = emb.filter(F.col("vec_id") < 30), emb.filter(F.col("vec_id") >= 30)
+    inc = IVFIndexStore.build(
+        spark, lo, str(tmp_path / "inc"), k=4, pq_codes=8, pq_m=4
+    ).add(hi)
+    allat = IVFIndexStore.build(
+        spark, emb, str(tmp_path / "all"), k=4, pq_codes=8, pq_m=4
+    )
+
+    def inv(st):
+        return sorted(
+            (r["vec_id"], tuple(r["emb"]), tuple(r["codes"]), r["cell"])
+            for r in st.cells().collect()
+        )
+
+    assert inv(inc) == inv(allat)
+
+
+def test_pq_maintenance_preserves_codes(spark, tmp_path):
+    """split/merge/compact rewrite cell partitions — the PQ codes must
+    ride along verbatim (a dropped or nulled codes column would make
+    the ADC scan silently skip those rows)."""
+    emb = _pq_emb(spark)
+    st = IVFIndexStore.build(
+        spark, emb, str(tmp_path / "mnt"), k=4, pq_codes=8, pq_m=4
+    )
+    before = sorted(
+        (r["vec_id"], tuple(r["emb"]), tuple(r["codes"]))
+        for r in st.cells().collect()
+    )
+    sizes = {
+        int(r["cell"]): int(r["n"])
+        for r in st.cells().groupBy("cell").agg(F.count("*").alias("n")).collect()
+    }
+    hot = max(sizes, key=lambda c: (sizes[c], -c))
+    st.split_cell(hot)
+    cold = sorted(sizes := {
+        int(r["cell"]): int(r["n"])
+        for r in st.cells().groupBy("cell").agg(F.count("*").alias("n")).collect()
+    }, key=lambda c: (sizes[c], c))[:2]
+    st.merge_cells(int(min(cold)), int(max(cold)))
+    st.compact_cells()
+    after = sorted(
+        (r["vec_id"], tuple(r["emb"]), tuple(r["codes"]))
+        for r in st.cells().collect()
+    )
+    assert after == before
+    # and the ADC path still serves from the maintained store
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "emb"
+    )
+    assert st.search_pq(q, nprobe=st.k, topk=3, rerank=100).count() == 9
