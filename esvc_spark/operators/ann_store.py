@@ -195,6 +195,131 @@ def _pq_encode(e: DataFrame, book: DataFrame, m: int, subdim: int) -> DataFrame:
     return e.join(codes, "vec_id")
 
 
+def _ofold_sum(order_col: str, val_col: str):
+    """Order-pinned sequential double sum (collect→sort→fold): shuffle-
+    order invariant, so trained codebooks are bit-deterministic across
+    partitionings. Inline twin of queries/_util.ofold_sum (operators
+    must not import the query layer)."""
+    return F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(order_col, val_col))),
+            lambda s: s[val_col],
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def train_pq_book(
+    emb: DataFrame, n_codes: int = 256, m: int = 8, rounds: int = 2
+) -> DataFrame:
+    """Deterministic per-subspace Lloyd training for the PQ codebook
+    (the q_emb_kmeans convention lifted to subspaces): init = the
+    NORMALIZED subvectors of the n_codes lowest vec_ids, then `rounds`
+    assign/update iterations — assignment is the (sqdist ASC, code ASC)
+    argmin against the broadcast book, the update is the order-pinned
+    elementwise mean of each code's members (bit-deterministic across
+    partitionings), and a code that loses all members keeps its old
+    cpart rather than dying. Returns (sub, code, cpart) for
+    IVFIndexStore.build(pq_book=...).
+
+    An untrained pinned book is the right convention for oracle-gated
+    contract queries (closed-form in SQL), but it leaves recall on the
+    table — scripts/ab_ann_store.py --pq measures both books at receipt
+    scale (the sf0.01 smoke: 0.835 → 0.915 recall@10 with 64 codes);
+    training is the production default. Cost: rounds × (one
+    broadcast-join argmin over N×m narrow rows + one bounded groupBy)
+    — offline, build-time only."""
+    e = emb.select("vec_id", "emb").withColumn("nrm", norm(F.col("emb")))
+    dim = len(e.select("emb").limit(1).collect()[0]["emb"])
+    if dim % m != 0:
+        raise ValueError(f"train_pq_book: dim {dim} not divisible by m {m}")
+    subdim = dim // m
+    parts = _pq_parts_of(
+        e.select("vec_id", _unit(F.col("emb"), F.col("nrm")).alias("_u")),
+        F.col("_u"),
+        m,
+        subdim,
+        ["vec_id"],
+    ).localCheckpoint()
+    book = (
+        _pq_parts_of(
+            e.orderBy("vec_id")
+            .limit(n_codes)
+            .select("vec_id", _unit(F.col("emb"), F.col("nrm")).alias("_u")),
+            F.col("_u"),
+            m,
+            subdim,
+            ["vec_id"],
+        )
+        .join(
+            # dense re-code 0..n-1 (vec_ids may be sparse): rank of the
+            # seed id within the bounded n_codes seed set
+            _seed_codes(emb, n_codes),
+            "vec_id",
+        )
+        .select("sub", "code", F.col("part").alias("cpart"))
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        assigned = (
+            parts.join(F.broadcast(book), "sub")
+            .select(
+                "vec_id",
+                "sub",
+                "code",
+                _sqdist(F.col("part"), F.col("cpart")).alias("sqe"),
+            )
+            .groupBy("vec_id", "sub")
+            .agg(F.min(F.struct("sqe", "code")).alias("_b"))
+            .select("vec_id", "sub", F.col("_b.code").alias("code"))
+        )
+        members = assigned.join(parts, ["vec_id", "sub"]).select(
+            "vec_id", "sub", "code", F.posexplode("part").alias("pos", "val")
+        )
+        means = (
+            members.groupBy("sub", "code", "pos")
+            .agg(
+                (_ofold_sum("vec_id", "val") / F.count(F.lit(1))).alias("cval")
+            )
+            .groupBy("sub", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                    lambda s: s["cval"],
+                ).alias("new_cpart")
+            )
+        )
+        book = (
+            book.join(means, ["sub", "code"], "left")
+            .select(
+                "sub",
+                "code",
+                F.coalesce("new_cpart", "cpart").alias("cpart"),
+            )
+            # truncate lineage per round (the cc.py rule) — and each
+            # round's argmin/update consumes the book twice
+            .localCheckpoint()
+        )
+    return book
+
+
+def _seed_codes(emb: DataFrame, n_codes: int) -> DataFrame:
+    """(vec_id, code): dense 0..n-1 codes for the n_codes lowest
+    vec_ids — a bounded orderBy-limit, ranked driver-side (≤ n_codes
+    rows), never a corpus window."""
+    spark = emb.sparkSession
+    ids = sorted(
+        r["vec_id"]
+        for r in emb.select("vec_id").orderBy("vec_id").limit(n_codes).collect()
+    )
+    return F.broadcast(
+        spark.createDataFrame(
+            [(int(v), i) for i, v in enumerate(ids)], "vec_id bigint, code int"
+        )
+    )
+
+
 class IVFIndexStore:
     """A built (or loaded) IVF index rooted at ``path``."""
 

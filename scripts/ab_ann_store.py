@@ -60,7 +60,10 @@ from pyspark.sql import SparkSession  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 from esvc_spark.functions.vectors import cosine_prenorm, norm  # noqa: E402
-from esvc_spark.operators.ann_store import IVFIndexStore  # noqa: E402
+from esvc_spark.operators.ann_store import (  # noqa: E402
+    IVFIndexStore,
+    train_pq_book,
+)
 
 
 def _probe_cells(store, queries, nprobe: int) -> list:
@@ -97,18 +100,7 @@ def _probe_cells(store, queries, nprobe: int) -> list:
     return sorted(r["cell"] for r in probes.select("cell").distinct().collect())
 
 
-def scale_mode(fat: bool = False) -> None:
-    """Non-toy pruning receipt: inflated corpus, k=64 cells. With
-    ``fat``, vectors are widened dim_mult x so per-candidate decode
-    bytes dominate and END-TO-END search shows the pruning margin."""
-    args = sys.argv[2:]
-    replicas = int(args[0]) if len(args) > 0 else (1000 if fat else 500)
-    k = int(args[1]) if len(args) > 1 else 64
-    rounds = int(args[2]) if len(args) > 2 else 3
-    n_queries = int(args[3]) if len(args) > 3 else (5 if fat else 20)
-    dim_mult = (int(args[4]) if len(args) > 4 else 8) if fat else 1
-    sf_arg = 5 if fat else 4
-    sf_dir = args[sf_arg] if len(args) > sf_arg else "/root/testdata/sf0.1"
+def _receipt_session(name: str) -> SparkSession:
     spark = (
         SparkSession.builder.master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
@@ -123,19 +115,24 @@ def scale_mode(fat: bool = False) -> None:
         # shape for both arms (the flat arm gets the same setting).
         .config("spark.sql.files.maxPartitionBytes", "2m")
         .config("spark.sql.files.openCostInBytes", "1m")
-        .appName("ab-ann-store-scale")
+        .appName(name)
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def _inflate(spark, sf_dir: str, replicas: int, dim_mult: int, n_queries: int):
+    """Deterministic corpus inflation shared by the receipt modes:
+    replica r offsets ids by r*n_base and ROTATES the vector by (r %
+    dim) positions — distinct vectors per replica whose nearest
+    centroids spread over the codebook, with no randomness (rerunnable
+    receipt). Returns (emb, queries, n_total, out_dim)."""
     base = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
     n_base = base.count()
     dim = len(base.select("emb").first()["emb"])
-    # deterministic inflation: replica r offsets ids by r*n_base and
-    # ROTATES the vector by (r % dim) positions — distinct vectors per
-    # replica whose nearest centroids spread over the codebook, with no
-    # randomness (rerunnable receipt)
     r = spark.range(replicas).select(F.col("id").cast("int").alias("r"))
 
     def _rot(col, off):
@@ -163,7 +160,47 @@ def scale_mode(fat: bool = False) -> None:
         )
         .repartition(32)
     )
-    n_total = n_base * replicas
+    # queries widened identically to replica 0 so they live in the same
+    # vector space as the corpus
+    queries = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        _widen(F.col("emb"), F.lit(0)).alias("emb"),
+    )
+    return emb, queries, n_base * replicas, dim * dim_mult
+
+
+def _drop_caches() -> bool:
+    """Cold-cache seam (root-only; see scale_mode's honesty note)."""
+    try:
+        # drop_caches evicts only CLEAN pages — parquet written moments
+        # ago is still dirty, and unsynced dirty pages would stay
+        # RAM-resident through the "cold" rounds (kernel docs: sync
+        # first for a valid measurement)
+        os.sync()
+        with open("/proc/sys/vm/drop_caches", "w") as fh:
+            fh.write("3")
+        return True
+    except OSError:
+        return False
+
+
+def scale_mode(fat: bool = False) -> None:
+    """Non-toy pruning receipt: inflated corpus, k=64 cells. With
+    ``fat``, vectors are widened dim_mult x so per-candidate decode
+    bytes dominate and END-TO-END search shows the pruning margin."""
+    args = sys.argv[2:]
+    replicas = int(args[0]) if len(args) > 0 else (1000 if fat else 500)
+    k = int(args[1]) if len(args) > 1 else 64
+    rounds = int(args[2]) if len(args) > 2 else 3
+    n_queries = int(args[3]) if len(args) > 3 else (5 if fat else 20)
+    dim_mult = (int(args[4]) if len(args) > 4 else 8) if fat else 1
+    sf_arg = 5 if fat else 4
+    sf_dir = args[sf_arg] if len(args) > sf_arg else "/root/testdata/sf0.1"
+    spark = _receipt_session("ab-ann-store-scale")
+    emb, queries, n_total, out_dim = _inflate(
+        spark, sf_dir, replicas, dim_mult, n_queries
+    )
+    dim = out_dim // dim_mult
     # SPARK_ANN_WORK reuses a prior run's index + flat twin (a 16M build
     # is ~12 min; probe-phase iteration shouldn't pay it again). The dir
     # is kept when the env var is set, deleted otherwise.
@@ -210,12 +247,6 @@ def scale_mode(fat: bool = False) -> None:
             f"k={store.k} cells, "
             f"index {cell_bytes / 1e6:.0f} MB parquet, build {t_build:.1f}s"
         )
-        # queries widened identically to replica 0 so they live in the
-        # same vector space as the corpus
-        queries = base.filter(F.col("vec_id") < n_queries).select(
-            F.col("vec_id").alias("query_id"),
-            _widen(F.col("emb"), F.lit(0)).alias("emb"),
-        )
         # Scan-isolated arm: time ONLY the candidate-retrieval scan
         # (filter to probed cells + forced emb decode) on both layouts.
         # End-to-end search carries a fixed ~1.5 s of probe/top-k job
@@ -247,19 +278,7 @@ def scale_mode(fat: bool = False) -> None:
         # disk bytes ARE the per-search cost; dropping the page cache
         # before each timed round is the honest model of that regime.
         # Root-only; falls back to warm timing with a notice.
-        def drop_caches() -> bool:
-            try:
-                # drop_caches evicts only CLEAN pages — the twin/index
-                # parquet written moments ago is still dirty, and unsynced
-                # dirty pages would stay RAM-resident through the "cold"
-                # rounds (kernel docs: sync first for a valid measurement)
-                os.sync()
-                with open("/proc/sys/vm/drop_caches", "w") as fh:
-                    fh.write("3")
-                return True
-            except OSError:
-                return False
-
+        drop_caches = _drop_caches
         cold = drop_caches()
         if not cold:
             print(
@@ -309,12 +328,162 @@ def scale_mode(fat: bool = False) -> None:
         spark.stop()
 
 
+def pq_mode() -> None:
+    """IVF-PQ receipt (VERDICT r10 #6): at receipt scale, the PERSISTED
+    PQ path must show (a) recall@k parity of search_pq vs the exact
+    search over the same probes, and (b) the byte win that motivates it
+    — the ADC candidate stage decodes the codes column (pq_m small
+    ints/vector) instead of the emb column (dim doubles/vector), which
+    at 100 TB is the difference between scanning ~m bytes and ~dim*8
+    bytes per candidate. Scan-isolated cold-cache arms force each
+    column's decode on the SAME pruned cells; end-to-end cold search is
+    also timed (it carries the fixed job floor both ways).
+
+        python scripts/ab_ann_store.py --pq [replicas] [k] [rounds] [n_queries] [pq_codes] [sf_dir]
+
+    Defaults: 500 replicas x 2000 rows = 1M vectors x 64 dims, k=64
+    cells, pq_m=8 subspaces x 256 codes -> 8 small ints vs 64 doubles
+    per candidate row.
+
+    The store is built with a TRAINED codebook (train_pq_book — the
+    production default); the untrained seed book's recall is measured
+    alongside on a throwaway store so the receipt shows what training
+    buys."""
+    args = sys.argv[2:]
+    replicas = int(args[0]) if len(args) > 0 else 500
+    k = int(args[1]) if len(args) > 1 else 64
+    rounds = int(args[2]) if len(args) > 2 else 3
+    n_queries = int(args[3]) if len(args) > 3 else 20
+    pq_codes = int(args[4]) if len(args) > 4 else 256
+    sf_dir = args[5] if len(args) > 5 else "/root/testdata/sf0.1"
+    spark = _receipt_session("ab-ann-store-pq")
+    emb, queries, n_total, dim = _inflate(spark, sf_dir, replicas, 1, n_queries)
+    keep = os.environ.get("SPARK_ANN_WORK")
+    work = keep or tempfile.mkdtemp(prefix="ab_ann_pq_")
+    try:
+        idx = os.path.join(work, "pqidx")
+        if keep and os.path.exists(os.path.join(idx, "cells", "_SUCCESS")):
+            store = IVFIndexStore.load(spark, idx)
+            t_build = t_train = 0.0
+        else:
+            t0 = time.monotonic()
+            book = train_pq_book(emb, n_codes=pq_codes, m=8, rounds=2)
+            t_train = time.monotonic() - t0
+            t0 = time.monotonic()
+            store = IVFIndexStore.build(
+                spark, emb, idx, k=k, pq_book=book, pq_m=8
+            )
+            t_build = time.monotonic() - t0
+        cell_bytes = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(os.path.join(idx, "cells"))
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        print(
+            f"corpus: {n_total} vectors x {dim} dims, k={store.k} cells, "
+            f"pq_m=8 x {pq_codes} codes, index {cell_bytes / 1e6:.0f} MB "
+            f"parquet, train {t_train:.1f}s, build {t_build:.1f}s"
+        )
+
+        # (a) recall@k parity vs the exact store over the SAME probes —
+        # isolates quantization loss from probe loss
+        def _recall(st, nprobe: int, topk: int) -> str:
+            adc = {
+                (r["query_id"], r["neighbor_id"])
+                for r in st.search_pq(
+                    queries, nprobe=nprobe, topk=topk, rerank=4
+                ).collect()
+            }
+            exact = {
+                (r["query_id"], r["neighbor_id"])
+                for r in st.search(queries, nprobe=nprobe, topk=topk).collect()
+            }
+            hit = len(adc & exact)
+            return f"{hit / max(len(exact), 1):.4f} ({hit}/{len(exact)} pairs)"
+
+        for nprobe, topk in ((2, 10), (8, 10)):
+            print(
+                f"recall@{topk} nprobe={nprobe} rerank=4 (trained book): "
+                f"{_recall(store, nprobe, topk)}"
+            )
+        # untrained seed-book twin: same corpus, throwaway store — shows
+        # what Lloyd training buys at this scale
+        un_idx = os.path.join(work, "pqidx_untrained")
+        if not (keep and os.path.exists(os.path.join(un_idx, "cells", "_SUCCESS"))):
+            shutil.rmtree(un_idx, ignore_errors=True)
+            un_store = IVFIndexStore.build(
+                spark, emb, un_idx, k=k, pq_codes=pq_codes, pq_m=8
+            )
+        else:
+            un_store = IVFIndexStore.load(spark, un_idx)
+        print(
+            f"recall@10 nprobe=8 rerank=4 (untrained seed book): "
+            f"{_recall(un_store, 8, 10)}"
+        )
+        # (b) scan-isolated byte win: force-decode codes vs emb on the
+        # identical pruned cells, cold-cache min-of-N
+        probe_cells = _probe_cells(store, queries, nprobe=2)
+        cold = _drop_caches()
+        if not cold:
+            print("note: cannot drop page caches — scan timings are WARM")
+
+        def scan_time(col_expr) -> float:
+            spark.catalog.clearCache()
+            if cold:
+                _drop_caches()
+            t0 = time.monotonic()
+            store.cells().filter(F.col("cell").isin(probe_cells)).select(
+                F.sum(col_expr)
+            ).collect()
+            return time.monotonic() - t0
+
+        s_codes = [scan_time(F.size("codes")) for _ in range(rounds)]
+        s_emb = [scan_time(F.size("emb")) for _ in range(rounds)]
+        mode = "COLD" if cold else "warm"
+        print(
+            f"scan-only {mode} ({len(probe_cells)} cells): codes-column "
+            f"min={min(s_codes):.2f}s  emb-column min={min(s_emb):.2f}s  "
+            f"ratio {min(s_emb) / min(s_codes):.2f}x "
+            f"(logical bytes/row: {8 * 4} vs {dim * 8})"
+        )
+        # (c) end-to-end cold search: ADC (codes scan + bounded re-rank
+        # decode) vs exact (full emb decode of every candidate)
+        t_pq, t_ex = [], []
+        for _ in range(rounds):
+            spark.catalog.clearCache()
+            if cold:
+                _drop_caches()
+            t0 = time.monotonic()
+            store.search_pq(queries, nprobe=8, topk=10, rerank=4).count()
+            t_pq.append(time.monotonic() - t0)
+            spark.catalog.clearCache()
+            if cold:
+                _drop_caches()
+            t0 = time.monotonic()
+            store.search(queries, nprobe=8, topk=10).count()
+            t_ex.append(time.monotonic() - t0)
+        print(
+            f"end-to-end {mode} nprobe=8: search_pq min={min(t_pq):.2f}s  "
+            f"exact search min={min(t_ex):.2f}s  ratio "
+            f"{min(t_ex) / min(t_pq):.2f}x (per-round "
+            f"{[round(b / a, 2) for a, b in zip(t_pq, t_ex)]})"
+        )
+    finally:
+        if not keep:
+            shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--scale":
         scale_mode()
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--fat":
         scale_mode(fat=True)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--pq":
+        pq_mode()
         return
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 5

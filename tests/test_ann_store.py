@@ -1102,3 +1102,75 @@ def test_pq_maintenance_preserves_codes(spark, tmp_path):
         F.col("vec_id").alias("query_id"), "emb"
     )
     assert st.search_pq(q, nprobe=st.k, topk=3, rerank=100).count() == 9
+
+
+def test_train_pq_book_deterministic_and_improves(spark, tmp_path):
+    """train_pq_book must be (1) bit-deterministic across input
+    partitionings (order-pinned folds — the determinism-probe bar
+    applied to the operator layer), (2) a true Lloyd descent: the
+    trained book's total quantization error over the corpus never
+    exceeds the untrained seed book's, and (3) accepted verbatim by
+    build(pq_book=...), where a full-pool search_pq still equals the
+    exact search."""
+    from esvc_spark.operators.ann_store import train_pq_book
+
+    emb = _pq_emb(spark, n=80)
+
+    def book_rows(book):
+        return sorted(
+            (int(r["sub"]), int(r["code"]), tuple(r["cpart"]))
+            for r in book.collect()
+        )
+
+    b1 = book_rows(train_pq_book(emb.repartition(2), n_codes=8, m=4, rounds=2))
+    b2 = book_rows(train_pq_book(emb.repartition(7), n_codes=8, m=4, rounds=2))
+    assert b1 == b2
+    assert len(b1) == 4 * 8  # m x n_codes, no dead codes
+
+    def sq_err(st):
+        # decode each row's codes against its store's book and sum the
+        # squared L2 to the normalized subvectors (ADC's own metric)
+        from esvc_spark.operators.ann_store import (
+            _pq_parts_of,
+            _sqdist,
+            _unit,
+        )
+        from esvc_spark.functions.vectors import norm
+
+        e = emb.withColumn("nrm", norm(F.col("emb")))
+        parts = _pq_parts_of(
+            e.select("vec_id", _unit(F.col("emb"), F.col("nrm")).alias("_u")),
+            F.col("_u"),
+            4,
+            4,
+            ["vec_id"],
+        )
+        codes = st.cells().select(
+            "vec_id", F.posexplode("codes").alias("sub", "code")
+        )
+        return (
+            parts.join(codes, ["vec_id", "sub"])
+            .join(st.pq_book(), ["sub", "code"])
+            .select(_sqdist(F.col("part"), F.col("cpart")).alias("e"))
+            .agg(F.sum("e"))
+            .first()[0]
+        )
+
+    trained = IVFIndexStore.build(
+        spark,
+        emb,
+        str(tmp_path / "trained"),
+        k=4,
+        pq_book=train_pq_book(emb, n_codes=8, m=4, rounds=2),
+        pq_m=4,
+    )
+    seed = IVFIndexStore.build(
+        spark, emb, str(tmp_path / "seed"), k=4, pq_codes=8, pq_m=4
+    )
+    assert sq_err(trained) <= sq_err(seed)
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "emb"
+    )
+    got = _rows(trained.search_pq(q, nprobe=2, topk=3, rerank=100))
+    want = _rows(trained.search(q, nprobe=2, topk=3))
+    assert got == want and len(got) > 0
