@@ -37,7 +37,13 @@ class Repl:
         engine=None,
         spill_dir: str | None = None,
         persist_budget: int = 8,
+        path: str | None = None,
     ):
+        # the session's graph-file path (≙ Context.path, main.rs:15):
+        # bare `w` writes here, and Print picks its highlight syntax
+        # from its extension (main.rs:134-138) — set even when the file
+        # doesn't exist yet, exactly like the reference (main.rs:283)
+        self.path = path
         self.engine = engine or ExEngine()
         # Engine-agnostic bootstrapping (the reference's whole point): the
         # in-memory ExEngine's Dat IS the line tuple; the Spark-backed
@@ -72,14 +78,28 @@ class Repl:
     # ---------------------------------------------------------------- ops
 
     def print_lines(self, addr: dict, out: TextIO) -> None:
-        """≙ main.rs:121-177 (numbered print of the selected segment;
-        highlighting is presentation-only and skipped)."""
+        """≙ main.rs:121-177: numbered print of the selected segment,
+        syntax-highlighted when the session path's extension names a
+        known syntax (core/highlight.py — the reduced syntect twin).
+        The highlighter consumes EVERY line in order, selected or not,
+        so multi-line constructs stay in sync (main.rs:146); line
+        numbers are grey 240 like the reference's Colour::Fixed(240)."""
+        from .core.highlight import Highlighter
+
         dat = self.materialize()
+        hl = Highlighter.for_path(self.path)
         lineno = 0
         for seg, selected in resolve_addr(dat, addr):
             for line in seg:
                 lineno += 1
-                if selected:
+                if hl is not None:
+                    painted = hl.highlight_line(line)
+                    if selected:
+                        out.write(
+                            f"\x1b[38;5;240m{lineno:6d}\x1b[0m  "
+                            f"{painted}\x1b[0m\n"
+                        )
+                elif selected:
                     out.write(f"{lineno:6d}  {line}\n")
 
     def submit(self, command: dict) -> bytes | None:
@@ -118,6 +138,7 @@ class Repl:
         out: TextIO,
         read_body: Callable[[], list[str]],
         spark=None,
+        read_line: Callable[[], str] | None = None,
     ) -> bool:
         """One REPL line; returns False to quit (≙ main.rs:278-339)."""
         line = line.rstrip("\n")
@@ -130,13 +151,31 @@ class Repl:
             for h in sorted(self.heads):
                 out.write(format_hash(h) + "\n")
             return True
-        if line.startswith("w "):
-            target = line[2:].strip()
+        if line == "w" or line.startswith("w "):
+            if line == "w":
+                # bare `w` writes the session's graph file, the
+                # reference-format form always (≙ main.rs:44-52, which
+                # bincode+zstd-serializes to self.path unconditionally)
+                # — unless the session was opened ON a parquet
+                # directory store, which round-trips as itself
+                if self.path is None:
+                    out.write(
+                        "?w: no file path is associated with this "
+                        "session\n"
+                    )
+                    return True
+                target = self.path
+            else:
+                target = line[2:].strip()
             # `.zst`/`.exvc` target = the reference's own on-disk format
             # (bincode+zstd, exactly what the Rust exvc's `w` writes —
             # main.rs:44-53); no Spark needed. Anything else is the
             # parquet directory store.
-            if target.endswith((".zst", ".exvc")):
+            import os as _os
+
+            if (line == "w" and not _os.path.isdir(target)) or target.endswith(
+                (".zst", ".exvc")
+            ):
                 import subprocess
 
                 from .core.bincode_io import BincodeError, export_reference_file
@@ -164,10 +203,18 @@ class Repl:
             out.write("?w: parquet store needs a Spark session "
                       "(use a .zst path for the reference file format)\n")
             return True
-        if line.startswith("m< "):
+        if line == "m<" or line.startswith("m< "):
             import os
 
-            target = line[3:].strip()
+            if line == "m<":
+                # bare `m<` reads the import path from the NEXT input
+                # line, the reference's interactive form (main.rs:54-58)
+                if read_line is None:
+                    out.write("?m<: missing path (use `m< <path>`)\n")
+                    return True
+                target = read_line().strip()
+            else:
+                target = line[3:].strip()
             # a reference-format FILE needs no Spark session; the parquet
             # directory form still does. Never fall through to the editor
             # parser — a typo'd path would masquerade as a syntax error.
@@ -240,7 +287,10 @@ def main(
     argv = sys.argv[1:] if argv is None else argv
     stdin = sys.stdin if stdin is None else stdin
     stdout = sys.stdout if stdout is None else stdout
-    repl = Repl()
+    # the argv path becomes the session path even when the file doesn't
+    # exist yet (≙ main.rs:283 `ctx.path = arg.map(Into::into)`): bare
+    # `w` targets it and Print highlights by its extension
+    repl = Repl(path=argv[0] if argv else None)
 
     if argv:
         import os
@@ -278,8 +328,13 @@ def main(
             lines.append(raw)
         return lines
 
+    def read_line() -> str:
+        return next(iter(stdin), "").rstrip("\n")
+
     for raw in stdin:
-        if not repl.handle_line(raw, stdout, read_body, spark=spark):
+        if not repl.handle_line(
+            raw, stdout, read_body, spark=spark, read_line=read_line
+        ):
             break
 
 

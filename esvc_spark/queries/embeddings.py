@@ -3640,6 +3640,101 @@ WHERE adc.rank <= {_IVFPQ_K}
 """
 
 
+# ------------------------------------------------ PQ codebook training
+# train_pq_book (operators/ann_store.py) under the oracle hash gate: the
+# deterministic per-subspace Lloyd trainer that feeds
+# IVFIndexStore.build(pq_book=...) — the production default for the
+# persisted IVF-PQ store (the untrained seed book is the contract-query
+# convention; training recovered 0.835 → 0.915 recall@10 in the sf0.01
+# smoke). Seed = normalized subvectors of the _PQ_CODES lowest vec_ids
+# (dense re-code by rank), then 2 assign/update rounds: assignment is
+# the (sqdist ASC, code ASC) argmin, the update is the order-pinned
+# sequential mean, and a code that loses all members keeps its old
+# centroid. Every fold is pinned, so the trained book is bit-identical
+# across partitionings AND engines — the oracle unrolls both rounds in
+# closed form. Output: the book exploded to scalar (sub, code, pos,
+# cval) rows. Scale shape: per round one broadcast join of N×m narrow
+# subvector rows against the m×n_codes book + one bounded groupBy;
+# never an N×N shuffle, book lineage truncated per round.
+
+_PQT_ROUNDS = 2
+
+
+def q_emb_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ann_store import train_pq_book
+
+    e = _emb(spark, sf_dir).select("vec_id", "emb")
+    book = train_pq_book(e, n_codes=_PQ_CODES, m=_PQ_SUBS, rounds=_PQT_ROUNDS)
+    return book.select(
+        "sub", "code", F.posexplode("cpart").alias("pos", "cval")
+    )
+
+
+def _pq_train_sql() -> str:
+    dsub = _SQL_KM_SQDIST.format(dim=_PQ_SUBDIM, a="p.part", b="b.cpart")
+    part = (
+        f"SELECT vec_id, CAST(j AS INT) AS sub, "
+        f"u[j * {_PQ_SUBDIM} + 1 : (j + 1) * {_PQ_SUBDIM}] AS part "
+        f"FROM unitv, unnest(range(0, {_PQ_SUBS})) t(j)"
+    )
+    sql = f"""
+WITH en AS ({_SQL_EMB_NORMED}),
+unitv AS (
+  SELECT vec_id,
+         list_transform(emb, x -> CASE WHEN nrm = CAST(0 AS DOUBLE)
+                                       THEN x ELSE x / nrm END) AS u
+  FROM en
+),
+parts AS MATERIALIZED ({part}),
+seed AS (
+  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+  FROM (SELECT vec_id FROM en ORDER BY vec_id LIMIT {_PQ_CODES})
+),
+book0 AS MATERIALIZED (
+  SELECT p.sub, s.code, p.part AS cpart
+  FROM parts p JOIN seed s USING (vec_id)
+)"""
+    prev = "book0"
+    for r in range(1, _PQT_ROUNDS + 1):
+        sql += f""",
+assign{r} AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT p.vec_id, p.sub, b.code,
+           ROW_NUMBER() OVER (PARTITION BY p.vec_id, p.sub
+                              ORDER BY {dsub}, b.code) AS rk
+    FROM parts p JOIN {prev} b USING (sub)
+  ) WHERE rk = 1
+),
+mean{r} AS (
+  SELECT sub, code, pos,
+         {sql_ofold_sum('vec_id', 'val')} / COUNT(*) AS cval
+  FROM (
+    SELECT a.vec_id, a.sub, a.code, CAST(t.p AS INT) AS pos,
+           p.part[t.p + 1] AS val
+    FROM assign{r} a
+    JOIN parts p ON p.vec_id = a.vec_id AND p.sub = a.sub,
+         unnest(range(0, {_PQ_SUBDIM})) t(p)
+  ) GROUP BY 1, 2, 3
+),
+book{r} AS MATERIALIZED (
+  SELECT sub, code, list(cval ORDER BY pos) AS cpart FROM (
+    SELECT be.sub, be.code, be.pos, COALESCE(m.cval, be.cval) AS cval
+    FROM (
+      SELECT b.sub, b.code, CAST(t.p AS INT) AS pos,
+             b.cpart[t.p + 1] AS cval
+      FROM {prev} b, unnest(range(0, {_PQ_SUBDIM})) t(p)
+    ) be
+    LEFT JOIN mean{r} m USING (sub, code, pos)
+  ) GROUP BY 1, 2
+)"""
+        prev = f"book{r}"
+    sql += f"""
+SELECT b.sub, b.code, CAST(t.p AS INT) AS pos, b.cpart[t.p + 1] AS cval
+FROM {prev} b, unnest(range(0, {_PQ_SUBDIM})) t(p)
+"""
+    return sql
+
+
 # ------------------------------------------------- merge-cell maintenance
 # merge_cells (operators/ann_store.py) under the oracle hash gate
 # (VERDICT r10 #1 — the last maintenance move without a driver row):
@@ -3795,6 +3890,7 @@ WHERE rank <= {_IVF_TOPK}
 
 
 QUERIES = {
+    "q_emb_pq_train": q_emb_pq_train,
     "q_emb_ivf_merge": q_emb_ivf_merge,
     "q_emb_ivfpq_store": q_emb_ivfpq_store,
     "q_emb_ivf_split": q_emb_ivf_split,
@@ -3832,6 +3928,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_emb_pq_train": _pq_train_sql(),
     "q_emb_ivf_merge": _IVF_MERGE_SQL,
     "q_emb_ivfpq_store": _ivfpq_store_sql(),
     "q_emb_ivf_split": _IVF_SPLIT_SQL,
