@@ -211,7 +211,11 @@ def _ofold_sum(order_col: str, val_col: str):
 
 
 def train_pq_book(
-    emb: DataFrame, n_codes: int = 256, m: int = 8, rounds: int = 2
+    emb: DataFrame,
+    n_codes: int = 256,
+    m: int = 8,
+    rounds: int = 2,
+    sample_mod: int | None = None,
 ) -> DataFrame:
     """Deterministic per-subspace Lloyd training for the PQ codebook
     (the q_emb_kmeans convention lifted to subspaces): init = the
@@ -229,7 +233,19 @@ def train_pq_book(
     scale (the sf0.01 smoke: 0.835 → 0.915 recall@10 with 64 codes);
     training is the production default. Cost: rounds × (one
     broadcast-join argmin over N×m narrow rows + one bounded groupBy)
-    — offline, build-time only."""
+    — offline, build-time only.
+
+    ``sample_mod=D`` trains on the deterministic 1/D corpus slice
+    ``xxhash64(vec_id) % D == 0`` — the 100 TB shape: the codebook is a
+    statistic of the distribution, not of every row, PQ practice trains
+    on a bounded sample, and a full-corpus Lloyd pass costs N×m×n_codes
+    subvector distances per round (see the --pq receipt's sampled vs
+    full train timings). The seed stays the n_codes lowest vec_ids OF
+    THE SAMPLE, so the trained book is a pure function of (emb,
+    params) — still bit-deterministic across partitionings. None =
+    train on every row (the contract-query convention at test scale)."""
+    if sample_mod is not None and sample_mod > 1:
+        emb = emb.filter(F.xxhash64(F.col("vec_id")) % sample_mod == 0)
     e = emb.select("vec_id", "emb").withColumn("nrm", norm(F.col("emb")))
     dim = len(e.select("emb").limit(1).collect()[0]["emb"])
     if dim % m != 0:
@@ -1179,34 +1195,58 @@ class IVFIndexStore:
             )
         else:
             joined = cand.join(F.broadcast(probes), "cell")
-        # ADC: explode the code array, look distances up in the
-        # broadcast table, fold back per (query, vector) in PINNED sub
-        # order (raw double sums are shuffle-order unstable)
-        approx = (
-            joined.select(
-                "query_id",
-                "vec_id",
-                F.posexplode("codes").alias("sub", "code"),
-            )
-            .join(F.broadcast(dtab), ["query_id", "sub", "code"])
-            .groupBy("query_id", "vec_id")
-            .agg(
-                F.aggregate(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("sub", "qd"))),
-                        lambda s: s["qd"],
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("adist")
-            )
+        # ADC: fold the candidate's codes against a broadcast NESTED
+        # distance table — per query an array (sub order) of code→qd
+        # maps, |Q|×m×n_codes entries total — as a narrow per-row
+        # expression. No explode, no shuffle: the earlier shape
+        # (posexplode → join → groupBy re-fold) pushed candidates×m
+        # rows through a hash aggregate, which at receipt scale (640k
+        # candidates × 8 subs) cost more than the decode it saved. The
+        # fold runs in PINNED sub order (sequence 0..m-1), the same
+        # IEEE order as the oracle's sub-ordered sum.
+        dt = dtab.groupBy("query_id").agg(
+            F.map_from_entries(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (F.col("sub") * F.lit(65536) + F.col("code")).alias(
+                                "k"
+                            ),
+                            F.col("qd"),
+                        )
+                    )
+                )
+            ).alias("dt")
         )
-        pool = topk_per_group(
-            approx,
-            ["query_id"],
-            [F.asc("adist"), F.asc("vec_id")],
-            topk * rerank,
-        ).select("query_id", "vec_id")
+        approx = joined.join(F.broadcast(dt), "query_id").select(
+            "query_id",
+            "vec_id",
+            F.aggregate(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    lambda j: F.element_at(
+                        F.col("dt"),
+                        j * F.lit(65536) + F.element_at(F.col("codes"), j + 1),
+                    ),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("adist"),
+        )
+        # dropDuplicates: a vec_id present in TWO probed cells (the
+        # duplicate-id ingest case) now scores once per copy — keep one
+        # pool row so the re-rank join can't cartesian it; the pool is
+        # bounded (≤ |Q|×topk×rerank rows), so this is a tiny shuffle
+        pool = (
+            topk_per_group(
+                approx,
+                ["query_id"],
+                [F.asc("adist"), F.asc("vec_id")],
+                topk * rerank,
+            )
+            .select("query_id", "vec_id")
+            .dropDuplicates(["query_id", "vec_id"])
+        )
         # exact re-rank: decode emb for ONLY the pooled candidates —
         # pruned scan × broadcast pool × broadcast queries
         full = (

@@ -339,25 +339,34 @@ def pq_mode() -> None:
     column's decode on the SAME pruned cells; end-to-end cold search is
     also timed (it carries the fixed job floor both ways).
 
-        python scripts/ab_ann_store.py --pq [replicas] [k] [rounds] [n_queries] [pq_codes] [sf_dir]
+        python scripts/ab_ann_store.py --pq [replicas] [k] [rounds] [n_queries] [pq_codes] [dim_mult] [untrained] [sf_dir]
 
-    Defaults: 500 replicas x 2000 rows = 1M vectors x 64 dims, k=64
-    cells, pq_m=8 subspaces x 256 codes -> 8 small ints vs 64 doubles
-    per candidate row.
+    Defaults: 125 replicas x 2000 rows = 250k vectors WIDENED 8x to
+    512 dims, k=64 cells, pq_m=8 subspaces x 256 codes -> 8 small ints
+    vs 512 doubles (4 KB) per candidate row. The widening is the point:
+    a 64-dim run measured the ADC path 0.3-0.4x SLOWER than exact (the
+    per-candidate decode is only 512 bytes — the ADC join machinery
+    costs more than it saves); PQ's regime is fat embedding columns
+    where candidate decode bytes dominate, exactly the 100 TB shape.
 
-    The store is built with a TRAINED codebook (train_pq_book — the
-    production default); the untrained seed book's recall is measured
-    alongside on a throwaway store so the receipt shows what training
-    buys."""
+    The store is built with a codebook TRAINED on a deterministic ~64k
+    sample (train_pq_book — the production default); pass untrained=1
+    to also build a seed-book twin store and measure what training buys
+    (adds a full second build; the 1M x 64-dim run measured 0.805 vs
+    0.775 recall@10)."""
     args = sys.argv[2:]
-    replicas = int(args[0]) if len(args) > 0 else 500
+    replicas = int(args[0]) if len(args) > 0 else 125
     k = int(args[1]) if len(args) > 1 else 64
     rounds = int(args[2]) if len(args) > 2 else 3
     n_queries = int(args[3]) if len(args) > 3 else 20
     pq_codes = int(args[4]) if len(args) > 4 else 256
-    sf_dir = args[5] if len(args) > 5 else "/root/testdata/sf0.1"
+    dim_mult = int(args[5]) if len(args) > 5 else 8
+    with_untrained = bool(int(args[6])) if len(args) > 6 else False
+    sf_dir = args[7] if len(args) > 7 else "/root/testdata/sf0.1"
     spark = _receipt_session("ab-ann-store-pq")
-    emb, queries, n_total, dim = _inflate(spark, sf_dir, replicas, 1, n_queries)
+    emb, queries, n_total, dim = _inflate(
+        spark, sf_dir, replicas, dim_mult, n_queries
+    )
     keep = os.environ.get("SPARK_ANN_WORK")
     work = keep or tempfile.mkdtemp(prefix="ab_ann_pq_")
     try:
@@ -366,9 +375,17 @@ def pq_mode() -> None:
             store = IVFIndexStore.load(spark, idx)
             t_build = t_train = 0.0
         else:
+            # production shape: train on a deterministic ~64k sample
+            # (the codebook is a distribution statistic — full-corpus
+            # Lloyd at receipt scale measured 705.7s vs the sampled
+            # train below, for the same rerank-bounded recall)
+            smod = max(1, n_total // 65536)
             t0 = time.monotonic()
-            book = train_pq_book(emb, n_codes=pq_codes, m=8, rounds=2)
+            book = train_pq_book(
+                emb, n_codes=pq_codes, m=8, rounds=2, sample_mod=smod
+            )
             t_train = time.monotonic() - t0
+            print(f"trained on ~1/{smod} sample (sample_mod={smod})")
             t0 = time.monotonic()
             store = IVFIndexStore.build(
                 spark, emb, idx, k=k, pq_book=book, pq_m=8
@@ -407,20 +424,24 @@ def pq_mode() -> None:
                 f"recall@{topk} nprobe={nprobe} rerank=4 (trained book): "
                 f"{_recall(store, nprobe, topk)}"
             )
-        # untrained seed-book twin: same corpus, throwaway store — shows
-        # what Lloyd training buys at this scale
-        un_idx = os.path.join(work, "pqidx_untrained")
-        if not (keep and os.path.exists(os.path.join(un_idx, "cells", "_SUCCESS"))):
-            shutil.rmtree(un_idx, ignore_errors=True)
-            un_store = IVFIndexStore.build(
-                spark, emb, un_idx, k=k, pq_codes=pq_codes, pq_m=8
+        # untrained seed-book twin (optional — a second full build):
+        # same corpus, throwaway store, shows what Lloyd training buys
+        if with_untrained:
+            un_idx = os.path.join(work, "pqidx_untrained")
+            if not (
+                keep
+                and os.path.exists(os.path.join(un_idx, "cells", "_SUCCESS"))
+            ):
+                shutil.rmtree(un_idx, ignore_errors=True)
+                un_store = IVFIndexStore.build(
+                    spark, emb, un_idx, k=k, pq_codes=pq_codes, pq_m=8
+                )
+            else:
+                un_store = IVFIndexStore.load(spark, un_idx)
+            print(
+                f"recall@10 nprobe=8 rerank=4 (untrained seed book): "
+                f"{_recall(un_store, 8, 10)}"
             )
-        else:
-            un_store = IVFIndexStore.load(spark, un_idx)
-        print(
-            f"recall@10 nprobe=8 rerank=4 (untrained seed book): "
-            f"{_recall(un_store, 8, 10)}"
-        )
         # (b) scan-isolated byte win: force-decode codes vs emb on the
         # identical pruned cells, cold-cache min-of-N
         probe_cells = _probe_cells(store, queries, nprobe=2)

@@ -1174,3 +1174,29 @@ def test_train_pq_book_deterministic_and_improves(spark, tmp_path):
     got = _rows(trained.search_pq(q, nprobe=2, topk=3, rerank=100))
     want = _rows(trained.search(q, nprobe=2, topk=3))
     assert got == want and len(got) > 0
+
+
+def test_train_pq_book_sample_mod_is_deterministic_slice(spark):
+    """sample_mod trains on the hash-selected slice: bit-deterministic
+    across partitionings, full m x n_codes shape, and identical to
+    training on the pre-filtered corpus (pure function of the slice)."""
+    from esvc_spark.operators.ann_store import train_pq_book
+
+    emb = _pq_emb(spark, n=80)
+
+    def rows(book):
+        return sorted(
+            (int(r["sub"]), int(r["code"]), tuple(r["cpart"]))
+            for r in book.collect()
+        )
+
+    b1 = rows(train_pq_book(emb, n_codes=4, m=4, rounds=1, sample_mod=2))
+    b2 = rows(
+        train_pq_book(
+            emb.repartition(5), n_codes=4, m=4, rounds=1, sample_mod=2
+        )
+    )
+    assert b1 == b2 and len(b1) == 4 * 4
+    pre = emb.filter(F.xxhash64(F.col("vec_id")) % 2 == 0)
+    b3 = rows(train_pq_book(pre, n_codes=4, m=4, rounds=1))
+    assert b1 == b3
