@@ -848,6 +848,160 @@ class IVFIndexStore:
             _sh.rmtree(junk, ignore_errors=True)
         return orphans
 
+    # -------------------------------------------------- maintenance_plan
+    def maintenance_plan(
+        self,
+        hot_num: int = 2,
+        hot_den: int = 1,
+        cold_div: int = 4,
+        max_files: int = 1,
+    ) -> list[tuple[str, int, int | None, int]]:
+        """The deterministic policy that unifies the maintenance triad:
+        inspect per-cell load + fragmentation and emit the
+        (action, cell_a, cell_b, metric) list an operator would run on
+        an aging index — split the hot cells, merge the cold pairs,
+        compact the fragmented lists. Driver-side decision over k-row
+        stats (one column-pruned count-per-cell job + a k-directory
+        file listing) — never corpus-proportional.
+
+        Rules are INTEGER-EXACT (cross-multiplied against the mean) so
+        the q_emb_ivf_plan oracle reproduces them with no float
+        thresholds:
+        - hot   (split):  n · k · hot_den > hot_num · total
+          (n > (hot_num/hot_den) × mean)
+        - cold  (merge):  n · k · cold_div < total   (n < mean / cold_div),
+          empty cells included (a centroid with no partition is the
+          coldest possible cell); cold cells sort by (n ASC, cell ASC)
+          and pair consecutively — 1st with 2nd, 3rd with 4th … an odd
+          leftover waits for the next round. A merge pair reports
+          (min_id, max_id, n_a + n_b); a metric-0 pair means BOTH cells
+          are dead — apply_plan routes those to drop_empty_cells
+          (merge_cells intentionally refuses an empty-empty merge).
+        - fragmented (compact): > max_files parquet files in the cell
+          directory (filesystem truth, so this arm is unit-tested
+          rather than oracle-gated).
+        Splits order by (n DESC, cell ASC). hot_num/hot_den ≥ 1 and
+        cold_div ≥ 2 keep the two sets provably disjoint."""
+        counts = {
+            int(r["cent_id"]): 0
+            for r in self.centroids().select("cent_id").collect()
+        }
+        for r in (
+            self.cells()
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ):
+            counts[int(r["cell"])] = int(r["n"])
+        total, k = sum(counts.values()), len(counts)
+        plan: list[tuple[str, int, int | None, int]] = []
+        hot = sorted(
+            (
+                c
+                for c, n in counts.items()
+                if n * k * hot_den > hot_num * total
+            ),
+            key=lambda c: (-counts[c], c),
+        )
+        plan.extend(("split", c, None, counts[c]) for c in hot)
+        cold = sorted(
+            (c for c, n in counts.items() if n * k * cold_div < total),
+            key=lambda c: (counts[c], c),
+        )
+        for x, y in zip(cold[0::2], cold[1::2]):
+            a, b = (x, y) if x < y else (y, x)
+            plan.append(("merge", a, b, counts[x] + counts[y]))
+        root = os.path.join(self.path, "cells")
+        for c in sorted(counts):
+            d = os.path.join(root, f"cell={c}")
+            if os.path.isdir(d):
+                nf = sum(
+                    1 for f in os.listdir(d) if f.endswith(".parquet")
+                )
+                if nf > max_files:
+                    plan.append(("compact", c, None, nf))
+        return plan
+
+    def apply_plan(
+        self, plan: list[tuple[str, int, int | None, int]]
+    ) -> "IVFIndexStore":
+        """Execute a maintenance_plan: merges first (their pair ids
+        were chosen against the current codebook; a metric-0 pair —
+        both cells dead — goes to drop_empty_cells instead, since
+        merging two empty lists is a codebook-only operation
+        merge_cells refuses), then splits (hot ids are disjoint from
+        cold ids by construction), then ONE compact pass targeting
+        whatever is fragmented AFTER the moves (the plan's compact arm
+        described the pre-move state; the rewrites above change it)."""
+        dead: list[int] = []
+        for action, a, b, metric in plan:
+            if action == "merge":
+                if metric == 0:
+                    dead.extend([a, b])
+                else:
+                    self.merge_cells(a, b)
+        if dead:
+            self.drop_empty_cells(dead)
+        for action, a, _, _ in plan:
+            if action == "split":
+                self.split_cell(a)
+        if any(p[0] == "compact" for p in plan):
+            self.compact_cells()
+        return self
+
+    # ---------------------------------------------------- drop_empty_cells
+    def drop_empty_cells(self, cells: list[int]) -> "IVFIndexStore":
+        """Remove VERIFIED-EMPTY cells from the codebook — the action
+        for dead probe slots (a centroid whose list decayed to nothing
+        still costs a probe rank and a directory stat on every search).
+        Refuses a cell that has rows (that is merge_cells' job) or one
+        absent from the codebook; refuses to drop every cell. Codebook
+        rename-swap only (no row data exists to move), same crash
+        residue class as split/merge — _recover_codebook_swap heals a
+        mid-swap kill at next entry."""
+        import shutil as _sh
+
+        self._recover_orphan_cells()
+        cents = {
+            int(r["cent_id"]): (list(r["cemb"]), float(r["cnrm"]))
+            for r in self.centroids().collect()
+        }
+        targets = sorted({int(c) for c in cells})
+        for c in targets:
+            if c not in cents:
+                raise ValueError(f"drop_empty_cells: cell {c} not in codebook")
+        if len(targets) >= len(cents):
+            raise ValueError("drop_empty_cells: refusing to drop every cell")
+        nonempty = {
+            int(r["cell"])
+            for r in self.cells()
+            .filter(F.col("cell").isin(targets))
+            .select("cell")
+            .distinct()
+            .collect()
+        }
+        if nonempty:
+            raise ValueError(
+                f"drop_empty_cells: cells {sorted(nonempty)} have rows — "
+                f"merge_cells them instead"
+            )
+        cents_rows = [
+            (cid, v, n)
+            for cid, (v, n) in sorted(cents.items())
+            if cid not in targets
+        ]
+        final = os.path.join(self.path, "centroids")
+        tmp = final + "._merge_tmp"
+        self.spark.createDataFrame(
+            cents_rows, "cent_id bigint, cemb array<double>, cnrm double"
+        ).write.mode("overwrite").parquet(tmp)
+        old_dir = final + "._merge_old"
+        os.rename(final, old_dir)
+        os.rename(tmp, final)
+        _sh.rmtree(old_dir, ignore_errors=True)
+        self.k = len(cents_rows)
+        return self
+
     # ----------------------------------------------------- compact_cells
     def compact_cells(
         self, cells: list[int] | None = None, max_files: int = 1

@@ -38,7 +38,8 @@ _MODULE_ORDER = ("esvc", "multimodal", "embeddings", "documents", "events", "rel
 
 _FRONT = (
     # NEW this round: merge-cells maintenance proof + persisted IVF-PQ
-    # + the PQ codebook trainer under the oracle gate
+    # + the PQ codebook trainer and maintenance planner under the gate
+    "q_emb_ivf_plan",
     "q_emb_pq_train",
     "q_emb_ivf_merge",
     "q_emb_ivfpq_store",

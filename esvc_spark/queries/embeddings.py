@@ -3735,6 +3735,110 @@ FROM {prev} b, unnest(range(0, {_PQ_SUBDIM})) t(p)
     return sql
 
 
+# ------------------------------------------------ maintenance planning
+# IVFIndexStore.maintenance_plan under the oracle hash gate: the
+# deterministic policy that unifies the triad — split the hot cells,
+# merge/drop the cold ones, compact the fragmented ones (the compact
+# arm is filesystem truth and stays unit-tested; a freshly built store
+# has one file per cell, so it is provably silent here). Thresholds are
+# integer-exact cross-multiplications against the mean, so the oracle
+# reproduces the plan with no float comparisons. The store is built
+# with two DELIBERATELY DEAD probe slots: cent_ids 8/9 carry 2× the
+# vectors of cent_ids 0/1 — cosine is scale-invariant and
+# power-of-two scaling is IEEE-EXACT (2a+2b rounds to 2(a+b),
+# sqrt(4s) = 2·sqrt(s)), so every vector ties between the pair and the
+# (csim DESC, cell ASC) rule sends it to the LOWER id in both engines:
+# cells 8/9 are empty by construction, the plan's cold arm pairs them
+# with metric 0 (= drop_empty_cells work), and the hot arm flags the
+# >1.25×-mean cells for split_cell.
+
+_PLAN_HOT_NUM, _PLAN_HOT_DEN, _PLAN_COLD_DIV = 5, 4, 4
+
+
+def q_emb_ivf_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.ann_store import IVFIndexStore
+
+    e = _emb(spark, sf_dir).select("vec_id", "emb")
+    cents = e.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb")
+    )
+    dead = e.filter(F.col("vec_id") < 2).select(
+        (F.col("vec_id") + _IVF_K).alias("cent_id"),
+        F.transform("emb", lambda x: x * F.lit(2.0)).alias("cemb"),
+    )
+    work = tempfile.mkdtemp(prefix="esvc_ivfplan_")
+    try:
+        store = IVFIndexStore.build(
+            spark, e, f"{work}/idx", centroids=cents.unionByName(dead)
+        )
+        plan = store.maintenance_plan(
+            hot_num=_PLAN_HOT_NUM,
+            hot_den=_PLAN_HOT_DEN,
+            cold_div=_PLAN_COLD_DIV,
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (action, int(a), None if b is None else int(b), int(metric))
+            for action, a, b, metric in plan
+        ],
+        "action string, cell_a int, cell_b int, metric bigint",
+    )
+
+
+def _ivf_plan_sql() -> str:
+    return f"""
+WITH en AS ({_SQL_EMB_NORMED}),
+cents AS (
+  SELECT vec_id AS cent_id, emb AS cemb, nrm AS cnrm FROM en
+  WHERE vec_id < {_IVF_K}
+  UNION ALL
+  SELECT vec_id + {_IVF_K}, list_transform(emb, x -> x * CAST(2 AS DOUBLE)),
+         nrm * CAST(2 AS DOUBLE)
+  FROM en WHERE vec_id < 2
+),
+assign AS (
+  SELECT vec_id, cent_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+           {sql_cosine_prenorm('emb', 'cemb', 'nrm', 'cnrm')} DESC, cent_id)
+           AS crank
+  FROM en CROSS JOIN cents
+),
+counts AS (
+  SELECT c.cent_id AS cell, CAST(COALESCE(l.n, 0) AS BIGINT) AS n
+  FROM cents c LEFT JOIN (
+    SELECT cent_id, COUNT(*) AS n FROM assign WHERE crank = 1 GROUP BY 1
+  ) l ON l.cent_id = c.cent_id
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS k
+  FROM counts
+),
+hot AS (
+  SELECT 'split' AS action, CAST(cell AS INT) AS cell_a,
+         CAST(NULL AS INT) AS cell_b, n AS metric
+  FROM counts, tot
+  WHERE n * k * {_PLAN_HOT_DEN} > {_PLAN_HOT_NUM} * total
+),
+cold AS (
+  SELECT cell, n, ROW_NUMBER() OVER (ORDER BY n, cell) AS rk
+  FROM counts, tot WHERE n * k * {_PLAN_COLD_DIV} < total
+),
+pairs AS (
+  SELECT 'merge' AS action,
+         CAST(LEAST(o.cell, e.cell) AS INT) AS cell_a,
+         CAST(GREATEST(o.cell, e.cell) AS INT) AS cell_b,
+         o.n + e.n AS metric
+  FROM cold o JOIN cold e ON e.rk = o.rk + 1 AND o.rk % 2 = 1
+)
+SELECT * FROM hot UNION ALL SELECT * FROM pairs
+"""
+
+
 # ------------------------------------------------- merge-cell maintenance
 # merge_cells (operators/ann_store.py) under the oracle hash gate
 # (VERDICT r10 #1 — the last maintenance move without a driver row):
@@ -3890,6 +3994,7 @@ WHERE rank <= {_IVF_TOPK}
 
 
 QUERIES = {
+    "q_emb_ivf_plan": q_emb_ivf_plan,
     "q_emb_pq_train": q_emb_pq_train,
     "q_emb_ivf_merge": q_emb_ivf_merge,
     "q_emb_ivfpq_store": q_emb_ivfpq_store,
@@ -3928,6 +4033,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_emb_ivf_plan": _ivf_plan_sql(),
     "q_emb_pq_train": _pq_train_sql(),
     "q_emb_ivf_merge": _IVF_MERGE_SQL,
     "q_emb_ivfpq_store": _ivfpq_store_sql(),

@@ -124,10 +124,17 @@ def _receipt_session(name: str) -> SparkSession:
 
 def _inflate(spark, sf_dir: str, replicas: int, dim_mult: int, n_queries: int):
     """Deterministic corpus inflation shared by the receipt modes:
-    replica r offsets ids by r*n_base and ROTATES the vector by (r %
-    dim) positions — distinct vectors per replica whose nearest
-    centroids spread over the codebook, with no randomness (rerunnable
-    receipt). Returns (emb, queries, n_total, out_dim)."""
+    replica r offsets ids by r*n_base, ROTATES the vector by (r % dim)
+    positions, and adds a small xxhash-keyed per-element perturbation —
+    all deterministic (rerunnable receipt). The noise matters: without
+    it, replicas with r ≡ 0 (mod dim) are EXACT copies of the base
+    vector and rotation tiles quantize to colliding PQ codes, so an ADC
+    ranking degenerates into vec_id tie-breaks and recall collapses
+    (measured 0.035 at 512 dims); with it, each query's nearest
+    neighbors are its own lightly-perturbed replicas — the realistic
+    near-duplicate structure ANN receipts should measure. Queries stay
+    UNPERTURBED widened base vectors. Returns (emb, queries, n_total,
+    out_dim)."""
     base = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
@@ -152,11 +159,27 @@ def _inflate(spark, sf_dir: str, replicas: int, dim_mult: int, n_queries: int):
             *[_rot(col, (r_col + F.lit(t)) % dim) for t in range(dim_mult)]
         )
 
+    def _jitter(col, r_col):
+        # ±0.05 deterministic per-(replica, element) noise: xxhash64 of
+        # r*8192+i folded to [-1000, 1000] / 20000
+        return F.transform(
+            col,
+            lambda x, i: x
+            + (
+                F.pmod(
+                    F.xxhash64(r_col.cast("bigint") * F.lit(8192) + i),
+                    F.lit(2001),
+                ).cast("double")
+                - F.lit(1000.0)
+            )
+            / F.lit(20000.0),
+        )
+
     emb = (
         base.crossJoin(r)
         .select(
             (F.col("vec_id") + F.col("r").cast("bigint") * n_base).alias("vec_id"),
-            _widen(F.col("emb"), F.col("r")).alias("emb"),
+            _jitter(_widen(F.col("emb"), F.col("r")), F.col("r")).alias("emb"),
         )
         .repartition(32)
     )
@@ -341,13 +364,15 @@ def pq_mode() -> None:
 
         python scripts/ab_ann_store.py --pq [replicas] [k] [rounds] [n_queries] [pq_codes] [dim_mult] [untrained] [sf_dir]
 
-    Defaults: 125 replicas x 2000 rows = 250k vectors WIDENED 8x to
-    512 dims, k=64 cells, pq_m=8 subspaces x 256 codes -> 8 small ints
+    Defaults: 500 replicas x 2000 rows = 1M vectors WIDENED 8x to
+    512 dims, k=64 cells, pq_m=8 subspaces x 64 codes -> 8 small ints
     vs 512 doubles (4 KB) per candidate row. The widening is the point:
     a 64-dim run measured the ADC path 0.3-0.4x SLOWER than exact (the
     per-candidate decode is only 512 bytes — the ADC join machinery
     costs more than it saves); PQ's regime is fat embedding columns
     where candidate decode bytes dominate, exactly the 100 TB shape.
+    64 codes keeps the one-off encode pass tractable at receipt scale
+    (encode flops = N·m·n_codes·subdim); production books use 256.
 
     The store is built with a codebook TRAINED on a deterministic ~64k
     sample (train_pq_book — the production default); pass untrained=1
@@ -355,11 +380,11 @@ def pq_mode() -> None:
     (adds a full second build; the 1M x 64-dim run measured 0.805 vs
     0.775 recall@10)."""
     args = sys.argv[2:]
-    replicas = int(args[0]) if len(args) > 0 else 125
+    replicas = int(args[0]) if len(args) > 0 else 500
     k = int(args[1]) if len(args) > 1 else 64
     rounds = int(args[2]) if len(args) > 2 else 3
     n_queries = int(args[3]) if len(args) > 3 else 20
-    pq_codes = int(args[4]) if len(args) > 4 else 256
+    pq_codes = int(args[4]) if len(args) > 4 else 64
     dim_mult = int(args[5]) if len(args) > 5 else 8
     with_untrained = bool(int(args[6])) if len(args) > 6 else False
     sf_dir = args[7] if len(args) > 7 else "/root/testdata/sf0.1"
