@@ -451,7 +451,14 @@ class IVFIndexStore:
         # Hash-on-cell bounds write parallelism by k — acceptable for a
         # build-once index; a skewed (untrained) codebook shows up here
         # as one fat task, which is the signal to retrain, not a failure.
-        _assign_cells(e, cdf).repartition(F.col("cell")).write.mode(
+        # sortWithinPartitions(vec_id): cluster each inverted list's
+        # file by id so point-lookups (search_pq's bounded re-rank, the
+        # add()/heal anti-joins) push an In filter that parquet's page
+        # column index can actually skip on — unsorted pages have
+        # full-range min/max and skip nothing
+        _assign_cells(e, cdf).repartition(F.col("cell")).sortWithinPartitions(
+            "cell", "vec_id"
+        ).write.mode(
             "overwrite"
         ).partitionBy("cell").parquet(os.path.join(path, "cells"))
         return IVFIndexStore(spark, path, k)
@@ -502,7 +509,9 @@ class IVFIndexStore:
                 .select("vec_id")
             )
             assigned = assigned.join(existing, "vec_id", "left_anti")
-        assigned.write.mode("append").partitionBy("cell").parquet(
+        assigned.repartition(F.col("cell")).sortWithinPartitions(
+            "cell", "vec_id"
+        ).write.mode("append").partitionBy("cell").parquet(
             os.path.join(self.path, "cells")
         )
         return self
@@ -648,7 +657,9 @@ class IVFIndexStore:
         with _scoped_conf(
             self.spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"
         ):
-            reassigned.repartition(F.col("cell")).write.mode(
+            reassigned.repartition(F.col("cell")).sortWithinPartitions(
+                "cell", "vec_id"
+            ).write.mode(
                 "overwrite"
             ).partitionBy("cell").parquet(os.path.join(self.path, "cells"))
         self.k = len(cents_rows)
@@ -754,7 +765,9 @@ class IVFIndexStore:
         ):
             rows.withColumn("cell", F.lit(a).cast("bigint")).repartition(
                 F.col("cell")
-            ).write.mode("overwrite").partitionBy("cell").parquet(
+            ).sortWithinPartitions("cell", "vec_id").write.mode(
+                "overwrite"
+            ).partitionBy("cell").parquet(
                 os.path.join(self.path, "cells")
             )
         # (3) drop b's now-redundant directory (rename-out then remove,
@@ -836,7 +849,9 @@ class IVFIndexStore:
                 .filter(~F.col("cell").isin([int(o) for o in orphans]))
                 .select("vec_id")
             )
-            assigned.join(existing, "vec_id", "left_anti").write.mode(
+            assigned.join(existing, "vec_id", "left_anti").repartition(
+                F.col("cell")
+            ).sortWithinPartitions("cell", "vec_id").write.mode(
                 "append"
             ).partitionBy("cell").parquet(root)
             junk = os.path.join(self.path, f"._merge_drop_cell={orph}")
@@ -1080,8 +1095,12 @@ class IVFIndexStore:
             tmp = os.path.join(self.path, f"._compact_tmp_{entry}")
             old = os.path.join(self.path, f"._compact_old_{entry}")
             # a per-cell read has no `cell` column (it IS the directory);
-            # coalesce not repartition: no shuffle, just fewer writers
-            self.spark.read.parquet(cdir).coalesce(max_files).write.mode(
+            # coalesce not repartition: no shuffle, just fewer writers;
+            # the per-partition sort restores vec_id clustering that
+            # interleaved add() batches eroded
+            self.spark.read.parquet(cdir).coalesce(
+                max_files
+            ).sortWithinPartitions("vec_id").write.mode(
                 "overwrite"
             ).parquet(tmp)
             os.rename(cdir, old)
@@ -1401,10 +1420,25 @@ class IVFIndexStore:
             .select("query_id", "vec_id")
             .dropDuplicates(["query_id", "vec_id"])
         )
-        # exact re-rank: decode emb for ONLY the pooled candidates —
-        # pruned scan × broadcast pool × broadcast queries
+        # exact re-rank: decode emb for ONLY the pooled candidates.
+        # The pool is driver-bounded (≤ |Q|·topk·rerank ids), so it is
+        # pushed into the scan as a literal In filter on vec_id — the
+        # cells are vec_id-CLUSTERED within each file (every write path
+        # sortWithinPartitions), so parquet's page column index skips
+        # the pages holding none of the pooled ids instead of decoding
+        # the probed cells' full emb column a second time (that second
+        # full-column scan measurably negated the ADC byte win
+        # end-to-end at the 1M × 512-dim receipt). Exact-In pushdown
+        # beyond ~10 values needs spark.sql.parquet.pushdown.
+        # inFilterThreshold raised; with the default the filter still
+        # evaluates post-scan, which is only the old cost, never wrong.
+        pool = pool.localCheckpoint()  # bounded; consumed twice below
+        pool_ids = [int(r["vec_id"]) for r in pool.select("vec_id").distinct().collect()]
         full = (
             src.filter(F.col("cell").isin(probe_cells))
+            .filter(
+                F.col("vec_id").isin(pool_ids) if pool_ids else F.lit(False)
+            )
             .select("vec_id", "emb", "nrm")
             .join(F.broadcast(pool), "vec_id")
             .join(F.broadcast(q), "query_id")

@@ -115,6 +115,11 @@ def _receipt_session(name: str) -> SparkSession:
         # shape for both arms (the flat arm gets the same setting).
         .config("spark.sql.files.maxPartitionBytes", "2m")
         .config("spark.sql.files.openCostInBytes", "1m")
+        # push the bounded re-rank pool as an EXACT In filter (default
+        # threshold 10 degrades a several-hundred-id pool to a useless
+        # min/max range over scattered ids); with vec_id-clustered cell
+        # files the page column index then skips precisely
+        .config("spark.sql.parquet.pushdown.inFilterThreshold", "4096")
         .appName(name)
         .getOrCreate()
     )
@@ -364,15 +369,18 @@ def pq_mode() -> None:
 
         python scripts/ab_ann_store.py --pq [replicas] [k] [rounds] [n_queries] [pq_codes] [dim_mult] [untrained] [sf_dir]
 
-    Defaults: 500 replicas x 2000 rows = 1M vectors WIDENED 8x to
-    512 dims, k=64 cells, pq_m=8 subspaces x 64 codes -> 8 small ints
-    vs 512 doubles (4 KB) per candidate row. The widening is the point:
-    a 64-dim run measured the ADC path 0.3-0.4x SLOWER than exact (the
+    Defaults: 125 replicas x 2000 rows = 250k vectors WIDENED 8x to
+    512 dims, k=64 cells, pq_m = dim/8 subspaces (subdim PINNED at 8 —
+    the FAISS geometry; an early run with pq_m=8 at 512 dims gave
+    subdim-64 subspaces whose quantization error swamped the signal and
+    recall collapsed to 0.10) x 64 codes -> 64 small ints (256 B) vs
+    512 doubles (4 KB) per candidate row. The widening is the point: a
+    64-dim run measured the ADC path 0.3-0.4x SLOWER than exact (the
     per-candidate decode is only 512 bytes — the ADC join machinery
     costs more than it saves); PQ's regime is fat embedding columns
     where candidate decode bytes dominate, exactly the 100 TB shape.
     64 codes keeps the one-off encode pass tractable at receipt scale
-    (encode flops = N·m·n_codes·subdim); production books use 256.
+    (encode join rows = N·m·n_codes); production books use 256.
 
     The store is built with a codebook TRAINED on a deterministic ~64k
     sample (train_pq_book — the production default); pass untrained=1
@@ -380,7 +388,7 @@ def pq_mode() -> None:
     (adds a full second build; the 1M x 64-dim run measured 0.805 vs
     0.775 recall@10)."""
     args = sys.argv[2:]
-    replicas = int(args[0]) if len(args) > 0 else 500
+    replicas = int(args[0]) if len(args) > 0 else 125
     k = int(args[1]) if len(args) > 1 else 64
     rounds = int(args[2]) if len(args) > 2 else 3
     n_queries = int(args[3]) if len(args) > 3 else 20
@@ -392,6 +400,7 @@ def pq_mode() -> None:
     emb, queries, n_total, dim = _inflate(
         spark, sf_dir, replicas, dim_mult, n_queries
     )
+    pq_m = max(8, dim // 8)  # subdim pinned at 8
     keep = os.environ.get("SPARK_ANN_WORK")
     work = keep or tempfile.mkdtemp(prefix="ab_ann_pq_")
     try:
@@ -407,13 +416,13 @@ def pq_mode() -> None:
             smod = max(1, n_total // 65536)
             t0 = time.monotonic()
             book = train_pq_book(
-                emb, n_codes=pq_codes, m=8, rounds=2, sample_mod=smod
+                emb, n_codes=pq_codes, m=pq_m, rounds=2, sample_mod=smod
             )
             t_train = time.monotonic() - t0
             print(f"trained on ~1/{smod} sample (sample_mod={smod})")
             t0 = time.monotonic()
             store = IVFIndexStore.build(
-                spark, emb, idx, k=k, pq_book=book, pq_m=8
+                spark, emb, idx, k=k, pq_book=book, pq_m=pq_m
             )
             t_build = time.monotonic() - t0
         cell_bytes = sum(
@@ -424,7 +433,7 @@ def pq_mode() -> None:
         )
         print(
             f"corpus: {n_total} vectors x {dim} dims, k={store.k} cells, "
-            f"pq_m=8 x {pq_codes} codes, index {cell_bytes / 1e6:.0f} MB "
+            f"pq_m={pq_m} x {pq_codes} codes, index {cell_bytes / 1e6:.0f} MB "
             f"parquet, train {t_train:.1f}s, build {t_build:.1f}s"
         )
 
@@ -459,7 +468,7 @@ def pq_mode() -> None:
             ):
                 shutil.rmtree(un_idx, ignore_errors=True)
                 un_store = IVFIndexStore.build(
-                    spark, emb, un_idx, k=k, pq_codes=pq_codes, pq_m=8
+                    spark, emb, un_idx, k=k, pq_codes=pq_codes, pq_m=pq_m
                 )
             else:
                 un_store = IVFIndexStore.load(spark, un_idx)
@@ -491,7 +500,7 @@ def pq_mode() -> None:
             f"scan-only {mode} ({len(probe_cells)} cells): codes-column "
             f"min={min(s_codes):.2f}s  emb-column min={min(s_emb):.2f}s  "
             f"ratio {min(s_emb) / min(s_codes):.2f}x "
-            f"(logical bytes/row: {8 * 4} vs {dim * 8})"
+            f"(logical bytes/row: {pq_m * 4} vs {dim * 8})"
         )
         # (c) end-to-end cold search: ADC (codes scan + bounded re-rank
         # decode) vs exact (full emb decode of every candidate)
