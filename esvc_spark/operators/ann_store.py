@@ -163,10 +163,83 @@ def _pq_encode(e: DataFrame, book: DataFrame, m: int, subdim: int) -> DataFrame:
     metric is cosine: on unit vectors L2² = 2 - 2·cos, so ADC ordering
     approximates cosine ordering; raw-magnitude L2 would not.
 
-    The expansion stays narrow: only (vec_id, sub, code, sqe) rows flow
-    into the per-(vec_id, sub) argmin (the _assign_cells reasoning);
-    the full row rejoins by vec_id. One broadcast of the m×n_codes book,
-    one shuffle of N×m narrow rows."""
+    DENSE books (every (sub, 0..n_codes-1) entry present — both
+    built-in shapes) encode in ONE narrow map stage: the whole book is
+    folded to a single broadcast nested array ball[sub][code] = cpart
+    (m·n_codes·subdim doubles — a few hundred KB) and each row computes
+    all m argmins inline — no explode, no shuffle, no groupBy. The
+    earlier shape (explode to N×m parts → broadcast-join every code →
+    per-(vec_id, sub) argmin aggregate → re-gather) pushed
+    N·m·n_codes rows through two hash aggregates; at the 1M × 512-dim
+    receipt that is 4 BILLION intermediate rows for the same 33 GFLOP
+    of subvector distances. The argmin fold keeps the first strict
+    minimum, which is exactly min(struct(sqe, code)) — lowest code on
+    ties — so results are bit-identical to the join path, which
+    remains as the fallback for sparse explicit pq_books."""
+    stats = book.agg(
+        F.max("code").alias("mx"), F.count(F.lit(1)).alias("n")
+    ).first()
+    n_codes = int(stats["mx"]) + 1
+    if int(stats["n"]) == m * n_codes:
+        nested = (
+            book.groupBy("sub")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("code", "cpart"))),
+                    lambda s: s["cpart"],
+                ).alias("carr")
+            )
+            .groupBy()
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("sub", "carr"))),
+                    lambda s: s["carr"],
+                ).alias("_ball")
+            )
+        )
+
+        def _argmin(j):
+            # fold ONCE over the n_codes distances for subvector j with
+            # a positional (sqe, code, i) accumulator — referencing a
+            # distances array from inside a separate index fold would
+            # re-embed (and risk re-evaluating) the whole distance
+            # computation at every step
+            darr = F.transform(
+                F.element_at(F.col("_ball"), j + 1),
+                lambda cp: _sqdist(
+                    F.slice(F.col("_u"), j * F.lit(subdim) + 1, subdim), cp
+                ),
+            )
+            return F.aggregate(
+                darr,
+                F.struct(
+                    F.lit(float("inf")).alias("sqe"),
+                    F.lit(-1).alias("code"),
+                    F.lit(0).alias("i"),
+                ),
+                lambda acc, x: F.struct(
+                    F.when(x < acc["sqe"], x).otherwise(acc["sqe"]).alias(
+                        "sqe"
+                    ),
+                    F.when(x < acc["sqe"], acc["i"])
+                    .otherwise(acc["code"])
+                    .alias("code"),
+                    (acc["i"] + 1).alias("i"),
+                ),
+                lambda acc: acc["code"],
+            )
+
+        cols = e.columns
+        return (
+            e.crossJoin(F.broadcast(nested))
+            .withColumn("_u", _unit(F.col("emb"), F.col("nrm")))
+            .select(
+                *cols,
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(m - 1)), _argmin
+                ).alias("codes"),
+            )
+        )
     parts = _pq_parts_of(
         e.select("vec_id", _unit(F.col("emb"), F.col("nrm")).alias("_u")),
         F.col("_u"),
