@@ -315,19 +315,14 @@ _DRW_Q = 1 << 20
 
 
 def q_doc_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from ._util import ofold_sum
+    from .documents_shared import _bigram_df
 
     docs = _docs_par(spark, sf_dir)
-    toks = docs.select("doc_id", "source", F.posexplode(_TOKENS()).alias("pos", "w"))
-    bi = (
-        toks.withColumn(
-            "w2", F.lead("w").over(Window.partitionBy("doc_id").orderBy("pos"))
-        )
-        .filter(F.col("w2").isNotNull())
-        .select("doc_id", "source", "pos", F.col("w").alias("w1"), "w2")
-    ).transform(_tp)
+    toks = docs.select("doc_id", F.explode(_TOKENS()).alias("w"))
+    # array-native bigrams (round 11): identical rows to the previous
+    # posexplode + lead-window shape, minus the sort (guide §2.4)
+    bi = _bigram_df(docs, _TOKENS(), "doc_id", "source").transform(_tp)
     c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     vocab = toks.agg(F.countDistinct("w").alias("v"))
@@ -358,11 +353,14 @@ def q_doc_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("score_q"),
         )
     )
+    # persist: dom (|sources| rows) feeds BOTH the totals aggregate and
+    # the join's left side — without it the whole scored→perdoc fold
+    # pipeline (the expensive part) evaluates twice (round 11)
     dom = perdoc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_bigrams").cast("bigint").alias("n_bigrams"),
         F.sum("score_q").cast("bigint").alias("sq"),
-    )
+    ).transform(_tp)
     tot = dom.agg(
         F.sum("n_docs").cast("bigint").alias("t_docs"),
         F.sum("n_bigrams").cast("bigint").alias("t_bigrams"),

@@ -113,7 +113,7 @@ _SQL_SHINGLES = f"""
 _DF_CAP = 100
 
 
-def _capped_shingles(docs: DataFrame) -> DataFrame:
+def _capped_shingles(docs: DataFrame, with_all: bool = False):
     """The df-capped shingle table. The
     hot-shingle list (df > cap) is tiny by construction — boilerplate
     keys only — so it broadcasts, and the cap costs one map-side-combined
@@ -121,7 +121,10 @@ def _capped_shingles(docs: DataFrame) -> DataFrame:
     shingle table. Persists all_sh (feeds the df aggregate + anti-join)
     and sh (every caller fans it into multiple branches). Shared by
     ngram_jaccard / containment / lsh_tuning so the cap semantics cannot
-    drift between the dedup queries and the audits of them."""
+    drift between the dedup queries and the audits of them.
+    `with_all=True` additionally returns the persisted UNCAPPED table so
+    a caller needing both (lsh_tuning's MinHash side) reuses this pass
+    instead of re-running the tokenize+shingle pipeline (round 11)."""
     all_sh = _shingles_df(docs).transform(_tp)
     hot = (
         all_sh.groupBy("shingle")
@@ -129,7 +132,8 @@ def _capped_shingles(docs: DataFrame) -> DataFrame:
         .filter(F.col("df") > _DF_CAP)
         .select("shingle")
     )
-    return all_sh.join(F.broadcast(hot), "shingle", "left_anti").transform(_tp)
+    sh = all_sh.join(F.broadcast(hot), "shingle", "left_anti").transform(_tp)
+    return (sh, all_sh) if with_all else sh
 
 
 def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -192,10 +196,10 @@ _ROWS_PER_BAND = _N_PERM // _N_BANDS
 _PERMS = [((1103515245 * i + 12345) % _P or 1, (69069 * i + 1) % _P) for i in range(1, _N_PERM + 1)]
 
 
-def _mh_sig(docs: DataFrame) -> DataFrame:
-    """MinHash signature table (doc_id, mh0..mh15) for any (doc_id, text)
-    frame — shared by the self-join LSH and the incremental variant."""
-    sh = _shingles_df(docs)
+def _sig_from_shingles(sh: DataFrame) -> DataFrame:
+    """MinHash signature table (doc_id, mh0..mh15) from an existing
+    distinct-shingle frame — callers that already hold (or persist) the
+    shingle table reuse it instead of re-running tokenize+shingle."""
     hashed = sh.select("doc_id", (_h(F.col("shingle")) % _P).alias("h"))
     return hashed.groupBy("doc_id").agg(
         *[
@@ -203,6 +207,12 @@ def _mh_sig(docs: DataFrame) -> DataFrame:
             for i, (a, b) in enumerate(_PERMS)
         ]
     )
+
+
+def _mh_sig(docs: DataFrame) -> DataFrame:
+    """MinHash signature table (doc_id, mh0..mh15) for any (doc_id, text)
+    frame — shared by the self-join LSH and the incremental variant."""
+    return _sig_from_shingles(_shingles_df(docs))
 
 
 def _mh_bands(sig: DataFrame) -> DataFrame:
@@ -461,31 +471,30 @@ _WIN_MIN_SHARED = 2
 
 
 def q_doc_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     docs = _docs_par(spark, sf_dir)
-    kgrams = F.expr(
+    # Array-native winnowing (round 11): k-gram hashes and the W-wide
+    # sliding minima are computed inside the token array — no posexplode
+    # of every k-gram, no doc-window sort (guide §2.4). Bit-identical to
+    # the previous window shape: for each full window ending at position
+    # p ≥ W-1, min(h[p-W+1..p]) — exactly array_min(slice(hs, i+1, W))
+    # at i = p-W+1 — then the per-doc distinct set, via array_distinct.
+    hs = F.expr(
         f"CASE WHEN size(w) >= {_WIN_K} THEN "
         f"transform(sequence(0, size(w) - {_WIN_K}), "
-        f"i -> concat_ws(' ', slice(w, i + 1, {_WIN_K}))) "
+        f"i -> cast(conv(substring(md5(concat_ws(' ', "
+        f"slice(w, i + 1, {_WIN_K}))), 1, 15), 16, 10) as bigint)) "
         "ELSE array() END"
     )
-    h = (
-        docs.select("doc_id", _TOKENS().alias("w"))
-        .select("doc_id", F.posexplode(kgrams).alias("pos", "kgram"))
-        .select("doc_id", "pos", _h(F.col("kgram")).alias("h"))
-    )
-    win = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(-(_WIN_W - 1), 0)
+    mins = F.expr(
+        f"CASE WHEN size(hs) >= {_WIN_W} THEN "
+        f"array_distinct(transform(sequence(0, size(hs) - {_WIN_W}), "
+        f"i -> array_min(slice(hs, i + 1, {_WIN_W})))) "
+        "ELSE array() END"
     )
     fps = (
-        h.withColumn("mn", F.min("h").over(win))
-        .withColumn("cnt", F.count(F.lit(1)).over(win))
-        .filter(F.col("cnt") == _WIN_W)  # full windows only (canonical)
-        .select("doc_id", "mn")
-        .distinct()
+        docs.select("doc_id", _TOKENS().alias("w"))
+        .select("doc_id", hs.alias("hs"))
+        .select("doc_id", F.explode(mins).alias("mn"))
     )
     # hot-fingerprint cap: one boilerplate minimum shared by k docs would
     # contribute k² pair rows — same df-cap anti-join as the shingle index
@@ -1215,8 +1224,15 @@ def _mh_cand_exact(docs: DataFrame):
     q_doc_bbit_minhash): the persisted signature table, the banded LSH
     candidate pairs, per-candidate-doc shingle counts, and the shared-
     shingle counts per pair — one builder so the banding and
-    exact-Jaccard logic cannot drift between the audits."""
-    sig = _mh_sig(docs).transform(_tp)
+    exact-Jaccard logic cannot drift between the audits.
+
+    Round 11: ONE persisted shingle pass feeds both the signature build
+    and the exact side — previously `_mh_sig(docs)` and the `shc` line
+    each ran the full tokenize+shingle+distinct pipeline (guide §1.2:
+    don't compute things twice). sig is bit-identical: _mh_sig is
+    exactly hash→16×min over the same distinct shingle set."""
+    sh = _shingles_df(docs).transform(_tp)
+    sig = _sig_from_shingles(sh).transform(_tp)
     bands = _mh_bands(sig)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -1235,7 +1251,7 @@ def _mh_cand_exact(docs: DataFrame):
         .union(cand.select("doc_b"))
         .distinct()
     )
-    shc = _shingles_df(docs).join(F.broadcast(cand_docs), "doc_id").transform(_tp)
+    shc = sh.join(F.broadcast(cand_docs), "doc_id").transform(_tp)
     counts = shc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     xa, xb = shc.alias("xa"), shc.alias("xb")
     shared = (
@@ -1544,7 +1560,10 @@ FROM j
 
 def q_doc_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_par(spark, sf_dir)
-    sh = _capped_shingles(docs)
+    # one shingle pass: the capped table feeds the truth side, the
+    # uncapped sibling feeds the MinHash banding (round 11 — previously
+    # _mh_sig re-ran the whole tokenize+shingle+distinct pipeline)
+    sh, all_sh = _capped_shingles(docs, with_all=True)
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     truth = (
@@ -1563,7 +1582,7 @@ def q_doc_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("na") + F.col("nb") - F.col("shared")),
         )
     )
-    bands = _mh_bands(_mh_sig(docs))
+    bands = _mh_bands(_sig_from_shingles(all_sh))
     x, y = bands.alias("x"), bands.alias("y")
     cand = (
         x.join(

@@ -51,6 +51,31 @@ def _docs_par(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bigram_df(
+    docs: DataFrame, tokens: Column, *carry: str
+) -> DataFrame:
+    """Adjacent-token bigrams (carry..., pos, w1, w2) built NARROWLY from
+    the token array — one explode, no shuffle, no sort. The previous
+    shape (posexplode → lead() over a doc_id window) paid a full sort of
+    the exploded token table per query and, on any input not already
+    partitioned by doc_id, a corpus-wide exchange (guide §2.4: remove
+    shuffles outright). Row multiset and pos values are identical to the
+    window version by construction: for each doc, pos = 0..size(w)-2,
+    w1 = w[pos], w2 = w[pos+1]; docs with <2 tokens produce no rows
+    (sequence() is guarded — Spark's sequence(0, -1) would DESCEND, not
+    return empty)."""
+    t = F.expr(
+        "CASE WHEN size(_w) >= 2 THEN transform(sequence(0, size(_w) - 2),"
+        " i -> named_struct('pos', i, 'w1', _w[i], 'w2', _w[i + 1]))"
+        " ELSE array() END"
+    )
+    return (
+        docs.withColumn("_w", tokens)
+        .select(*carry, F.explode(t).alias("_t"))
+        .select(*carry, "_t.pos", "_t.w1", "_t.w2")
+    )
+
+
 _STOPWORDS = ["the", "a", "of", "and", "to", "in", "is"]
 
 

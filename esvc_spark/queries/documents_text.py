@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table as T
 from ._util import sql_dsum, tracked_persist as _tp
-from .documents_shared import _h, _sql_h, _TOKENS, SQL_TOKENS, _docs_par, _STOPWORDS, _qlog2_expr
+from .documents_shared import _h, _sql_h, _TOKENS, SQL_TOKENS, _bigram_df, _docs_par, _STOPWORDS, _qlog2_expr
 
 # ------------------------------------------------------------- token stats
 
@@ -262,19 +262,14 @@ _LM_SCORE_N = 100
 
 
 def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     docs = _docs_par(spark, sf_dir)
-    toks = docs.select("doc_id", F.posexplode(_TOKENS()).alias("pos", "w"))
+    toks = docs.select("doc_id", F.explode(_TOKENS()).alias("w"))
     # persist: the bigram table feeds the two model aggregates AND the
-    # scored slice — without it the tokenize + lead window runs 3x
-    bi = (
-        toks.withColumn(
-            "w2", F.lead("w").over(Window.partitionBy("doc_id").orderBy("pos"))
-        )
-        .filter(F.col("w2").isNotNull())
-        .select("doc_id", "pos", F.col("w").alias("w1"), "w2")
-    ).transform(_tp)
+    # scored slice — without it the tokenize pipeline runs 3x.
+    # Array-native bigrams (round 11): identical rows to the previous
+    # posexplode + lead-window shape, minus the per-query sort of the
+    # exploded token table (guide §2.4).
+    bi = _bigram_df(docs, _TOKENS(), "doc_id").transform(_tp)
     c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     vocab = toks.agg(F.countDistinct("w").alias("v"))
@@ -362,19 +357,12 @@ _CCNET_TILES = 3
 
 
 def q_doc_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     docs = _docs_par(spark, sf_dir)
-    toks = docs.select("doc_id", "lang", F.posexplode(_TOKENS()).alias("pos", "w"))
+    toks = docs.select("doc_id", F.explode(_TOKENS()).alias("w"))
     # persist: bigrams feed the two model aggregates AND the scored pass
-    # (same reuse rationale as q_doc_lm_score)
-    bi = (
-        toks.withColumn(
-            "w2", F.lead("w").over(Window.partitionBy("doc_id").orderBy("pos"))
-        )
-        .filter(F.col("w2").isNotNull())
-        .select("doc_id", "lang", "pos", F.col("w").alias("w1"), "w2")
-    ).transform(_tp)
+    # (same reuse rationale as q_doc_lm_score); array-native bigrams
+    # (round 11) — no explode+window sort, identical rows
+    bi = _bigram_df(docs, _TOKENS(), "doc_id", "lang").transform(_tp)
     c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     vocab = toks.agg(F.countDistinct("w").alias("v"))
@@ -2410,16 +2398,13 @@ def q_doc_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = _docs_par(spark, sf_dir)
-    toks = docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
-    )
-    wnd = Window.partitionBy("doc_id").orderBy("pos")
-    pairs = (
-        toks.select("doc_id", "w", F.lead("w").over(wnd).alias("nxt"))
-        .filter(F.col("nxt").isNotNull())
+    # array-native adjacent pairs (round 11): identical row multiset to
+    # the previous posexplode + lead-window shape, minus the sort
+    pairs = _bigram_df(docs, F.split("text", " "), "doc_id").select(
+        F.col("w1").alias("w"), F.col("w2").alias("nxt")
     )
     # one corpus pass: emit both edge directions inline instead of a
-    # union of two selects (which would re-run the explode+window twice)
+    # union of two selects (which would re-run the explode twice)
     edges = (
         pairs.select(
             F.explode(
@@ -2432,6 +2417,10 @@ def q_doc_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("e.src", "e.dst")
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        # persist: the vocabulary-bounded edge table feeds out-degrees,
+        # p, nodes, AND (via base) every rank iteration — unpersisted,
+        # each of those re-ran the corpus explode+count (round 11)
+        .transform(_tp)
     )
     out = edges.groupBy("src").agg(F.sum("cnt").alias("out_cnt"))
     p = (
@@ -2443,7 +2432,9 @@ def q_doc_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nodes = edges.select(F.col("src").alias("node")).distinct()
     n = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
-    base = nodes.join(n)  # single-row cross join: N reaches every node row
+    # single-row cross join: N reaches every node row; persisted — base
+    # seeds rank 0 AND re-enters every damped iteration (4 plan branches)
+    base = nodes.join(n).transform(_tp)
     ranks = base.select("node", (F.lit(1.0) / F.col("n_nodes")).alias("r"))
     for _ in range(_TR_ITERS):
         contrib = p.join(
