@@ -630,8 +630,13 @@ class IVFIndexStore:
             raise ValueError(f"split_cell: n_sub must be >= 2, got {n_sub}")
         # heal crash residue (mid-swap codebook restore, stale tmp/old
         # dirs, orphan cells) before reading — split's own rename swap
-        # below must never inherit a wedged ._split_old
-        self._recover_orphan_cells()
+        # below must never inherit a wedged ._split_old. One centroid
+        # collect serves the heal AND the codebook rewrite (round 11).
+        self._recover_codebook_swap()
+        old_cents = self.centroids().collect()  # k rows, driver-cheap
+        self._recover_orphan_cells(
+            _known={int(r["cent_id"]) for r in old_cents}
+        )
         rows = (
             self.cells()
             .filter(F.col("cell") == cell)
@@ -680,7 +685,6 @@ class IVFIndexStore:
                     f"distinct directions)"
                 )
             seeds.append(nxt)
-        old_cents = self.centroids().collect()  # k rows, driver-cheap
         max_id = max(r["cent_id"] for r in old_cents)
         new_ids = [cell] + [max_id + 1 + i for i in range(len(seeds) - 1)]
         sub_rows = [
@@ -777,11 +781,18 @@ class IVFIndexStore:
         if a == b:
             raise ValueError(f"merge_cells: a == b == {a}")
         a, b = (int(min(a, b)), int(max(a, b)))
-        self._recover_orphan_cells()
+        # one centroid collect serves residue recovery AND the merge
+        # math (round 11 — previously _recover_orphan_cells collected
+        # the ids and this method re-collected the rows: two jobs on
+        # the same k-row table). Swap recovery must still run FIRST so
+        # the collect never reads a mid-rename codebook; orphan healing
+        # moves rows only, never centroids, so the rows stay current.
+        self._recover_codebook_swap()
         cents = {
             int(r["cent_id"]): (list(r["cemb"]), float(r["cnrm"]))
             for r in self.centroids().collect()  # k rows, driver-cheap
         }
+        self._recover_orphan_cells(_known=set(cents))
         for c in (a, b):
             if c not in cents:
                 raise ValueError(f"merge_cells: cell {c} not in codebook")
@@ -879,7 +890,9 @@ class IVFIndexStore:
                 _sh.rmtree(old_dir, ignore_errors=True)  # post-swap junk
             _sh.rmtree(tmp, ignore_errors=True)  # tmp is always junk
 
-    def _recover_orphan_cells(self) -> list[int]:
+    def _recover_orphan_cells(
+        self, _known: set[int] | None = None
+    ) -> list[int]:
         """Heal cells present on disk but absent from the codebook (the
         crash residue class of merge_cells step 1/2): fold each orphan
         cell's rows into their nearest CURRENT centroid, anti-joining
@@ -891,10 +904,17 @@ class IVFIndexStore:
         duplicates), then drop the orphan directory. The existence probe
         is a column-pruned vec_id-only scan of the index — acceptable
         because this is the rare crash-recovery path, never per-search
-        or per-add. Returns the healed cell ids."""
+        or per-add. Returns the healed cell ids.
+
+        ``_known``: the current codebook's cent_ids, when the caller has
+        ALREADY run _recover_codebook_swap and collected the centroids —
+        split/merge need the full centroid rows themselves, and passing
+        the ids here spares a duplicate collect job on the common
+        no-residue path (round 11)."""
         import shutil as _sh
 
-        self._recover_codebook_swap()
+        if _known is None:
+            self._recover_codebook_swap()
         root = os.path.join(self.path, "cells")
         if not os.path.isdir(root):
             return []
@@ -904,7 +924,11 @@ class IVFIndexStore:
             if e.startswith("cell=")
         }
         cdf = self.centroids()
-        known = {int(r["cent_id"]) for r in cdf.select("cent_id").collect()}
+        known = (
+            set(_known)
+            if _known is not None
+            else {int(r["cent_id"]) for r in cdf.select("cent_id").collect()}
+        )
         orphans = sorted(on_disk - known)
         for orph in orphans:
             odir = os.path.join(root, f"cell={orph}")
@@ -1297,39 +1321,34 @@ class IVFIndexStore:
             .filter(F.col("_r") <= nprobe)
             .drop("csim", "_r")
         )
+        # Bounded driver-side step: the ranked probe table is at most
+        # |batch| x nprobe rows — the SAME row bound the probed-cell
+        # collect always relied on, now carrying the query payloads too.
+        # Collecting it ONCE and re-shipping it as a local relation costs
+        # a single Spark job where the previous shape paid two (an eager
+        # localCheckpoint + a distinct-cells collect — round 11, guide
+        # §1.2: per-search scheduling floors dominated sf-scale serving),
+        # and frozen driver rows pin replay-unstable inputs (sample/limit
+        # upstream) even harder than the checkpoint did. Memory: rows x
+        # (dim doubles) — a 1e5-query batch at 512 dims is ~400 MB on
+        # the driver; batches beyond that should pre-stage their probes.
+        probe_schema = probes.schema
+        rows = probes.collect()
         if probe_map:
             # expand ranked cells through the split map: a tiny driver
             # literal (one entry per split since the reader's codebook
             # version), never corpus-proportional
-            expand = F.create_map(
-                *[
-                    x
-                    for c, subs in sorted(probe_map.items())
-                    for x in (
-                        F.lit(int(c)),
-                        F.array(*[F.lit(int(s)) for s in subs]),
-                    )
-                ]
-            )
-            probes = probes.withColumn(
-                "cell",
-                F.explode(
-                    F.coalesce(
-                        expand.getItem(F.col("cell")), F.array(F.col("cell"))
-                    )
-                ),
-            )
-        # probes is consumed twice (the cell collect below + the
-        # candidate join): checkpoint so the caller's query plan runs
-        # ONCE, and so a replay-unstable input (sample/limit upstream)
-        # cannot make the pruned cells disagree with the joined probes
-        probes = probes.localCheckpoint()
-        # bounded driver-side step: the DISTINCT probed cells — at most
-        # |batch| x nprobe values, independent of corpus size. Collecting
-        # them turns the probe into scan-level PARTITION PRUNING below.
-        probe_cells = [
-            r["cell"] for r in probes.select("cell").distinct().collect()
-        ]
+            pm = {
+                int(c): tuple(int(s) for s in subs)
+                for c, subs in probe_map.items()
+            }
+            rows = [
+                (r["query_id"], r["qemb"], r["qnrm"], c2)
+                for r in rows
+                for c2 in pm.get(int(r["cell"]), (int(r["cell"]),))
+            ]
+        probe_cells = sorted({int(r[3] if isinstance(r, tuple) else r["cell"]) for r in rows})
+        probes = self.spark.createDataFrame(rows, probe_schema)
         cand = (cells_df if cells_df is not None else self.cells()).filter(
             F.col("cell").isin(probe_cells)
         )
@@ -1409,12 +1428,14 @@ class IVFIndexStore:
             )
             .filter(F.col("_r") <= nprobe)
             .select("query_id", "cell")
-            # consumed twice (cell collect + candidate join) — one run
-            .localCheckpoint()
         )
-        probe_cells = [
-            r["cell"] for r in probes.select("cell").distinct().collect()
-        ]
+        # one bounded collect (|Q| x nprobe id pairs) replaces the
+        # previous eager checkpoint + distinct-cells collect — one Spark
+        # job instead of two (round 11, same rationale as search())
+        probe_schema = probes.schema
+        probe_rows = probes.collect()
+        probe_cells = sorted({int(r["cell"]) for r in probe_rows})
+        probes = self.spark.createDataFrame(probe_rows, probe_schema)
         # distance table: |Q| × m × n_codes rows, broadcast
         qparts = _pq_parts_of(
             q.select(

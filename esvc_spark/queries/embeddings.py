@@ -3340,8 +3340,9 @@ def q_emb_ivf_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .count()
             .collect()
         }
-        # the transparency proof: bounded frames (|Q| x topk rows each)
-        mismatches = pre.exceptAll(post).count() + post.exceptAll(pre).count()
+        # the transparency proof: bounded frames (|Q| x topk rows each);
+        # one action for both set differences (round 11)
+        mismatches = pre.exceptAll(post).unionAll(post.exceptAll(pre)).count()
         return post.select(
             "query_id",
             "neighbor_id",
@@ -3883,9 +3884,11 @@ def q_emb_ivf_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         pre = store.search(q, nprobe=k0, topk=_IVF_TOPK).localCheckpoint()
         store.merge_cells(a, b)
         post_x = store.search(q, nprobe=store.k, topk=_IVF_TOPK)
-        mismatches = (
-            pre.exceptAll(post_x).count() + post_x.exceptAll(pre).count()
-        )
+        # one action for both set differences (round 11): |A∖B| + |B∖A|
+        # = |(A∖B) ⊎ (B∖A)| — halves the mismatch-audit job count
+        mismatches = pre.exceptAll(post_x).unionAll(
+            post_x.exceptAll(pre)
+        ).count()
         n_merged = int(
             store.cells().filter(F.col("cell") == a).count()
         )
