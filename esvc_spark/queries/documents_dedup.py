@@ -82,18 +82,23 @@ FROM documents
 _SHINGLE = 5
 
 
-def _shingles_df(docs: DataFrame) -> DataFrame:
+def _shingles_df(docs: DataFrame, dedup: bool = True) -> DataFrame:
+    """Per-doc shingle table. ``dedup=False`` skips the per-doc distinct
+    for consumers whose downstream math is duplicate-insensitive (the
+    MinHash signature: MIN over a multiset = MIN over its set — round
+    11); every set-semantics consumer (Jaccard counts, df caps,
+    containment) keeps the default distinct."""
     sh = F.expr(
         f"CASE WHEN size(w) >= {_SHINGLE} THEN "
         f"transform(sequence(0, size(w) - {_SHINGLE}), "
         f"i -> concat_ws(' ', slice(w, i + 1, {_SHINGLE}))) "
         "ELSE array() END"
     )
-    return (
+    out = (
         docs.select("doc_id", _TOKENS().alias("w"))
         .select("doc_id", F.explode(sh).alias("shingle"))
-        .distinct()
     )
+    return out.distinct() if dedup else out
 
 
 _SQL_SHINGLES = f"""
@@ -211,8 +216,11 @@ def _sig_from_shingles(sh: DataFrame) -> DataFrame:
 
 def _mh_sig(docs: DataFrame) -> DataFrame:
     """MinHash signature table (doc_id, mh0..mh15) for any (doc_id, text)
-    frame — shared by the self-join LSH and the incremental variant."""
-    return _sig_from_shingles(_shingles_df(docs))
+    frame — shared by the self-join LSH and the incremental variant.
+    Shingles are NOT deduplicated first: MIN over the hashed multiset
+    equals MIN over the set, so the signature is bit-identical and the
+    per-doc distinct pass is pure cost here (round 11)."""
+    return _sig_from_shingles(_shingles_df(docs, dedup=False))
 
 
 def _mh_bands(sig: DataFrame) -> DataFrame:

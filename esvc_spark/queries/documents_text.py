@@ -1148,7 +1148,10 @@ def q_doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rounds = []
     for rank in (1, 2):
-        t = top_pair(w, rank)
+        # persist: each round's 1-row top pair feeds BOTH the corpus
+        # rewrite and the final union — unpersisted, round 1's full
+        # pair-count pass re-ran inside round 2's lineage (round 11)
+        t = top_pair(w, rank).transform(_tp)
         rounds.append(t)
         # apply the merge: '>a<>b<' -> '>ab<' (drop the inner markers)
         w = w.crossJoin(F.broadcast(t.select(F.col("pair").alias("p")))).select(
@@ -1195,6 +1198,9 @@ def q_doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("c"), F.asc("pair"))
             .limit(1)
             .select(F.col("pair").alias("p"))
+            # persist: round 1's top pair re-enters round 2's lineage
+            # (same rationale as q_doc_bpe_merges — round 11)
+            .transform(_tp)
         )
         cur = cur.crossJoin(F.broadcast(top)).select(
             "lang",
