@@ -2546,10 +2546,12 @@ def q_emb_db_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", "label")
         .agg(F.sqrt(ofold_sum("pos", "sq")).alias("dist"))
     )
+    # persist: the K-row sig table feeds sa, sb AND the final join —
+    # unpersisted, the corpus-sized dists pipeline ran 3x (round 11)
     sig = dists.groupBy("label").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members"),
         (ofold_sum("vec_id", "dist") / F.count(F.lit(1))).alias("sigma"),
-    )
+    ).transform(_tp)
     ca = cent.select(
         F.col("label").alias("ci"), "pos", F.col("cval").alias("va")
     )
@@ -2565,13 +2567,15 @@ def q_emb_db_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sig.select(F.col("label").alias("ci"), F.col("sigma").alias("si"))
     sb = sig.select(F.col("label").alias("cj"), F.col("sigma").alias("sj"))
+    # persisted for the same reason: feeds the overall fold AND the
+    # final join (K rows)
     comp = (
         cd.join(F.broadcast(sa), "ci")
         .join(F.broadcast(sb), "cj")
         .select("ci", ((F.col("si") + F.col("sj")) / F.col("dij")).alias("r"))
         .groupBy("ci")
         .agg(F.max("r").alias("db_component"))
-    )
+    ).transform(_tp)
     overall = comp.agg(
         (ofold_sum("ci", "db_component") / F.count(F.lit(1))).alias("db_index")
     )

@@ -211,13 +211,19 @@ def q_ev_kmv_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("out_day") <= F.col("max_day"))
         .select("event_type", "out_day", "h")
         .distinct()
+        # persist: the merged sketch (≤ k·groups·window_days rows) feeds
+        # BOTH the kth-hash window and the union count — unpersisted,
+        # the explode+distinct ran twice (round 11)
+        .transform(_tp)
     )
     wo = Window.partitionBy("event_type", "out_day").orderBy("h")
     ranked = merged.withColumn("rn", F.row_number().over(wo))
     kth = ranked.filter(F.col("rn") == _KMVW_K).select(
         "event_type", "out_day", F.col("h").alias("kth_hash")
     )
-    union_n = ranked.groupBy("event_type", "out_day").agg(
+    # count from merged, not ranked: row_number adds no rows, and the
+    # count-side consumer shouldn't pay the kth-hash window sort twice
+    union_n = merged.groupBy("event_type", "out_day").agg(
         F.count(F.lit(1)).alias("n_union")
     )
     exact = (
