@@ -2101,24 +2101,25 @@ FROM pairs WHERE max_run_shingles >= {_RUN_MIN_SH}
 def q_doc_dup_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    toks = (
-        _docs_par(spark, sf_dir)
-        .select("doc_id", "lang", F.posexplode(_TOKENS()).alias("pos", "w"))
-    )
     wd = Window.partitionBy("doc_id").orderBy("pos")
-    # g is NULL unless a FULL K-gram starts here (|| would propagate the
-    # NULL in SQL; gating on the last lead keeps both dialects identical)
-    grams = toks.select(
-        "doc_id",
-        "lang",
-        "pos",
-        F.when(
-            F.lead("w", _SHINGLE - 1).over(wd).isNotNull(),
-            F.concat_ws(
-                " ", "w",
-                *[F.lead("w", i).over(wd) for i in range(1, _SHINGLE)],
-            ),
-        ).alias("g"),
+    # g is NULL unless a FULL K-gram starts here. Array-native (round
+    # 11): one row per token position with the gram built from the
+    # token array — identical rows to the previous posexplode +
+    # lead-window shape, minus a full corpus sort (the downstream
+    # coverage/lag windows re-sort after the gram join anyway, so the
+    # construction sort bought nothing)
+    g_arr = F.expr(
+        f"CASE WHEN size(w) >= 1 THEN transform(sequence(0, size(w) - 1),"
+        f" i -> named_struct('pos', i, 'g',"
+        f" CASE WHEN i + {_SHINGLE} <= size(w)"
+        f" THEN concat_ws(' ', slice(w, i + 1, {_SHINGLE})) END))"
+        " ELSE array() END"
+    )
+    grams = (
+        _docs_par(spark, sf_dir)
+        .select("doc_id", "lang", _TOKENS().alias("w"))
+        .select("doc_id", "lang", F.explode(g_arr).alias("_t"))
+        .select("doc_id", "lang", "_t.pos", "_t.g")
     ).transform(_tp)
     dup_g = (
         grams.filter(F.col("g").isNotNull())
