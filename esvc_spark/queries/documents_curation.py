@@ -775,10 +775,13 @@ def q_doc_jackknife(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = _qscored(_docs_par(spark, sf_dir)).withColumn(
         "q20", F.floor(F.col("qscore") * _JK_Q).cast("bigint")
     )
+    # persists (round 11, scan census): per feeds tot AND loo; loo
+    # feeds mbar, dev AND the output — unpersisted, the corpus scoring
+    # pipeline evaluated 6x in one plan (both frames are |sources| rows)
     per = scored.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("q20").cast("bigint").alias("s20"),
-    )
+    ).transform(_tp)
     tot = per.agg(
         F.count(F.lit(1)).alias("g"),
         F.sum("n_docs").cast("bigint").alias("n_tot"),
@@ -787,7 +790,7 @@ def q_doc_jackknife(spark: SparkSession, sf_dir: str) -> DataFrame:
     loo = per.join(tot).withColumn(
         "loo_mean",
         F.expr(f"CAST(s_tot - s20 AS DOUBLE) / ((n_tot - n_docs) * {_JK_Q})"),
-    )
+    ).transform(_tp)
     mbar = loo.agg(
         (ofold_sum("source", "loo_mean") / F.max("g")).alias("mbar")
     )

@@ -502,6 +502,11 @@ def q_doc_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs_par(spark, sf_dir)
     toks = docs.select("doc_id", F.explode(_TOKENS()).alias("term"))
+    # NOT persisted (round 11): the scan census flagged dl/tf double
+    # consumption, but interleaved A/B read the persists a wash
+    # (med 1.99 → 2.06 s) — the doc_id partitioning from _docs_par means
+    # neither aggregate needs an exchange, so the re-scans are cheap
+    # pipelined map work and the cache write only buys memory pressure.
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     nd_avg = dl.agg(
         F.count(F.lit(1)).cast("bigint").alias("nd"),
@@ -1913,6 +1918,11 @@ def q_doc_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_qlog2_expr("n_docs", "spark")).cast("bigint").alias("x_q"),
             F.expr(_qlog2_expr("vocab", "spark")).cast("bigint").alias("y_q"),
         )
+        # NOT persisted (round 11): the scan census flagged pts' double
+        # consumption, but interleaved A/B read the persist ~10% SLOWER
+        # (1.13 → 1.27 s med-of-5) — ReuseExchange already dedupes the
+        # single shared aggregate here, and the cache write only adds a
+        # pipeline break. Census hits need the A/B, not a blanket rule.
     )
     fit = pts.agg(
         F.count(F.lit(1)).cast("bigint").alias("m"),

@@ -1060,7 +1060,11 @@ def q_ev_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..core.spark_engine import grouped_row_number
 
     n_ev = table_rows(spark, sf_dir, "events")
-    n = ev.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # persist: the per-type count feeds BOTH median rank filters
+    # (round 11 — unpersisted it re-scanned + re-aggregated per branch)
+    n = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    ).transform(_tp)
     med = (
         grouped_row_number(
             spark, ev, ["event_type"], ["value", "event_id"], "rn",

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table as T
-from ._util import davg, dec, dsum, sql_davg, sql_dsum
+from ._util import davg, dec, dsum, sql_davg, sql_dsum, tracked_persist as _tp
 
 # ---------------------------------------------------------------- q01
 # TPC-H Q1-style pricing summary: scan + filter + groupBy agg.
@@ -1471,20 +1471,26 @@ def q_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-layout window (3 parallel tasks), above it the two-phase plan
     from esvc_spark.catalog import table_rows
 
+    n_li = table_rows(spark, sf_dir, "lineitem")
     rk = grouped_row_number(
         spark, rows, ["layout"], ["k1", "k2", "day"], "_rk",
-        max_group_rows=table_rows(spark, sf_dir, "lineitem"),
+        max_group_rows=n_li,
     )
-    # per-layout counts from the rank frame (max rank = layout size;
-    # checkpoint-pinned on the two-phase path, a re-derived deterministic
-    # subtree on the size-gated local path)
-    nl = rk.groupBy("layout").agg(F.max("_rk").alias("_n"))
+    # per-layout count = |lineitem| EXACTLY (each layout is one unionAll
+    # copy of li by construction), so the NTILE denominator is the
+    # parquet-footer count — round 11: the previous max(_rk) aggregate
+    # re-evaluated the whole 3-layout rank subtree a second time (the
+    # scan census read 14 lineitem scans in this one plan); zones is
+    # persisted because the overlap join AND the n_chunks count consume
+    # it (720 rows).
     zones = (
-        rk.join(F.broadcast(nl), "layout")
-        .withColumn("chunk", ntile_from_rank("_rk", "_n", _ZM_CHUNKS))
+        rk.withColumn(
+            "chunk",
+            ntile_from_rank("_rk", f"CAST({n_li} AS BIGINT)", _ZM_CHUNKS),
+        )
         .groupBy("layout", "chunk")
         .agg(F.min("day").alias("zmin"), F.max("day").alias("zmax"))
-    )
+    ).transform(_tp)
     span = T(spark, sf_dir, "lineitem").agg(
         F.expr(
             "min(datediff(cast(l_shipdate as date), date '1970-01-01'))"
