@@ -459,6 +459,30 @@ def main() -> None:
         }
         for r, n in anchor_outliers
     ]
+    # Full-surface geomean vs the prior recorded run (VERDICT r11 #4):
+    # the printed one-liner shows only the slowest 10, so a reader
+    # comparing two rounds from the top-10 intersection sees a
+    # structurally biased sample (improvers fall out of view). One
+    # number over EVERY common query fixes that. Additions-only: no
+    # existing field changes meaning.
+    import math
+
+    _common = [
+        n
+        for n in timings
+        if n in prior_ref and prior_ref[n] > 0 and timings[n] > 0
+    ]
+    geomean_vs_prev = (
+        round(
+            math.exp(
+                sum(math.log(timings[n] / prior_ref[n]) for n in _common)
+                / len(_common)
+            ),
+            4,
+        )
+        if _common
+        else None
+    )
     run_drift = round(drift, 3)
     full = {
         "metric": "total_query_wall_time",
@@ -472,6 +496,8 @@ def main() -> None:
         "delta": delta,
         "run_drift": run_drift,
         "anchor_outliers": anchor_receipt,
+        "geomean_vs_prev_full": geomean_vs_prev,
+        "geomean_n_common": len(_common),
     }
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
@@ -494,6 +520,8 @@ def main() -> None:
                 "delta": delta,
                 "run_drift": run_drift,
                 "anchor_outliers": anchor_receipt,
+                "geomean_vs_prev_full": geomean_vs_prev,
+                "geomean_n_common": len(_common),
             }
         )
     )
