@@ -12,6 +12,8 @@ documented there and in CLAUDE.md.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -118,18 +120,27 @@ _SQL_SHINGLES = f"""
 _DF_CAP = 100
 
 
-def _capped_shingles(docs: DataFrame, with_all: bool = False):
-    """The df-capped shingle table. The
-    hot-shingle list (df > cap) is tiny by construction — boilerplate
+class _Shingles(NamedTuple):
+    """Return type of _capped_shingles (ADVICE r11: the old
+    DataFrame-or-tuple return depending on with_all invited unpacking
+    bugs). `capped` is the df-capped table; `uncapped` the persisted
+    full table it was derived from."""
+
+    capped: DataFrame
+    uncapped: DataFrame
+
+
+def _capped_shingles(docs: DataFrame) -> _Shingles:
+    """The df-capped shingle table (plus its persisted uncapped source).
+    The hot-shingle list (df > cap) is tiny by construction — boilerplate
     keys only — so it broadcasts, and the cap costs one map-side-combined
     aggregate plus a broadcast anti-join: no extra shuffle of the full
-    shingle table. Persists all_sh (feeds the df aggregate + anti-join)
-    and sh (every caller fans it into multiple branches). Shared by
+    shingle table. Persists uncapped (feeds the df aggregate + anti-join;
+    a caller needing both — lsh_tuning's MinHash side — reuses this pass
+    instead of re-running the tokenize+shingle pipeline, round 11) and
+    capped (every caller fans it into multiple branches). Shared by
     ngram_jaccard / containment / lsh_tuning so the cap semantics cannot
-    drift between the dedup queries and the audits of them.
-    `with_all=True` additionally returns the persisted UNCAPPED table so
-    a caller needing both (lsh_tuning's MinHash side) reuses this pass
-    instead of re-running the tokenize+shingle pipeline (round 11)."""
+    drift between the dedup queries and the audits of them."""
     all_sh = _shingles_df(docs).transform(_tp)
     hot = (
         all_sh.groupBy("shingle")
@@ -138,12 +149,12 @@ def _capped_shingles(docs: DataFrame, with_all: bool = False):
         .select("shingle")
     )
     sh = all_sh.join(F.broadcast(hot), "shingle", "left_anti").transform(_tp)
-    return (sh, all_sh) if with_all else sh
+    return _Shingles(capped=sh, uncapped=all_sh)
 
 
 def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_par(spark, sf_dir)
-    sh = _capped_shingles(docs)
+    sh = _capped_shingles(docs).capped
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -981,7 +992,7 @@ _CONTAIN_T = 0.5
 
 def q_doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_par(spark, sf_dir)
-    sh = _capped_shingles(docs)
+    sh = _capped_shingles(docs).capped
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (
@@ -1571,7 +1582,7 @@ def q_doc_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one shingle pass: the capped table feeds the truth side, the
     # uncapped sibling feeds the MinHash banding (round 11 — previously
     # _mh_sig re-ran the whole tokenize+shingle+distinct pipeline)
-    sh, all_sh = _capped_shingles(docs, with_all=True)
+    sh, all_sh = _capped_shingles(docs)
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     truth = (

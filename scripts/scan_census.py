@@ -1,15 +1,23 @@
 """Census: per-query count of parquet Scan nodes per base table and
 InMemoryRelation count, from the formatted plan at sf0.001 (plan-only,
-no execution). Flags queries re-scanning one table >= 3x."""
+no execution). Flags queries re-scanning one table >= 3x.
+
+Usage: python scripts/scan_census.py [--sf-dir DIR]
+(paths derived from the repo layout — ADVICE r11, matching opt_probe.py)
+"""
+import argparse
+import os
 import re
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from esvc_spark.queries import all_queries
 from esvc_spark.queries._util import release_between_queries
 from esvc_spark.session import get_spark
 
-SF = "/root/testdata/sf0.001"
+_ap = argparse.ArgumentParser()
+_ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+SF = _ap.parse_args().sf_dir
 spark = get_spark("scan-census", shuffle_partitions=8)
 spark.sparkContext.setLogLevel("ERROR")
 
