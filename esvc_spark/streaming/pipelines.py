@@ -285,8 +285,6 @@ def event_log_stream_pipeline(
     heads_dir = os.path.join(work_dir, "heads")
 
     def _batch(batch: DataFrame, batch_id: int) -> None:
-        from pyspark import StorageLevel
-
         spark = batch.sparkSession
         ev = _graph_event_rows(batch)
         try:
@@ -297,10 +295,12 @@ def event_log_stream_pipeline(
             ev = ev.join(
                 existing.select("event_id"), "event_id", "left_anti"
             )
-        # pin once: the append AND the head update both consume ev
-        # (DISK_ONLY, the repo's checkpoint convention — blocks stay out
-        # of the heap across many micro-batches)
-        ev = ev.localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
+        # ONE job: the append write is ev's only consumer (the head
+        # update below reads `batch` and the on-disk log, never ev), so
+        # the former DISK_ONLY localCheckpoint wrote every batch to disk
+        # twice for nothing (round 12). The anti-join's `existing` scan
+        # pinned its file list when the read resolved, so appending into
+        # the same directory is self-consistent.
         ev.write.mode("append").option("compression", "zstd").parquet(log_dir)
 
         # append_head ≙ main.rs:217-231: every id the BATCH carries joins
@@ -318,11 +318,20 @@ def event_log_stream_pipeline(
             heads = spark.read.parquet(heads_dir).union(new_ids).distinct()
         except AnalysisException:
             heads = new_ids
-        # compact_heads ≙ main.rs:232-249: only when past the threshold
-        if heads.count() > head_threshold:
-            heads = _superseded(heads, spark.read.parquet(log_dir))
-        stage = heads_dir + "_stage"
-        heads.write.mode("overwrite").parquet(stage)
+        # persist across the threshold count and the stage write: the
+        # union+distinct otherwise re-evaluates for the write (and as
+        # the compaction join's left side) — round 12; batch-scoped,
+        # released in finally (cache-hygiene rule)
+        pinned = heads.persist()
+        try:
+            heads = pinned
+            # compact_heads ≙ main.rs:232-249: only when past the threshold
+            if heads.count() > head_threshold:
+                heads = _superseded(heads, spark.read.parquet(log_dir))
+            stage = heads_dir + "_stage"
+            heads.write.mode("overwrite").parquet(stage)
+        finally:
+            pinned.unpersist()
         shutil.rmtree(heads_dir, ignore_errors=True)
         os.replace(stage, heads_dir)
 
