@@ -479,6 +479,7 @@ class IVFIndexStore:
         self._cells_df: DataFrame | None = None
         self._pq_book_df: DataFrame | None = None
         self._pq_meta: tuple[int, int, int, bool] | None = None
+        self._pq_ball_rows: list[list[list[float]]] | None = None
 
     # ------------------------------------------------- driver-side memos
     def _local_df(self, data: list, schema: str) -> DataFrame:
@@ -536,6 +537,28 @@ class IVFIndexStore:
             self._pq_meta = (m, subdim, n_codes, dense)
         return self._pq_meta
 
+    def _pq_ball_nested(
+        self, book: DataFrame, m: int, subdim: int, n_codes: int
+    ) -> DataFrame:
+        """The dense PQ book as a single nested broadcast row
+        ball[sub][code] = cpart (the _pq_encode shape), built from
+        driver rows collected ONCE per handle — m·n_codes·subdim
+        doubles, a few hundred KB at production sizes; pq/ is immutable
+        after build so the memo never invalidates (round 12)."""
+        if self._pq_ball_rows is None:
+            by = {
+                (int(r["sub"]), int(r["code"])): [
+                    float(x) for x in r["cpart"]
+                ]
+                for r in book.select("sub", "code", "cpart").collect()
+            }
+            self._pq_ball_rows = [
+                [by[(j, c)] for c in range(n_codes)] for j in range(m)
+            ]
+        return self._local_df(
+            [(self._pq_ball_rows,)], "_ball array<array<array<double>>>"
+        )
+
     # ------------------------------------------------------------ build
     @staticmethod
     def build(
@@ -569,15 +592,21 @@ class IVFIndexStore:
         trained codebooks)."""
         e = emb.select("vec_id", "emb").withColumn("nrm", norm(F.col("emb")))
         if pq_book is not None or pq_codes > 0:
-            dim = len(
-                e.select("emb").limit(1).collect()[0]["emb"]
-            )
-            if dim % pq_m != 0:
-                raise ValueError(
-                    f"IVFIndexStore.build: dim {dim} not divisible by "
-                    f"pq_m {pq_m}"
+            if pq_book is None:
+                # the dim probe (one bounded collect) is only needed when
+                # WE must derive the default book's slices; an explicit
+                # pq_book defines subdim itself via its cpart width — the
+                # stats aggregate below reads it with no extra job
+                # (round 12)
+                dim = len(
+                    e.select("emb").limit(1).collect()[0]["emb"]
                 )
-            subdim = dim // pq_m
+                if dim % pq_m != 0:
+                    raise ValueError(
+                        f"IVFIndexStore.build: dim {dim} not divisible by "
+                        f"pq_m {pq_m}"
+                    )
+                subdim = dim // pq_m
             if pq_book is None:
                 base = e.orderBy("vec_id").limit(pq_codes)
                 pq_book = _pq_parts_of(
@@ -619,8 +648,10 @@ class IVFIndexStore:
                 int(srow["mx"]) + 1,
                 int(srow["n"]) == (int(srow["ms"]) + 1) * (int(srow["mx"]) + 1),
             )
+            # subdim from the persisted book's own cpart width (equals
+            # dim // pq_m on the default-book path by construction)
             e = _pq_encode(
-                e, book, pq_m, subdim, stats=(pq_meta[2], pq_meta[3])
+                e, book, pq_m, pq_meta[1], stats=(pq_meta[2], pq_meta[3])
             )
         else:
             pq_meta = None
@@ -1707,22 +1738,6 @@ class IVFIndexStore:
         probes, probe_cells = self._collect_probes(
             self._probe_frame(q, nprobe, carry=()), carry_idx=1
         )
-        # distance table: |Q| × m × n_codes rows, broadcast
-        qparts = _pq_parts_of(
-            q.select(
-                "query_id", _unit(F.col("qemb"), F.col("qnrm")).alias("_u")
-            ),
-            F.col("_u"),
-            m,
-            subdim,
-            ["query_id"],
-        )
-        dtab = qparts.join(F.broadcast(book), "sub").select(
-            "query_id",
-            "sub",
-            "code",
-            _sqdist(F.col("part"), F.col("cpart")).alias("qd"),
-        )
         src = cells_df if cells_df is not None else self.cells()
         cand = src.filter(F.col("cell").isin(probe_cells)).select(
             "vec_id", "codes", "cell"
@@ -1750,21 +1765,68 @@ class IVFIndexStore:
         # receipt search at m=64 (0.06× vs exact!) — the array form is
         # the same fold at O(1). Sparse explicit pq_books keep the map
         # path (correct, slower; bounded by their own size).
-        key = (
-            F.col("sub") * F.lit(n_codes) + F.col("code")
-            if dense
-            else F.col("sub") * F.lit(65536) + F.col("code")
-        )
-        entries = F.array_sort(
-            F.collect_list(F.struct(key.alias("k"), F.col("qd")))
-        )
-        dt = dtab.groupBy("query_id").agg(
-            (
-                F.transform(entries, lambda s: s["qd"])
-                if dense  # sorted dense keys 0..m·n_codes-1 ⇒ position = key
-                else F.map_from_entries(entries)
-            ).alias("dt")
-        )
+        if dense:
+            # Round 12: for dense books the per-query distance table is
+            # computed MAP-SIDE against the broadcast codebook ball
+            # (memoized driver rows — the same nested shape _pq_encode
+            # folds): dt[sub·n_codes + code] = ||u_sub − cpart||², the
+            # identical _sqdist fold over the identical slices, laid out
+            # sub-major exactly as the dense lookup below indexes it.
+            # The former shape exploded queries to |Q|·m subvector rows,
+            # broadcast-joined the book, and re-folded |Q|·m·n_codes
+            # rows through a groupBy — a shuffle that at 1e5 queries ×
+            # 256 codes moves 2e8 rows for values a per-row expression
+            # produces in place.
+            ball = self._pq_ball_nested(book, m, subdim, n_codes)
+            dt = (
+                q.crossJoin(F.broadcast(ball))
+                .withColumn("_u", _unit(F.col("qemb"), F.col("qnrm")))
+                .select(
+                    "query_id",
+                    F.flatten(
+                        F.transform(
+                            F.sequence(F.lit(0), F.lit(m - 1)),
+                            lambda j: F.transform(
+                                F.element_at(F.col("_ball"), j + 1),
+                                lambda cp: _sqdist(
+                                    F.slice(
+                                        F.col("_u"),
+                                        j * F.lit(subdim) + 1,
+                                        subdim,
+                                    ),
+                                    cp,
+                                ),
+                            ),
+                        )
+                    ).alias("dt"),
+                )
+            )
+        else:
+            # sparse explicit books keep the join + re-fold path (bounded
+            # by their own size; the map lookup below matches)
+            qparts = _pq_parts_of(
+                q.select(
+                    "query_id",
+                    _unit(F.col("qemb"), F.col("qnrm")).alias("_u"),
+                ),
+                F.col("_u"),
+                m,
+                subdim,
+                ["query_id"],
+            )
+            dtab = qparts.join(F.broadcast(book), "sub").select(
+                "query_id",
+                "sub",
+                "code",
+                _sqdist(F.col("part"), F.col("cpart")).alias("qd"),
+            )
+            key = F.col("sub") * F.lit(65536) + F.col("code")
+            entries = F.array_sort(
+                F.collect_list(F.struct(key.alias("k"), F.col("qd")))
+            )
+            dt = dtab.groupBy("query_id").agg(
+                F.map_from_entries(entries).alias("dt")
+            )
 
         def _lookup(j):
             if dense:
