@@ -3351,9 +3351,19 @@ def q_emb_ivf_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .count()
             .collect()
         }
-        # the transparency proof: bounded frames (|Q| x topk rows each);
-        # one action for both set differences (round 11)
-        mismatches = pre.exceptAll(post).unionAll(post.exceptAll(pre)).count()
+        # the transparency proof: both frames are BOUNDED by
+        # construction (|Q| x topk = 60 rows; _N_QUERIES literal above)
+        # and already checkpointed, so the multiset equality is a
+        # driver-side compare of two cheap collects — the exceptAll ⊎
+        # exceptAll shape shuffled the same 60 rows through 4 AQE stage
+        # jobs (round 12). Python tuple equality matches Spark's set-op
+        # semantics here: doubles compare by IEEE value and the frames
+        # carry no NaN/NULL (finite-embedding ingest contract).
+        from collections import Counter
+
+        match_pre = Counter(map(tuple, pre.collect())) == Counter(
+            map(tuple, post.collect())
+        )
         return post.select(
             "query_id",
             "neighbor_id",
@@ -3363,7 +3373,7 @@ def q_emb_ivf_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(n_hot).cast("bigint").alias("n_hot"),
             F.lit(sub_counts.get(hot, 0)).cast("bigint").alias("n_sub_a"),
             F.lit(sub_counts.get(int(new_id), 0)).cast("bigint").alias("n_sub_b"),
-            F.lit(mismatches == 0).alias("match_pre"),
+            F.lit(match_pre).alias("match_pre"),
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -3895,11 +3905,16 @@ def q_emb_ivf_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         pre = store.search(q, nprobe=k0, topk=_IVF_TOPK).localCheckpoint()
         store.merge_cells(a, b)
         post_x = store.search(q, nprobe=store.k, topk=_IVF_TOPK)
-        # one action for both set differences (round 11): |A∖B| + |B∖A|
-        # = |(A∖B) ⊎ (B∖A)| — halves the mismatch-audit job count
-        mismatches = pre.exceptAll(post_x).unionAll(
-            post_x.exceptAll(pre)
-        ).count()
+        # corpus-preservation proof: bounded frames (|Q| x topk = 60
+        # rows by construction) — driver-side multiset equality of two
+        # collects replaces the exceptAll ⊎ exceptAll count's shuffle
+        # jobs (round 12; the q_emb_ivf_split rationale — post_x's
+        # collect IS its one materialization, same as the old count)
+        from collections import Counter
+
+        match_x = Counter(map(tuple, pre.collect())) == Counter(
+            map(tuple, post_x.collect())
+        )
         n_merged = int(
             store.cells().filter(F.col("cell") == a).count()
         )
@@ -3915,7 +3930,7 @@ def q_emb_ivf_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(n_a).cast("bigint").alias("n_a"),
             F.lit(n_b).cast("bigint").alias("n_b"),
             F.lit(n_merged).cast("bigint").alias("n_merged"),
-            F.lit(mismatches == 0).alias("match_exhaustive"),
+            F.lit(match_x).alias("match_exhaustive"),
         ).localCheckpoint()  # materialize before the temp index dir goes
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -132,9 +132,12 @@ def profile_split(spark, sf_dir):
             .count()
             .collect(),
         )
+        from collections import Counter
+
         p.run(
-            "mismatch count",
-            lambda: pre.exceptAll(post).unionAll(post.exceptAll(pre)).count(),
+            "mismatch compare",
+            lambda: Counter(map(tuple, pre.collect()))
+            == Counter(map(tuple, post.collect())),
         )
         p.run("final count", lambda: post.count())
     finally:
@@ -180,9 +183,12 @@ def profile_merge(spark, sf_dir):
             "post exhaustive search",
             lambda: store.search(q, nprobe=store.k, topk=_TOPK),
         )
+        from collections import Counter
+
         p.run(
-            "mismatch count",
-            lambda: pre.exceptAll(post_x).unionAll(post_x.exceptAll(pre)).count(),
+            "mismatch compare",
+            lambda: Counter(map(tuple, pre.collect()))
+            == Counter(map(tuple, post_x.collect())),
         )
         p.run(
             "n_merged count",
