@@ -37,67 +37,70 @@ from pyspark.sql import DataFrame, SparkSession
 _MODULE_ORDER = ("esvc", "multimodal", "embeddings", "documents", "events", "relational")
 
 _FRONT = (
-    # Round-11 (optimization round) rotation: (a) the four round-11-build
-    # queries still without any driver row (CORRECTNESS_r10 predates
-    # them), (b) every query whose EXECUTION PATH this optimization
-    # round changed — array-native bigrams/winnowing/grams, single
-    # shingle pass, multiset MinHash signatures, persisted re-evaluated
-    # subtrees, IVF-store search/maintenance job cuts — each re-proven
-    # against the oracle locally but needing a fresh driver row, and
-    # (c) the oldest (r5-vintage) attestation backlog filling to 50.
-    # -- (a) never driver-graded (r11 build) --
-    "q_emb_ivf_plan",
-    "q_emb_pq_train",
+    # Round-12 (optimization round 2) rotation — rotated LAST, after the
+    # final code commit (VERDICT r11 #3 rule): (a) every query whose
+    # EXECUTION PATH this round changed — the IVF-store job-count pass
+    # (memos, map-side probe ranking + ADC table, bounded probe collect,
+    # concurrent compaction, driver-side proof compares), the esvc
+    # engine's commute plan-build dedup + bucketed renumber, the shared
+    # tokenize+shingle pass in the dedup family, the event-log stream
+    # batch rewrite — each re-proven against the oracle locally but
+    # needing a fresh driver row; (b) VERDICT r11 #3's two queries whose
+    # b7a4e55 changes landed after the r11 rotation; (c) the oldest
+    # (r5/r6-vintage) attestation backlog filling to 50.
+    # -- (a) execution paths changed by optimization round 2 --
+    "q_emb_ivf_split",
     "q_emb_ivf_merge",
     "q_emb_ivfpq_store",
-    # -- (b) execution paths changed by optimization round 1 --
-    "q_emb_ivf_split",
     "q_stream_emb_index",
-    "q_emb_db_index",
-    "q_doc_lm_score",
-    "q_doc_ccnet_buckets",
-    "q_doc_textrank",
-    "q_doc_bpe_merges",
-    "q_doc_bpe_encode",
-    "q_doc_domain_reweight",
-    "q_doc_leakage_split",
-    "q_doc_minhash_lsh",
-    "q_doc_upsert",
-    "q_doc_dup_clusters",
-    "q_doc_canonical",
-    "q_dedup_agreement",
-    "q_doc_dup_transitivity",
+    "q_emb_ivf_plan",
+    "q_emb_pq_train",
+    "q_esvc_editor",
+    "q_esvc_editor_large",
+    "q_esvc_merge",
+    "q_esvc_merge_large",
+    "q_esvc_replay",
+    "q_esvc_import_file",
     "q_dedup_method_eval",
-    "q_doc_cross_source_dup",
-    "q_doc_minhash_audit",
-    "q_doc_bbit_minhash",
+    "q_doc_ngram_jaccard",
+    "q_doc_minhash_lsh",
+    "q_doc_containment",
     "q_doc_lsh_tuning",
-    "q_doc_winnow_pairs",
-    "q_doc_dup_islands",
-    "q_ev_kmv_windows",
-    # -- (c) r5-vintage attestation backlog (oldest green rows) --
-    "q01_pricing_summary",
-    "q02_min_cost_supplier",
-    "q03_shipping_priority",
-    "q04_order_priority",
-    "q05_local_supplier_volume",
-    "q06_forecast_revenue",
-    "q07_volume_shipping",
-    "q08_market_share",
-    "q09_product_profit",
-    "q10_returned_items",
-    "q_doc_entropy",
-    "q_doc_jackknife",
-    "q_doc_novelty",
-    "q_doc_signal_corr",
-    "q_doc_source_overlap",
-    "q_emb_drift",
-    "q_emb_kcenter",
-    "q_ev_asof_nearest",
-    "q_ev_bot_detect",
-    "q_ev_dedup_content",
-    "q_ev_forecast",
-    "q_ev_funnel_latency",
+    "q_stream_event_log",
+    # -- (b) VERDICT r11 #3: changed after the r11 rotation --
+    "q_zonemap_skipping",
+    "q_ev_mad_outliers",
+    # -- (c) oldest attestation backlog (r5/r6-vintage green rows) --
+    "q_ev_incremental_agg",
+    "q_ev_json_props",
+    "q_ev_key_skew",
+    "q_ev_ltv",
+    "q_ev_percentiles",
+    "q_ev_predictability",
+    "q_ev_sessionize",
+    "q_ev_user_journey",
+    "q_mm_scene_cuts",
+    "q_stream_anomaly",
+    "q_window_trailing_spend",
+    "q11_value_concentration",
+    "q12_ship_lag",
+    "q13_customer_distribution",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_excess_stock",
+    "q21_waiting_supplier",
+    "q22_dormant_customers",
+    "q_cube_orders",
+    "q_doc_gopher_rules",
+    "q_doc_readability",
+    "q_emb_ann_lsh",
+    "q_emb_cluster_agreement",
+    "q_emb_dup_clusters",
+    "q_emb_ivf_balance",
+    "q_emb_matryoshka",
 )
 
 def _modules():
